@@ -1,0 +1,95 @@
+"""Lazy builder/loader for the native codec shared library (ctypes).
+
+The extension is compiled on first use:
+
+    g++ -O3 -march=native -shared -fPIC jpeg_entropy.cpp -o libik_native.so
+
+and memoised. ``load()`` returns None when the source or toolchain is
+missing so callers can fall back to host-library codecs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "jpeg_entropy.cpp"
+_LIB = _HERE / "libik_native.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_attempted = False
+
+
+def _build() -> bool:
+    if not _SRC.exists():
+        return False
+    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-fvisibility=hidden",
+        str(_SRC),
+        "-o",
+        str(_LIB),
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120, cwd=_HERE
+        )
+        return True
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _attempted
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _attempted and not os.environ.get("IMAGEKIT_NATIVE_RETRY"):
+            return None
+        _attempted = True
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            return None
+        _configure(lib)
+        _lib = lib
+        return _lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    """Declare C ABI signatures (filled in alongside jpeg_entropy.cpp)."""
+    from imagekit_tpu.codecs.native import jpeg_abi
+
+    jpeg_abi.configure(lib)
+
+
+def decode_jpeg(data: bytes):
+    from imagekit_tpu.codecs.native import jpeg_abi
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native codec library unavailable")
+    return jpeg_abi.decode(lib, data)
+
+
+def encode_jpeg(planes, qtabs, width: int, height: int) -> bytes:
+    from imagekit_tpu.codecs.native import jpeg_abi
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native codec library unavailable")
+    return jpeg_abi.encode(lib, planes, qtabs, width, height)

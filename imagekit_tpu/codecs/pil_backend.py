@@ -1,0 +1,77 @@
+"""Host codec backend via PIL (libjpeg / libwebp / libavif).
+
+The reference's encoders (``src/transform.rs:113-150``):
+
+- JPEG: RGB input, quality clamped 1-100 (Rust ``image`` JPEG encoder,
+  libjpeg-style Annex-K table scaling) — here libjpeg via PIL.
+- WebP: RGB input, libwebp lossy at quality q — here the *same* libwebp
+  via PIL, so the quality->quantiser mapping matches the reference's
+  ``webp::Encoder::from_rgb(...).encode(q)`` (``src/transform.rs:134-136``).
+- AVIF: RGBA input, AV1 at speed 4 / quality q (``src/transform.rs:143-145``)
+  — here libavif via PIL with the matching speed setting.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+from PIL import Image
+
+from imagekit_tpu.config import ImageFormat
+from imagekit_tpu.errors import TransformError
+
+# ravif speed=4 in the reference; libavif's comparable speed knob.
+AVIF_SPEED = 6
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode to HWC uint8, RGB or RGBA (alpha preserved when present)."""
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            im.load()
+            if im.mode in ("RGBA", "LA", "PA") or (
+                im.mode == "P" and "transparency" in im.info
+            ):
+                im = im.convert("RGBA")
+            else:
+                im = im.convert("RGB")
+            return np.asarray(im)
+    except TransformError:
+        raise
+    except Exception as e:  # malformed data -> TransformError (parity)
+        raise TransformError(str(e)) from e
+
+
+def encode(img: np.ndarray, fmt: ImageFormat, quality: int) -> bytes:
+    q = int(min(max(quality, 1), 100))
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    has_alpha = img.shape[2] == 4
+    buf = io.BytesIO()
+    try:
+        if fmt == ImageFormat.jpeg:
+            # to_rgb8 (src/transform.rs:123): drop alpha for JPEG
+            pil = Image.fromarray(img[:, :, :3] if has_alpha else img, "RGB")
+            pil.save(buf, "JPEG", quality=q)
+        elif fmt == ImageFormat.webp:
+            # to_rgb8 (src/transform.rs:131): the reference encodes RGB only
+            pil = Image.fromarray(img[:, :, :3] if has_alpha else img, "RGB")
+            pil.save(buf, "WEBP", quality=q, lossless=False)
+        elif fmt == ImageFormat.avif:
+            # to_rgba8 (src/transform.rs:140): AVIF keeps alpha
+            if not has_alpha:
+                rgba = np.concatenate(
+                    [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2
+                )
+            else:
+                rgba = img
+            pil = Image.fromarray(rgba, "RGBA")
+            pil.save(buf, "AVIF", quality=q, speed=AVIF_SPEED)
+        else:  # pragma: no cover
+            raise TransformError(f"unsupported output format: {fmt}")
+    except TransformError:
+        raise
+    except Exception as e:
+        raise TransformError(str(e)) from e
+    return buf.getvalue()

@@ -1,0 +1,68 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device platform so sharding/mesh logic is
+exercised without TPU hardware (SURVEY.md §4: the multi-chip analogue of
+"distributed tests without a cluster").
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Rate limiting off by default in tests (reference tests/integration.rs:12).
+os.environ.setdefault("DISABLE_RATE_LIMIT", "1")
+
+import io  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def make_test_image(w: int, h: int, *, gradient: bool = True) -> np.ndarray:
+    """Synthesized RGB test image (the reference synthesizes all test images
+    in memory too — tests/transform.rs:13)."""
+    if not gradient:
+        return np.zeros((h, w, 3), dtype=np.uint8)
+    x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+    y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+    r = np.broadcast_to(x, (h, w))
+    g = np.broadcast_to(y, (h, w))
+    b = (r + g) / 2.0
+    rng = np.random.default_rng(42)
+    noise = rng.normal(0, 12, (h, w, 3)).astype(np.float32)
+    img = np.stack([r, g, b], axis=-1) + noise
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def encode_jpeg_pil(img: np.ndarray, quality: int = 92) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+@pytest.fixture
+def test_image():
+    return make_test_image(256, 192)
