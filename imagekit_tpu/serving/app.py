@@ -1,0 +1,510 @@
+"""HTTP application: routes, handlers, middleware.
+
+Parity with the reference router/handlers (``src/lib.rs``):
+
+Routes (``src/lib.rs:429-476``):
+- ``GET /img``        — signed remote transform + cache (the main entry)
+- ``GET /sign``       — HMAC-sign canonical params
+- ``POST /upload``    — multipart transform, raw bytes, no-store
+- ``GET /health``     — JSON status (no rate limit / cache headers)
+- ``GET /stats/cache``— KV cache stats + hit rate JSON
+- ``GET /metrics``    — Prometheus text exposition
+- ``GET /`` + static  — demo frontend (ServeDir analogue)
+
+Middleware on the three transform routes only (``src/lib.rs:442-467``):
+Cloudflare cache headers rewritten on 2xx (reproducing the documented
+override quirk, SURVEY.md §2.4.3) and per-IP GCRA rate limiting
+(10 rps / burst 30) unless ``DISABLE_RATE_LIMIT`` is set.
+
+Status mapping parity: missing/invalid query -> 400 (the serde
+deserialization behaviour, ``tests/integration.rs:71-86``), bad sig -> 401,
+expired -> 410, q==0 or q>100 -> 400 "Invalid quality", fetch/decode/
+resize/encode failures -> 400 with the error text.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Mapping, Optional, Tuple
+
+from aiohttp import web
+
+from imagekit_tpu import __version__
+from imagekit_tpu.cache import (
+    Cache,
+    DiskCache,
+    KVCache,
+    cloudflare_cache_headers,
+)
+from imagekit_tpu.config import (
+    DEFAULT_CACHE_CONTROL,
+    DEFAULT_QUALITY,
+    NO_CACHE_CONTROL,
+    ImageFormat,
+    ImageKitConfig,
+)
+from imagekit_tpu.errors import ImageKitError
+from imagekit_tpu.fetch import Fetcher, fetch_source
+from imagekit_tpu.serving.engine import TransformEngine, ThreadedEngine
+from imagekit_tpu.serving.metrics import METRICS, Metrics
+from imagekit_tpu.serving.ratelimit import GcraLimiter
+
+TRANSFORM_ROUTES = ("/img", "/upload", "/sign")
+_U32_MAX = 2**32 - 1
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+
+
+class QueryError(Exception):
+    """Deserialization failure -> 400 (axum serde parity)."""
+
+
+def _parse_u32(raw: str, name: str) -> int:
+    try:
+        v = int(raw)
+    except ValueError:
+        raise QueryError(f"invalid {name}")
+    if not (0 <= v <= _U32_MAX):
+        raise QueryError(f"invalid {name}")
+    return v
+
+
+def _parse_u8(raw: str, name: str) -> int:
+    try:
+        v = int(raw)
+    except ValueError:
+        raise QueryError(f"invalid {name}")
+    if not (0 <= v <= 255):
+        raise QueryError(f"invalid {name}")
+    return v
+
+
+def _parse_i64(raw: str, name: str) -> int:
+    try:
+        v = int(raw)
+    except ValueError:
+        raise QueryError(f"invalid {name}")
+    if not (_I64_MIN <= v <= _I64_MAX):
+        raise QueryError(f"invalid {name}")
+    return v
+
+
+def parse_transform_query(
+    query: Mapping[str, str], *, require_sig: bool
+) -> Tuple[dict, Optional[str]]:
+    """Parse /img / /sign query params with serde-equivalent strictness
+    (``ImageQuery``/``SignQuery``, ``src/lib.rs:57-87``). Returns the
+    canonical param map (re-stringified from parsed values, matching the
+    handler's ``to_string()`` round trip at ``src/lib.rs:112-118``) and the
+    raw sig."""
+    if "url" not in query:
+        raise QueryError("missing url")
+    params = {"url": query["url"]}
+    if (raw := query.get("w")) is not None:
+        params["w"] = str(_parse_u32(raw, "w"))
+    if (raw := query.get("h")) is not None:
+        params["h"] = str(_parse_u32(raw, "h"))
+    if (raw := query.get("f")) is not None:
+        fmt = ImageFormat.parse(raw)
+        if fmt is None:
+            raise QueryError("invalid f")
+        params["f"] = fmt.value
+    if (raw := query.get("q")) is not None:
+        params["q"] = str(_parse_u8(raw, "q"))
+    if (raw := query.get("t")) is not None:
+        params["t"] = str(_parse_i64(raw, "t"))
+    sig = query.get("sig")
+    if require_sig and sig is None:
+        raise QueryError("missing sig")
+    return params, sig
+
+
+class AppState:
+    def __init__(
+        self,
+        config: ImageKitConfig,
+        *,
+        cache: Optional[Cache] = None,
+        engine: Optional[TransformEngine] = None,
+        fetcher: Optional[Fetcher] = None,
+        metrics: Metrics = METRICS,
+        stats_cache: Optional[KVCache] = None,
+    ) -> None:
+        self.config = config
+        self.cache = cache if cache is not None else DiskCache(config.cache_dir)
+        self.engine = engine if engine is not None else ThreadedEngine(config)
+        self.fetcher = fetcher
+        self.metrics = metrics
+        self._stats_cache = stats_cache
+
+    def stats_cache(self) -> KVCache:
+        """The /stats/cache backend: KV store over the cache dir
+        (``src/lib.rs:357``)."""
+        if self._stats_cache is None:
+            self._stats_cache = KVCache(
+                self.config.cache_dir, self.config.max_cache_size
+            )
+        return self._stats_cache
+
+    async def close(self) -> None:
+        await self.engine.close()
+        if self.fetcher is not None:
+            await self.fetcher.close()
+        if self._stats_cache is not None:
+            self._stats_cache.close()
+
+
+def _state(request: web.Request) -> AppState:
+    return request.app["state"]
+
+
+# ---------------------------------------------------------------------------
+# Handlers
+# ---------------------------------------------------------------------------
+
+
+async def img_handler(request: web.Request) -> web.Response:
+    """``GET /img`` (``src/lib.rs:104-211``)."""
+    state = _state(request)
+    try:
+        params, sig = parse_transform_query(request.query, require_sig=True)
+    except QueryError as e:
+        return web.Response(status=400, text=f"Failed to deserialize query string: {e}")
+
+    from imagekit_tpu.signature import SignatureError, error_to_http, verify_signature
+
+    try:
+        verify_signature(params, sig, state.config.secret)
+    except SignatureError as e:
+        status, _ = error_to_http(e)
+        state.metrics.inc("errors")
+        return web.Response(status=status, text=str(e))
+
+    # Quality bounds (src/lib.rs:130-132)
+    q_param = params.get("q")
+    if q_param is not None:
+        qv = int(q_param)
+        if qv == 0 or qv > 100:
+            state.metrics.inc("errors")
+            return web.Response(status=400, text="Invalid quality")
+
+    cache = state.cache
+    key = cache.key_for(params)
+
+    target_format = (
+        ImageFormat.parse(params["f"])
+        if "f" in params
+        else (state.config.default_format or ImageFormat.webp)
+    )
+
+    cached = await cache.get(key)
+    if cached is not None:
+        state.metrics.inc("cache_hits")
+        return web.Response(
+            status=200,
+            body=cached,
+            headers={
+                "Cache-Control": DEFAULT_CACHE_CONTROL,
+                "ETag": cache.etag_for(key),
+                "Content-Type": target_format.mime,
+            },
+        )
+
+    state.metrics.inc("cache_misses")
+    state.metrics.inc("transforms")
+
+    try:
+        _data, _ct, img = await fetch_source(
+            params["url"],
+            state.config.max_input_size,
+            state.config.allowed_formats,
+            fetcher=state.fetcher,
+        )
+    except ImageKitError as e:
+        state.metrics.inc("errors")
+        return web.Response(status=400, text=str(e))
+
+    w = int(params["w"]) if "w" in params else None
+    h = int(params["h"]) if "h" in params else None
+    quality = int(params["q"]) if "q" in params else DEFAULT_QUALITY
+
+    try:
+        encoded = await state.engine.resize_encode(img, w, h, target_format, quality)
+    except ImageKitError as e:
+        state.metrics.inc("errors")
+        return web.Response(status=400, text=f"Transform error: {e}")
+
+    canonical = "&".join(f"{k}={params[k]}" for k in sorted(params))
+    try:
+        await cache.put(key, encoded, target_format, canonical)
+    except Exception:
+        pass  # cache-put failure is non-fatal (src/lib.rs:194-197)
+
+    return web.Response(
+        status=200,
+        body=encoded,
+        headers={
+            "Cache-Control": DEFAULT_CACHE_CONTROL,
+            "ETag": cache.etag_for(key),
+            "Content-Type": target_format.mime,
+        },
+    )
+
+
+async def sign_handler(request: web.Request) -> web.Response:
+    """``GET /sign`` (``src/lib.rs:213-236``)."""
+    state = _state(request)
+    try:
+        params, _ = parse_transform_query(request.query, require_sig=False)
+    except QueryError as e:
+        return web.Response(status=400, text=f"Failed to deserialize query string: {e}")
+
+    from imagekit_tpu.signature import canonical_string, sign
+
+    canonical = canonical_string(params)
+    sig = sign(params, state.config.secret)
+    return web.json_response(
+        {
+            "canonical": canonical,
+            "sig": sig,
+            "signed_url": f"/img?{canonical}&sig={sig}",
+        }
+    )
+
+
+async def upload_handler(request: web.Request) -> web.Response:
+    """``POST /upload`` (``src/lib.rs:246-309``)."""
+    state = _state(request)
+    file_bytes: Optional[bytes] = None
+    w: Optional[int] = None
+    h: Optional[int] = None
+    f: Optional[ImageFormat] = None
+    q: Optional[int] = None
+
+    try:
+        reader = await request.multipart()
+        while True:
+            field = await reader.next()
+            if field is None:
+                break
+            name = field.name or ""
+            if name == "file":
+                chunks = bytearray()
+                while True:
+                    chunk = await field.read_chunk(64 * 1024)
+                    if not chunk:
+                        break
+                    chunks.extend(chunk)
+                    if (
+                        state.config.enforce_upload_cap
+                        and len(chunks) > state.config.max_input_size
+                    ):
+                        # 8MB cap enforced on upload too (BASELINE config #3;
+                        # deliberate divergence from the reference, which only
+                        # caps remote fetch — SURVEY.md §3.3)
+                        return web.Response(
+                            status=413, text="Input exceeds size limit"
+                        )
+                file_bytes = bytes(chunks)
+            elif name == "w":
+                text = (await field.read()).decode(errors="replace")
+                w = int(text) if text.isdigit() else None
+            elif name == "h":
+                text = (await field.read()).decode(errors="replace")
+                h = int(text) if text.isdigit() else None
+            elif name == "f":
+                text = (await field.read()).decode(errors="replace")
+                f = ImageFormat.parse(text)
+            elif name == "q":
+                text = (await field.read()).decode(errors="replace")
+                q = int(text) if text.isdigit() and int(text) <= 255 else None
+    except web.HTTPException:
+        raise
+    except Exception:
+        return web.Response(status=400, text="Invalid multipart")
+
+    if file_bytes is None:
+        return web.Response(status=400, text="Missing file")
+
+    target_format = f or state.config.default_format or ImageFormat.webp
+    quality = q if q is not None else DEFAULT_QUALITY
+
+    try:
+        img = await state.engine.decode(file_bytes)
+    except ImageKitError as e:
+        state.metrics.inc("errors")
+        return web.Response(status=400, text=f"Decode error: {e}")
+    try:
+        encoded = await state.engine.resize_encode(img, w, h, target_format, quality)
+    except ImageKitError as e:
+        state.metrics.inc("errors")
+        return web.Response(status=400, text=f"Transform error: {e}")
+
+    state.metrics.inc("transforms")
+    return web.Response(
+        status=200,
+        body=encoded,
+        headers={
+            "Content-Type": target_format.mime,
+            "Cache-Control": NO_CACHE_CONTROL,
+        },
+    )
+
+
+async def health_handler(request: web.Request) -> web.Response:
+    """``GET /health`` (``src/lib.rs:341-349``)."""
+    return web.json_response(
+        {"status": "healthy", "version": __version__, "service": "imagekit"}
+    )
+
+
+async def cache_stats_handler(request: web.Request) -> web.Response:
+    """``GET /stats/cache`` (``src/lib.rs:352-397``) — identical JSON shape."""
+    state = _state(request)
+    try:
+        stats = await state.stats_cache().stats()
+    except Exception as e:
+        return web.Response(status=500, text=f"Cache error: {e}")
+    snap = state.metrics.snapshot()
+    hits = int(snap["cache_hits"])
+    misses = int(snap["cache_misses"])
+    total = hits + misses
+    hit_rate = (hits / total * 100.0) if total > 0 else 0.0
+    max_bytes = stats.max_size_bytes
+    return web.json_response(
+        {
+            "cache": {
+                "total_size_bytes": stats.total_size_bytes,
+                "total_size_mb": stats.total_size_bytes / 1024.0 / 1024.0,
+                "entry_count": stats.entry_count,
+                "max_size_bytes": max_bytes,
+                "max_size_mb": max_bytes / 1024.0 / 1024.0,
+                "usage_percent": (
+                    (stats.total_size_bytes / max_bytes * 100.0) if max_bytes else 0.0
+                ),
+            },
+            "requests": {
+                "cache_hits": hits,
+                "cache_misses": misses,
+                "total": total,
+                "hit_rate_percent": hit_rate,
+            },
+            "transforms": {
+                "total": int(snap["transforms"]),
+                "errors": int(snap["errors"]),
+            },
+        }
+    )
+
+
+async def metrics_handler(request: web.Request) -> web.Response:
+    """``GET /metrics`` (``src/lib.rs:400-427``)."""
+    state = _state(request)
+    return web.Response(
+        status=200,
+        text=state.metrics.prometheus_text(),
+        content_type="text/plain",
+        charset="utf-8",
+        headers={"X-Prometheus-Version": "0.0.4"},
+    )
+
+
+async def index_handler(request: web.Request) -> web.StreamResponse:
+    state = _state(request)
+    index = request.app["frontend_dir"] / "index.html"
+    if index.is_file():
+        return web.FileResponse(index)
+    return web.Response(status=404, text="Not found")
+
+
+# ---------------------------------------------------------------------------
+# App assembly
+# ---------------------------------------------------------------------------
+
+
+def create_app(
+    config: Optional[ImageKitConfig] = None,
+    *,
+    cache: Optional[Cache] = None,
+    engine: Optional[TransformEngine] = None,
+    fetcher: Optional[Fetcher] = None,
+    metrics: Metrics = METRICS,
+    frontend_dir: Optional[Path] = None,
+    rate_limit: Optional[bool] = None,
+) -> web.Application:
+    """Assemble the application (``router()``, ``src/lib.rs:429-476``)."""
+    config = config or ImageKitConfig.from_env()
+    config.validate()
+    state = AppState(
+        config, cache=cache, engine=engine, fetcher=fetcher, metrics=metrics
+    )
+
+    if rate_limit is None:
+        rate_limit = "DISABLE_RATE_LIMIT" not in os.environ
+    limiter = GcraLimiter(per_second=10.0, burst=30) if rate_limit else None
+
+    @web.middleware
+    async def transform_middleware(request: web.Request, handler):
+        is_transform = request.path in TRANSFORM_ROUTES
+        if is_transform and limiter is not None:
+            peer = request.headers.get("X-Forwarded-For", "").split(",")[0].strip()
+            if not peer:
+                peer = request.remote or "unknown"
+            allowed, retry_after = limiter.check(peer)
+            if not allowed:
+                return web.Response(
+                    status=429,
+                    text="Too Many Requests",
+                    headers={
+                        "x-ratelimit-after": str(max(1, int(retry_after + 0.999))),
+                        "retry-after": str(max(1, int(retry_after + 0.999))),
+                    },
+                )
+        response = await handler(request)
+        if is_transform:
+            for k, v in cloudflare_cache_headers(response.status).items():
+                response.headers[k] = v
+            if limiter is not None:
+                response.headers["x-ratelimit-limit"] = "30"
+        return response
+
+    app = web.Application(middlewares=[transform_middleware])
+    app["state"] = state
+
+    fdir = frontend_dir or (Path(__file__).resolve().parents[2] / "frontend")
+    app["frontend_dir"] = fdir
+
+    # Observability routes — no rate limit, no cache headers (src/lib.rs:436-439)
+    app.router.add_get("/health", health_handler)
+    app.router.add_get("/stats/cache", cache_stats_handler)
+    app.router.add_get("/metrics", metrics_handler)
+    # Transform routes (src/lib.rs:442-447)
+    app.router.add_get("/img", img_handler)
+    app.router.add_post("/upload", upload_handler)
+    app.router.add_get("/sign", sign_handler)
+    # Static frontend (src/lib.rs:475)
+    app.router.add_get("/", index_handler)
+    if fdir.is_dir():
+        app.router.add_static("/static", fdir)
+
+    async def on_cleanup(app):
+        await state.close()
+
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def run(port: Optional[int] = None) -> None:
+    """Process entry (``src/main.rs:20-59``): env config -> validate ->
+    serve on 0.0.0.0:$PORT (default 8080)."""
+    import logging
+
+    logging.basicConfig(
+        level=os.environ.get("IMAGEKIT_LOG", "INFO").upper(),
+        format="%(asctime)s %(levelname)s %(name)s %(message)s",
+    )
+    config = ImageKitConfig.from_env()
+    config.validate()
+    app = create_app(config)
+    port = port or int(os.environ.get("PORT", "8080"))
+    web.run_app(app, host="0.0.0.0", port=port)

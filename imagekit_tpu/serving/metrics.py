@@ -1,0 +1,112 @@
+"""Global metrics + Prometheus exposition.
+
+Parity with the reference's observability layer (``src/lib.rs:315-427``):
+four process-global counters (``cache_hits``, ``cache_misses``,
+``transforms``, ``errors``) and a hand-formatted Prometheus text endpoint
+with identical metric names and HELP/TYPE lines. The reference declares
+``errors`` but never increments it (SURVEY.md §5.5); we *do* increment it
+on handler errors — the counter exists to be used.
+
+TPU-native additions (SURVEY.md §5.5): batch occupancy, queue depth, and
+per-stage device time, exported under ``imagekit_batch_*`` names.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from typing import Dict
+
+
+class Metrics:
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.cache_hits = 0
+        self.cache_misses = 0
+        self.transforms = 0
+        self.errors = 0
+        # TPU-native extensions
+        self.batches = 0
+        self.batched_images = 0
+        self.queue_depth = 0
+        self.stage_seconds: Dict[str, float] = defaultdict(float)
+
+    def inc(self, name: str, by: int = 1) -> None:
+        with self._lock:
+            setattr(self, name, getattr(self, name) + by)
+
+    def add_stage_time(self, stage: str, seconds: float) -> None:
+        with self._lock:
+            self.stage_seconds[stage] += seconds
+
+    def record_batch(self, size: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batched_images += size
+
+    def snapshot(self) -> Dict[str, float]:
+        with self._lock:
+            snap = {
+                "cache_hits": self.cache_hits,
+                "cache_misses": self.cache_misses,
+                "transforms": self.transforms,
+                "errors": self.errors,
+                "batches": self.batches,
+                "batched_images": self.batched_images,
+                "queue_depth": self.queue_depth,
+            }
+            snap.update(
+                {f"stage_seconds_{k}": v for k, v in self.stage_seconds.items()}
+            )
+            return snap
+
+    def reset(self) -> None:
+        with self._lock:
+            self.cache_hits = self.cache_misses = 0
+            self.transforms = self.errors = 0
+            self.batches = self.batched_images = self.queue_depth = 0
+            self.stage_seconds.clear()
+
+    def prometheus_text(self) -> str:
+        """Exposition format identical to the reference for the four shared
+        counters (``src/lib.rs:406-419``), plus the TPU extensions."""
+        s = self.snapshot()
+        lines = [
+            "# HELP imagekit_cache_hits_total Total number of cache hits",
+            "# TYPE imagekit_cache_hits_total counter",
+            f"imagekit_cache_hits_total {int(s['cache_hits'])}",
+            "# HELP imagekit_cache_misses_total Total number of cache misses",
+            "# TYPE imagekit_cache_misses_total counter",
+            f"imagekit_cache_misses_total {int(s['cache_misses'])}",
+            "# HELP imagekit_transforms_total Total number of image transformations",
+            "# TYPE imagekit_transforms_total counter",
+            f"imagekit_transforms_total {int(s['transforms'])}",
+            "# HELP imagekit_errors_total Total number of errors",
+            "# TYPE imagekit_errors_total counter",
+            f"imagekit_errors_total {int(s['errors'])}",
+            "# HELP imagekit_batches_total Total number of device batches executed",
+            "# TYPE imagekit_batches_total counter",
+            f"imagekit_batches_total {int(s['batches'])}",
+            "# HELP imagekit_batched_images_total Total images run through device batches",
+            "# TYPE imagekit_batched_images_total counter",
+            f"imagekit_batched_images_total {int(s['batched_images'])}",
+            "# HELP imagekit_queue_depth Current transform queue depth",
+            "# TYPE imagekit_queue_depth gauge",
+            f"imagekit_queue_depth {int(s['queue_depth'])}",
+        ]
+        for k, v in sorted(s.items()):
+            if k.startswith("stage_seconds_"):
+                stage = k[len("stage_seconds_"):]
+                lines.append(
+                    f"# HELP imagekit_stage_seconds_total Cumulative seconds in stage {stage}"
+                )
+                lines.append("# TYPE imagekit_stage_seconds_total counter")
+                lines.append(
+                    f'imagekit_stage_seconds_total{{stage="{stage}"}} {v:.6f}'
+                )
+        return "\n".join(lines) + "\n"
+
+
+# Process-global singleton (analogue of the lazy_static METRICS,
+# src/lib.rs:336-338).
+METRICS = Metrics()
