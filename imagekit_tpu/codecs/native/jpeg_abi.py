@@ -1,0 +1,200 @@
+"""ctypes ABI for the native JPEG entropy codec (jpeg_entropy.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+
+class IkJpegInfo(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int32),
+        ("height", ctypes.c_int32),
+        ("ncomp", ctypes.c_int32),
+        ("hmax", ctypes.c_int32),
+        ("vmax", ctypes.c_int32),
+        ("comp_h", ctypes.c_int32 * 4),
+        ("comp_v", ctypes.c_int32 * 4),
+        ("comp_width", ctypes.c_int32 * 4),
+        ("comp_height", ctypes.c_int32 * 4),
+        ("blocks_w", ctypes.c_int32 * 4),
+        ("blocks_h", ctypes.c_int32 * 4),
+        ("progressive", ctypes.c_int32),
+    ]
+
+
+ERRORS = {
+    -1: "truncated",
+    -2: "bad marker",
+    -3: "unsupported (progressive/arithmetic/12-bit)",
+    -4: "bad huffman data",
+    -5: "bad dimensions",
+    -6: "internal error",
+    -7: "buffer too small",
+}
+
+
+class NativeJpegError(Exception):
+    def __init__(self, code: int):
+        super().__init__(ERRORS.get(code, f"error {code}"))
+        self.code = code
+
+
+def configure(lib: ctypes.CDLL) -> None:
+    lib.ik_jpeg_parse.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(IkJpegInfo),
+    ]
+    lib.ik_jpeg_parse.restype = ctypes.c_int
+    lib.ik_jpeg_decode_planes.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.ik_jpeg_decode_planes.restype = ctypes.c_int
+    lib.ik_jpeg_decode_coeffs.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_void_p,
+    ]
+    lib.ik_jpeg_decode_coeffs.restype = ctypes.c_int
+    lib.ik_jpeg_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),  # coeff planes
+        ctypes.c_int,                      # ncomp
+        ctypes.c_int,                      # width
+        ctypes.c_int,                      # height
+        ctypes.c_void_p,                   # samp_h (i32*)
+        ctypes.c_void_p,                   # samp_v (i32*)
+        ctypes.c_void_p,                   # qtab_luma (u16*)
+        ctypes.c_void_p,                   # qtab_chroma (u16*)
+        ctypes.c_void_p,                   # out
+        ctypes.c_size_t,                   # out_cap
+    ]
+    lib.ik_jpeg_encode.restype = ctypes.c_int64
+    lib.ik_native_version.restype = ctypes.c_int
+
+
+@dataclass
+class JpegHeader:
+    width: int
+    height: int
+    ncomp: int
+    hmax: int
+    vmax: int
+    comp_h: Tuple[int, ...]
+    comp_v: Tuple[int, ...]
+    comp_width: Tuple[int, ...]
+    comp_height: Tuple[int, ...]
+    blocks_w: Tuple[int, ...]
+    blocks_h: Tuple[int, ...]
+    progressive: bool
+
+
+def parse(lib: ctypes.CDLL, data: bytes) -> JpegHeader:
+    info = IkJpegInfo()
+    rc = lib.ik_jpeg_parse(data, len(data), ctypes.byref(info))
+    hdr = JpegHeader(
+        width=info.width,
+        height=info.height,
+        ncomp=info.ncomp,
+        hmax=info.hmax,
+        vmax=info.vmax,
+        comp_h=tuple(info.comp_h[: info.ncomp]),
+        comp_v=tuple(info.comp_v[: info.ncomp]),
+        comp_width=tuple(info.comp_width[: info.ncomp]),
+        comp_height=tuple(info.comp_height[: info.ncomp]),
+        blocks_w=tuple(info.blocks_w[: info.ncomp]),
+        blocks_h=tuple(info.blocks_h[: info.ncomp]),
+        progressive=bool(info.progressive),
+    )
+    if rc != 0:
+        if rc == -3 and hdr.progressive:
+            raise NativeJpegError(rc)  # caller falls back to host library
+        raise NativeJpegError(rc)
+    return hdr
+
+
+def decode_planes(
+    lib: ctypes.CDLL, data: bytes
+) -> Tuple[JpegHeader, List[np.ndarray]]:
+    """Huffman decode + host IDCT into padded component sample planes.
+    Plane c has shape (blocks_h*8, blocks_w*8); the true samples occupy
+    [:comp_height, :comp_width]."""
+    hdr = parse(lib, data)
+    planes = [
+        np.empty((hdr.blocks_h[c] * 8, hdr.blocks_w[c] * 8), np.uint8)
+        for c in range(hdr.ncomp)
+    ]
+    ptrs = (ctypes.c_void_p * hdr.ncomp)(
+        *[p.ctypes.data_as(ctypes.c_void_p).value for p in planes]
+    )
+    rc = lib.ik_jpeg_decode_planes(data, len(data), ptrs)
+    if rc != 0:
+        raise NativeJpegError(rc)
+    return hdr, planes
+
+
+def decode(
+    lib: ctypes.CDLL, data: bytes
+) -> Tuple[JpegHeader, List[np.ndarray], np.ndarray]:
+    """Huffman decode to quantised coefficient planes (device does the
+    rest). Plane c has shape (blocks_h, blocks_w, 64) i16, natural order;
+    also returns the 4x64 quant-table array (natural order)."""
+    hdr = parse(lib, data)
+    coeffs = [
+        np.empty((hdr.blocks_h[c], hdr.blocks_w[c], 64), np.int16)
+        for c in range(hdr.ncomp)
+    ]
+    qtabs = np.empty((4, 64), np.uint16)
+    ptrs = (ctypes.c_void_p * hdr.ncomp)(
+        *[p.ctypes.data_as(ctypes.c_void_p).value for p in coeffs]
+    )
+    rc = lib.ik_jpeg_decode_coeffs(
+        data, len(data), ptrs, qtabs.ctypes.data_as(ctypes.c_void_p)
+    )
+    if rc != 0:
+        raise NativeJpegError(rc)
+    return hdr, coeffs, qtabs
+
+
+def encode(
+    lib: ctypes.CDLL,
+    coeff_planes: List[np.ndarray],
+    qtabs: Tuple[np.ndarray, np.ndarray],
+    width: int,
+    height: int,
+    samp: Tuple[Tuple[int, int], ...] = ((2, 2), (1, 1), (1, 1)),
+) -> bytes:
+    """Entropy-encode quantised coefficient planes into a baseline JFIF
+    stream. coeff_planes[c]: (blocks_h, blocks_w, 64) i16 natural order."""
+    ncomp = len(coeff_planes)
+    planes = [np.ascontiguousarray(p, np.int16) for p in coeff_planes]
+    ptrs = (ctypes.c_void_p * ncomp)(
+        *[p.ctypes.data_as(ctypes.c_void_p).value for p in planes]
+    )
+    samp_h = np.array([s[0] for s in samp[:ncomp]], np.int32)
+    samp_v = np.array([s[1] for s in samp[:ncomp]], np.int32)
+    ql = np.ascontiguousarray(qtabs[0], np.uint16)
+    qc = np.ascontiguousarray(qtabs[1], np.uint16)
+    cap = sum(p.nbytes for p in planes) + 65536
+    out = np.empty(cap, np.uint8)
+    n = lib.ik_jpeg_encode(
+        ptrs,
+        ncomp,
+        width,
+        height,
+        samp_h.ctypes.data_as(ctypes.c_void_p),
+        samp_v.ctypes.data_as(ctypes.c_void_p),
+        ql.ctypes.data_as(ctypes.c_void_p),
+        qc.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        cap,
+    )
+    if n < 0:
+        raise NativeJpegError(int(n))
+    return out[:n].tobytes()

@@ -34,6 +34,8 @@ def _build() -> bool:
     cmd = [
         "g++",
         "-O3",
+        "-march=native",
+        "-funroll-loops",
         "-std=c++17",
         "-shared",
         "-fPIC",

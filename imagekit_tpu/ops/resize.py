@@ -258,6 +258,112 @@ def resize_image_array(
     return out[:, :, 0] if squeeze else out
 
 
+def padded_weights(
+    true_in: int,
+    true_out: int,
+    bucket_in: int,
+    bucket_out: int,
+    filter_name: str = "lanczos3",
+) -> np.ndarray:
+    """Weight matrix for a (true_in -> true_out) resample embedded in a
+    (bucket_out, bucket_in) zero matrix.
+
+    This is the key to shape-bucketed batching without recompilation storms
+    (SURVEY.md §7 "hard parts"): the *compiled* shapes are bucket shapes,
+    while the true geometry lives in the weights, which are runtime data.
+    Zero columns mean padded input rows/cols contribute nothing (so padding
+    never corrupts borders — unlike padding the image and using bucket-sized
+    weights), and output rows beyond ``true_out`` come out zero and are
+    cropped on host.
+    """
+    if true_in > bucket_in or true_out > bucket_out:
+        raise ValueError("true size exceeds bucket")
+    w = resample_weights(true_in, true_out, filter_name)
+    out = np.zeros((bucket_out, bucket_in), dtype=np.float32)
+    out[:true_out, :true_in] = w
+    return out
+
+
+@jax.jit
+def _resample_perimage_kernel(
+    imgs: jax.Array, wv: jax.Array, wh: jax.Array
+) -> jax.Array:
+    """(B, Hb, Wb, C) x (B, OHb, Hb) x (B, OWb, Wb) -> (B, OHb, OWb, C) u8.
+
+    Per-image weights let one compiled executable serve every (true in,
+    true out) combination that fits the bucket pair. Batched matmuls map
+    onto the MXU; f32 HIGHEST for PSNR parity.
+    """
+    x = imgs.astype(jnp.float32)
+    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.clip(x, 0.0, 255.0)
+    return jnp.floor(x + 0.5).astype(jnp.uint8)
+
+
+def resample_bucketed(
+    imgs: np.ndarray | jax.Array, wv: np.ndarray, wh: np.ndarray
+) -> jax.Array:
+    """Run the bucket-shaped per-image resample; crop on host afterwards."""
+    return _resample_perimage_kernel(
+        jnp.asarray(imgs), jnp.asarray(wv), jnp.asarray(wh)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("channels",))
+def _resample_flat_kernel(
+    imgs_flat: jax.Array,
+    wv_u: jax.Array,
+    wh_u: jax.Array,
+    vidx: jax.Array,
+    hidx: jax.Array,
+    channels: int = 3,
+) -> jax.Array:
+    """Transfer-optimised bucketed resample.
+
+    Host<->device transfers of u8 NHWC arrays are catastrophic on TPU: the
+    minor dimension (C=3) pads to the 128-lane tile, inflating bytes moved
+    by ~42x. Inputs/outputs here are therefore *flat* ``(B, H, W*C)`` u8
+    (minor dim a multiple of 128 for standard buckets) and the NHWC view
+    exists only on device. Weight matrices arrive deduplicated — ``wv_u``
+    is the stack of unique (true_in -> true_out) matrices and ``vidx`` maps
+    each batch element to its matrix — so a uniform batch ships one matrix
+    instead of B copies.
+    """
+    B, H, WC = imgs_flat.shape
+    W = WC // channels
+    x = imgs_flat.reshape(B, H, W, channels).astype(jnp.float32)
+    wv = wv_u[vidx]  # (B, OH, H) gather on device
+    wh = wh_u[hidx]  # (B, OW, W)
+    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.clip(x, 0.0, 255.0)
+    x = jnp.floor(x + 0.5).astype(jnp.uint8)
+    OH = wv_u.shape[1]
+    OW = wh_u.shape[1]
+    # fully flat 2D output: 3D u8 outputs with a non-128-multiple minor dim
+    # transfer pathologically slowly off-device (measured ~400x slower)
+    return x.reshape(B, OH * OW * channels)
+
+
+def resample_bucketed_flat(
+    imgs_flat: np.ndarray,
+    wv_unique: np.ndarray,
+    wh_unique: np.ndarray,
+    vidx: np.ndarray,
+    hidx: np.ndarray,
+    channels: int = 3,
+) -> jax.Array:
+    return _resample_flat_kernel(
+        jnp.asarray(imgs_flat),
+        jnp.asarray(wv_unique),
+        jnp.asarray(wh_unique),
+        jnp.asarray(vidx),
+        jnp.asarray(hidx),
+        channels=channels,
+    )
+
+
 def resample_reference(
     img: np.ndarray, out_h: int, out_w: int, filter_name: str = "lanczos3"
 ) -> np.ndarray:

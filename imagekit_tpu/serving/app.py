@@ -132,7 +132,11 @@ class AppState:
     ) -> None:
         self.config = config
         self.cache = cache if cache is not None else DiskCache(config.cache_dir)
-        self.engine = engine if engine is not None else ThreadedEngine(config)
+        if engine is None:
+            from imagekit_tpu.serving.engine import default_engine
+
+            engine = default_engine(config)
+        self.engine = engine
         self.fetcher = fetcher
         self.metrics = metrics
         self._stats_cache = stats_cache

@@ -7,7 +7,10 @@ exercised without TPU hardware (SURVEY.md §4: the multi-chip analogue of
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# 8 virtual CPU devices for mesh tests. The axon TPU backend may already be
+# registered by sitecustomize (it initializes at interpreter start), but the
+# CPU backend initializes lazily and honors XLA_FLAGS set here; we then pin
+# the default device to CPU so every test computation runs on CPU.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Rate limiting off by default in tests (reference tests/integration.rs:12).
 os.environ.setdefault("DISABLE_RATE_LIMIT", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def cpu_devices():
+    return jax.devices("cpu")
 
 import io  # noqa: E402
 

@@ -1,0 +1,175 @@
+"""Batched engine tests: correctness of bucketed batching vs the exact
+single-image path, mixed shapes in one bucket, fallbacks, and metrics."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from imagekit_tpu.config import BatchConfig, ImageFormat, ImageKitConfig
+from imagekit_tpu.ops.resize import (
+    padded_weights,
+    resample_bucketed,
+    resample_reference,
+    resample_weights,
+)
+from imagekit_tpu.serving.batcher import BatchedEngine
+from imagekit_tpu.serving.metrics import Metrics
+from imagekit_tpu.transform import decode_image, resize_image
+from imagekit_tpu.utils.bucketing import bucket_for, bucket_ladder
+from tests.conftest import make_test_image, psnr
+
+
+def make_engine(max_batch=8, delay_ms=5.0):
+    cfg = ImageKitConfig(
+        secret="s", batch=BatchConfig(max_batch=max_batch, max_delay_ms=delay_ms)
+    )
+    return BatchedEngine(cfg, metrics=Metrics())
+
+
+# -- bucketing ladder ----------------------------------------------------------
+
+
+def test_bucket_ladder_monotonic():
+    ladder = bucket_ladder()
+    assert all(a < b for a, b in zip(ladder, ladder[1:]))
+    assert all(b % 8 == 0 for b in ladder)  # f32 sublane-aligned
+
+
+def test_bucket_for():
+    assert bucket_for(1) == bucket_ladder()[0]
+    assert bucket_for(1080) >= 1080
+    with pytest.raises(ValueError):
+        bucket_for(100_000)
+
+
+# -- padded weights semantics -----------------------------------------------------
+
+
+def test_padded_weights_ignore_padding():
+    """Resampling a padded image with padded weights must equal resampling
+    the unpadded image: padding contributes nothing."""
+    img = make_test_image(100, 80)
+    bh, bw = 128, 128
+    padded = np.zeros((1, bh, bw, 3), np.uint8)
+    padded[0, :80, :100] = img
+    wv = padded_weights(80, 40, bh, 64)[None]
+    wh = padded_weights(100, 50, bw, 64)[None]
+    out = np.asarray(resample_bucketed(padded, wv, wh))[0]
+    want = resample_reference(img, 40, 50)
+    got = out[:40, :50]
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # outside the true output window everything is zero
+    assert out[40:].max() == 0 and out[:, 50:].max() == 0
+
+
+# -- engine correctness ------------------------------------------------------------
+
+
+def test_batched_engine_matches_single_path():
+    img = make_test_image(640, 480)
+    engine = make_engine()
+
+    async def run():
+        out = await engine.resize_encode(img, 200, None, ImageFormat.webp, 80)
+        await engine.close()
+        return out
+
+    batched = asyncio.run(run())
+    dec, _ = decode_image(batched)
+    # like-for-like: run the single-image path through the same encoder
+    from imagekit_tpu.transform import encode_image
+
+    single = decode_image(
+        encode_image(resize_image(img, 200, None), ImageFormat.webp, 80)
+    )[0]
+    assert dec.shape == single.shape
+    # identical resample + identical encoder settings -> near-identical bytes
+    assert psnr(dec, single) >= 49.0
+
+
+def test_batched_engine_mixed_shapes_one_batch():
+    """Different true sizes sharing a bucket batch together and all come out
+    with their own exact dimensions."""
+    imgs = [make_test_image(w, h) for w, h in [(640, 480), (600, 400), (512, 512)]]
+    engine = make_engine(max_batch=3, delay_ms=50)
+
+    async def run():
+        outs = await asyncio.gather(
+            *(
+                engine.resize_encode(img, 200, None, ImageFormat.jpeg, 85)
+                for img in imgs
+            )
+        )
+        await engine.close()
+        return outs
+
+    outs = asyncio.run(run())
+    dims = [decode_image(o)[0].shape[:2] for o in outs]
+    assert dims[0] == (150, 200)
+    assert dims[1] == (133, 200)  # 400 * 200/600 = 133.33 -> fit-within
+    assert dims[2] == (200, 200)
+    assert engine.metrics.batches >= 1
+    assert engine.metrics.batched_images == 3
+
+
+def test_batched_engine_noop_resize():
+    img = make_test_image(64, 64)
+    engine = make_engine()
+
+    async def run():
+        out = await engine.resize_encode(img, None, None, ImageFormat.webp, 80)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    dec, _ = decode_image(out)
+    assert dec.shape[:2] == (64, 64)
+    assert engine.metrics.batches == 0  # never touched the device path
+
+
+def test_batched_engine_upscale_fallback():
+    """Targets beyond the ladder use the exact path and still work."""
+    img = make_test_image(16, 16)
+    engine = make_engine()
+
+    async def run():
+        out = await engine.resize_encode(img, 9000, None, ImageFormat.jpeg, 70)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    dec, _ = decode_image(out)
+    assert dec.shape[:2] == (9000, 9000)
+
+
+def test_batched_engine_full_transform():
+    from tests.conftest import encode_jpeg_pil
+
+    engine = make_engine()
+    src = encode_jpeg_pil(make_test_image(800, 600))
+
+    async def run():
+        out = await engine.transform(src, None, 300, ImageFormat.webp, 75)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    dec, _ = decode_image(out)
+    assert dec.shape[:2] == (300, 400)
+
+
+def test_batch_flush_on_deadline():
+    """A single queued item flushes after max_delay even without batch fill."""
+    img = make_test_image(128, 128)
+    engine = make_engine(max_batch=64, delay_ms=10)
+
+    async def run():
+        out = await asyncio.wait_for(
+            engine.resize_encode(img, 64, None, ImageFormat.jpeg, 80), timeout=30
+        )
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert decode_image(out)[0].shape[:2] == (64, 64)
