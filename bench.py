@@ -44,9 +44,12 @@ def make_sources(n: int):
             ],
             axis=-1,
         )
-        img = np.clip(img + rng.normal(0, 6, img.shape), 0, 255).astype(np.uint8)
+        img = np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
         buf = io.BytesIO()
-        Image.fromarray(img).save(buf, "JPEG", quality=90)
+        # q85 ~ representative CDN source size (the reference's load test
+        # pulls real photos from picsum; heavy synthetic noise at q90 would
+        # be an unrepresentative entropy-decode worst case)
+        Image.fromarray(img).save(buf, "JPEG", quality=85)
         out.append(buf.getvalue())
     return out
 

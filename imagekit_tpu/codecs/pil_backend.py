@@ -55,9 +55,25 @@ def encode(img: np.ndarray, fmt: ImageFormat, quality: int) -> bytes:
             pil = Image.fromarray(img[:, :, :3] if has_alpha else img, "RGB")
             pil.save(buf, "JPEG", quality=q)
         elif fmt == ImageFormat.webp:
-            # to_rgb8 (src/transform.rs:131): the reference encodes RGB only
-            pil = Image.fromarray(img[:, :, :3] if has_alpha else img, "RGB")
-            pil.save(buf, "WEBP", quality=q, lossless=False)
+            # to_rgb8 (src/transform.rs:131): the reference encodes RGB only.
+            # cv2's libwebp binding measures ~2x faster than PIL's at the
+            # same quality (identical codec + default method); fall back to
+            # PIL if cv2 is unavailable.
+            rgb = img[:, :, :3] if has_alpha else img
+            try:
+                import cv2
+
+                ok, enc = cv2.imencode(
+                    ".webp",
+                    np.ascontiguousarray(rgb[:, :, ::-1]),
+                    [int(cv2.IMWRITE_WEBP_QUALITY), q],
+                )
+                if not ok:
+                    raise RuntimeError("cv2 webp encode failed")
+                return enc.tobytes()
+            except ImportError:
+                pil = Image.fromarray(rgb, "RGB")
+                pil.save(buf, "WEBP", quality=q, lossless=False)
         elif fmt == ImageFormat.avif:
             # to_rgba8 (src/transform.rs:140): AVIF keeps alpha
             if not has_alpha:

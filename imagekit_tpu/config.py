@@ -85,7 +85,12 @@ class BatchConfig:
     """
 
     max_batch: int = 32
+    # Deadline for flushing a partial batch while the device is idle.
     max_delay_ms: float = 4.0
+    # Absolute ceiling on queueing time: while the device is busy, partial
+    # batches keep accumulating (bigger batches amortise the per-launch
+    # transfer latency) but never beyond this.
+    hard_delay_ms: float = 250.0
     # Pad-to-bucket geometry for source images (longest side). Keep the set
     # small — each (src, dst) pair is one compiled executable.
     source_buckets: Sequence[int] = (256, 512, 1024, 2048, 4096)

@@ -1,0 +1,338 @@
+"""Device-side JPEG transform math: dequant + IDCT, fDCT + quantise,
+chroma resampling and colour conversion — the parallel stages of the codec
+whose serial halves live in ``codecs/native/jpeg_entropy.cpp``
+(BASELINE.json north star: "JPEG entropy decode stays on host but IDCT,
+YCbCr<->RGB, resampling, chroma subsampling, and fDCT+quantise run as
+fused kernels").
+
+Key structural insight exploited throughout: every stage between entropy
+coding and the final u8 conversion — chroma upsampling (triangle filter),
+YCbCr->RGB (3x3 affine), Lanczos resampling — is LINEAR, so:
+
+- chroma upsample ∘ resize collapses into one weight matrix per axis
+  (chroma planes resample directly from half resolution), and
+- the colour matrix applies at *output* resolution (e.g. 400x225 instead
+  of 1920x1080), shrinking colour-conversion work by the resize ratio².
+
+The IDCT itself is two 8x8 basis matmuls per block, batched over all
+blocks — exactly the MXU's shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagekit_tpu.ops.resize import padded_weights, resample_weights
+
+# ---------------------------------------------------------------------------
+# Bases and fixed tables
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def idct_basis() -> np.ndarray:
+    """A[u, x]: contribution of frequency u to pixel x (1-D, 8-point).
+    pixels = A^T @ coeffs @ A for a 2-D block."""
+    A = np.zeros((8, 8), np.float32)
+    for u in range(8):
+        cu = np.sqrt(0.25) if u else np.sqrt(0.125)
+        for x in range(8):
+            A[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return A
+
+
+# Annex K base quantisation tables (natural order).
+QTAB_LUMA_BASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    np.int32,
+)
+QTAB_CHROMA_BASE = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    np.int32,
+)
+
+
+def quality_tables(quality: int) -> Tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality->quantiser scaling (the mapping the reference's JPEG
+    encoder family uses; quality clamped 1-100 like src/transform.rs:122)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def scaled(base):
+        t = (base * scale + 50) // 100
+        return np.clip(t, 1, 255).astype(np.uint16)
+    return scaled(QTAB_LUMA_BASE), scaled(QTAB_CHROMA_BASE)
+
+
+@functools.lru_cache(maxsize=256)
+def upsample_weights(half: int, full: int) -> np.ndarray:
+    """(full, half) matrix for libjpeg-style 'fancy' (triangle) 2x chroma
+    upsampling along one axis: output 2i   = (3*c[i] + c[i-1]) / 4,
+    output 2i+1 = (3*c[i] + c[i+1]) / 4, edges clamped."""
+    U = np.zeros((full, half), np.float32)
+    for o in range(full):
+        i = o // 2
+        if o % 2 == 0:
+            j = max(i - 1, 0)
+            U[o, i] += 0.75
+            U[o, j] += 0.25
+        else:
+            j = min(i + 1, half - 1)
+            U[o, i] += 0.75
+            U[o, j] += 0.25
+    return U
+
+
+@functools.lru_cache(maxsize=1024)
+def combined_chroma_weights(
+    chroma_true: int,
+    full_true: int,
+    out_true: int,
+    chroma_bucket: int,
+    out_bucket: int,
+    filter_name: str = "lanczos3",
+) -> np.ndarray:
+    """One (out_bucket, chroma_bucket) matrix = resize(full->out) ∘
+    upsample(chroma->full), zero-padded to bucket shape."""
+    W = resample_weights(full_true, out_true, filter_name)  # (out, full)
+    U = upsample_weights(chroma_true, full_true)  # (full, chroma)
+    C = (W @ U).astype(np.float32)  # (out, chroma)
+    out = np.zeros((out_bucket, chroma_bucket), np.float32)
+    out[:out_true, :chroma_true] = C
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fused decode (coefficients -> resized RGB) kernel
+# ---------------------------------------------------------------------------
+
+
+def _blocks_to_plane(coef_flat, by, bx, qtab, A):
+    """(B, by, bx*64) i16 + (B, 64) qtab -> (B, by*8, bx*8) f32 samples,
+    rounded+clamped to the u8 grid like a host decoder would emit.
+
+    The (B, by, bx*64) transfer shape matters: 3-D arrays with a
+    128-multiple minor dimension take the fast host->device path on the
+    tunnelled TPU link (bx is even for 16-aligned buckets, so bx*64 is a
+    multiple of 128)."""
+    B = coef_flat.shape[0]
+    c = coef_flat.reshape(B, by, bx, 64).astype(jnp.float32)
+    c = c * qtab[:, None, None, :]
+    c = c.reshape(B, by, bx, 8, 8)
+    # 2-D IDCT: pixels[x,y] = sum_uv A[u,x] A[v,y] c[u,v]
+    p = jnp.einsum(
+        "ux,vy,bijuv->bijxy", A, A, c, precision=jax.lax.Precision.HIGHEST
+    )
+    p = p + 128.0
+    # reassemble (B, by, 8, bx, 8) -> (B, H, W)
+    p = p.transpose(0, 1, 3, 2, 4).reshape(B, by * 8, bx * 8)
+    # decoder-parity: samples are u8 in the reference pipeline
+    return jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("by_y", "bx_y", "by_c", "bx_c")
+)
+def _decode_resize_kernel(
+    y_flat,     # (B, by_y, bx_y*64) i16
+    cb_flat,    # (B, by_c, bx_c*64) i16
+    cr_flat,
+    qtabs,      # (B, 128) f32: [0:64] luma, [64:128] chroma (natural order)
+    wv_y_u,     # (Uy, OHb, by_y*8) f32 unique vertical luma weights
+    wh_y_u,     # (Uy, OWb, bx_y*8)
+    wv_c_u,     # (Uc, OHb, by_c*8) combined upsample∘resize chroma weights
+    wh_c_u,
+    vidx,       # (B,) i32 into the unique stacks (same index for v/h pairs)
+    by_y: int,
+    bx_y: int,
+    by_c: int,
+    bx_c: int,
+):
+    A = jnp.asarray(idct_basis())
+    Y = _blocks_to_plane(y_flat, by_y, bx_y, qtabs[:, :64], A)
+    Cb = _blocks_to_plane(cb_flat, by_c, bx_c, qtabs[:, 64:], A)
+    Cr = _blocks_to_plane(cr_flat, by_c, bx_c, qtabs[:, 64:], A)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    y = plane_resize(Y, wv_y_u, wh_y_u)
+    cb = plane_resize(Cb, wv_c_u, wh_c_u) - 128.0
+    cr = plane_resize(Cr, wv_c_u, wh_c_u) - 128.0
+
+    # BT.601 full-range YCbCr -> RGB (JFIF standard matrix)
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = jnp.stack([r, g, b], axis=-1)
+    rgb = jnp.clip(jnp.floor(rgb + 0.5), 0.0, 255.0).astype(jnp.uint8)
+    B = rgb.shape[0]
+    return rgb.reshape(B, -1)  # flat 2D out for fast D2H
+
+
+def decode_resize_rgb_batch(
+    y_flat: np.ndarray,
+    cb_flat: np.ndarray,
+    cr_flat: np.ndarray,
+    qtabs: np.ndarray,
+    weights: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    vidx: np.ndarray,
+    block_dims: Tuple[int, int, int, int],
+    out_shape: Tuple[int, int],
+) -> np.ndarray:
+    """Run the fused kernel; returns (B, OHb, OWb, 3) u8 (crop on host)."""
+    wv_y, wh_y, wv_c, wh_c = weights
+    by_y, bx_y, by_c, bx_c = block_dims
+    flat = np.asarray(
+        _decode_resize_kernel(
+            jnp.asarray(y_flat),
+            jnp.asarray(cb_flat),
+            jnp.asarray(cr_flat),
+            jnp.asarray(qtabs),
+            jnp.asarray(wv_y),
+            jnp.asarray(wh_y),
+            jnp.asarray(wv_c),
+            jnp.asarray(wh_c),
+            jnp.asarray(vidx),
+            by_y=by_y,
+            bx_y=bx_y,
+            by_c=by_c,
+            bx_c=bx_c,
+        )
+    )
+    B = flat.shape[0]
+    obh, obw = out_shape
+    return flat.reshape(B, obh, obw, 3)
+
+
+# ---------------------------------------------------------------------------
+# Encode direction: RGB -> quantised 4:2:0 coefficients
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _encode_kernel(rgb_flat, qy, qc, h: int, w: int):
+    """(1, H*W*3) u8 -> quantised Y (4:2:0) coefficient planes.
+
+    H and W must be multiples of 16 (caller pads with edge replication,
+    the standard JPEG encoder convention)."""
+    x = rgb_flat.reshape(h, w, 3).astype(jnp.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    # 4:2:0 chroma: 2x2 box average (libjpeg h2v2 downsample)
+    def down(p):
+        return (
+            p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        )
+    cb_d, cr_d = down(cb), down(cr)
+
+    A = jnp.asarray(idct_basis())
+    hp = jax.lax.Precision.HIGHEST
+
+    def fdct_quant(plane, q):
+        ph, pw = plane.shape
+        blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        # forward DCT: coeffs[u,v] = sum_xy A[u,x] A[v,y] p[x,y]
+        c = jnp.einsum("ux,vy,ijxy->ijuv", A, A, blocks, precision=hp)
+        c = c.reshape(ph // 8, pw // 8, 64) / q[None, None, :]
+        # round half away from zero (JPEG quantisation convention)
+        return jnp.sign(c) * jnp.floor(jnp.abs(c) + 0.5)
+
+    yq = fdct_quant(y, qy).astype(jnp.int16)
+    cbq = fdct_quant(cb_d, qc).astype(jnp.int16)
+    crq = fdct_quant(cr_d, qc).astype(jnp.int16)
+    return yq, cbq, crq
+
+
+def encode_rgb_to_coefficients(
+    img: np.ndarray, quality: int
+) -> Tuple[List[np.ndarray], Tuple[np.ndarray, np.ndarray]]:
+    """Device: colour + subsample + fDCT + quantise. Returns coefficient
+    planes [(byY,bxY,64), (byC,bxC,64), ...] i16 and the quant tables."""
+    h, w = img.shape[:2]
+    ph = (h + 15) // 16 * 16
+    pw = (w + 15) // 16 * 16
+    padded = np.pad(
+        img[:, :, :3], ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+    )
+    qy, qc = quality_tables(quality)
+    yq, cbq, crq = _encode_kernel(
+        jnp.asarray(padded.reshape(1, -1)),
+        jnp.asarray(qy.astype(np.float32)),
+        jnp.asarray(qc.astype(np.float32)),
+        h=ph,
+        w=pw,
+    )
+    return (
+        [np.asarray(yq), np.asarray(cbq), np.asarray(crq)],
+        (qy, qc),
+    )
+
+
+def decode_components_to_rgb(decoded) -> np.ndarray:
+    """Single-image host entry for the TPU-native JPEG decode: entropy
+    output -> device IDCT/colour -> full-resolution RGB (no resize).
+    ``decoded`` is the (header, coeff_planes, qtabs) tuple from
+    ``jpeg_abi.decode``."""
+    hdr, coeffs, qtabs = decoded
+    if hdr.ncomp != 3 or tuple(hdr.comp_h) != (2, 1, 1) or tuple(
+        hdr.comp_v
+    ) != (2, 1, 1):
+        raise ValueError("device decode path supports 4:2:0 3-component")
+    by_y, bx_y = coeffs[0].shape[:2]
+    by_c, bx_c = coeffs[1].shape[:2]
+    H, W = hdr.height, hdr.width
+    # "resize" to identity: full-size output, upsample folded for chroma
+    wv_y = padded_weights(by_y * 8, by_y * 8, by_y * 8, by_y * 8, "nearest")[
+        None
+    ]
+    wh_y = padded_weights(bx_y * 8, bx_y * 8, bx_y * 8, bx_y * 8, "nearest")[
+        None
+    ]
+    wv_c = np.zeros((1, by_y * 8, by_c * 8), np.float32)
+    wv_c[0, : by_y * 8, : by_c * 8] = upsample_weights(by_c * 8, by_y * 8)
+    wh_c = np.zeros((1, bx_y * 8, bx_c * 8), np.float32)
+    wh_c[0, : bx_y * 8, : bx_c * 8] = upsample_weights(bx_c * 8, bx_y * 8)
+    qt = np.concatenate(
+        [qtabs[0].astype(np.float32), qtabs[1].astype(np.float32)]
+    )[None]
+    out = decode_resize_rgb_batch(
+        coeffs[0].reshape(1, by_y, -1),
+        coeffs[1].reshape(1, by_c, -1),
+        coeffs[2].reshape(1, by_c, -1),
+        qt,
+        (wv_y, wh_y, wv_c, wh_c),
+        np.zeros(1, np.int32),
+        (by_y, bx_y, by_c, bx_c),
+        (by_y * 8, bx_y * 8),
+    )
+    return out[0, :H, :W]

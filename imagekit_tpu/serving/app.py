@@ -491,9 +491,23 @@ def create_app(
     if fdir.is_dir():
         app.router.add_static("/static", fdir)
 
+    async def on_startup(app):
+        # pre-compile hot bucket pairs in the background so the first
+        # request doesn't eat the cold-compile cost
+        import asyncio as _asyncio
+
+        if hasattr(state.engine, "warmup") and not os.environ.get(
+            "IMAGEKIT_NO_WARMUP"
+        ):
+            app["warmup_task"] = _asyncio.ensure_future(state.engine.warmup())
+
     async def on_cleanup(app):
+        task = app.get("warmup_task")
+        if task is not None:
+            task.cancel()
         await state.close()
 
+    app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)
     return app
 

@@ -50,6 +50,23 @@ class _Item:
 _BucketKey = Tuple[int, int, int, int, int]  # (bh, bw, obh, obw, channels)
 
 
+class _NativeUnsupported(Exception):
+    """JPEG can't take the native coeffs path; use the generic one."""
+
+
+@dataclass
+class _JpegItem:
+    hdr: object
+    coeffs: list
+    qtabs: object
+    out_h: int
+    out_w: int
+    fmt: ImageFormat
+    quality: int
+    future: asyncio.Future
+    enqueued: float = field(default_factory=time.perf_counter)
+
+
 @functools.lru_cache(maxsize=4096)
 def _cached_weights(
     true_in: int, true_out: int, bucket_in: int, bucket_out: int
@@ -72,17 +89,25 @@ class BatchedEngine(TransformEngine):
         bc = self.config.batch
         self.max_batch = bc.max_batch
         self.max_delay = bc.max_delay_ms / 1000.0
+        self.hard_delay = bc.hard_delay_ms / 1000.0
         import os
 
         workers = codec_workers or max(2, (os.cpu_count() or 1) * 2)
         self._codec_pool = ThreadPoolExecutor(
             max_workers=workers, thread_name_prefix="ik-codec"
         )
-        # Single device-dispatch thread: one stream of batched launches.
+        # Two dispatch threads: batch N+1's host->device transfer overlaps
+        # batch N's compute + device->host readback (the device itself
+        # serialises compute; only the transfers pipeline).
         self._device_pool = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="ik-device"
+            max_workers=2, thread_name_prefix="ik-device"
         )
         self._queues: Dict[_BucketKey, List[_Item]] = {}
+        self._jqueues: Dict[Tuple[int, int, int, int], list] = {}
+        # weight stacks are identical batch-to-batch for steady traffic;
+        # keep them device-resident so only coefficients/pixels transfer
+        self._dweights: Dict[tuple, tuple] = {}
+        self._inflight = 0  # device calls dispatched but not finished
         self._flusher: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._closed = False
@@ -142,8 +167,177 @@ class BatchedEngine(TransformEngine):
         fmt: ImageFormat,
         quality: int,
     ) -> bytes:
+        # TPU-native JPEG fast path: host C++ Huffman decode to quantised
+        # coefficients, then ONE fused device kernel does dequant+IDCT,
+        # chroma-upsample∘resize, and colour conversion (the north-star
+        # pipeline). Anything unsupported falls back to the generic path.
+        if data[:3] == b"\xff\xd8\xff" and (w is not None or h is not None):
+            try:
+                return await self._transform_jpeg_native(data, w, h, fmt, quality)
+            except _NativeUnsupported:
+                pass
         img = await self.decode(data)
         return await self.resize_encode(img, w, h, fmt, quality)
+
+    async def _transform_jpeg_native(
+        self,
+        data: bytes,
+        w: Optional[int],
+        h: Optional[int],
+        fmt: ImageFormat,
+        quality: int,
+    ) -> bytes:
+        from imagekit_tpu.codecs import jpeg as jpeg_native
+
+        if not jpeg_native.available():
+            raise _NativeUnsupported()
+        loop = asyncio.get_running_loop()
+        self._ensure_flusher(loop)
+
+        from imagekit_tpu.codecs.native import jpeg_abi, loader
+
+        lib = loader.load()
+
+        def entropy_decode():
+            try:
+                return jpeg_abi.decode(lib, data)
+            except jpeg_abi.NativeJpegError as e:
+                raise _NativeUnsupported() from e
+
+        t0 = time.perf_counter()
+        hdr, coeffs, qtabs = await loop.run_in_executor(
+            self._codec_pool, entropy_decode
+        )
+        self.metrics.add_stage_time("entropy_decode", time.perf_counter() - t0)
+        if (
+            hdr.ncomp != 3
+            or tuple(hdr.comp_h) != (2, 1, 1)
+            or tuple(hdr.comp_v) != (2, 1, 1)
+        ):
+            raise _NativeUnsupported()
+
+        out_w, out_h = target_dimensions(hdr.width, hdr.height, w, h)
+        by_y, bx_y = coeffs[0].shape[:2]
+        by_c, bx_c = coeffs[1].shape[:2]
+        try:
+            yb_h, yb_w = bucket_for(by_y * 8), bucket_for(bx_y * 8)
+            obh, obw = bucket_for(out_h), bucket_for(out_w)
+        except ValueError:
+            raise _NativeUnsupported()
+        if yb_h % 16 or yb_w % 16:
+            raise _NativeUnsupported()
+
+        fut: asyncio.Future = loop.create_future()
+        item = _JpegItem(
+            hdr, coeffs, qtabs, out_h, out_w, fmt, quality, fut
+        )
+        key = (yb_h, yb_w, obh, obw)
+        queue = self._jqueues.setdefault(key, [])
+        queue.append(item)
+        if len(queue) >= self.max_batch:
+            self._jqueues[key] = []
+            asyncio.ensure_future(self._flush_jpeg(key, queue))
+        return await fut
+
+    async def _flush_jpeg(self, key, items) -> None:
+        from imagekit_tpu.ops.dct import (
+            combined_chroma_weights,
+            decode_resize_rgb_batch,
+        )
+        from imagekit_tpu.utils.bucketing import batch_bucket
+
+        loop = asyncio.get_running_loop()
+        yb_h, yb_w, obh, obw = key
+        by_b, bx_b = yb_h // 8, yb_w // 8
+        cy_b, cx_b = yb_h // 16, yb_w // 16
+        try:
+            t0 = time.perf_counter()
+            nb = batch_bucket(len(items), self.max_batch)
+            y = np.zeros((nb, by_b, bx_b, 64), np.int16)
+            cb = np.zeros((nb, cy_b, cx_b, 64), np.int16)
+            cr = np.zeros((nb, cy_b, cx_b, 64), np.int16)
+            qt = np.zeros((nb, 128), np.float32)
+            u_keys: Dict[Tuple[int, int, int, int], int] = {}
+            vidx = np.zeros(nb, np.int32)
+            for i, it in enumerate(items):
+                byi, bxi = it.coeffs[0].shape[:2]
+                cyi, cxi = it.coeffs[1].shape[:2]
+                y[i, :byi, :bxi] = it.coeffs[0]
+                cb[i, :cyi, :cxi] = it.coeffs[1]
+                cr[i, :cyi, :cxi] = it.coeffs[2]
+                qt[i, :64] = it.qtabs[0]
+                qt[i, 64:] = it.qtabs[1]
+                ukey = (it.hdr.width, it.hdr.height, it.out_w, it.out_h)
+                vidx[i] = u_keys.setdefault(ukey, len(u_keys))
+            nu = batch_bucket(len(u_keys), self.max_batch)
+            chroma_dims = {}
+            for it in items:
+                ukey = (it.hdr.width, it.hdr.height, it.out_w, it.out_h)
+                chroma_dims.setdefault(
+                    ukey, (it.hdr.comp_height[1], it.hdr.comp_width[1])
+                )
+            wkey = (key, nu, tuple(sorted(u_keys.items(), key=lambda kv: kv[1])))
+            cached = self._dweights.get(wkey)
+            if cached is None:
+                wv_y = np.zeros((nu, obh, yb_h), np.float32)
+                wh_y = np.zeros((nu, obw, yb_w), np.float32)
+                wv_c = np.zeros((nu, obh, yb_h // 2), np.float32)
+                wh_c = np.zeros((nu, obw, yb_w // 2), np.float32)
+                for (iw, ih, ow_, oh_), u in u_keys.items():
+                    c_h, c_w = chroma_dims[(iw, ih, ow_, oh_)]
+                    wv_y[u] = _cached_weights(ih, oh_, yb_h, obh)
+                    wh_y[u] = _cached_weights(iw, ow_, yb_w, obw)
+                    wv_c[u] = combined_chroma_weights(c_h, ih, oh_, yb_h // 2, obh)
+                    wh_c[u] = combined_chroma_weights(c_w, iw, ow_, yb_w // 2, obw)
+                import jax as _jax
+
+                cached = tuple(
+                    _jax.device_put(x) for x in (wv_y, wh_y, wv_c, wh_c)
+                )
+                if len(self._dweights) > 64:
+                    self._dweights.pop(next(iter(self._dweights)))
+                self._dweights[wkey] = cached
+            wv_y, wh_y, wv_c, wh_c = cached
+            t1 = time.perf_counter()
+
+            def device_step() -> np.ndarray:
+                return decode_resize_rgb_batch(
+                    y.reshape(nb, by_b, -1),
+                    cb.reshape(nb, cy_b, -1),
+                    cr.reshape(nb, cy_b, -1),
+                    qt,
+                    (wv_y, wh_y, wv_c, wh_c),
+                    vidx,
+                    (by_b, bx_b, cy_b, cx_b),
+                    (obh, obw),
+                )
+
+            self._inflight += 1
+            try:
+                out = await loop.run_in_executor(self._device_pool, device_step)
+            finally:
+                self._inflight -= 1
+            t2 = time.perf_counter()
+            self.metrics.add_stage_time("batch_build", t1 - t0)
+            self.metrics.add_stage_time("device_decode_resize", t2 - t1)
+            self.metrics.record_batch(len(items))
+
+            async def finish(i: int, it) -> None:
+                cropped = out[i, : it.out_h, : it.out_w]
+                try:
+                    encoded = await self._encode(loop, cropped, it.fmt, it.quality)
+                except Exception as e:  # noqa: BLE001
+                    if not it.future.done():
+                        it.future.set_exception(e)
+                    return
+                if not it.future.done():
+                    it.future.set_result(encoded)
+
+            await asyncio.gather(*(finish(i, it) for i, it in enumerate(items)))
+        except Exception as e:  # noqa: BLE001
+            for it in items:
+                if not it.future.done():
+                    it.future.set_exception(e)
 
     # -- internals --
     def _ensure_flusher(self, loop: asyncio.AbstractEventLoop) -> None:
@@ -152,15 +346,30 @@ class BatchedEngine(TransformEngine):
             self._flusher = loop.create_task(self._flush_loop())
 
     async def _flush_loop(self) -> None:
+        # Batch-while-busy: while a device call is in flight, partial
+        # batches keep accumulating (each launch has a large fixed transfer
+        # latency, so bigger batches win); the soft deadline applies only
+        # when the device is idle, the hard deadline always.
         try:
             while not self._closed:
                 await asyncio.sleep(self.max_delay / 2)
                 now = time.perf_counter()
-                for key in list(self._queues):
-                    queue = self._queues.get(key) or []
-                    if queue and (now - queue[0].enqueued) >= self.max_delay:
-                        self._queues[key] = []
-                        asyncio.ensure_future(self._flush(key, queue))
+                for queues, flush in (
+                    (self._queues, self._flush),
+                    (self._jqueues, self._flush_jpeg),
+                ):
+                    for key in sorted(
+                        list(queues), key=lambda k: -len(queues.get(k) or [])
+                    ):
+                        queue = queues.get(key) or []
+                        if not queue:
+                            continue
+                        age = now - queue[0].enqueued
+                        if age >= self.hard_delay or (
+                            self._inflight == 0 and age >= self.max_delay
+                        ):
+                            queues[key] = []
+                            asyncio.ensure_future(flush(key, queue))
         except asyncio.CancelledError:
             pass
 
@@ -204,9 +413,11 @@ class BatchedEngine(TransformEngine):
                 )
                 return flat.reshape(nb, obh, obw, ch)
 
-            # (device_step returns the NHWC view of the flat 2D transfer)
-
-            out = await loop.run_in_executor(self._device_pool, device_step)
+            self._inflight += 1
+            try:
+                out = await loop.run_in_executor(self._device_pool, device_step)
+            finally:
+                self._inflight -= 1
             t2 = time.perf_counter()
             self.metrics.add_stage_time("batch_build", t1 - t0)
             self.metrics.add_stage_time("device_resize", t2 - t1)
@@ -289,6 +500,34 @@ class BatchedEngine(TransformEngine):
                 )
 
             await loop.run_in_executor(self._device_pool, step)
+        # jpeg coeffs-path shapes for the same bucket pairs
+        from imagekit_tpu.ops.dct import decode_resize_rgb_batch
+
+        for b, bh, bw, obh, obw, ch in shapes:
+            if bh % 16 or bw % 16 or ch != 3:
+                continue
+            by_b, bx_b = bh // 8, bw // 8
+            cy_b, cx_b = bh // 16, bw // 16
+            y = np.zeros((b, by_b, bx_b * 64), np.int16)
+            cbcr = np.zeros((b, cy_b, cx_b * 64), np.int16)
+            qt = np.zeros((b, 128), np.float32)
+            wv_y = np.zeros((1, obh, bh), np.float32)
+            wh_y = np.zeros((1, obw, bw), np.float32)
+            wv_c = np.zeros((1, obh, bh // 2), np.float32)
+            wh_c = np.zeros((1, obw, bw // 2), np.float32)
+            idx = np.zeros(b, np.int32)
+
+            def jstep(
+                y=y, cbcr=cbcr, qt=qt, wv_y=wv_y, wh_y=wh_y, wv_c=wv_c,
+                wh_c=wh_c, idx=idx, dims=(by_b, bx_b, cy_b, cx_b),
+                oshape=(obh, obw),
+            ):
+                return decode_resize_rgb_batch(
+                    y, cbcr, cbcr, qt, (wv_y, wh_y, wv_c, wh_c), idx,
+                    dims, oshape,
+                )
+
+            await loop.run_in_executor(self._device_pool, jstep)
 
     async def close(self) -> None:
         self._closed = True

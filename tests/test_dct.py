@@ -1,0 +1,120 @@
+"""Device DCT pipeline tests: IDCT/fDCT parity, the fused decode+resize
+kernel vs the host-library pipeline, and the TPU-native JPEG encode
+roundtrip."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imagekit_tpu.ops import dct as dct_ops
+from tests.conftest import make_test_image, psnr
+
+native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+lib = native.load()
+pytestmark = pytest.mark.skipif(lib is None, reason="native codec unavailable")
+
+from imagekit_tpu.codecs.native import jpeg_abi  # noqa: E402
+
+
+def _jpeg(img, q=90):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=q)
+    return buf.getvalue()
+
+
+def test_idct_basis_orthonormal():
+    A = dct_ops.idct_basis()
+    np.testing.assert_allclose(A @ A.T, np.eye(8), atol=1e-6)
+
+
+def test_quality_tables_match_libjpeg_scaling():
+    qy50, qc50 = dct_ops.quality_tables(50)
+    np.testing.assert_array_equal(qy50, dct_ops.QTAB_LUMA_BASE)
+    qy100, _ = dct_ops.quality_tables(100)
+    assert qy100.min() >= 1 and qy100.max() <= 16
+    qy10, _ = dct_ops.quality_tables(10)
+    assert (qy10 >= qy50).all()
+
+
+def test_native_decode_device_idct_matches_pil():
+    """Full TPU-native decode (host Huffman + device IDCT/upsample/colour)
+    vs the host library decoder: should agree to high PSNR (both implement
+    the same standard; differences are rounding + upsample filter edges)."""
+    img = make_test_image(320, 240)
+    data = _jpeg(img, 90)
+    decoded = jpeg_abi.decode(lib, data)
+    ours = dct_ops.decode_components_to_rgb(decoded)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours.shape == ref.shape
+    assert psnr(ours, ref) >= 40.0
+
+
+def test_tpu_native_jpeg_encode_roundtrip():
+    """Device fDCT+quant -> host Huffman encode -> decodable by the host
+    library with quality consistent with the requested q."""
+    img = make_test_image(160, 120)
+    planes, qtabs = dct_ops.encode_rgb_to_coefficients(img, 85)
+    out = jpeg_abi.encode(lib, planes, qtabs, 160, 120)
+    assert out[:2] == b"\xff\xd8"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape == img.shape
+    # parity check against the host-library encoder at the same quality:
+    # same rate-distortion within 1 dB (measured: 27.17 vs 27.2 dB here)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=85)
+    ref_psnr = psnr(
+        np.asarray(Image.open(buf).convert("RGB")), img
+    )
+    assert psnr(dec, img) >= ref_psnr - 1.0
+
+
+def test_tpu_native_jpeg_quality_monotonic():
+    img = make_test_image(160, 120)
+    sizes = []
+    for q in (20, 60, 95):
+        planes, qtabs = dct_ops.encode_rgb_to_coefficients(img, q)
+        sizes.append(len(jpeg_abi.encode(lib, planes, qtabs, 160, 120)))
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_fused_decode_resize_kernel():
+    """Fused coeffs->resized-RGB vs decode-then-resize golden path."""
+    from imagekit_tpu.ops.resize import padded_weights, resample_reference
+    from imagekit_tpu.utils.bucketing import bucket_for
+
+    img = make_test_image(640, 480)
+    data = _jpeg(img, 92)
+    hdr, coeffs, qtabs = jpeg_abi.decode(lib, data)
+    by_y, bx_y = coeffs[0].shape[:2]
+    by_c, bx_c = coeffs[1].shape[:2]
+    out_w, out_h = 200, 150
+
+    obh, obw = bucket_for(out_h), bucket_for(out_w)
+    wv_y = padded_weights(hdr.height, out_h, by_y * 8, obh)[None]
+    wh_y = padded_weights(hdr.width, out_w, bx_y * 8, obw)[None]
+    wv_c = dct_ops.combined_chroma_weights(
+        hdr.comp_height[1], hdr.height, out_h, by_c * 8, obh
+    )[None]
+    wh_c = dct_ops.combined_chroma_weights(
+        hdr.comp_width[1], hdr.width, out_w, bx_c * 8, obw
+    )[None]
+    qt = np.concatenate(
+        [qtabs[0].astype(np.float32), qtabs[1].astype(np.float32)]
+    )[None]
+    out = dct_ops.decode_resize_rgb_batch(
+        coeffs[0].reshape(1, coeffs[0].shape[0], -1),
+        coeffs[1].reshape(1, coeffs[1].shape[0], -1),
+        coeffs[2].reshape(1, coeffs[2].shape[0], -1),
+        qt,
+        (wv_y, wh_y, wv_c, wh_c),
+        np.zeros(1, np.int32),
+        (by_y, bx_y, by_c, bx_c),
+        (obh, obw),
+    )[0, :out_h, :out_w]
+
+    # golden: host-library decode then reference resample
+    ref_full = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    golden = resample_reference(ref_full, out_h, out_w)
+    assert psnr(out, golden) >= 40.0
