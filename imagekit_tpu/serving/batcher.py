@@ -482,11 +482,14 @@ class BatchedEngine(TransformEngine):
         if shapes is None:
             bh, bw = bucket_for(1080), bucket_for(1920)
             obh, obw = bucket_for(225), bucket_for(400)
-            shapes = [
-                (b, bh, bw, obh, obw, 3)
-                for b in BATCH_SIZES
-                if b <= self.max_batch
-            ]
+            # every batch size the runtime can actually produce: the ladder
+            # values below max_batch, plus max_batch itself (batch_bucket
+            # clamps to it)
+            sizes = sorted(
+                {b for b in BATCH_SIZES if b < self.max_batch}
+                | {self.max_batch}
+            )
+            shapes = [(b, bh, bw, obh, obw, 3) for b in sizes]
         loop = asyncio.get_running_loop()
         for b, bh, bw, obh, obw, ch in shapes:
             batch = np.zeros((b, bh, bw * ch), dtype=np.uint8)
