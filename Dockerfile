@@ -1,0 +1,46 @@
+# imagekit_tpu container image.
+#
+# Equivalent of the reference's multi-stage Dockerfile (builder -> slim
+# runtime, healthcheck, cache volume). The compute stack (jax + TPU runtime)
+# is expected from the base image; only the native codec is compiled here.
+FROM python:3.12-slim AS builder
+
+RUN apt-get update && apt-get install -y --no-install-recommends g++ \
+    && rm -rf /var/lib/apt/lists/*
+
+WORKDIR /build
+COPY imagekit_tpu/codecs/native/jpeg_entropy.cpp native/
+# Pre-build the native codec so the runtime image needs no toolchain.
+RUN g++ -O3 -march=x86-64-v2 -funroll-loops -std=c++17 -shared -fPIC \
+    -fvisibility=hidden native/jpeg_entropy.cpp -o native/libik_native.so
+
+FROM python:3.12-slim
+
+# Runtime Python deps are expected to be provided by the deployment base
+# image (jax[tpu], aiohttp, numpy, Pillow, opencv-python-headless); listed
+# here for a plain pip install when building standalone.
+RUN pip install --no-cache-dir aiohttp numpy Pillow opencv-python-headless \
+    && pip install --no-cache-dir "jax[tpu]" \
+       -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
+    || true
+
+WORKDIR /app
+COPY imagekit_tpu ./imagekit_tpu
+COPY frontend ./frontend
+COPY --from=builder /build/native/libik_native.so ./imagekit_tpu/codecs/native/
+
+ENV PYTHONPATH=/app \
+    IMAGEKIT_CACHE_DIR=/app/cache \
+    PORT=8080
+
+VOLUME /app/cache
+EXPOSE 8080
+
+# Reference parity: container healthcheck probes the service
+# (the reference hits /sign; /health is the richer probe and is what its
+# Render blueprint uses).
+HEALTHCHECK --interval=30s --timeout=5s --start-period=120s \
+    CMD python -c "import urllib.request,os; \
+        urllib.request.urlopen('http://127.0.0.1:%s/health' % os.environ.get('PORT','8080'), timeout=4)"
+
+CMD ["python", "-m", "imagekit_tpu.serving"]

@@ -1,0 +1,99 @@
+"""Declarative pipeline definitions for each output format family.
+
+Maps the reference's three encoder arms (``src/transform.rs:121-146``) to
+their TPU-native stage splits. The serving engine consults these to decide
+routing (which stages batch on device, which codec finishes on host) and
+``/stats``-style introspection exposes them.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from imagekit_tpu.config import ImageFormat
+
+
+class Stage(str, enum.Enum):
+    # host (serial / entropy) stages
+    HOST_ENTROPY_DECODE = "host_entropy_decode"     # C++ Huffman -> coeffs
+    HOST_LIBRARY_DECODE = "host_library_decode"     # libjpeg/libwebp/libavif
+    HOST_ENTROPY_ENCODE = "host_entropy_encode"     # coeffs -> C++ Huffman
+    HOST_LIBRARY_ENCODE = "host_library_encode"
+    # device (parallel) stages
+    DEVICE_DEQUANT_IDCT = "device_dequant_idct"
+    DEVICE_CHROMA_RESAMPLE = "device_chroma_resample"  # upsample∘resize fold
+    DEVICE_RESIZE = "device_resize"                    # separable matmuls
+    DEVICE_COLOR_CONVERT = "device_color_convert"
+    DEVICE_SUBSAMPLE = "device_subsample"              # 4:2:0 box average
+    DEVICE_FDCT_QUANT = "device_fdct_quant"
+
+
+@dataclass(frozen=True)
+class Pipeline:
+    """One output-format family."""
+
+    fmt: ImageFormat
+    mime: str
+    decode_stages: Sequence[Stage]
+    encode_stages: Sequence[Stage]
+    # whether the device encode path exists or the host library finishes
+    device_encode: bool
+    input_color: str  # what the encoder consumes (reference parity)
+    notes: str = ""
+    # relative cost rank, reference parity (src/transform.rs:105):
+    # JPEG > WebP > AVIF in speed
+    speed_rank: int = 0
+
+
+PIPELINES = {
+    ImageFormat.jpeg: Pipeline(
+        fmt=ImageFormat.jpeg,
+        mime="image/jpeg",
+        decode_stages=(
+            Stage.HOST_ENTROPY_DECODE,
+            Stage.DEVICE_DEQUANT_IDCT,
+            Stage.DEVICE_CHROMA_RESAMPLE,
+            Stage.DEVICE_RESIZE,
+            Stage.DEVICE_COLOR_CONVERT,
+        ),
+        encode_stages=(
+            Stage.DEVICE_COLOR_CONVERT,
+            Stage.DEVICE_SUBSAMPLE,
+            Stage.DEVICE_FDCT_QUANT,
+            Stage.HOST_ENTROPY_ENCODE,
+        ),
+        device_encode=True,
+        input_color="rgb8",  # to_rgb8, src/transform.rs:123
+        speed_rank=1,
+        notes="fully TPU-native both directions (baseline 4:2:0; "
+        "progressive sources fall back to the host library decoder)",
+    ),
+    ImageFormat.webp: Pipeline(
+        fmt=ImageFormat.webp,
+        mime="image/webp",
+        decode_stages=(Stage.HOST_LIBRARY_DECODE,),
+        encode_stages=(Stage.DEVICE_RESIZE, Stage.HOST_LIBRARY_ENCODE),
+        device_encode=False,
+        input_color="rgb8",  # to_rgb8 + libwebp lossy, src/transform.rs:131-136
+        speed_rank=2,
+        notes="libwebp finishes the bitstream (VP8 prediction/entropy is "
+        "serial with reconstruction feedback); resize batches on device",
+    ),
+    ImageFormat.avif: Pipeline(
+        fmt=ImageFormat.avif,
+        mime="image/avif",
+        decode_stages=(Stage.HOST_LIBRARY_DECODE,),
+        encode_stages=(Stage.DEVICE_RESIZE, Stage.HOST_LIBRARY_ENCODE),
+        device_encode=False,
+        input_color="rgba8",  # to_rgba8 + AV1, src/transform.rs:140-145
+        speed_rank=3,
+        notes="libavif finishes AV1 stills (largest-scope host codec, "
+        "SURVEY.md §7 hard parts); resize batches on device",
+    ),
+}
+
+
+def get_pipeline(fmt: ImageFormat) -> Pipeline:
+    return PIPELINES[fmt]

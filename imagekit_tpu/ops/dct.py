@@ -298,6 +298,43 @@ def encode_rgb_to_coefficients(
     )
 
 
+def host_decode_resize_single(
+    coeffs, qtabs, width: int, height: int,
+    chroma_w: int, chroma_h: int, out_h: int, out_w: int,
+) -> np.ndarray:
+    """Numpy mirror of the fused device kernel for ONE image — the host
+    fallback used when a bucket shape hasn't compiled yet (SURVEY.md §5.3:
+    per-request fallback from device pipeline to host path). Same math,
+    same weights, so results match the device path."""
+    A = idct_basis()
+
+    def plane(cplane, q):
+        by, bx = cplane.shape[:2]
+        c = cplane.astype(np.float32) * q[None, None, :]
+        c = c.reshape(by, bx, 8, 8)
+        p = np.einsum("ux,vy,ijuv->ijxy", A, A, c)
+        p = p.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        return np.clip(np.floor(p + 0.5), 0.0, 255.0).astype(np.float32)
+
+    Y = plane(coeffs[0], qtabs[0].astype(np.float32))[:height, :width]
+    Cb = plane(coeffs[1], qtabs[1].astype(np.float32))[:chroma_h, :chroma_w]
+    Cr = plane(coeffs[2], qtabs[1].astype(np.float32))[:chroma_h, :chroma_w]
+
+    wy_v = resample_weights(height, out_h)
+    wy_h = resample_weights(width, out_w)
+    cw_v = combined_chroma_weights(chroma_h, height, out_h, chroma_h, out_h)
+    cw_h = combined_chroma_weights(chroma_w, width, out_w, chroma_w, out_w)
+
+    y = wy_v @ Y @ wy_h.T
+    cb = cw_v @ Cb @ cw_h.T - 128.0
+    cr = cw_v @ Cr @ cw_h.T - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
 def decode_components_to_rgb(decoded) -> np.ndarray:
     """Single-image host entry for the TPU-native JPEG decode: entropy
     output -> device IDCT/colour -> full-resolution RGB (no resize).

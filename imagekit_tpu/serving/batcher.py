@@ -107,6 +107,11 @@ class BatchedEngine(TransformEngine):
         # weight stacks are identical batch-to-batch for steady traffic;
         # keep them device-resident so only coefficients/pixels transfer
         self._dweights: Dict[tuple, tuple] = {}
+        # shape signatures whose executable is known compiled; batches for
+        # cold shapes run on a host fallback while the compile warms in the
+        # background (per-request device->host fallback, SURVEY.md §5.3)
+        self._compiled: set = set()
+        self._compiling: set = set()
         self._inflight = 0  # device calls dispatched but not finished
         self._flusher: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -239,7 +244,36 @@ class BatchedEngine(TransformEngine):
             asyncio.ensure_future(self._flush_jpeg(key, queue))
         return await fut
 
+    MAX_UNIQUE = 4  # fixed unique-geometry slots per device call
+
+    @staticmethod
+    def _split_by_geometry(items, key_fn, max_unique):
+        """Partition into groups containing at most ``max_unique`` distinct
+        geometries, preserving order (keeps the compiled nu dimension
+        constant instead of varying with traffic)."""
+        groups, current, seen = [], [], set()
+        for it in items:
+            k = key_fn(it)
+            if k not in seen and len(seen) >= max_unique:
+                groups.append(current)
+                current, seen = [], set()
+            seen.add(k)
+            current.append(it)
+        if current:
+            groups.append(current)
+        return groups
+
     async def _flush_jpeg(self, key, items) -> None:
+        groups = self._split_by_geometry(
+            items,
+            lambda it: (it.hdr.width, it.hdr.height, it.out_w, it.out_h),
+            self.MAX_UNIQUE,
+        )
+        await asyncio.gather(
+            *(self._flush_jpeg_group(key, g) for g in groups)
+        )
+
+    async def _flush_jpeg_group(self, key, items) -> None:
         from imagekit_tpu.ops.dct import (
             combined_chroma_weights,
             decode_resize_rgb_batch,
@@ -253,6 +287,11 @@ class BatchedEngine(TransformEngine):
         try:
             t0 = time.perf_counter()
             nb = batch_bucket(len(items), self.max_batch)
+            sig = ("jpeg", nb, yb_h, yb_w, obh, obw)
+            if sig not in self._compiled:
+                self._kick_compile_jpeg(sig)
+                await self._host_fallback_jpeg(items)
+                return
             y = np.zeros((nb, by_b, bx_b, 64), np.int16)
             cb = np.zeros((nb, cy_b, cx_b, 64), np.int16)
             cr = np.zeros((nb, cy_b, cx_b, 64), np.int16)
@@ -269,7 +308,7 @@ class BatchedEngine(TransformEngine):
                 qt[i, 64:] = it.qtabs[1]
                 ukey = (it.hdr.width, it.hdr.height, it.out_w, it.out_h)
                 vidx[i] = u_keys.setdefault(ukey, len(u_keys))
-            nu = batch_bucket(len(u_keys), self.max_batch)
+            nu = self.MAX_UNIQUE
             chroma_dims = {}
             for it in items:
                 ukey = (it.hdr.width, it.hdr.height, it.out_w, it.out_h)
@@ -317,6 +356,7 @@ class BatchedEngine(TransformEngine):
                 out = await loop.run_in_executor(self._device_pool, device_step)
             finally:
                 self._inflight -= 1
+            self._compiled.add(sig)
             t2 = time.perf_counter()
             self.metrics.add_stage_time("batch_build", t1 - t0)
             self.metrics.add_stage_time("device_decode_resize", t2 - t1)
@@ -374,6 +414,14 @@ class BatchedEngine(TransformEngine):
             pass
 
     async def _flush(self, key: _BucketKey, items: List[_Item]) -> None:
+        groups = self._split_by_geometry(
+            items,
+            lambda it: (it.img.shape[0], it.img.shape[1], it.out_h, it.out_w),
+            self.MAX_UNIQUE,
+        )
+        await asyncio.gather(*(self._flush_group(key, g) for g in groups))
+
+    async def _flush_group(self, key: _BucketKey, items: List[_Item]) -> None:
         loop = asyncio.get_running_loop()
         bh, bw, obh, obw, ch = key
         try:
@@ -384,6 +432,11 @@ class BatchedEngine(TransformEngine):
             from imagekit_tpu.utils.bucketing import batch_bucket
 
             nb = batch_bucket(len(items), self.max_batch)
+            sig = ("rgb", nb, bh, bw, obh, obw, ch)
+            if sig not in self._compiled:
+                self._kick_compile_rgb(sig)
+                await self._host_fallback_rgb(items)
+                return
             # flat (B, H, W*C) u8 layout: keeps the minor transfer dim wide
             # (avoids the 128-lane padding blowup of NHWC u8 transfers)
             batch = np.zeros((nb, bh, bw * ch), dtype=np.uint8)
@@ -397,8 +450,8 @@ class BatchedEngine(TransformEngine):
                 batch[i, :h_i, : w_i * ch] = it.img.reshape(h_i, w_i * ch)
                 vidx[i] = v_keys.setdefault((h_i, it.out_h), len(v_keys))
                 hidx[i] = h_keys.setdefault((w_i, it.out_w), len(h_keys))
-            nu_v = batch_bucket(len(v_keys), self.max_batch)
-            nu_h = batch_bucket(len(h_keys), self.max_batch)
+            nu_v = self.MAX_UNIQUE
+            nu_h = self.MAX_UNIQUE
             wv = np.zeros((nu_v, obh, bh), dtype=np.float32)
             wh = np.zeros((nu_h, obw, bw), dtype=np.float32)
             for (ti, to), u in v_keys.items():
@@ -418,6 +471,7 @@ class BatchedEngine(TransformEngine):
                 out = await loop.run_in_executor(self._device_pool, device_step)
             finally:
                 self._inflight -= 1
+            self._compiled.add(sig)
             t2 = time.perf_counter()
             self.metrics.add_stage_time("batch_build", t1 - t0)
             self.metrics.add_stage_time("device_resize", t2 - t1)
@@ -443,6 +497,120 @@ class BatchedEngine(TransformEngine):
             self.metrics.queue_depth = sum(
                 len(q) for q in self._queues.values()
             )
+
+    # -- compile-miss host fallback ------------------------------------
+
+    def _kick_compile_rgb(self, sig) -> None:
+        """Compile a cold rgb-path shape in the background (zero inputs)."""
+        if sig in self._compiling:
+            return
+        self._compiling.add(sig)
+        from imagekit_tpu.ops.resize import resample_bucketed_flat
+
+        _, nb, bh, bw, obh, obw, ch = sig
+
+        def compile_step():
+            try:
+                batch = np.zeros((nb, bh, bw * ch), np.uint8)
+                wv = np.zeros((self.MAX_UNIQUE, obh, bh), np.float32)
+                wh = np.zeros((self.MAX_UNIQUE, obw, bw), np.float32)
+                idx = np.zeros(nb, np.int32)
+                np.asarray(resample_bucketed_flat(batch, wv, wh, idx, idx, ch))
+                self._compiled.add(sig)
+            except Exception:
+                pass
+            finally:
+                self._compiling.discard(sig)
+
+        self._device_pool.submit(compile_step)
+
+    def _kick_compile_jpeg(self, sig) -> None:
+        if sig in self._compiling:
+            return
+        self._compiling.add(sig)
+        from imagekit_tpu.ops.dct import decode_resize_rgb_batch
+
+        _, nb, yb_h, yb_w, obh, obw = sig
+        by_b, bx_b = yb_h // 8, yb_w // 8
+        cy_b, cx_b = yb_h // 16, yb_w // 16
+
+        def compile_step():
+            try:
+                y = np.zeros((nb, by_b, bx_b * 64), np.int16)
+                c = np.zeros((nb, cy_b, cx_b * 64), np.int16)
+                qt = np.zeros((nb, 128), np.float32)
+                wv_y = np.zeros((self.MAX_UNIQUE, obh, yb_h), np.float32)
+                wh_y = np.zeros((self.MAX_UNIQUE, obw, yb_w), np.float32)
+                wv_c = np.zeros((self.MAX_UNIQUE, obh, yb_h // 2), np.float32)
+                wh_c = np.zeros((self.MAX_UNIQUE, obw, yb_w // 2), np.float32)
+                idx = np.zeros(nb, np.int32)
+                decode_resize_rgb_batch(
+                    y, c, c, qt, (wv_y, wh_y, wv_c, wh_c), idx,
+                    (by_b, bx_b, cy_b, cx_b), (obh, obw),
+                )
+                self._compiled.add(sig)
+            except Exception:
+                pass
+            finally:
+                self._compiling.discard(sig)
+
+        self._device_pool.submit(compile_step)
+
+    async def _host_fallback_rgb(self, items: List[_Item]) -> None:
+        """Serve a cold-shape batch on host: same resample math in numpy."""
+        from imagekit_tpu.ops.resize import resample_reference
+
+        loop = asyncio.get_running_loop()
+        self.metrics.inc("host_fallbacks", len(items))
+
+        async def one(it: _Item) -> None:
+            try:
+                resized = await loop.run_in_executor(
+                    self._codec_pool,
+                    resample_reference,
+                    it.img,
+                    it.out_h,
+                    it.out_w,
+                )
+                encoded = await self._encode(loop, resized, it.fmt, it.quality)
+            except Exception as e:  # noqa: BLE001
+                if not it.future.done():
+                    it.future.set_exception(e)
+                return
+            if not it.future.done():
+                it.future.set_result(encoded)
+
+        await asyncio.gather(*(one(it) for it in items))
+
+    async def _host_fallback_jpeg(self, items) -> None:
+        from imagekit_tpu.ops.dct import host_decode_resize_single
+
+        loop = asyncio.get_running_loop()
+        self.metrics.inc("host_fallbacks", len(items))
+
+        async def one(it) -> None:
+            try:
+                rgb = await loop.run_in_executor(
+                    self._codec_pool,
+                    host_decode_resize_single,
+                    it.coeffs,
+                    it.qtabs,
+                    it.hdr.width,
+                    it.hdr.height,
+                    it.hdr.comp_width[1],
+                    it.hdr.comp_height[1],
+                    it.out_h,
+                    it.out_w,
+                )
+                encoded = await self._encode(loop, rgb, it.fmt, it.quality)
+            except Exception as e:  # noqa: BLE001
+                if not it.future.done():
+                    it.future.set_exception(e)
+                return
+            if not it.future.done():
+                it.future.set_result(encoded)
+
+        await asyncio.gather(*(one(it) for it in items))
 
     async def _encode(
         self, loop: asyncio.AbstractEventLoop, img: np.ndarray, fmt: ImageFormat, q: int
@@ -493,9 +661,9 @@ class BatchedEngine(TransformEngine):
         loop = asyncio.get_running_loop()
         for b, bh, bw, obh, obw, ch in shapes:
             batch = np.zeros((b, bh, bw * ch), dtype=np.uint8)
-            wv = np.zeros((1, obh, bh), dtype=np.float32)
-            wh = np.zeros((1, obw, bw), dtype=np.float32)
             idx = np.zeros(b, np.int32)
+            wv = np.zeros((self.MAX_UNIQUE, obh, bh), dtype=np.float32)
+            wh = np.zeros((self.MAX_UNIQUE, obw, bw), dtype=np.float32)
 
             def step(batch=batch, wv=wv, wh=wh, idx=idx, ch=ch):
                 return np.asarray(
@@ -503,6 +671,7 @@ class BatchedEngine(TransformEngine):
                 )
 
             await loop.run_in_executor(self._device_pool, step)
+            self._compiled.add(("rgb", b, bh, bw, obh, obw, ch))
         # jpeg coeffs-path shapes for the same bucket pairs
         from imagekit_tpu.ops.dct import decode_resize_rgb_batch
 
@@ -514,10 +683,10 @@ class BatchedEngine(TransformEngine):
             y = np.zeros((b, by_b, bx_b * 64), np.int16)
             cbcr = np.zeros((b, cy_b, cx_b * 64), np.int16)
             qt = np.zeros((b, 128), np.float32)
-            wv_y = np.zeros((1, obh, bh), np.float32)
-            wh_y = np.zeros((1, obw, bw), np.float32)
-            wv_c = np.zeros((1, obh, bh // 2), np.float32)
-            wh_c = np.zeros((1, obw, bw // 2), np.float32)
+            wv_y = np.zeros((self.MAX_UNIQUE, obh, bh), np.float32)
+            wh_y = np.zeros((self.MAX_UNIQUE, obw, bw), np.float32)
+            wv_c = np.zeros((self.MAX_UNIQUE, obh, bh // 2), np.float32)
+            wh_c = np.zeros((self.MAX_UNIQUE, obw, bw // 2), np.float32)
             idx = np.zeros(b, np.int32)
 
             def jstep(
@@ -531,6 +700,7 @@ class BatchedEngine(TransformEngine):
                 )
 
             await loop.run_in_executor(self._device_pool, jstep)
+            self._compiled.add(("jpeg", b, bh, bw, obh, obw))
 
     async def close(self) -> None:
         self._closed = True

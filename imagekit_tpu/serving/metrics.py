@@ -28,6 +28,7 @@ class Metrics:
         # TPU-native extensions
         self.batches = 0
         self.batched_images = 0
+        self.host_fallbacks = 0
         self.queue_depth = 0
         self.stage_seconds: Dict[str, float] = defaultdict(float)
 
@@ -53,6 +54,7 @@ class Metrics:
                 "errors": self.errors,
                 "batches": self.batches,
                 "batched_images": self.batched_images,
+                "host_fallbacks": self.host_fallbacks,
                 "queue_depth": self.queue_depth,
             }
             snap.update(
@@ -65,6 +67,7 @@ class Metrics:
             self.cache_hits = self.cache_misses = 0
             self.transforms = self.errors = 0
             self.batches = self.batched_images = self.queue_depth = 0
+            self.host_fallbacks = 0
             self.stage_seconds.clear()
 
     def prometheus_text(self) -> str:
@@ -90,6 +93,9 @@ class Metrics:
             "# HELP imagekit_batched_images_total Total images run through device batches",
             "# TYPE imagekit_batched_images_total counter",
             f"imagekit_batched_images_total {int(s['batched_images'])}",
+            "# HELP imagekit_host_fallbacks_total Images served by the host fallback (cold shapes)",
+            "# TYPE imagekit_host_fallbacks_total counter",
+            f"imagekit_host_fallbacks_total {int(s['host_fallbacks'])}",
             "# HELP imagekit_queue_depth Current transform queue depth",
             "# TYPE imagekit_queue_depth gauge",
             f"imagekit_queue_depth {int(s['queue_depth'])}",

@@ -1,0 +1,93 @@
+#!/usr/bin/env bash
+# E2E cache-header verification against a live imagekit_tpu server.
+#
+# Equivalent of the reference's test_cache_headers.sh: drives the
+# sign -> img flow and asserts the full cache-header contract
+# (Cache-Control directives, CDN-Cache-Control, Vary, ETag, Content-Type),
+# then interprets cf-cache-status when running behind Cloudflare.
+#
+# Usage: ./test_cache_headers.sh [BASE_URL] [SOURCE_IMAGE_URL]
+set -u
+
+BASE="${1:-http://localhost:8080}"
+SRC="${2:-https://picsum.photos/800/600}"
+
+PASS=0
+FAIL=0
+
+green() { printf '\033[32m%s\033[0m\n' "$*"; }
+red()   { printf '\033[31m%s\033[0m\n' "$*"; }
+
+check() { # check <desc> <haystack> <needle>
+  local desc="$1" hay="$2" needle="$3"
+  if printf '%s' "$hay" | grep -qi -- "$needle"; then
+    green "  ok: $desc"
+    PASS=$((PASS+1))
+  else
+    red   "  FAIL: $desc (wanted '$needle')"
+    FAIL=$((FAIL+1))
+  fi
+}
+
+echo "== health =="
+HEALTH=$(curl -fsS "$BASE/health") || { red "server unreachable at $BASE"; exit 1; }
+check "health status" "$HEALTH" '"status": *"healthy"'
+
+echo "== sign =="
+SIGN=$(curl -fsS "$BASE/sign?url=$SRC&w=400&f=webp&q=80")
+check "canonical present" "$SIGN" '"canonical"'
+check "sig present" "$SIGN" '"sig"'
+SIGNED_URL=$(printf '%s' "$SIGN" | python3 -c 'import json,sys; print(json.load(sys.stdin)["signed_url"])')
+[ -n "$SIGNED_URL" ] || { red "no signed_url"; exit 1; }
+echo "  signed_url: $SIGNED_URL"
+
+echo "== first /img request (expect transform or cache) =="
+H1=$(curl -fsS -D - -o /tmp/ik_e2e_img1 "$BASE$SIGNED_URL")
+check "200 OK" "$H1" '^HTTP.* 200'
+check "Cache-Control public" "$H1" 'cache-control: .*public'
+check "browser max-age=31536000" "$H1" 'max-age=31536000'
+check "edge s-maxage=86400" "$H1" 's-maxage=86400'
+check "immutable" "$H1" 'immutable'
+check "stale-if-error" "$H1" 'stale-if-error=86400'
+check "stale-while-revalidate" "$H1" 'stale-while-revalidate=60'
+check "CDN-Cache-Control" "$H1" 'cdn-cache-control: max-age=86400'
+check "Vary: Accept-Encoding" "$H1" 'vary: accept-encoding'
+check "ETag quoted" "$H1" 'etag: "'
+check "Content-Type image/webp" "$H1" 'content-type: image/webp'
+
+echo "== second request (origin cache hit, identical bytes) =="
+H2=$(curl -fsS -D - -o /tmp/ik_e2e_img2 "$BASE$SIGNED_URL")
+check "200 OK" "$H2" '^HTTP.* 200'
+if cmp -s /tmp/ik_e2e_img1 /tmp/ik_e2e_img2; then
+  green "  ok: hit bytes identical to miss"
+  PASS=$((PASS+1))
+else
+  red "  FAIL: cached bytes differ"
+  FAIL=$((FAIL+1))
+fi
+ETAG1=$(printf '%s' "$H1" | grep -i '^etag:' | tr -d '\r')
+ETAG2=$(printf '%s' "$H2" | grep -i '^etag:' | tr -d '\r')
+if [ -n "$ETAG1" ] && [ "$ETAG1" = "$ETAG2" ]; then
+  green "  ok: ETag stable across requests"
+  PASS=$((PASS+1))
+else
+  red "  FAIL: ETag changed ($ETAG1 vs $ETAG2)"
+  FAIL=$((FAIL+1))
+fi
+
+echo "== cloudflare edge interpretation (informational) =="
+CF=$(printf '%s' "$H2" | grep -i 'cf-cache-status' | tr -d '\r' || true)
+if [ -n "$CF" ]; then
+  case "$CF" in
+    *HIT*)     green "  cf-cache-status HIT — served from Cloudflare edge";;
+    *MISS*)    echo  "  cf-cache-status MISS — edge will cache this response";;
+    *DYNAMIC*) red   "  cf-cache-status DYNAMIC — edge is NOT caching (check page rules)";;
+    *)         echo  "  $CF";;
+  esac
+else
+  echo "  (no cf-cache-status header — not behind Cloudflare)"
+fi
+
+echo
+echo "=== $PASS passed, $FAIL failed ==="
+[ "$FAIL" -eq 0 ]

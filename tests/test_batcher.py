@@ -90,7 +90,8 @@ def test_batched_engine_matches_single_path():
 
 def test_batched_engine_mixed_shapes_one_batch():
     """Different true sizes sharing a bucket batch together and all come out
-    with their own exact dimensions."""
+    with their own exact dimensions. First pass hits the cold-shape host
+    fallback; a second pass (after the background compile) runs on device."""
     imgs = [make_test_image(w, h) for w, h in [(640, 480), (600, 400), (512, 512)]]
     engine = make_engine(max_batch=3, delay_ms=50)
 
@@ -101,16 +102,34 @@ def test_batched_engine_mixed_shapes_one_batch():
                 for img in imgs
             )
         )
+        # give the kicked background compile a moment (CPU: fast), then a
+        # second pass should take the device path
+        for _ in range(100):
+            if engine._compiled:
+                break
+            await asyncio.sleep(0.05)
+        outs2 = await asyncio.gather(
+            *(
+                engine.resize_encode(img, 200, None, ImageFormat.jpeg, 85)
+                for img in imgs
+            )
+        )
         await engine.close()
-        return outs
+        return outs, outs2
 
-    outs = asyncio.run(run())
-    dims = [decode_image(o)[0].shape[:2] for o in outs]
-    assert dims[0] == (150, 200)
-    assert dims[1] == (133, 200)  # 400 * 200/600 = 133.33 -> fit-within
-    assert dims[2] == (200, 200)
-    assert engine.metrics.batches >= 1
+    outs, outs2 = asyncio.run(run())
+    for batch_outs in (outs, outs2):
+        dims = [decode_image(o)[0].shape[:2] for o in batch_outs]
+        assert dims[0] == (150, 200)
+        assert dims[1] == (133, 200)  # 400 * 200/600 = 133.33 -> fit-within
+        assert dims[2] == (200, 200)
+    assert engine.metrics.host_fallbacks == 3  # first pass
+    assert engine.metrics.batches >= 1  # second pass on device
     assert engine.metrics.batched_images == 3
+    # host fallback and device path agree
+    for a, b in zip(outs, outs2):
+        da, db = decode_image(a)[0], decode_image(b)[0]
+        assert psnr(da, db) >= 49.0
 
 
 def test_batched_engine_noop_resize():
