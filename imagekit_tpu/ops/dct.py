@@ -178,6 +178,27 @@ def _decode_resize_kernel(
     hp = jax.lax.Precision.HIGHEST
 
     def plane_resize(P, wv_u, wh_u):
+        # fused two-pass Pallas kernel when the plane fits VMEM and the
+        # dims are 128-aligned; XLA einsum otherwise
+        from imagekit_tpu.ops.pallas.resize_kernel import (
+            _pallas_ok,
+            fits_vmem_f32,
+            resize_planes_f32_pallas,
+        )
+
+        _, H, W = P.shape
+        OH = wv_u.shape[1]
+        OW = wh_u.shape[1]
+        Hp = (H + 127) // 128 * 128
+        Wp = (W + 127) // 128 * 128
+        if _pallas_ok() and fits_vmem_f32(Hp, Wp, OH, OW):
+            if Hp != H or Wp != W:
+                # zero-pad to Mosaic's 128 alignment; padded weight columns
+                # are zero so results are unchanged
+                P = jnp.pad(P, ((0, 0), (0, Hp - H), (0, Wp - W)))
+                wv_u = jnp.pad(wv_u, ((0, 0), (0, 0), (0, Hp - H)))
+                wh_u = jnp.pad(wh_u, ((0, 0), (0, 0), (0, Wp - W)))
+            return resize_planes_f32_pallas(P, wv_u, wh_u, vidx)
         wv = wv_u[vidx]
         wh = wh_u[vidx]
         x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)

@@ -356,10 +356,61 @@ async def upload_handler(request: web.Request) -> web.Response:
 
 
 async def health_handler(request: web.Request) -> web.Response:
-    """``GET /health`` (``src/lib.rs:341-349``)."""
+    """``GET /health`` (``src/lib.rs:341-349``) with a TPU-native addition:
+    device liveness (platform + age of the last successful device step),
+    per SURVEY.md §5.3 — the health endpoint should probe device health."""
+    state = _state(request)
+    device = {"platform": _device_platform()}
+    last_ok = getattr(state.metrics, "last_device_ok", 0.0)
+    if last_ok:
+        import time as _time
+
+        device["last_device_success_age_s"] = round(_time.time() - last_ok, 1)
     return web.json_response(
-        {"status": "healthy", "version": __version__, "service": "imagekit"}
+        {
+            "status": "healthy",
+            "version": __version__,
+            "service": "imagekit",
+            "device": device,
+        }
     )
+
+
+_DEVICE_PLATFORM: Optional[str] = None
+
+
+def _device_platform() -> str:
+    global _DEVICE_PLATFORM
+    if _DEVICE_PLATFORM is None:
+        try:
+            import jax
+
+            d = jax.devices()[0]
+            _DEVICE_PLATFORM = f"{d.platform}:{d.device_kind}"
+        except Exception:
+            _DEVICE_PLATFORM = "unavailable"
+    return _DEVICE_PLATFORM
+
+
+async def debug_trace_handler(request: web.Request) -> web.Response:
+    """``POST /debug/trace`` — capture a jax.profiler device trace for N
+    seconds (gated by IMAGEKIT_DEBUG_ENDPOINTS; SURVEY.md §5.1: structured
+    logging plus jax.profiler capture around the batch step)."""
+    if not os.environ.get("IMAGEKIT_DEBUG_ENDPOINTS"):
+        return web.Response(status=404, text="Not found")
+    seconds = min(float(request.query.get("seconds", "2")), 30.0)
+    out_dir = os.path.join(
+        os.environ.get("IMAGEKIT_TRACE_DIR", "/tmp/imagekit_traces"),
+        str(int(__import__("time").time())),
+    )
+    import asyncio as _asyncio
+
+    import jax
+
+    jax.profiler.start_trace(out_dir)
+    await _asyncio.sleep(seconds)
+    jax.profiler.stop_trace()
+    return web.json_response({"trace_dir": out_dir, "seconds": seconds})
 
 
 async def cache_stats_handler(request: web.Request) -> web.Response:
@@ -480,6 +531,7 @@ def create_app(
 
     # Observability routes — no rate limit, no cache headers (src/lib.rs:436-439)
     app.router.add_get("/health", health_handler)
+    app.router.add_post("/debug/trace", debug_trace_handler)
     app.router.add_get("/stats/cache", cache_stats_handler)
     app.router.add_get("/metrics", metrics_handler)
     # Transform routes (src/lib.rs:442-447)

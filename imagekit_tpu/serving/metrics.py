@@ -30,6 +30,7 @@ class Metrics:
         self.batched_images = 0
         self.host_fallbacks = 0
         self.queue_depth = 0
+        self.last_device_ok = 0.0  # wall time of last successful device step
         self.stage_seconds: Dict[str, float] = defaultdict(float)
 
     def inc(self, name: str, by: int = 1) -> None:
@@ -41,9 +42,12 @@ class Metrics:
             self.stage_seconds[stage] += seconds
 
     def record_batch(self, size: int) -> None:
+        import time as _time
+
         with self._lock:
             self.batches += 1
             self.batched_images += size
+            self.last_device_ok = _time.time()
 
     def snapshot(self) -> Dict[str, float]:
         with self._lock:

@@ -1,0 +1,60 @@
+"""Pallas kernel tests (CPU: dispatcher falls back to einsum; the TPU
+kernel itself is exercised on hardware — verified to match einsum within
+final rounding, see the kernel module docstring)."""
+
+import numpy as np
+
+from imagekit_tpu.ops.pallas.resize_kernel import (
+    _pallas_ok,
+    _resize_planes_einsum,
+    fits_vmem,
+    fits_vmem_f32,
+    resize_planes,
+)
+from imagekit_tpu.ops.resize import padded_weights, resample_reference
+from tests.conftest import make_test_image
+
+
+def test_pallas_disabled_on_cpu_default_device():
+    assert _pallas_ok() is False  # conftest pins default device to CPU
+
+
+def test_vmem_budget_gates():
+    assert fits_vmem(1088, 1920, 240, 400)       # 1080p -> 400px fits
+    assert not fits_vmem(4352, 4096, 2176, 2048)  # 4K+ plane does not
+    assert fits_vmem_f32(1152, 1920, 240, 400)
+    assert not fits_vmem_f32(2176, 3840, 1088, 1920)
+
+
+def test_dispatcher_einsum_matches_golden():
+    img = make_test_image(120, 96)[:, :, 0]  # one plane
+    B = 3
+    planes = np.stack([img] * B)
+    wv = padded_weights(96, 48, 96, 48)[None]
+    wh = padded_weights(120, 60, 120, 60)[None]
+    vidx = np.zeros(B, np.int32)
+    out = np.asarray(resize_planes(planes, wv, wh, vidx))
+    want = resample_reference(img[:, :, None], 48, 60)[:, :, 0]
+    for b in range(B):
+        assert np.abs(out[b].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_per_image_weight_selection():
+    """vidx routes each image to its own weight matrices."""
+    a = make_test_image(128, 128)[:, :, 0]
+    b = make_test_image(100, 90)[:, :, 0]
+    planes = np.zeros((2, 128, 128), np.uint8)
+    planes[0] = a
+    planes[1, :90, :100] = b
+    wv = np.stack(
+        [padded_weights(128, 64, 128, 64), padded_weights(90, 64, 128, 64)]
+    )
+    wh = np.stack(
+        [padded_weights(128, 64, 128, 64), padded_weights(100, 64, 128, 64)]
+    )
+    vidx = np.array([0, 1], np.int32)
+    out = np.asarray(_resize_planes_einsum(planes, wv, wh, vidx))
+    want_a = resample_reference(a[:, :, None], 64, 64)[:, :, 0]
+    want_b = resample_reference(b[:, :, None], 64, 64)[:, :, 0]
+    assert np.abs(out[0].astype(int) - want_a.astype(int)).max() <= 1
+    assert np.abs(out[1].astype(int) - want_b.astype(int)).max() <= 1
