@@ -178,12 +178,14 @@ def _decode_resize_kernel(
     hp = jax.lax.Precision.HIGHEST
 
     def plane_resize(P, wv_u, wh_u):
-        # fused two-pass Pallas kernel when the plane fits VMEM and the
-        # dims are 128-aligned; XLA einsum otherwise
+        # Fused two-pass Pallas kernel when the working set fits VMEM.
+        # The post-IDCT planes are integer-valued (rounded to the u8 grid
+        # for decoder parity), so they pass through the u8 kernel exactly;
+        # its clamp+round output is a no-op on the resized values' range.
         from imagekit_tpu.ops.pallas.resize_kernel import (
             _pallas_ok,
-            fits_vmem_f32,
-            resize_planes_f32_pallas,
+            fits_vmem,
+            pallas_resize_u8,
         )
 
         _, H, W = P.shape
@@ -191,14 +193,9 @@ def _decode_resize_kernel(
         OW = wh_u.shape[1]
         Hp = (H + 127) // 128 * 128
         Wp = (W + 127) // 128 * 128
-        if _pallas_ok() and fits_vmem_f32(Hp, Wp, OH, OW):
-            if Hp != H or Wp != W:
-                # zero-pad to Mosaic's 128 alignment; padded weight columns
-                # are zero so results are unchanged
-                P = jnp.pad(P, ((0, 0), (0, Hp - H), (0, Wp - W)))
-                wv_u = jnp.pad(wv_u, ((0, 0), (0, 0), (0, Hp - H)))
-                wh_u = jnp.pad(wh_u, ((0, 0), (0, 0), (0, Wp - W)))
-            return resize_planes_f32_pallas(P, wv_u, wh_u, vidx)
+        if _pallas_ok() and fits_vmem(Hp, Wp, OH, OW):
+            out = pallas_resize_u8(P.astype(jnp.uint8), wv_u, wh_u, vidx)
+            return out.astype(jnp.float32)
         wv = wv_u[vidx]
         wh = wh_u[vidx]
         x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)

@@ -116,6 +116,12 @@ def resize_planes_pallas(
     Mosaic requires HBM DMA slices 128-aligned on the minor dim, so H/W
     (and the weight stacks' contraction dims) zero-pad up to multiples of
     128 — free, because weight columns beyond the true size are zero."""
+    return pallas_resize_u8(planes, wv_u, wh_u, vidx)
+
+
+def pallas_resize_u8(planes, wv_u, wh_u, vidx):
+    """Traceable core (callable from inside other jitted kernels):
+    pads to Mosaic's 128 alignment and invokes the fused kernel."""
     B, H, W = planes.shape
     U, OH, _ = wv_u.shape
     OW = wh_u.shape[1]

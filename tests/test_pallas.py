@@ -22,8 +22,11 @@ def test_pallas_disabled_on_cpu_default_device():
 def test_vmem_budget_gates():
     assert fits_vmem(1088, 1920, 240, 400)       # 1080p -> 400px fits
     assert not fits_vmem(4352, 4096, 2176, 2048)  # 4K+ plane does not
-    assert fits_vmem_f32(1152, 1920, 240, 400)
-    assert not fits_vmem_f32(2176, 3840, 1088, 1920)
+    # the f32 variant's working set is ~4x the u8 one: a 1080p plane in
+    # f32 exceeds the budget (which is why the fused decode kernel feeds
+    # the integer-valued planes to the u8 kernel instead)
+    assert fits_vmem_f32(576, 1024, 240, 400)
+    assert not fits_vmem_f32(1152, 1920, 240, 400)
 
 
 def test_dispatcher_einsum_matches_golden():
