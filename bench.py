@@ -98,6 +98,18 @@ async def run_bench():
     t0 = time.perf_counter()
     sizes = await asyncio.gather(*(one(i) for i in range(n_total)))
     elapsed = time.perf_counter() - t0
+
+    # low-load latency: sequential requests on an idle engine (the p50 a
+    # lightly-loaded origin would see; the saturated run above measures
+    # throughput, where p50 is mostly queueing)
+    lowload = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        await engine.transform(
+            sources[i % n_sources], 400, None, ImageFormat.webp, 80
+        )
+        lowload.append(time.perf_counter() - t0)
+    lowload.sort()
     await engine.close()
 
     lat = np.array(sorted(latencies))
@@ -111,6 +123,7 @@ async def run_bench():
         "n": n_total,
         "p50_ms": round(float(lat[len(lat) // 2]) * 1000, 1),
         "p95_ms": round(float(lat[int(len(lat) * 0.95)]) * 1000, 1),
+        "p50_ms_lowload": round(lowload[len(lowload) // 2] * 1000, 1),
         "mean_output_bytes": int(np.mean(sizes)),
         "mean_batch_size": round(mean_batch, 1),
         "warmup_s": round(warmup_s, 1),

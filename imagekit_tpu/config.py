@@ -120,6 +120,10 @@ class ImageKitConfig:
 
     # --- TPU-native extensions (not part of the reference surface) ---
     batch: BatchConfig = field(default_factory=BatchConfig)
+    # Serving cache backend: "disk" (reference's live path) or "kv" (the
+    # SledCache-equivalent with LRU eviction — actually usable here, unlike
+    # the reference where it is orphaned; SURVEY.md §2.4.8).
+    cache_backend: str = "disk"
     # Enforce max_input_size on POST /upload multipart bodies as well.
     # The reference only enforces it on remote fetch (src/fetch.rs:93-97);
     # BASELINE config #3 calls for an 8MB input cap on upload, so we default
@@ -154,4 +158,5 @@ class ImageKitConfig:
             max_cache_size=int(max_gb * 1024 * 1024 * 1024),
             allowed_formats=(ImageFormat.jpeg, ImageFormat.webp, ImageFormat.avif),
             default_format=ImageFormat.webp,
+            cache_backend=os.environ.get("IMAGEKIT_CACHE_BACKEND", "disk"),
         )

@@ -131,7 +131,12 @@ class AppState:
         stats_cache: Optional[KVCache] = None,
     ) -> None:
         self.config = config
-        self.cache = cache if cache is not None else DiskCache(config.cache_dir)
+        if cache is None:
+            if getattr(config, "cache_backend", "disk") == "kv":
+                cache = KVCache(config.cache_dir, config.max_cache_size)
+            else:
+                cache = DiskCache(config.cache_dir)
+        self.cache = cache
         if engine is None:
             from imagekit_tpu.serving.engine import default_engine
 

@@ -437,3 +437,37 @@ def test_rate_limit_headers_present(tmp_path):
             await client.close()
 
     asyncio.run(inner())
+
+
+def test_kv_cache_backend_serves_hits(tmp_path):
+    """cache_backend='kv' wires the SledCache-equivalent into the live
+    /img path (unlike the reference, where it is orphaned)."""
+    src = _jpeg_fixture()
+
+    async def inner():
+        cfg = ImageKitConfig(
+            secret=SECRET, cache_dir=tmp_path / "kvcache", cache_backend="kv"
+        )
+        metrics = Metrics()
+        fetcher = OfflineFetcher({IMG_URL: (200, "image/jpeg", src)})
+        app = create_app(cfg, fetcher=fetcher, metrics=metrics, rate_limit=False)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            url = signed_url({"url": IMG_URL, "w": 120, "f": "webp", "q": 80})
+            r1 = await client.get(url)
+            assert r1.status == 200
+            body1 = await r1.read()
+            n = len(fetcher.calls)
+            r2 = await client.get(url)
+            assert await r2.read() == body1
+            assert len(fetcher.calls) == n  # served from the KV cache
+            assert metrics.cache_hits == 1
+            # stats reflect the stored entry
+            stats = await client.get("/stats/cache")
+            body = await stats.json()
+            assert body["cache"]["entry_count"] >= 1
+        finally:
+            await client.close()
+
+    asyncio.run(inner())
