@@ -679,13 +679,8 @@ struct BitWriter {
 };
 
 inline int Magnitude(int v) {
-  int a = v < 0 ? -v : v;
-  int n = 0;
-  while (a) {
-    a >>= 1;
-    ++n;
-  }
-  return n;
+  unsigned a = static_cast<unsigned>(v < 0 ? -v : v);
+  return a ? 32 - __builtin_clz(a) : 0;
 }
 
 }  // namespace
