@@ -95,8 +95,10 @@ async def fetch_source(
     allowed_formats: Sequence[ImageFormat],
     *,
     fetcher: Optional[Fetcher] = None,
-) -> Tuple[bytes, str, np.ndarray]:
-    """Fetch + validate. Returns (bytes, content_type, decoded pixels).
+) -> Tuple[bytes, str, Optional[np.ndarray]]:
+    """Fetch + validate. Returns (bytes, content_type, decoded pixels —
+    or None when validation was done by header parse and the engine should
+    decode from bytes, taking the batched coefficient path).
 
     Raises NetworkError / InvalidArgumentError per the reference's error
     taxonomy; the /img handler maps both to 400 (``src/lib.rs:167-172``).
@@ -129,10 +131,32 @@ async def fetch_source(
     finally:
         await body.release()
 
-    # 5+6. decode validation + dimension check (returns pixels to avoid the
-    # reference's double decode, SURVEY.md §2.4.11)
-    from imagekit_tpu.codecs import decode_bytes
+    # 5+6. decode validation + dimension check. For baseline JPEGs with the
+    # native codec available, a header-only parse validates dimensions in
+    # microseconds and the full (single!) decode happens downstream on the
+    # batched coefficient path — ``pixels`` comes back None in that case.
+    # Other formats decode fully here and the pixels are returned so the
+    # handler never decodes twice (fixes SURVEY.md §2.4.11).
     from imagekit_tpu.errors import TransformError
+
+    if data[:3] == b"\xff\xd8\xff":
+        try:
+            from imagekit_tpu.codecs.native import jpeg_abi, loader
+
+            lib = loader.load()
+            if lib is not None:
+                hdr = jpeg_abi.parse(lib, data)
+                if hdr.width <= 0 or hdr.height <= 0:
+                    raise InvalidArgumentError("Invalid image dimensions")
+                return data, ct, None
+        except jpeg_abi.NativeJpegError:
+            pass  # progressive / exotic: fall through to the full decode
+        except InvalidArgumentError:
+            raise
+        except Exception:
+            pass
+
+    from imagekit_tpu.codecs import decode_bytes
 
     try:
         img, _fmt = decode_bytes(data)

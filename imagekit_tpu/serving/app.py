@@ -223,7 +223,7 @@ async def img_handler(request: web.Request) -> web.Response:
     state.metrics.inc("transforms")
 
     try:
-        _data, _ct, img = await fetch_source(
+        data, _ct, img = await fetch_source(
             params["url"],
             state.config.max_input_size,
             state.config.allowed_formats,
@@ -238,7 +238,16 @@ async def img_handler(request: web.Request) -> web.Response:
     quality = int(params["q"]) if "q" in params else DEFAULT_QUALITY
 
     try:
-        encoded = await state.engine.resize_encode(img, w, h, target_format, quality)
+        if img is None:
+            # header-validated JPEG: single decode on the engine's batched
+            # coefficient path (host entropy -> fused device kernel)
+            encoded = await state.engine.transform(
+                data, w, h, target_format, quality
+            )
+        else:
+            encoded = await state.engine.resize_encode(
+                img, w, h, target_format, quality
+            )
     except ImageKitError as e:
         state.metrics.inc("errors")
         return web.Response(status=400, text=f"Transform error: {e}")

@@ -28,6 +28,21 @@ def test_success_returns_bytes_ct_and_pixels():
     )
     assert out_bytes == data
     assert ct == "image/jpeg"
+    # baseline JPEG with the native codec: header-only validation, pixels
+    # deferred to the engine's batched coefficient path
+    from imagekit_tpu.codecs.native import loader
+
+    if loader.load() is not None:
+        assert pixels is None
+    else:
+        assert pixels.shape == (48, 64, 3)
+
+
+def test_success_non_jpeg_returns_pixels():
+    img = make_test_image(64, 48)
+    data = encode_png(img)
+    out_bytes, ct, pixels = fetch("u", {"u": (200, "image/png", data)})
+    assert out_bytes == data
     assert pixels.shape == (48, 64, 3)  # single decode, reused by handler
 
 
