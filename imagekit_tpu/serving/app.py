@@ -28,6 +28,8 @@ import os
 from pathlib import Path
 from typing import Mapping, Optional, Tuple
 
+import logging
+
 from aiohttp import web
 
 from imagekit_tpu import __version__
@@ -49,6 +51,8 @@ from imagekit_tpu.fetch import Fetcher, fetch_source
 from imagekit_tpu.serving.engine import TransformEngine, ThreadedEngine
 from imagekit_tpu.serving.metrics import METRICS, Metrics
 from imagekit_tpu.serving.ratelimit import GcraLimiter
+
+logger = logging.getLogger("imagekit")
 
 TRANSFORM_ROUTES = ("/img", "/upload", "/sign")
 _U32_MAX = 2**32 - 1
@@ -182,11 +186,19 @@ async def img_handler(request: web.Request) -> web.Response:
 
     from imagekit_tpu.signature import SignatureError, error_to_http, verify_signature
 
+    logger.debug(
+        "processing image request url=%s w=%s h=%s f=%s q=%s",
+        params.get("url"), params.get("w"), params.get("h"),
+        params.get("f"), params.get("q"),
+    )
     try:
         verify_signature(params, sig, state.config.secret)
     except SignatureError as e:
         status, _ = error_to_http(e)
         state.metrics.inc("errors")
+        logger.warning(
+            "signature verification failed url=%s: %s", params.get("url"), e
+        )
         return web.Response(status=status, text=str(e))
 
     # Quality bounds (src/lib.rs:130-132)
@@ -209,6 +221,7 @@ async def img_handler(request: web.Request) -> web.Response:
     cached = await cache.get(key)
     if cached is not None:
         state.metrics.inc("cache_hits")
+        logger.info("cache hit key=%s", key)
         return web.Response(
             status=200,
             body=cached,
@@ -221,6 +234,7 @@ async def img_handler(request: web.Request) -> web.Response:
 
     state.metrics.inc("cache_misses")
     state.metrics.inc("transforms")
+    logger.info("cache miss key=%s, fetching %s", key, params.get("url"))
 
     try:
         data, _ct, img = await fetch_source(
@@ -255,8 +269,9 @@ async def img_handler(request: web.Request) -> web.Response:
     canonical = "&".join(f"{k}={params[k]}" for k in sorted(params))
     try:
         await cache.put(key, encoded, target_format, canonical)
-    except Exception:
-        pass  # cache-put failure is non-fatal (src/lib.rs:194-197)
+    except Exception as e:  # noqa: BLE001
+        # cache-put failure is non-fatal (src/lib.rs:194-197)
+        logger.warning("failed to cache transformed image: %s", e)
 
     return web.Response(
         status=200,
@@ -489,6 +504,26 @@ async def index_handler(request: web.Request) -> web.StreamResponse:
 # ---------------------------------------------------------------------------
 # App assembly
 # ---------------------------------------------------------------------------
+
+
+def img_route(
+    config: ImageKitConfig,
+    **state_kwargs,
+):
+    """Mount just the /img handler into an existing aiohttp app — the
+    analogue of the reference's ``route()`` helper (``src/lib.rs:240-243``):
+
+        app.router.add_get("/img", *imagekit_tpu.serving.app.img_route(cfg))
+
+    Returns (handler, cleanup_coro_fn); the handler carries its own state.
+    """
+    state = AppState(config, **state_kwargs)
+
+    async def handler(request: web.Request) -> web.Response:
+        request.app["state"] = state
+        return await img_handler(request)
+
+    return handler, state.close
 
 
 def create_app(

@@ -631,10 +631,13 @@ class BatchedEngine(TransformEngine):
         fmt: ImageFormat,
         quality: int,
     ) -> bytes:
-        from imagekit_tpu.ops.resize import resize_batch
+        # Oversized images (beyond the bucket ladder): spatially tiled
+        # across the mesh when multiple devices exist, plain jitted resample
+        # otherwise (parallel/tiling.py).
+        from imagekit_tpu.parallel.tiling import resize_oversized
 
         def work() -> np.ndarray:
-            return np.asarray(resize_batch(img[None], out_h, out_w))[0]
+            return resize_oversized(img, out_h, out_w)
 
         resized = await loop.run_in_executor(self._device_pool, work)
         return await self._encode(loop, resized, fmt, quality)

@@ -53,3 +53,16 @@ def test_mesh_validation():
         make_mesh(8, space=3, devices=cpu_devices())
     with pytest.raises(ValueError):
         make_mesh(1000)
+
+
+def test_oversized_spatial_tiling():
+    """Images beyond the bucket ladder resize via height sharding over the
+    space axis; result matches the golden sampler."""
+    from imagekit_tpu.parallel.tiling import resize_oversized
+
+    img = make_test_image(120, 900)
+    mesh = make_mesh(4, space=4, devices=cpu_devices()[:4])
+    out = resize_oversized(img, 90, 12, mesh=mesh)
+    want = resample_reference(img, 90, 12)
+    assert out.shape == want.shape
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
