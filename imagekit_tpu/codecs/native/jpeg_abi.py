@@ -113,8 +113,6 @@ def parse(lib: ctypes.CDLL, data: bytes) -> JpegHeader:
         progressive=bool(info.progressive),
     )
     if rc != 0:
-        if rc == -3 and hdr.progressive:
-            raise NativeJpegError(rc)  # caller falls back to host library
         raise NativeJpegError(rc)
     return hdr
 
@@ -144,10 +142,12 @@ def decode(
 ) -> Tuple[JpegHeader, List[np.ndarray], np.ndarray]:
     """Huffman decode to quantised coefficient planes (device does the
     rest). Plane c has shape (blocks_h, blocks_w, 64) i16, natural order;
-    also returns the 4x64 quant-table array (natural order)."""
+    also returns the 4x64 quant-table array (natural order). Handles both
+    baseline and progressive scans (zero-initialised planes accumulate
+    progressive refinement passes)."""
     hdr = parse(lib, data)
     coeffs = [
-        np.empty((hdr.blocks_h[c], hdr.blocks_w[c], 64), np.int16)
+        np.zeros((hdr.blocks_h[c], hdr.blocks_w[c], 64), np.int16)
         for c in range(hdr.ncomp)
     ]
     qtabs = np.empty((4, 64), np.uint16)

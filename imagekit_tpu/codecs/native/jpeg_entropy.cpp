@@ -15,6 +15,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <vector>
 
@@ -290,6 +292,12 @@ struct Component {
   int pred = 0;                     // DC predictor
 };
 
+struct ScanInfo {
+  int ns = 0;
+  int ci[4] = {0, 0, 0, 0};  // component indices in this scan
+  int Ss = 0, Se = 63, Ah = 0, Al = 0;
+};
+
 struct Decoder {
   const uint8_t* data;
   size_t len;
@@ -302,18 +310,32 @@ struct Decoder {
   HuffTable dc[4], ac[4];
   Component comp[4];
   const uint8_t* scan_start = nullptr;
+  // progressive: coefficients accumulate across scans into these planes
+  // (layout [by][bx][64] natural order, MCU-padded dims)
+  int16_t* store[4] = {nullptr, nullptr, nullptr, nullptr};
+  bool any_scan = false;
+
+  inline int16_t* BlockPtr(int c, int bx, int by) {
+    return store[c] + (static_cast<size_t>(by) * comp[c].blocks_w + bx) * 64;
+  }
 
   int Parse() {
     const uint8_t* p = data;
     const uint8_t* end = data + len;
     if (len < 4 || p[0] != 0xFF || p[1] != 0xD8) return IK_ERR_BAD_MARKER;
     p += 2;
-    while (p + 4 <= end) {
-      if (p[0] != 0xFF) return IK_ERR_BAD_MARKER;
+    while (p + 2 <= end) {
+      if (p[0] != 0xFF) {
+        if (getenv("IK_DEBUG"))
+          fprintf(stderr, "[ik] not a marker at offset %zd: %02x %02x\n",
+                  p - data, p[0], p[1]);
+        return IK_ERR_BAD_MARKER;
+      }
       uint8_t m = p[1];
       p += 2;
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) continue;  // no payload
-      if (m == 0xD9) return IK_ERR_TRUNCATED;               // EOI before SOS
+      if (m == 0xD9)  // EOI: valid end for a fully-decoded progressive image
+        return (progressive && any_scan) ? IK_OK : IK_ERR_TRUNCATED;
       if (p + 2 > end) return IK_ERR_TRUNCATED;
       int seglen = (p[0] << 8) | p[1];
       if (seglen < 2 || p + seglen > end) return IK_ERR_TRUNCATED;
@@ -359,6 +381,9 @@ struct Decoder {
           }
           break;
         }
+        case 0xC2:  // SOF2 progressive (decoded scan-by-scan below)
+          progressive = true;
+          [[fallthrough]];
         case 0xC0:
         case 0xC1: {  // SOF0/1 baseline
           if (segrem < 6) return IK_ERR_TRUNCATED;
@@ -389,9 +414,6 @@ struct Decoder {
           }
           break;
         }
-        case 0xC2:  // SOF2 progressive
-          progressive = true;
-          return IK_ERR_UNSUPPORTED;
         case 0xC3:
         case 0xC5:
         case 0xC6:
@@ -410,21 +432,53 @@ struct Decoder {
         }
         case 0xDA: {  // SOS
           if (segrem < 1) return IK_ERR_TRUNCATED;
-          int ns = seg[0];
-          if (ns != ncomp) return IK_ERR_UNSUPPORTED;  // single interleaved scan
-          if (segrem < 1 + 2 * ns + 3) return IK_ERR_TRUNCATED;
-          for (int s = 0; s < ns; ++s) {
+          ScanInfo si;
+          si.ns = seg[0];
+          if (si.ns < 1 || si.ns > 4) return IK_ERR_BAD_MARKER;
+          if (segrem < 1 + 2 * si.ns + 3) return IK_ERR_TRUNCATED;
+          for (int s = 0; s < si.ns; ++s) {
             int cid = seg[1 + 2 * s];
             int tabs = seg[2 + 2 * s];
+            int found = -1;
             for (int c = 0; c < ncomp; ++c) {
               if (comp[c].id == cid) {
                 comp[c].td = tabs >> 4;
                 comp[c].ta = tabs & 15;
+                found = c;
               }
             }
+            if (found < 0) {
+              if (getenv("IK_DEBUG")) fprintf(stderr, "[ik] SOS unknown comp id %d\n", cid);
+              return IK_ERR_BAD_MARKER;
+            }
+            si.ci[s] = found;
           }
-          scan_start = p + seglen;
-          return IK_OK;
+          const uint8_t* sp = seg + 1 + 2 * si.ns;
+          si.Ss = sp[0];
+          si.Se = sp[1];
+          si.Ah = sp[2] >> 4;
+          si.Al = sp[2] & 15;
+          if (!progressive) {
+            if (si.ns != ncomp) return IK_ERR_UNSUPPORTED;
+            scan_start = p + seglen;
+            return IK_OK;  // caller runs the baseline scan decoder
+          }
+          if (store[0] == nullptr) {
+            // header-only parse: info complete at first SOS
+            scan_start = p + seglen;
+            return IK_OK;
+          }
+          BitReader br;
+          br.Init(p + seglen, data + len);
+          int rc2 = DecodeProgressiveScan(si, br);
+          if (rc2 != IK_OK) return rc2;
+          any_scan = true;
+          // continue parsing from wherever the entropy data ended
+          p = br.p;
+          while (p + 1 < end && !(p[0] == 0xFF && p[1] != 0x00 &&
+                                  !(p[1] >= 0xD0 && p[1] <= 0xD7)))
+            ++p;
+          continue;
         }
         default:
           break;  // APPn/COM: skip
@@ -432,6 +486,173 @@ struct Decoder {
       p += seglen;
     }
     return IK_ERR_TRUNCATED;
+  }
+
+  // One progressive scan (T.81 G.2): DC/AC, first/refinement, interleaved
+  // (DC only) or single-component with its own block geometry.
+  int DecodeProgressiveScan(const ScanInfo& si, BitReader& br) {
+    int eobrun = 0;
+    if (si.ns == 1) {
+      int c = si.ci[0];
+      Component& C = comp[c];
+      int bw = (C.width + 7) / 8;
+      int bh = (C.height + 7) / 8;
+      int count = 0;
+      C.pred = 0;
+      for (int by = 0; by < bh; ++by) {
+        for (int bx = 0; bx < bw; ++bx) {
+          if (restart_interval && count == restart_interval) {
+            br.RestartSync();
+            count = 0;
+            C.pred = 0;
+            eobrun = 0;
+          }
+          int rc = DecodeBlockProgressive(si, br, C, BlockPtr(c, bx, by), eobrun);
+          if (rc != IK_OK) return rc;
+          ++count;
+        }
+      }
+      return IK_OK;
+    }
+    // interleaved: DC scans only (Ss must be 0 per spec)
+    if (si.Ss != 0) {
+      if (getenv("IK_DEBUG")) fprintf(stderr, "[ik] interleaved AC scan\n");
+      return IK_ERR_BAD_MARKER;
+    }
+    int mcux = (width + 8 * hmax - 1) / (8 * hmax);
+    int mcuy = (height + 8 * vmax - 1) / (8 * vmax);
+    for (int s = 0; s < si.ns; ++s) comp[si.ci[s]].pred = 0;
+    int count = 0;
+    for (int my = 0; my < mcuy; ++my) {
+      for (int mx = 0; mx < mcux; ++mx) {
+        if (restart_interval && count == restart_interval) {
+          br.RestartSync();
+          count = 0;
+          for (int s = 0; s < si.ns; ++s) comp[si.ci[s]].pred = 0;
+          eobrun = 0;
+        }
+        for (int s = 0; s < si.ns; ++s) {
+          int c = si.ci[s];
+          Component& C = comp[c];
+          for (int v = 0; v < C.v; ++v) {
+            for (int h = 0; h < C.h; ++h) {
+              int rc = DecodeBlockProgressive(
+                  si, br, C, BlockPtr(c, mx * C.h + h, my * C.v + v), eobrun);
+              if (rc != IK_OK) return rc;
+            }
+          }
+        }
+        ++count;
+      }
+    }
+    return IK_OK;
+  }
+
+  int DecodeBlockProgressive(const ScanInfo& si, BitReader& br, Component& C,
+                             int16_t* blk, int& eobrun) {
+    if (si.Ss == 0) {  // DC
+      if (si.Ah == 0) {
+        const HuffTable& dct = dc[C.td];
+        if (!dct.present) return IK_ERR_BAD_HUFFMAN;
+        int t = br.DecodeHuff(dct);
+        if (t < 0 || t > 15) return IK_ERR_BAD_HUFFMAN;
+        int diff = br.Receive(t);
+        C.pred += diff;
+        blk[0] = static_cast<int16_t>(C.pred << si.Al);
+      } else {  // DC refinement: one bit
+        br.Refill();
+        if (br.Get(1)) blk[0] = static_cast<int16_t>(blk[0] | (1 << si.Al));
+      }
+      return IK_OK;
+    }
+    const HuffTable& act = ac[C.ta];
+    if (!act.present) return IK_ERR_BAD_HUFFMAN;
+    if (si.Ah == 0) {  // AC first pass
+      if (eobrun > 0) {
+        --eobrun;
+        return IK_OK;
+      }
+      int k = si.Ss;
+      while (k <= si.Se) {
+        int rs = br.DecodeHuff(act);
+        if (rs < 0) return IK_ERR_BAD_HUFFMAN;
+        int r = rs >> 4, sbits = rs & 15;
+        if (sbits == 0) {
+          if (r == 15) {
+            k += 16;  // ZRL
+            continue;
+          }
+          eobrun = (1 << r) - 1;
+          if (r) {
+            br.Refill();
+            eobrun += br.Get(r);
+          }
+          break;
+        }
+        k += r;
+        if (k > si.Se) return IK_ERR_BAD_HUFFMAN;
+        blk[kZigzag[k]] =
+            static_cast<int16_t>(br.Receive(sbits) * (1 << si.Al));
+        ++k;
+      }
+      return IK_OK;
+    }
+    // AC refinement (T.81 G.2.2 / libjpeg decode_mcu_AC_refine shape)
+    const int p1 = 1 << si.Al;
+    const int m1 = -(1 << si.Al);
+    int k = si.Ss;
+    if (eobrun == 0) {
+      while (k <= si.Se) {
+        int rs = br.DecodeHuff(act);
+        if (rs < 0) return IK_ERR_BAD_HUFFMAN;
+        int r = rs >> 4, sbits = rs & 15;
+        int newval = 0;
+        if (sbits == 0) {
+          if (r != 15) {
+            eobrun = 1 << r;
+            if (r) {
+              br.Refill();
+              eobrun += br.Get(r);
+            }
+            break;
+          }
+          // r == 15: advance over 16 zero-history coefficients
+        } else {
+          if (sbits != 1) return IK_ERR_BAD_HUFFMAN;
+          br.Refill();
+          newval = br.Get(1) ? p1 : m1;
+        }
+        while (k <= si.Se) {
+          int16_t* cp = blk + kZigzag[k];
+          if (*cp != 0) {
+            br.Refill();
+            if (br.Get(1) && (*cp & p1) == 0)
+              *cp = static_cast<int16_t>(*cp + ((*cp >= 0) ? p1 : m1));
+          } else {
+            if (r == 0) {
+              if (newval) *cp = static_cast<int16_t>(newval);
+              ++k;
+              break;
+            }
+            --r;
+          }
+          ++k;
+        }
+      }
+    }
+    if (eobrun > 0) {
+      while (k <= si.Se) {
+        int16_t* cp = blk + kZigzag[k];
+        if (*cp != 0) {
+          br.Refill();
+          if (br.Get(1) && (*cp & p1) == 0)
+            *cp = static_cast<int16_t>(*cp + ((*cp >= 0) ? p1 : m1));
+        }
+        ++k;
+      }
+      --eobrun;
+    }
+    return IK_OK;
   }
 
   // Decode the interleaved scan. For each decoded block, call sink(c, bx, by, blk)
@@ -708,8 +929,8 @@ IK_EXPORT int ik_jpeg_parse(const uint8_t* data, size_t len, IkJpegInfo* info) {
   Decoder d;
   d.data = data;
   d.len = len;
-  int rc = d.Parse();
-  if (rc != IK_OK && !(rc == IK_ERR_UNSUPPORTED && d.progressive)) return rc;
+  int rc = d.Parse();  // header-only: stops at the first SOS
+  if (rc != IK_OK) return rc;
   info->width = d.width;
   info->height = d.height;
   info->ncomp = d.ncomp;
@@ -724,8 +945,11 @@ IK_EXPORT int ik_jpeg_parse(const uint8_t* data, size_t len, IkJpegInfo* info) {
     info->blocks_h[c] = d.comp[c].blocks_h;
   }
   info->progressive = d.progressive ? 1 : 0;
-  return d.progressive ? IK_ERR_UNSUPPORTED : IK_OK;
+  return IK_OK;
 }
+
+IK_EXPORT int ik_jpeg_decode_coeffs(const uint8_t* data, size_t len,
+                                    int16_t** coeffs, uint16_t* qtabs_out);
 
 // Decode to full-resolution component sample planes (Huffman + host IDCT).
 // planes[c] must hold blocks_w*8 x blocks_h*8 bytes (stride = blocks_w*8).
@@ -734,6 +958,49 @@ IK_EXPORT int ik_jpeg_decode_planes(const uint8_t* data, size_t len,
   Decoder d;
   d.data = data;
   d.len = len;
+  {
+    // peek the header to know whether this is progressive (and dims)
+    Decoder probe;
+    probe.data = data;
+    probe.len = len;
+    int prc = probe.Parse();
+    if (prc != IK_OK) return prc;
+    if (probe.progressive) {
+      std::vector<std::vector<int16_t>> bufs(probe.ncomp);
+      int16_t* ptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+      for (int c = 0; c < probe.ncomp; ++c) {
+        bufs[c].assign(
+            static_cast<size_t>(probe.comp[c].blocks_w) *
+                probe.comp[c].blocks_h * 64,
+            0);
+        ptrs[c] = bufs[c].data();
+      }
+      uint16_t qtabs[4 * 64];
+      int rc = ik_jpeg_decode_coeffs(data, len, ptrs, qtabs);
+      if (rc != IK_OK) return rc;
+      IdctTable idct[4];
+      for (int c = 0; c < probe.ncomp; ++c)
+        idct[c].Build(probe.qtab[probe.comp[c].tq]);
+      float px[64];
+      for (int c = 0; c < probe.ncomp; ++c) {
+        int bw = probe.comp[c].blocks_w, bh = probe.comp[c].blocks_h;
+        int stride = bw * 8;
+        for (int by = 0; by < bh; ++by) {
+          for (int bx = 0; bx < bw; ++bx) {
+            Idct8x8(ptrs[c] + (static_cast<size_t>(by) * bw + bx) * 64,
+                    idct[c], px);
+            uint8_t* dst = planes[c] + (by * 8) * stride + bx * 8;
+            for (int y = 0; y < 8; ++y) {
+              uint8_t* row = dst + y * stride;
+              const float* src = px + y * 8;
+              for (int x = 0; x < 8; ++x) row[x] = ClampPixel(src[x]);
+            }
+          }
+        }
+      }
+      return IK_OK;
+    }
+  }
   int rc = d.Parse();
   if (rc != IK_OK) return rc;
   IdctTable idct[4];
@@ -760,10 +1027,14 @@ IK_EXPORT int ik_jpeg_decode_coeffs(const uint8_t* data, size_t len,
   Decoder d;
   d.data = data;
   d.len = len;
+  for (int c = 0; c < 4; ++c) d.store[c] = coeffs ? coeffs[c] : nullptr;
+  // caller-provided planes must start zeroed for progressive accumulation;
+  // the Python side allocates with np.zeros
   int rc = d.Parse();
   if (rc != IK_OK) return rc;
   for (int t = 0; t < 4; ++t)
     std::memcpy(qtabs_out + t * 64, d.qtab[t], 64 * sizeof(uint16_t));
+  if (d.progressive) return IK_OK;  // scans decoded inside Parse
   rc = d.DecodeScan([&](int c, int bx, int by, const int16_t* blk) {
     int16_t* dst = coeffs[c] + (static_cast<size_t>(by) * d.comp[c].blocks_w + bx) * 64;
     std::memcpy(dst, blk, 64 * sizeof(int16_t));

@@ -52,10 +52,29 @@ def test_restart_markers_decode():
     assert psnr(y, ref) >= 25.0
 
 
-def test_progressive_raises_unsupported():
-    data = _jpeg(make_test_image(64, 64), progressive=True)
-    with pytest.raises(jpeg_abi.NativeJpegError):
-        jpeg_abi.parse(lib, data)  # caller falls back to the host library
+def test_progressive_decode_coefficient_exact():
+    """Progressive (SOF2) scans decode natively: multi-scan coefficient
+    accumulation with spectral selection + successive approximation. The
+    re-encoded baseline must decode pixel-identically to the original."""
+    data = _jpeg(make_test_image(200, 150), q=88, progressive=True)
+    hdr, coeffs, qtabs = jpeg_abi.decode(lib, data)
+    assert hdr.progressive
+    out = jpeg_abi.encode(
+        lib, coeffs, (qtabs[0], qtabs[1]), hdr.width, hdr.height,
+        samp=tuple(zip(hdr.comp_h, hdr.comp_v)),
+    )
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    got = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_progressive_grayscale_decode_planes():
+    img = make_test_image(100, 80)[:, :, 0]
+    buf = io.BytesIO()
+    Image.fromarray(img, "L").save(buf, "JPEG", quality=90, progressive=True)
+    hdr, planes = jpeg_abi.decode_planes(lib, buf.getvalue())
+    y = planes[0][: hdr.comp_height[0], : hdr.comp_width[0]]
+    assert psnr(y, img) >= 30.0
 
 
 def test_truncated_scan_errors_not_crashes():
