@@ -54,6 +54,29 @@ class _NativeUnsupported(Exception):
     """JPEG can't take the native coeffs path; use the generic one."""
 
 
+class _GrayAs420:
+    """Header view presenting a grayscale JPEG as 4:2:0 with synthetic
+    (zero) chroma, for the shared batch path."""
+
+    def __init__(self, hdr):
+        self._h = hdr
+        self.width = hdr.width
+        self.height = hdr.height
+        self.ncomp = 3
+        self.comp_h = (2, 1, 1)
+        self.comp_v = (2, 1, 1)
+        self.comp_width = (
+            hdr.comp_width[0],
+            (hdr.comp_width[0] + 1) // 2,
+            (hdr.comp_width[0] + 1) // 2,
+        )
+        self.comp_height = (
+            hdr.comp_height[0],
+            (hdr.comp_height[0] + 1) // 2,
+            (hdr.comp_height[0] + 1) // 2,
+        )
+
+
 @dataclass
 class _JpegItem:
     hdr: object
@@ -214,7 +237,15 @@ class BatchedEngine(TransformEngine):
             self._codec_pool, entropy_decode
         )
         self.metrics.add_stage_time("entropy_decode", time.perf_counter() - t0)
-        if (
+        if hdr.ncomp == 1:
+            # grayscale: fabricate zero chroma coefficient planes at 4:2:0
+            # geometry — zero blocks IDCT to flat 128, so the colour matrix
+            # contributes exactly nothing and R=G=B=Y
+            by, bx = coeffs[0].shape[:2]
+            cz = np.zeros(((by + 1) // 2, (bx + 1) // 2, 64), np.int16)
+            coeffs = [coeffs[0], cz, cz]
+            hdr = _GrayAs420(hdr)
+        elif (
             hdr.ncomp != 3
             or tuple(hdr.comp_h) != (2, 1, 1)
             or tuple(hdr.comp_v) != (2, 1, 1)

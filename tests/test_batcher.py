@@ -192,3 +192,37 @@ def test_batch_flush_on_deadline():
 
     out = asyncio.run(run())
     assert decode_image(out)[0].shape[:2] == (64, 64)
+
+
+def test_grayscale_jpeg_native_path():
+    """Grayscale JPEGs ride the native coefficient path with synthetic
+    zero chroma; output is neutral (R=G=B) and matches the generic path."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from imagekit_tpu.codecs.native import loader
+
+    if loader.load() is None:
+        pytest.skip("native codec unavailable")
+
+    gray = make_test_image(320, 240)[:, :, 0]
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "JPEG", quality=92)
+    data = buf.getvalue()
+    engine = make_engine()
+
+    async def run():
+        out = await engine.transform(data, 160, None, ImageFormat.jpeg, 90)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    dec, _ = decode_image(out)
+    assert dec.shape[:2] == (120, 160)
+    # channels identical (neutral chroma)
+    assert np.abs(dec[:, :, 0].astype(int) - dec[:, :, 1].astype(int)).max() <= 1
+    # matches resizing the grayscale directly
+    want = resize_image(gray, 160, None)
+    assert psnr(dec[:, :, 0], want) >= 35.0
