@@ -31,7 +31,7 @@ import threading
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Mapping, Optional
+from typing import Optional
 
 from imagekit_tpu.cache import Cache
 from imagekit_tpu.config import ImageFormat

@@ -9,8 +9,8 @@ routing (which stages batch on device, which codec finishes on host) and
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from dataclasses import dataclass
+from typing import Sequence
 
 from imagekit_tpu.config import ImageFormat
 

@@ -48,7 +48,7 @@ from imagekit_tpu.config import (
 )
 from imagekit_tpu.errors import ImageKitError
 from imagekit_tpu.fetch import Fetcher, fetch_source
-from imagekit_tpu.serving.engine import TransformEngine, ThreadedEngine
+from imagekit_tpu.serving.engine import TransformEngine
 from imagekit_tpu.serving.metrics import METRICS, Metrics
 from imagekit_tpu.serving.ratelimit import GcraLimiter
 
