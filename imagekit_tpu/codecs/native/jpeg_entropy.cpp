@@ -1155,25 +1155,37 @@ IK_EXPORT int64_t ik_jpeg_encode(const int16_t** coeffs, int ncomp, int width,
             int n = Magnitude(diff);
             w.Put(dct.code[n], dct.size[n]);
             if (n) w.Put(diff < 0 ? diff - 1 + (1 << n) : diff, n);
-            // AC (zigzag order)
-            int run = 0;
+            // AC: gather into zigzag order with a nonzero bitmask, then
+            // iterate only the set bits (ctz run-skipping) — typical blocks
+            // have <10 nonzero coefficients out of 63
+            int16_t zz[64];
+            uint64_t nzmask = 0;
             for (int k = 1; k < 64; ++k) {
-              int val = blk[kZigzag[k]];
-              if (val == 0) {
-                ++run;
-                continue;
-              }
-              while (run > 15) {
-                w.Put(act.code[0xF0], act.size[0xF0]);  // ZRL
-                run -= 16;
-              }
-              int s = Magnitude(val);
-              int rs = (run << 4) | s;
-              w.Put(act.code[rs], act.size[rs]);
-              w.Put(val < 0 ? val - 1 + (1 << s) : val, s);
-              run = 0;
+              int16_t v = blk[kZigzag[k]];
+              zz[k] = v;
+              nzmask |= static_cast<uint64_t>(v != 0) << k;
             }
-            if (run > 0) w.Put(act.code[0x00], act.size[0x00]);  // EOB
+            if (nzmask == 0) {
+              w.Put(act.code[0x00], act.size[0x00]);  // EOB
+            } else {
+              int last = 63 - __builtin_clzll(nzmask);
+              int k = 1;
+              while (k <= last) {
+                int next = __builtin_ctzll(nzmask >> k) + k;
+                int run = next - k;
+                while (run > 15) {
+                  w.Put(act.code[0xF0], act.size[0xF0]);  // ZRL
+                  run -= 16;
+                }
+                int val = zz[next];
+                int s = Magnitude(val);
+                int rs = (run << 4) | s;
+                w.Put(act.code[rs], act.size[rs]);
+                w.Put(val < 0 ? val - 1 + (1 << s) : val, s);
+                k = next + 1;
+              }
+              if (last < 63) w.Put(act.code[0x00], act.size[0x00]);  // EOB
+            }
           }
         }
       }
