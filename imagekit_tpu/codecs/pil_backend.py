@@ -21,8 +21,12 @@ from PIL import Image
 from imagekit_tpu.config import ImageFormat
 from imagekit_tpu.errors import TransformError
 
+import os
+
 # ravif speed=4 in the reference; libavif's comparable speed knob.
-AVIF_SPEED = 6
+# Operators can trade encode quality for throughput (reference AVIF target
+# is 10-25 RPS/core; speed 8 roughly doubles encode rate vs 6).
+AVIF_SPEED = int(os.environ.get("IMAGEKIT_AVIF_SPEED", "6"))
 
 
 def decode(data: bytes) -> np.ndarray:
