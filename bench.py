@@ -73,7 +73,7 @@ async def run_bench():
     engine = BatchedEngine(cfg, metrics=metrics)
 
     t_warm0 = time.perf_counter()
-    await engine.warmup()
+    await engine.warmup(paths=("jpeg",))  # bench sources are all JPEG
     # one full warm pass through the pipeline (primes codec pool + weights)
     await asyncio.gather(
         *(

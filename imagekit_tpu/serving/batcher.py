@@ -674,7 +674,9 @@ class BatchedEngine(TransformEngine):
         return await self._encode(loop, resized, fmt, quality)
 
     async def warmup(
-        self, shapes: Optional[List[Tuple[int, int, int, int, int]]] = None
+        self,
+        shapes: Optional[List[Tuple[int, int, int, int, int]]] = None,
+        paths: Tuple[str, ...] = ("rgb", "jpeg"),
     ) -> None:
         """Pre-compile the hot bucket pairs (first TPU compile is ~20-40 s;
         without this the first request eats it)."""
@@ -693,7 +695,7 @@ class BatchedEngine(TransformEngine):
             )
             shapes = [(b, bh, bw, obh, obw, 3) for b in sizes]
         loop = asyncio.get_running_loop()
-        for b, bh, bw, obh, obw, ch in shapes:
+        for b, bh, bw, obh, obw, ch in shapes if "rgb" in paths else []:
             batch = np.zeros((b, bh, bw * ch), dtype=np.uint8)
             idx = np.zeros(b, np.int32)
             wv = np.zeros((self.MAX_UNIQUE, obh, bh), dtype=np.float32)
@@ -709,7 +711,7 @@ class BatchedEngine(TransformEngine):
         # jpeg coeffs-path shapes for the same bucket pairs
         from imagekit_tpu.ops.dct import decode_resize_rgb_batch
 
-        for b, bh, bw, obh, obw, ch in shapes:
+        for b, bh, bw, obh, obw, ch in shapes if "jpeg" in paths else []:
             if bh % 16 or bw % 16 or ch != 3:
                 continue
             by_b, bx_b = bh // 8, bw // 8
