@@ -22,6 +22,7 @@ class IkJpegInfo(ctypes.Structure):
         ("comp_height", ctypes.c_int32 * 4),
         ("blocks_w", ctypes.c_int32 * 4),
         ("blocks_h", ctypes.c_int32 * 4),
+        ("comp_tq", ctypes.c_int32 * 4),
         ("progressive", ctypes.c_int32),
     ]
 
@@ -92,6 +93,7 @@ class JpegHeader:
     comp_height: Tuple[int, ...]
     blocks_w: Tuple[int, ...]
     blocks_h: Tuple[int, ...]
+    comp_tq: Tuple[int, ...]
     progressive: bool
 
 
@@ -110,6 +112,7 @@ def parse(lib: ctypes.CDLL, data: bytes) -> JpegHeader:
         comp_height=tuple(info.comp_height[: info.ncomp]),
         blocks_w=tuple(info.blocks_w[: info.ncomp]),
         blocks_h=tuple(info.blocks_h[: info.ncomp]),
+        comp_tq=tuple(info.comp_tq[: info.ncomp]),
         progressive=bool(info.progressive),
     )
     if rc != 0:
@@ -128,7 +131,8 @@ def decode_planes(
         np.empty((hdr.blocks_h[c] * 8, hdr.blocks_w[c] * 8), np.uint8)
         for c in range(hdr.ncomp)
     ]
-    ptrs = (ctypes.c_void_p * hdr.ncomp)(
+    # always 4 slots: the C side indexes store[0..3] (nullptr-padded)
+    ptrs = (ctypes.c_void_p * 4)(
         *[p.ctypes.data_as(ctypes.c_void_p).value for p in planes]
     )
     rc = lib.ik_jpeg_decode_planes(data, len(data), ptrs)
@@ -151,7 +155,9 @@ def decode(
         for c in range(hdr.ncomp)
     ]
     qtabs = np.empty((4, 64), np.uint16)
-    ptrs = (ctypes.c_void_p * hdr.ncomp)(
+    # always 4 slots: ik_jpeg_decode_coeffs populates store[0..3] before
+    # Parse() establishes ncomp, so a shorter array would be over-read
+    ptrs = (ctypes.c_void_p * 4)(
         *[p.ctypes.data_as(ctypes.c_void_p).value for p in coeffs]
     )
     rc = lib.ik_jpeg_decode_coeffs(

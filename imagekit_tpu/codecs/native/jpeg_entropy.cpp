@@ -306,7 +306,10 @@ struct Decoder {
   int hmax = 1, vmax = 1;
   int restart_interval = 0;
   bool progressive = false;
-  uint16_t qtab[4][64];  // natural order
+  // natural order; zero-initialised so a scan referencing a table that was
+  // never defined by a DQT segment dequantises to zero instead of reading
+  // indeterminate stack memory (ADVICE.md round 1)
+  uint16_t qtab[4][64] = {};
   HuffTable dc[4], ac[4];
   Component comp[4];
   const uint8_t* scan_start = nullptr;
@@ -922,6 +925,7 @@ struct IkJpegInfo {
   int32_t comp_height[4];
   int32_t blocks_w[4];     // padded block dims
   int32_t blocks_h[4];
+  int32_t comp_tq[4];      // per-component quant-table selector (SOF Tq_i)
   int32_t progressive;     // 1 -> unsupported here, use fallback
 };
 
@@ -943,6 +947,7 @@ IK_EXPORT int ik_jpeg_parse(const uint8_t* data, size_t len, IkJpegInfo* info) {
     info->comp_height[c] = d.comp[c].height;
     info->blocks_w[c] = d.comp[c].blocks_w;
     info->blocks_h[c] = d.comp[c].blocks_h;
+    info->comp_tq[c] = d.comp[c].tq;
   }
   info->progressive = d.progressive ? 1 : 0;
   return IK_OK;

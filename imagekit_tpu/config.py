@@ -129,6 +129,12 @@ class ImageKitConfig:
     # BASELINE config #3 calls for an 8MB input cap on upload, so we default
     # to enforcing and document the divergence (SURVEY.md §3.3).
     enforce_upload_cap: bool = True
+    # Honour X-Forwarded-For when rate limiting. The reference's
+    # tower_governor keys on the actual peer address; trusting XFF from an
+    # arbitrary client lets it rotate limiter keys freely, so this is off
+    # unless the operator states the service sits behind a trusted proxy
+    # (IMAGEKIT_TRUST_PROXY=1).
+    trust_proxy: bool = False
 
     def __post_init__(self) -> None:
         if isinstance(self.cache_dir, str):
@@ -159,4 +165,5 @@ class ImageKitConfig:
             allowed_formats=(ImageFormat.jpeg, ImageFormat.webp, ImageFormat.avif),
             default_format=ImageFormat.webp,
             cache_backend=os.environ.get("IMAGEKIT_CACHE_BACKEND", "disk"),
+            trust_proxy=os.environ.get("IMAGEKIT_TRUST_PROXY", "") not in ("", "0"),
         )

@@ -361,8 +361,10 @@ def decode_components_to_rgb(decoded) -> np.ndarray:
     hdr, coeffs, qtabs = decoded
     if hdr.ncomp != 3 or tuple(hdr.comp_h) != (2, 1, 1) or tuple(
         hdr.comp_v
-    ) != (2, 1, 1):
+    ) != (2, 1, 1) or hdr.comp_tq[1] != hdr.comp_tq[2]:
         raise ValueError("device decode path supports 4:2:0 3-component")
+    # select per-component tables by the actual SOF Tq indices
+    qtabs = np.stack([qtabs[hdr.comp_tq[0]], qtabs[hdr.comp_tq[1]]])
     by_y, bx_y = coeffs[0].shape[:2]
     by_c, bx_c = coeffs[1].shape[:2]
     H, W = hdr.height, hdr.width

@@ -25,6 +25,7 @@ resize/encode failures -> 400 with the error text.
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 from typing import Mapping, Optional, Tuple
 
@@ -63,31 +64,35 @@ class QueryError(Exception):
     """Deserialization failure -> 400 (axum serde parity)."""
 
 
+# Python's int() accepts '+5', ' 5 ', '1_0' — serde's u32/u8/i64 parsers do
+# not; validate with strict digit regexes first so malformed queries keep
+# the reference's 400 behaviour (ADVICE.md r1).
+_UDIGITS = re.compile(r"^[0-9]+$")
+_IDIGITS = re.compile(r"^-?[0-9]+$")
+
+
 def _parse_u32(raw: str, name: str) -> int:
-    try:
-        v = int(raw)
-    except ValueError:
+    if not _UDIGITS.match(raw):
         raise QueryError(f"invalid {name}")
+    v = int(raw)
     if not (0 <= v <= _U32_MAX):
         raise QueryError(f"invalid {name}")
     return v
 
 
 def _parse_u8(raw: str, name: str) -> int:
-    try:
-        v = int(raw)
-    except ValueError:
+    if not _UDIGITS.match(raw):
         raise QueryError(f"invalid {name}")
+    v = int(raw)
     if not (0 <= v <= 255):
         raise QueryError(f"invalid {name}")
     return v
 
 
 def _parse_i64(raw: str, name: str) -> int:
-    try:
-        v = int(raw)
-    except ValueError:
+    if not _IDIGITS.match(raw):
         raise QueryError(f"invalid {name}")
+    v = int(raw)
     if not (_I64_MIN <= v <= _I64_MAX):
         raise QueryError(f"invalid {name}")
     return v
@@ -551,7 +556,16 @@ def create_app(
     async def transform_middleware(request: web.Request, handler):
         is_transform = request.path in TRANSFORM_ROUTES
         if is_transform and limiter is not None:
-            peer = request.headers.get("X-Forwarded-For", "").split(",")[0].strip()
+            # key on the connection's peer IP (tower_governor parity); only
+            # consult X-Forwarded-For when the operator declared a trusted
+            # proxy in front, else any client can rotate limiter keys
+            peer = ""
+            if config.trust_proxy:
+                peer = (
+                    request.headers.get("X-Forwarded-For", "")
+                    .split(",")[0]
+                    .strip()
+                )
             if not peer:
                 peer = request.remote or "unknown"
             allowed, retry_after = limiter.check(peer)

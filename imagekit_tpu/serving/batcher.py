@@ -244,13 +244,23 @@ class BatchedEngine(TransformEngine):
             by, bx = coeffs[0].shape[:2]
             cz = np.zeros(((by + 1) // 2, (bx + 1) // 2, 64), np.int16)
             coeffs = [coeffs[0], cz, cz]
+            # zero chroma coeffs dequantise to zero under any table, so the
+            # chroma slot just reuses the luma's selected table
+            qtabs = np.stack([qtabs[hdr.comp_tq[0]], qtabs[hdr.comp_tq[0]]])
             hdr = _GrayAs420(hdr)
         elif (
             hdr.ncomp != 3
             or tuple(hdr.comp_h) != (2, 1, 1)
             or tuple(hdr.comp_v) != (2, 1, 1)
+            # the fused kernel carries one luma + one chroma table per image;
+            # Cb/Cr with distinct selectors (legal, rare) use the generic path
+            or hdr.comp_tq[1] != hdr.comp_tq[2]
         ):
             raise _NativeUnsupported()
+        else:
+            # index the 4x64 table array by the actual SOF selectors instead
+            # of assuming the conventional (0, 1, 1) mapping (ADVICE.md r1)
+            qtabs = np.stack([qtabs[hdr.comp_tq[0]], qtabs[hdr.comp_tq[1]]])
 
         out_w, out_h = target_dimensions(hdr.width, hdr.height, w, h)
         by_y, bx_y = coeffs[0].shape[:2]

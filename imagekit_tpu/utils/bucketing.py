@@ -23,11 +23,16 @@ ALIGN = 16  # sublane-friendly
 
 # Standard media dimensions get exact-fit buckets so common traffic
 # (1080p/720p/4K sources, thumbnail targets) pays near-zero padding waste.
+# Every entry MUST be a multiple of ALIGN: the JPEG native path requires
+# 16-aligned buckets (yb % 16 check) and chroma planes need 128-multiple
+# minor transfer dims — 368 stands in for the 360p family (ADVICE.md r1).
 STANDARD_SIZES = (
-    128, 144, 240, 256, 272, 360, 400, 480, 512, 544, 640, 720, 736,
+    128, 144, 240, 256, 272, 368, 400, 480, 512, 544, 640, 720, 736,
     768, 800, 960, 1024, 1088, 1280, 1440, 1600, 1920, 2176, 2560,
     2880, 3840, 4352,
 )
+
+assert all(s % ALIGN == 0 for s in STANDARD_SIZES)
 
 
 @functools.lru_cache(maxsize=8)

@@ -226,3 +226,46 @@ def test_grayscale_jpeg_native_path():
     # matches resizing the grayscale directly
     want = resize_image(gray, 160, None)
     assert psnr(dec[:, :, 0], want) >= 35.0
+
+
+def test_bucket_ladder_is_16_aligned():
+    """Every ladder entry must be a multiple of 16: the JPEG coefficient
+    path requires 16-aligned buckets and chroma planes need 128-multiple
+    minor transfer dims (ADVICE.md r1: 360 silently disqualified the
+    native path)."""
+    assert all(b % 16 == 0 for b in bucket_ladder())
+    assert bucket_for(360) == 368
+
+
+def test_jpeg_native_path_nonstandard_tq_mapping():
+    """engine.transform on a luma->Tq1/chroma->Tq0 stream must produce the
+    same bytes as the conventional stream (the coefficient batch is built
+    from the actual SOF selectors, ADVICE.md r1 high)."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from imagekit_tpu.codecs import jpeg as jpeg_native
+    from tests.test_native_codec import _swap_quant_table_ids
+
+    if not jpeg_native.available():
+        pytest.skip("native codec unavailable")
+
+    img = make_test_image(640, 480)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=88)
+    data = buf.getvalue()
+    swapped = _swap_quant_table_ids(data)
+
+    engine = make_engine()
+
+    async def run():
+        a = await engine.transform(data, 200, None, ImageFormat.jpeg, 80)
+        b = await engine.transform(swapped, 200, None, ImageFormat.jpeg, 80)
+        await engine.close()
+        return a, b
+
+    a, b = asyncio.run(run())
+    assert a == b

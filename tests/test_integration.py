@@ -471,3 +471,88 @@ def test_kv_cache_backend_serves_hits(tmp_path):
             await client.close()
 
     asyncio.run(inner())
+
+
+# -- strict query parsing (ADVICE.md r1: serde u32/u8/i64 strictness) ----------
+
+
+def test_malformed_numeric_queries_rejected(tmp_path):
+    async def fn(client, fetcher, metrics):
+        # serde's u32 deserializer rejects '+', whitespace, and '_' — so do we
+        for bad_w in ("+5", " 5", "5 ", "1_0", "0x10", ""):
+            resp = await client.get(
+                "/sign", params={"url": IMG_URL, "w": bad_w}
+            )
+            assert resp.status == 400, bad_w
+        for bad_q in ("+80", "8_0"):
+            resp = await client.get(
+                "/sign", params={"url": IMG_URL, "q": bad_q}
+            )
+            assert resp.status == 400, bad_q
+        for bad_t in ("+1", "1_0"):
+            resp = await client.get(
+                "/sign", params={"url": IMG_URL, "t": bad_t}
+            )
+            assert resp.status == 400, bad_t
+        # negative t remains valid i64 (absolute unix timestamp semantics)
+        resp = await client.get("/sign", params={"url": IMG_URL, "t": "-1"})
+        assert resp.status == 200
+
+    run_with_client(tmp_path, fn)
+
+
+# -- rate limiter keying (ADVICE.md r1: XFF spoofing) ---------------------------
+
+
+def test_rate_limit_ignores_xff_by_default(tmp_path):
+    """Without trust_proxy, rotating X-Forwarded-For must NOT reset the
+    limiter: all requests come from the same peer IP."""
+
+    async def inner():
+        cfg = ImageKitConfig(secret=SECRET, cache_dir=tmp_path / "cache")
+        app = create_app(
+            cfg, fetcher=OfflineFetcher({}), metrics=Metrics(), rate_limit=True
+        )
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            statuses = []
+            for i in range(40):
+                resp = await client.get(
+                    "/sign",
+                    params={"url": IMG_URL},
+                    headers={"X-Forwarded-For": f"10.0.0.{i}"},
+                )
+                statuses.append(resp.status)
+            assert 429 in statuses
+        finally:
+            await client.close()
+
+    asyncio.run(inner())
+
+
+def test_rate_limit_honours_xff_behind_trusted_proxy(tmp_path):
+    async def inner():
+        cfg = ImageKitConfig(
+            secret=SECRET, cache_dir=tmp_path / "cache", trust_proxy=True
+        )
+        app = create_app(
+            cfg, fetcher=OfflineFetcher({}), metrics=Metrics(), rate_limit=True
+        )
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            statuses = []
+            for i in range(40):
+                resp = await client.get(
+                    "/sign",
+                    params={"url": IMG_URL},
+                    headers={"X-Forwarded-For": f"10.0.0.{i}"},
+                )
+                statuses.append(resp.status)
+            # distinct forwarded clients each get their own bucket
+            assert 429 not in statuses
+        finally:
+            await client.close()
+
+    asyncio.run(inner())

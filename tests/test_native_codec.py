@@ -125,3 +125,76 @@ def test_coefficient_roundtrip_is_lossless():
     hdr2, coeffs2, _ = jpeg_abi.decode(lib, out)
     for a, b in zip(coeffs, coeffs2):
         np.testing.assert_array_equal(a, b)
+
+
+def _swap_quant_table_ids(data: bytes) -> bytes:
+    """Rewrite a two-table JPEG so luma uses Tq=1 and chroma Tq=0 (legal but
+    unconventional; ADVICE.md r1 repro): flip the table ids in every DQT
+    definition and every SOF component selector. The stream stays
+    semantically identical, so any correct decoder emits the same pixels."""
+    out = bytearray(data)
+    i = 2
+    while i + 4 <= len(out):
+        assert out[i] == 0xFF
+        marker = out[i + 1]
+        seglen = (out[i + 2] << 8) | out[i + 3]
+        seg = i + 4
+        if marker == 0xDB:  # DQT: [PqTq][64|128 bytes] repeated
+            p = seg
+            end = i + 2 + seglen
+            while p < end:
+                pq, tq = out[p] >> 4, out[p] & 15
+                assert tq in (0, 1)
+                out[p] = (pq << 4) | (1 - tq)
+                p += 1 + (128 if pq else 64)
+        elif marker in (0xC0, 0xC2):  # SOF0/SOF2 component Tq selectors
+            ncomp = out[seg + 5]
+            for c in range(ncomp):
+                out[seg + 8 + 3 * c] = 1 - out[seg + 8 + 3 * c]
+        if marker == 0xDA:
+            break
+        i += 2 + seglen
+    return bytes(out)
+
+
+def test_nonstandard_quant_table_mapping_decodes_identically():
+    """A JPEG whose SOF maps luma->Tq1 / chroma->Tq0 must decode exactly
+    like the conventional (0,1,1) stream — the coefficient path indexes
+    tables by the actual selectors (ADVICE.md r1, high)."""
+    from imagekit_tpu.ops import dct as dct_ops
+
+    img = make_test_image(160, 128)
+    data = _jpeg(img, 85)
+    swapped = _swap_quant_table_ids(data)
+    assert swapped != data
+    # the host library agrees the streams are identical (sanity of rewrite)
+    a = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(swapped)).convert("RGB"))
+    np.testing.assert_array_equal(a, b)
+
+    hdr1, _, _ = jpeg_abi.decode(lib, data)
+    hdr2, _, _ = jpeg_abi.decode(lib, swapped)
+    assert hdr1.comp_tq == (0, 1, 1)
+    assert hdr2.comp_tq == (1, 0, 0)
+    ours1 = dct_ops.decode_components_to_rgb(jpeg_abi.decode(lib, data))
+    ours2 = dct_ops.decode_components_to_rgb(jpeg_abi.decode(lib, swapped))
+    np.testing.assert_array_equal(ours1, ours2)
+
+
+def test_distinct_chroma_quant_tables_rejected_by_device_path():
+    """Cb/Cr with different Tq selectors (rare, legal) must raise so callers
+    take the generic decode path instead of silently mis-dequantising."""
+    from imagekit_tpu.ops import dct as dct_ops
+
+    data = bytearray(_jpeg(make_test_image(64, 64), 85))
+    # find SOF0 and point Cr at table 0 while Cb stays on table 1
+    i = 2
+    while data[i + 1] != 0xC0:
+        i += 2 + ((data[i + 2] << 8) | data[i + 3])
+    seg = i + 4
+    assert data[seg + 5] == 3
+    data[seg + 8 + 3 * 2] = 0  # Cr -> Tq0
+    decoded = jpeg_abi.decode(lib, bytes(data))
+    assert decoded[0].comp_tq == (0, 1, 0)
+    with pytest.raises(ValueError):
+        dct_ops.decode_components_to_rgb(decoded)
