@@ -135,6 +135,30 @@ class KVCache(Cache):
             self._conn.commit()
             return data
 
+    async def get_with_format(self, key: str):
+        """Like get() but also reports the stored format (from the meta
+        entry) so hits serve the Content-Type the bytes were written with."""
+
+        def inner():
+            with self._lock:
+                data = self._kv_get(self._data_key(key))
+                if data is None:
+                    return None
+                fmt = None
+                raw = self._kv_get(self._meta_key(key))
+                if raw is not None:
+                    try:
+                        meta = json.loads(raw)
+                        fmt = ImageFormat.parse(meta.get("format", ""))
+                        meta["accessed_at"] = int(time.time())
+                        self._kv_put(self._meta_key(key), json.dumps(meta).encode())
+                    except (ValueError, TypeError):
+                        pass
+                self._conn.commit()
+                return data, fmt
+
+        return await asyncio.to_thread(inner)
+
     async def put(
         self, key: str, data: bytes, fmt: ImageFormat, params: str
     ) -> None:

@@ -95,12 +95,16 @@ def encode_bytes(
     """Encode an HWC uint8 array (RGB or RGBA). Quality is clamped to
     [1, 100] like every reference encoder arm (``src/transform.rs:122-139``)."""
     q = int(min(max(quality, 1), 100))
-    if fmt == ImageFormat.jpeg and prefer_device:
-        try:
-            from imagekit_tpu.codecs import jpeg as jpeg_native
+    # routing is declared per format family in models/pipelines.py
+    from imagekit_tpu.models.pipelines import get_pipeline
 
-            if jpeg_native.available():
-                return jpeg_native.encode_rgb(_to_rgb(img), q)
+    if get_pipeline(fmt).device_encode and prefer_device:
+        try:
+            if fmt == ImageFormat.jpeg:
+                from imagekit_tpu.codecs import jpeg as jpeg_native
+
+                if jpeg_native.available():
+                    return jpeg_native.encode_rgb(_to_rgb(img), q)
         except TransformError:
             raise
         except Exception:

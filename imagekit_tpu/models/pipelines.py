@@ -1,9 +1,11 @@
 """Declarative pipeline definitions for each output format family.
 
 Maps the reference's three encoder arms (``src/transform.rs:121-146``) to
-their TPU-native stage splits. The serving engine consults these to decide
-routing (which stages batch on device, which codec finishes on host) and
-``/stats``-style introspection exposes them.
+their TPU-native stage splits. These are consulted by the live routing
+code — :func:`imagekit_tpu.codecs.encode_bytes` routes on
+``Pipeline.device_encode`` and :meth:`BatchedEngine.transform` enters the
+coefficient path only when the source pipeline declares
+``HOST_ENTROPY_DECODE`` — and exposed over HTTP at ``GET /stats/pipelines``.
 """
 
 from __future__ import annotations
@@ -67,8 +69,9 @@ PIPELINES = {
         device_encode=True,
         input_color="rgb8",  # to_rgb8, src/transform.rs:123
         speed_rank=1,
-        notes="fully TPU-native both directions (baseline 4:2:0; "
-        "progressive sources fall back to the host library decoder)",
+        notes="fully TPU-native both directions (baseline + progressive "
+        "scans decode natively; exotic samplings fall back to the host "
+        "library decoder)",
     ),
     ImageFormat.webp: Pipeline(
         fmt=ImageFormat.webp,
@@ -97,3 +100,19 @@ PIPELINES = {
 
 def get_pipeline(fmt: ImageFormat) -> Pipeline:
     return PIPELINES[fmt]
+
+
+def describe() -> dict:
+    """JSON-ready snapshot for ``GET /stats/pipelines``."""
+    return {
+        p.fmt.value: {
+            "mime": p.mime,
+            "decode_stages": [s.value for s in p.decode_stages],
+            "encode_stages": [s.value for s in p.encode_stages],
+            "device_encode": p.device_encode,
+            "input_color": p.input_color,
+            "speed_rank": p.speed_rank,
+            "notes": p.notes,
+        }
+        for p in PIPELINES.values()
+    }

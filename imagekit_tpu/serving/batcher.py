@@ -199,7 +199,16 @@ class BatchedEngine(TransformEngine):
         # coefficients, then ONE fused device kernel does dequant+IDCT,
         # chroma-upsample∘resize, and colour conversion (the north-star
         # pipeline). Anything unsupported falls back to the generic path.
-        if data[:3] == b"\xff\xd8\xff" and (w is not None or h is not None):
+        # The stage split is declared in models/pipelines.py; the source
+        # format's pipeline must start with the host entropy stage.
+        from imagekit_tpu.models.pipelines import Stage, get_pipeline
+
+        native_src = (
+            data[:3] == b"\xff\xd8\xff"
+            and Stage.HOST_ENTROPY_DECODE
+            in get_pipeline(ImageFormat.jpeg).decode_stages
+        )
+        if native_src and (w is not None or h is not None):
             try:
                 return await self._transform_jpeg_native(data, w, h, fmt, quality)
             except _NativeUnsupported:

@@ -106,12 +106,15 @@ class ThreadedEngine(TransformEngine):
         self._pool.shutdown(wait=False, cancel_futures=True)
 
 
-def default_engine(config: Optional[ImageKitConfig] = None) -> TransformEngine:
+def default_engine(
+    config: Optional[ImageKitConfig] = None, metrics: Metrics = METRICS
+) -> TransformEngine:
     """Engine used by the app when none is injected: the batched engine when
-    available, else the threaded one."""
+    available, else the threaded one. The app's metrics registry is shared
+    so engine stage timings land where /metrics reads them."""
     try:
         from imagekit_tpu.serving.batcher import BatchedEngine
 
-        return BatchedEngine(config or ImageKitConfig())
+        return BatchedEngine(config or ImageKitConfig(), metrics=metrics)
     except ImportError:
-        return ThreadedEngine(config)
+        return ThreadedEngine(config, metrics=metrics)

@@ -7,6 +7,7 @@ reference test strategy of never reaching the network (SURVEY.md §4).
 """
 
 import asyncio
+import io
 import json
 from typing import Dict, Optional, Tuple
 
@@ -556,3 +557,96 @@ def test_rate_limit_honours_xff_behind_trusted_proxy(tmp_path):
             await client.close()
 
     asyncio.run(inner())
+
+
+def test_cache_hit_serves_stored_format(tmp_path):
+    """A hit written under one default format must be served with the
+    STORED Content-Type even if the instance default changed (VERDICT r1):
+    the canonical key omits `f` when absent, so the bytes are webp."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    buf = io.BytesIO()
+    PILImage.fromarray(
+        np.zeros((64, 64, 3), np.uint8)
+    ).save(buf, "JPEG", quality=90)
+    src = buf.getvalue()
+
+    async def fn(client, fetcher, metrics):
+        url = signed_url({"url": IMG_URL, "w": 32})
+        r1 = await client.get(url)
+        assert r1.status == 200
+        assert r1.headers["Content-Type"] == "image/webp"
+
+    run_with_client(
+        tmp_path, fn, responses={IMG_URL: (200, "image/jpeg", src)}
+    )
+
+    # same cache dir, default format now jpeg: the stored webp entry hits
+    async def inner():
+        cfg = ImageKitConfig(
+            secret=SECRET,
+            cache_dir=tmp_path / "cache",
+            default_format=ImageFormat.jpeg,
+        )
+        app = create_app(
+            cfg,
+            fetcher=OfflineFetcher({IMG_URL: (200, "image/jpeg", src)}),
+            metrics=Metrics(),
+        )
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            url = signed_url({"url": IMG_URL, "w": 32})
+            r2 = await client.get(url)
+            assert r2.status == 200
+            body = await r2.read()
+            assert body[:4] == b"RIFF"  # the stored webp bytes
+            assert r2.headers["Content-Type"] == "image/webp"
+        finally:
+            await client.close()
+
+    asyncio.run(inner())
+
+
+def test_upload_jpeg_takes_coefficient_path(tmp_path):
+    """A baseline JPEG upload must route through engine.transform's native
+    coefficient path like /img does (VERDICT r1 missing #4)."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    pytest_mod = pytest.importorskip("imagekit_tpu.codecs.jpeg")
+    if not pytest_mod.available():
+        pytest.skip("native codec unavailable")
+
+    buf = io.BytesIO()
+    rng = np.random.default_rng(0)
+    PILImage.fromarray(
+        rng.integers(0, 255, (480, 640, 3), np.uint8)
+    ).save(buf, "JPEG", quality=88)
+    src = buf.getvalue()
+
+    async def fn(client, fetcher, metrics):
+        import aiohttp
+
+        form = aiohttp.FormData()
+        form.add_field("file", src, filename="x.jpg")
+        form.add_field("w", "200")
+        resp = await client.post("/upload", data=form)
+        assert resp.status == 200
+        # the native path's fingerprint: host entropy decode stage ran
+        assert metrics.stage_seconds.get("entropy_decode", 0.0) > 0.0
+
+    run_with_client(tmp_path, fn)
+
+
+def test_stats_pipelines(tmp_path):
+    async def fn(client, fetcher, metrics):
+        resp = await client.get("/stats/pipelines")
+        assert resp.status == 200
+        body = await resp.json()
+        assert set(body) == {"jpeg", "webp", "avif"}
+        assert body["jpeg"]["device_encode"] is True
+        assert "host_entropy_decode" in body["jpeg"]["decode_stages"]
+
+    run_with_client(tmp_path, fn)
