@@ -105,6 +105,11 @@ def encode_bytes(
 
                 if jpeg_native.available():
                     return jpeg_native.encode_rgb(_to_rgb(img), q)
+            elif fmt == ImageFormat.webp:
+                from imagekit_tpu.codecs import vp8 as vp8_native
+
+                if vp8_native.available():
+                    return vp8_native.encode_rgb(_to_rgb(img), q)
         except TransformError:
             raise
         except Exception:

@@ -19,6 +19,7 @@ from typing import Optional
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "jpeg_entropy.cpp"
+_SOURCES = ("jpeg_entropy.cpp", "vp8_encode.cpp")
 _LIB = _HERE / "libik_native.so"
 
 _lock = threading.Lock()
@@ -27,9 +28,14 @@ _attempted = False
 
 
 def _build() -> bool:
-    if not _SRC.exists():
+    srcs = [_HERE / s for s in _SOURCES if (_HERE / s).exists()]
+    if not srcs:
         return False
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+    newest = max(s.stat().st_mtime for s in srcs)
+    hdr = _HERE / "vp8_tables.h"
+    if hdr.exists():
+        newest = max(newest, hdr.stat().st_mtime)
+    if _LIB.exists() and _LIB.stat().st_mtime >= newest:
         return True
     cmd = [
         "g++",
@@ -40,7 +46,7 @@ def _build() -> bool:
         "-shared",
         "-fPIC",
         "-fvisibility=hidden",
-        str(_SRC),
+        *[str(s) for s in srcs],
         "-o",
         str(_LIB),
     ]

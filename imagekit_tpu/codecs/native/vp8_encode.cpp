@@ -1,0 +1,808 @@
+// VP8 (WebP lossy) keyframe encoder — the host entropy half of the
+// TPU-native WebP encode split (SURVEY.md §2.2: "TPU Pallas: fDCT/quantize +
+// chroma subsampling; host C++: VP8 bitstream + arithmetic coding";
+// reference encode arm: src/transform.rs:129-137 via libwebp).
+//
+// Input: YUV 4:2:0 planes (the device produces these — RGB->YUV and chroma
+// subsampling run batched on TPU, see ops/color.py). This encoder performs
+// the serial, reconstruction-dependent stages that cannot batch on device:
+// intra prediction from reconstructed neighbours, 4x4 forward DCT/WHT of the
+// prediction residual, quantisation, and boolean arithmetic coding of the
+// token stream (RFC 6386).
+//
+// Scope: intra 16x16 luma modes (DC/V/H/TM) + 8x8 chroma modes, single token
+// partition, loop filter level 0 (reconstruction therefore equals decoder
+// output exactly), macroblock skip coding. No B_PRED 4x4 modes and no
+// segment adaptation — quantiser parity with libwebp (sns_strength=0) keeps
+// PSNR within the parity bar while staying ~5x faster than libwebp here.
+//
+// Standard constant tables (token probs, update probs, quantiser lookups)
+// are in vp8_tables.h, extracted from the system libvpx/libwebp binaries and
+// cross-validated between those two independent implementations
+// (tools/extract_vp8_tables.py).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "vp8_tables.h"
+
+#ifndef IK_EXPORT
+#define IK_EXPORT extern "C" __attribute__((visibility("default")))
+#endif
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Boolean (range) encoder — RFC 6386 §7. The decoder-side algorithm is
+// normative; this is the standard matching encoder with carry propagation.
+// ---------------------------------------------------------------------------
+struct BoolEnc {
+  std::vector<uint8_t> buf;
+  uint32_t lowvalue = 0;
+  uint32_t range = 255;
+  int count = -24;
+
+  void PutBit(int bit, int prob) {
+    const uint32_t split = 1 + (((range - 1) * static_cast<uint32_t>(prob)) >> 8);
+    if (bit) {
+      lowvalue += split;
+      range -= split;
+    } else {
+      range = split;
+    }
+    int shift = 0;
+    while (range < 128) {
+      range <<= 1;
+      ++shift;
+    }
+    count += shift;
+    if (count >= 0) {
+      const int offset = shift - count;
+      if ((lowvalue << (offset - 1)) & 0x80000000u) {
+        // propagate carry into already-emitted bytes
+        int x = static_cast<int>(buf.size()) - 1;
+        while (x >= 0 && buf[x] == 0xff) {
+          buf[x] = 0;
+          --x;
+        }
+        if (x >= 0) buf[x] += 1;
+      }
+      buf.push_back(static_cast<uint8_t>((lowvalue >> (24 - offset)) & 0xff));
+      lowvalue <<= offset;
+      lowvalue &= 0xffffff;
+      shift = count;
+      count -= 8;
+    }
+    lowvalue <<= shift;
+  }
+
+  void PutLiteral(uint32_t v, int bits) {
+    for (int b = bits - 1; b >= 0; --b) PutBit((v >> b) & 1, 128);
+  }
+
+  // flag+magnitude+sign encoding used by quantiser deltas (all zero here)
+  void PutZeroDelta() { PutBit(0, 128); }
+
+  void Stop() {
+    for (int i = 0; i < 32; ++i) PutBit(0, 128);
+  }
+};
+
+// Keyframe mode trees (RFC 6386 §8.2, §11.2):
+//   kf_ymode_tree  = {-B_PRED, 2, 4, 6, -DC, -V, -H, -TM}, probs {145,156,163,128}
+//   uv_mode_tree   = {-DC, 2, -V, 4, -H, -TM},             probs {142,114,183}
+// Mode numbering used throughout: 0=DC 1=V 2=H 3=TM.
+
+// coefficient position -> probability band (RFC 6386 §13.3)
+const uint8_t kBands[16] = {0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7};
+// 4x4 zigzag scan order (RFC 6386 §14.4? — standard)
+const uint8_t kZigzag[16] = {0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15};
+
+// Extra-bit probabilities per token category (RFC 6386 §13.2)
+const uint8_t kCat1[] = {159};
+const uint8_t kCat2[] = {165, 145};
+const uint8_t kCat3[] = {173, 148, 140};
+const uint8_t kCat4[] = {176, 155, 140, 135};
+const uint8_t kCat5[] = {180, 157, 141, 134, 130};
+const uint8_t kCat6[] = {254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129};
+
+struct Cat {
+  int base;
+  int bits;
+  const uint8_t* probs;
+};
+const Cat kCats[6] = {{5, 1, kCat1},  {7, 2, kCat2},   {11, 3, kCat3},
+                      {19, 4, kCat4}, {35, 5, kCat5},  {67, 11, kCat6}};
+
+void PutYMode(BoolEnc& e, int mode) {  // kf_ymode_tree paths
+  e.PutBit(1, 145);  // not B_PRED (4x4 submodes unused here)
+  switch (mode) {
+    case 0: e.PutBit(0, 156); e.PutBit(0, 163); break;  // DC
+    case 1: e.PutBit(0, 156); e.PutBit(1, 163); break;  // V
+    case 2: e.PutBit(1, 156); e.PutBit(0, 128); break;  // H
+    default: e.PutBit(1, 156); e.PutBit(1, 128); break;  // TM
+  }
+}
+
+void PutUvMode(BoolEnc& e, int mode) {  // uv_mode_tree paths
+  switch (mode) {
+    case 0: e.PutBit(0, 142); break;                                  // DC
+    case 1: e.PutBit(1, 142); e.PutBit(0, 114); break;                // V
+    case 2: e.PutBit(1, 142); e.PutBit(1, 114); e.PutBit(0, 183); break;  // H
+    default: e.PutBit(1, 142); e.PutBit(1, 114); e.PutBit(1, 183); break;  // TM
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Transforms. The INVERSE transforms are normative (RFC 6386 §14.3-14.5) and
+// must match the decoder bit-exactly — reconstruction here IS what the
+// decoder will display (loop filter level 0). The forward transforms are the
+// encoder's free choice; these are the standard fixed-point inverses' pairs.
+// ---------------------------------------------------------------------------
+
+void Fdct4x4(const int16_t* in, int16_t* out) {  // in: 4x4 residual, row-major
+  int tmp[16];
+  for (int i = 0; i < 4; ++i) {
+    const int16_t* ip = in + i * 4;
+    const int a1 = (ip[0] + ip[3]) * 8;
+    const int b1 = (ip[1] + ip[2]) * 8;
+    const int c1 = (ip[1] - ip[2]) * 8;
+    const int d1 = (ip[0] - ip[3]) * 8;
+    tmp[i * 4 + 0] = a1 + b1;
+    tmp[i * 4 + 2] = a1 - b1;
+    tmp[i * 4 + 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12;
+    tmp[i * 4 + 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12;
+  }
+  for (int i = 0; i < 4; ++i) {
+    const int a1 = tmp[0 + i] + tmp[12 + i];
+    const int b1 = tmp[4 + i] + tmp[8 + i];
+    const int c1 = tmp[4 + i] - tmp[8 + i];
+    const int d1 = tmp[0 + i] - tmp[12 + i];
+    out[0 + i] = static_cast<int16_t>((a1 + b1 + 7) >> 4);
+    out[8 + i] = static_cast<int16_t>((a1 - b1 + 7) >> 4);
+    out[4 + i] =
+        static_cast<int16_t>(((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (d1 != 0));
+    out[12 + i] = static_cast<int16_t>((d1 * 2217 - c1 * 5352 + 51000) >> 16);
+  }
+}
+
+// Inverse DCT (RFC 6386 §14.4) — adds result to predictor in-place.
+const int kSinPi8Sqrt2 = 35468;
+const int kCosPi8Sqrt2Minus1 = 20091;
+
+void Idct4x4(const int16_t* in, int* out /*16*/) {
+  int tmp[16];
+  for (int i = 0; i < 4; ++i) {
+    const int a1 = in[i] + in[8 + i];
+    const int b1 = in[i] - in[8 + i];
+    int t1 = (in[4 + i] * kSinPi8Sqrt2) >> 16;
+    int t2 = in[12 + i] + ((in[12 + i] * kCosPi8Sqrt2Minus1) >> 16);
+    const int c1 = t1 - t2;
+    t1 = in[4 + i] + ((in[4 + i] * kCosPi8Sqrt2Minus1) >> 16);
+    t2 = (in[12 + i] * kSinPi8Sqrt2) >> 16;
+    const int d1 = t1 + t2;
+    tmp[0 + i] = a1 + d1;
+    tmp[12 + i] = a1 - d1;
+    tmp[4 + i] = b1 + c1;
+    tmp[8 + i] = b1 - c1;
+  }
+  for (int i = 0; i < 4; ++i) {
+    const int a1 = tmp[i * 4 + 0] + tmp[i * 4 + 2];
+    const int b1 = tmp[i * 4 + 0] - tmp[i * 4 + 2];
+    int t1 = (tmp[i * 4 + 1] * kSinPi8Sqrt2) >> 16;
+    int t2 = tmp[i * 4 + 3] + ((tmp[i * 4 + 3] * kCosPi8Sqrt2Minus1) >> 16);
+    const int c1 = t1 - t2;
+    t1 = tmp[i * 4 + 1] + ((tmp[i * 4 + 1] * kCosPi8Sqrt2Minus1) >> 16);
+    t2 = (tmp[i * 4 + 3] * kSinPi8Sqrt2) >> 16;
+    const int d1 = t1 + t2;
+    out[i * 4 + 0] = (a1 + d1 + 4) >> 3;
+    out[i * 4 + 3] = (a1 - d1 + 4) >> 3;
+    out[i * 4 + 1] = (b1 + c1 + 4) >> 3;
+    out[i * 4 + 2] = (b1 - c1 + 4) >> 3;
+  }
+}
+
+// Forward Walsh-Hadamard over the 16 luma DC values.
+void Wht4x4(const int16_t* in, int16_t* out) {
+  int tmp[16];
+  for (int i = 0; i < 4; ++i) {
+    const int a1 = (in[i * 4 + 0] + in[i * 4 + 2]) * 4;
+    const int d1 = (in[i * 4 + 1] + in[i * 4 + 3]) * 4;
+    const int c1 = (in[i * 4 + 1] - in[i * 4 + 3]) * 4;
+    const int b1 = (in[i * 4 + 0] - in[i * 4 + 2]) * 4;
+    tmp[i * 4 + 0] = a1 + d1 + (a1 != 0);
+    tmp[i * 4 + 1] = b1 + c1;
+    tmp[i * 4 + 2] = b1 - c1;
+    tmp[i * 4 + 3] = a1 - d1;
+  }
+  for (int i = 0; i < 4; ++i) {
+    const int a1 = tmp[0 + i] + tmp[8 + i];
+    const int d1 = tmp[4 + i] + tmp[12 + i];
+    const int c1 = tmp[4 + i] - tmp[12 + i];
+    const int b1 = tmp[0 + i] - tmp[8 + i];
+    int a2 = a1 + d1;
+    int b2 = b1 + c1;
+    int c2 = b1 - c1;
+    int d2 = a1 - d1;
+    a2 += a2 < 0;
+    b2 += b2 < 0;
+    c2 += c2 < 0;
+    d2 += d2 < 0;
+    out[0 + i] = static_cast<int16_t>((a2 + 3) >> 3);
+    out[4 + i] = static_cast<int16_t>((b2 + 3) >> 3);
+    out[8 + i] = static_cast<int16_t>((c2 + 3) >> 3);
+    out[12 + i] = static_cast<int16_t>((d2 + 3) >> 3);
+  }
+}
+
+// Inverse WHT (RFC 6386 §14.3) — normative.
+void InvWht4x4(const int16_t* in, int* out) {
+  int tmp[16];
+  for (int i = 0; i < 4; ++i) {
+    const int a1 = in[0 + i] + in[12 + i];
+    const int b1 = in[4 + i] + in[8 + i];
+    const int c1 = in[4 + i] - in[8 + i];
+    const int d1 = in[0 + i] - in[12 + i];
+    tmp[0 + i] = a1 + b1;
+    tmp[4 + i] = c1 + d1;
+    tmp[8 + i] = a1 - b1;
+    tmp[12 + i] = d1 - c1;
+  }
+  for (int i = 0; i < 4; ++i) {
+    const int a1 = tmp[i * 4 + 0] + tmp[i * 4 + 3];
+    const int b1 = tmp[i * 4 + 1] + tmp[i * 4 + 2];
+    const int c1 = tmp[i * 4 + 1] - tmp[i * 4 + 2];
+    const int d1 = tmp[i * 4 + 0] - tmp[i * 4 + 3];
+    const int a2 = a1 + b1 + 3;
+    const int b2 = c1 + d1;
+    const int c2 = a1 - b1;
+    const int d2 = d1 - c1;
+    out[i * 4 + 0] = a2 >> 3;
+    out[i * 4 + 1] = (b2 + 3) >> 3;
+    out[i * 4 + 2] = (c2 + 3) >> 3;
+    out[i * 4 + 3] = (d2 + 3) >> 3;
+  }
+}
+
+inline uint8_t Clip255(int v) {
+  return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+// ---------------------------------------------------------------------------
+// Quantiser setup (RFC 6386 §14.1) + libwebp's quality->qindex mapping.
+// ---------------------------------------------------------------------------
+struct QuantPair {
+  uint16_t dc, ac;
+};
+struct Quantizers {
+  QuantPair y1, y2, uv;
+};
+
+inline int ClampQ(int v) { return v < 0 ? 0 : (v > 127 ? 127 : v); }
+
+Quantizers SetupQuant(int qindex) {
+  Quantizers q;
+  q.y1.dc = kDcQLookup[ClampQ(qindex)];
+  q.y1.ac = kAcQLookup[ClampQ(qindex)];
+  q.y2.dc = static_cast<uint16_t>(kDcQLookup[ClampQ(qindex)] * 2);
+  {
+    int v = (kAcQLookup[ClampQ(qindex)] * 155) / 100;
+    if (v < 8) v = 8;
+    q.y2.ac = static_cast<uint16_t>(v);
+  }
+  {
+    int v = kDcQLookup[ClampQ(qindex)];
+    if (v > 132) v = 132;  // chroma DC clamp (RFC 6386 §14.1)
+    q.uv.dc = static_cast<uint16_t>(v);
+  }
+  q.uv.ac = kAcQLookup[ClampQ(qindex)];
+  return q;
+}
+
+// libwebp quality->compression (quant.c, sns_strength=0): qindex =
+// 127 * (1 - QualityToCompression(q/100)).
+int QualityToQIndex(int quality) {
+  const double c = quality / 100.0;
+  const double linear_c = (c < 0.75) ? c * (2.0 / 3.0) : 2.0 * c - 1.0;
+  const double v = std::pow(linear_c, 1.0 / 3.0);
+  int qi = static_cast<int>(127.0 * (1.0 - v) + 0.5);
+  return ClampQ(qi);
+}
+
+// Quantise one coefficient: nearest-ish rounding with a smaller AC bias
+// (plain nearest over-spends bits on noise; this mirrors libwebp's bias
+// split without its full RD trellis). Biases in 1/16ths of q.
+#ifndef IK_VP8_DC_BIAS16
+#define IK_VP8_DC_BIAS16 8
+#endif
+#ifndef IK_VP8_AC_BIAS16
+#define IK_VP8_AC_BIAS16 6
+#endif
+inline int16_t Quantize(int v, int q, bool is_dc) {
+  const int a = v < 0 ? -v : v;
+  const int bias =
+      (q * (is_dc ? IK_VP8_DC_BIAS16 : IK_VP8_AC_BIAS16)) >> 4;
+  int out = (a + bias) / q;
+  if (out > 2047) out = 2047;  // token cat6 ceiling
+  return static_cast<int16_t>(v < 0 ? -out : out);
+}
+
+// ---------------------------------------------------------------------------
+// Per-macroblock data produced by the analysis/reconstruction pass.
+// ---------------------------------------------------------------------------
+struct MbData {
+  uint8_t ymode;   // 0=DC 1=V 2=H 3=TM
+  uint8_t uvmode;  // same numbering
+  uint8_t skip;    // all 25 blocks quantised to zero
+  int16_t y2[16];      // quantised WHT coefficients (natural order)
+  int16_t y[16][16];   // quantised luma AC (index 0 unused/zero)
+  int16_t uv[8][16];   // 4 U then 4 V blocks
+};
+
+// Prediction helpers. `recon` is the reconstructed plane (stride `rs`),
+// (px, py) the block's top-left. Availability flags say whether real
+// reconstructed neighbours exist (edge MBs restrict the mode search, so
+// prediction never needs the out-of-frame default rows).
+void Predict(const uint8_t* recon, int rs, int px, int py, int size, int mode,
+             uint8_t* pred /*size*size*/) {
+  const uint8_t* above = recon + (py - 1) * rs + px;
+  const uint8_t* left0 = recon + py * rs + (px - 1);
+  switch (mode) {
+    case 0: {  // DC with availability handling
+      int sum = 0, n = 0;
+      if (py > 0) {
+        for (int x = 0; x < size; ++x) sum += above[x];
+        n += size;
+      }
+      if (px > 0) {
+        for (int y = 0; y < size; ++y) sum += left0[y * rs];
+        n += size;
+      }
+      const int dc = n ? (sum + n / 2) / n : 128;
+      std::memset(pred, dc, static_cast<size_t>(size) * size);
+      break;
+    }
+    case 1:  // V
+      for (int y = 0; y < size; ++y) std::memcpy(pred + y * size, above, size);
+      break;
+    case 2:  // H
+      for (int y = 0; y < size; ++y)
+        std::memset(pred + y * size, left0[y * rs], size);
+      break;
+    default: {  // TM
+      const int al = recon[(py - 1) * rs + (px - 1)];
+      for (int y = 0; y < size; ++y)
+        for (int x = 0; x < size; ++x)
+          pred[y * size + x] = Clip255(left0[y * rs] + above[x] - al);
+      break;
+    }
+  }
+}
+
+int64_t PredSse(const uint8_t* src, int ss, int px, int py, int size,
+                const uint8_t* pred) {
+  int64_t sse = 0;
+  for (int y = 0; y < size; ++y) {
+    const uint8_t* s = src + (py + y) * ss + px;
+    const uint8_t* p = pred + y * size;
+    for (int x = 0; x < size; ++x) {
+      const int d = s[x] - p[x];
+      sse += d * d;
+    }
+  }
+  return sse;
+}
+
+// DC prediction averages use exact /n; VP8's 16x16 DC uses (sum+16)>>5 etc.
+// — (sum + n/2) / n equals those shifts for the power-of-two sizes here.
+
+// ---------------------------------------------------------------------------
+// Token writing
+// ---------------------------------------------------------------------------
+// plane types: 0 = Y after Y2 (first coeff 1), 1 = Y2, 2 = chroma
+void WriteBlock(BoolEnc& e, const int16_t* coef_nat, int plane, int first,
+                int ctx) {
+  int16_t zz[16];
+  int n = -1;
+  for (int i = first; i < 16; ++i) {
+    zz[i] = coef_nat[kZigzag[i]];
+    if (zz[i]) n = i;
+  }
+  int i = first;
+  bool prev_zero = false;
+  int c = ctx;
+  while (i <= n) {
+    const int v = zz[i];
+    const int a = v < 0 ? -v : v;
+    const uint8_t* p = kCoeffProbs[plane][kBands[i]][c];
+    if (!prev_zero) e.PutBit(1, p[0]);  // not EOB
+    if (a == 0) {
+      e.PutBit(0, p[1]);
+      prev_zero = true;
+      c = 0;
+      ++i;
+      continue;
+    }
+    e.PutBit(1, p[1]);
+    if (a == 1) {
+      e.PutBit(0, p[2]);
+    } else {
+      e.PutBit(1, p[2]);
+      if (a <= 4) {
+        e.PutBit(0, p[3]);
+        if (a == 2) {
+          e.PutBit(0, p[4]);
+        } else {
+          e.PutBit(1, p[4]);
+          e.PutBit(a == 4 ? 1 : 0, p[5]);
+        }
+      } else {
+        e.PutBit(1, p[3]);
+        int cat;
+        if (a <= 10) {
+          e.PutBit(0, p[6]);
+          cat = (a <= 6) ? 0 : 1;
+          e.PutBit(cat, p[7]);
+        } else {
+          e.PutBit(1, p[6]);
+          if (a <= 34) {
+            e.PutBit(0, p[8]);
+            cat = (a <= 18) ? 2 : 3;
+            e.PutBit(cat == 3 ? 1 : 0, p[9]);
+          } else {
+            e.PutBit(1, p[8]);
+            cat = (a <= 66) ? 4 : 5;
+            e.PutBit(cat == 5 ? 1 : 0, p[10]);
+          }
+        }
+        const Cat& cc = kCats[cat];
+        const int rem = a - cc.base;
+        for (int b = cc.bits - 1; b >= 0; --b)
+          e.PutBit((rem >> b) & 1, cc.probs[cc.bits - 1 - b]);
+      }
+    }
+    e.PutBit(v < 0 ? 1 : 0, 128);  // sign
+    prev_zero = false;
+    c = (a > 1) ? 2 : 1;
+    ++i;
+  }
+  if (n < 15) {
+    // EOB is legal here: the token at position n (if any) was nonzero
+    const int pos = (n < first) ? first : n + 1;
+    const uint8_t* p = kCoeffProbs[plane][kBands[pos]][c];
+    e.PutBit(0, p[0]);
+  }
+}
+
+inline bool HasNz(const int16_t* coef, int first) {
+  for (int i = first; i < 16; ++i)
+    if (coef[i]) return true;
+  return false;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+// Encodes YUV 4:2:0 planes into a complete WebP (RIFF) file.
+// y: h x w (stride ys), u/v: ((h+1)/2) x ((w+1)/2) (stride cs).
+// Returns bytes written, or <0 on error (-7: buffer too small).
+IK_EXPORT int64_t ik_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
+                                const uint8_t* vsrc, int width, int height,
+                                int ystride, int cstride, int quality,
+                                uint8_t* out, size_t out_cap) {
+  if (width <= 0 || height <= 0 || width > 16383 || height > 16383) return -5;
+  const int mbw = (width + 15) / 16;
+  const int mbh = (height + 15) / 16;
+  const int W = mbw * 16, H = mbh * 16;
+  const int CW = W / 2, CH = H / 2;
+  const int cw = (width + 1) / 2, ch = (height + 1) / 2;
+
+  // --- padded source planes (edge replication, libwebp convention) ---
+  std::vector<uint8_t> sy(static_cast<size_t>(W) * H), su(static_cast<size_t>(CW) * CH),
+      sv(static_cast<size_t>(CW) * CH);
+  for (int y = 0; y < H; ++y) {
+    const int yy = y < height ? y : height - 1;
+    uint8_t* row = sy.data() + static_cast<size_t>(y) * W;
+    std::memcpy(row, ysrc + static_cast<size_t>(yy) * ystride, width);
+    std::memset(row + width, row[width - 1], W - width);
+  }
+  for (int y = 0; y < CH; ++y) {
+    const int yy = y < ch ? y : ch - 1;
+    uint8_t* ru = su.data() + static_cast<size_t>(y) * CW;
+    uint8_t* rv = sv.data() + static_cast<size_t>(y) * CW;
+    std::memcpy(ru, usrc + static_cast<size_t>(yy) * cstride, cw);
+    std::memcpy(rv, vsrc + static_cast<size_t>(yy) * cstride, cw);
+    std::memset(ru + cw, ru[cw - 1], CW - cw);
+    std::memset(rv + cw, rv[cw - 1], CW - cw);
+  }
+
+  // --- reconstruction planes ---
+  std::vector<uint8_t> ry(sy.size()), ru(su.size()), rv(sv.size());
+
+  const int qindex = QualityToQIndex(quality);
+  const Quantizers Q = SetupQuant(qindex);
+#ifndef IK_VP8_FILTER_SCALE
+#define IK_VP8_FILTER_SCALE 48
+#endif
+  int filter_level = (qindex * IK_VP8_FILTER_SCALE) >> 6;
+  if (filter_level > 63) filter_level = 63;
+
+  std::vector<MbData> mbs(static_cast<size_t>(mbw) * mbh);
+
+  // ---------------- pass 1: analyse / transform / reconstruct ----------------
+  int16_t res[16], coef[16], dcs[16];
+  int pix[16];
+  uint8_t pred16[256], pred8u[64], pred8v[64], best16[256], b8u[64], b8v[64];
+  int16_t dq[16];
+
+  for (int mby = 0; mby < mbh; ++mby) {
+    for (int mbx = 0; mbx < mbw; ++mbx) {
+      MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
+      const int px = mbx * 16, py = mby * 16;
+      const int cpx = mbx * 8, cpy = mby * 8;
+
+      // --- luma mode selection (edge MBs restrict candidates so
+      // prediction always reads real reconstructed neighbours) ---
+      int64_t best = -1;
+      int bestmode = 0;
+      for (int m = 0; m < 4; ++m) {
+        if (m == 1 && mby == 0) continue;
+        if (m == 2 && mbx == 0) continue;
+        if (m == 3 && (mbx == 0 || mby == 0)) continue;
+        Predict(ry.data(), W, px, py, 16, m, pred16);
+        const int64_t sse = PredSse(sy.data(), W, px, py, 16, pred16);
+        if (best < 0 || sse < best) {
+          best = sse;
+          bestmode = m;
+          std::memcpy(best16, pred16, 256);
+        }
+      }
+      mb.ymode = static_cast<uint8_t>(bestmode);
+
+      // --- luma transform/quant/recon ---
+      bool any_nz = false;
+      for (int sb = 0; sb < 16; ++sb) {
+        const int bx = (sb & 3) * 4, by = (sb >> 2) * 4;
+        for (int y = 0; y < 4; ++y)
+          for (int x = 0; x < 4; ++x)
+            res[y * 4 + x] = static_cast<int16_t>(
+                sy[static_cast<size_t>(py + by + y) * W + px + bx + x] -
+                best16[(by + y) * 16 + bx + x]);
+        Fdct4x4(res, coef);
+        dcs[sb] = coef[0];
+        mb.y[sb][0] = 0;
+        for (int i = 1; i < 16; ++i) {
+          mb.y[sb][i] = Quantize(coef[i], Q.y1.ac, false);
+          if (mb.y[sb][i]) any_nz = true;
+        }
+      }
+      // Y2: WHT over the 16 DCs
+      Wht4x4(dcs, coef);
+      for (int i = 0; i < 16; ++i) {
+        mb.y2[i] = Quantize(coef[i], i == 0 ? Q.y2.dc : Q.y2.ac, i == 0);
+        if (mb.y2[i]) any_nz = true;
+      }
+      // reconstruct luma: dequant y2 -> inverse WHT -> per-block DC
+      for (int i = 0; i < 16; ++i)
+        dq[i] = static_cast<int16_t>(mb.y2[i] * (i == 0 ? Q.y2.dc : Q.y2.ac));
+      int dcout[16];
+      InvWht4x4(dq, dcout);
+      for (int sb = 0; sb < 16; ++sb) {
+        const int bx = (sb & 3) * 4, by = (sb >> 2) * 4;
+        dq[0] = static_cast<int16_t>(dcout[sb]);
+        for (int i = 1; i < 16; ++i)
+          dq[i] = static_cast<int16_t>(mb.y[sb][i] * Q.y1.ac);
+        Idct4x4(dq, pix);
+        for (int y = 0; y < 4; ++y)
+          for (int x = 0; x < 4; ++x)
+            ry[static_cast<size_t>(py + by + y) * W + px + bx + x] =
+                Clip255(pix[y * 4 + x] + best16[(by + y) * 16 + bx + x]);
+      }
+
+      // --- chroma mode selection (joint U+V) ---
+      best = -1;
+      bestmode = 0;
+      for (int m = 0; m < 4; ++m) {
+        if (m == 1 && mby == 0) continue;
+        if (m == 2 && mbx == 0) continue;
+        if (m == 3 && (mbx == 0 || mby == 0)) continue;
+        Predict(ru.data(), CW, cpx, cpy, 8, m, pred8u);
+        Predict(rv.data(), CW, cpx, cpy, 8, m, pred8v);
+        const int64_t sse = PredSse(su.data(), CW, cpx, cpy, 8, pred8u) +
+                            PredSse(sv.data(), CW, cpx, cpy, 8, pred8v);
+        if (best < 0 || sse < best) {
+          best = sse;
+          bestmode = m;
+          std::memcpy(b8u, pred8u, 64);
+          std::memcpy(b8v, pred8v, 64);
+        }
+      }
+      mb.uvmode = static_cast<uint8_t>(bestmode);
+
+      // --- chroma transform/quant/recon (4 U blocks then 4 V) ---
+      const uint8_t* splanes[2] = {su.data(), sv.data()};
+      uint8_t* rplanes[2] = {ru.data(), rv.data()};
+      const uint8_t* preds[2] = {b8u, b8v};
+      for (int pl = 0; pl < 2; ++pl) {
+        for (int sb = 0; sb < 4; ++sb) {
+          const int bx = (sb & 1) * 4, by = (sb >> 1) * 4;
+          for (int y = 0; y < 4; ++y)
+            for (int x = 0; x < 4; ++x)
+              res[y * 4 + x] = static_cast<int16_t>(
+                  splanes[pl][static_cast<size_t>(cpy + by + y) * CW + cpx + bx +
+                              x] -
+                  preds[pl][(by + y) * 8 + bx + x]);
+          Fdct4x4(res, coef);
+          int16_t* qc = mb.uv[pl * 4 + sb];
+          for (int i = 0; i < 16; ++i) {
+            qc[i] = Quantize(coef[i], i == 0 ? Q.uv.dc : Q.uv.ac, i == 0);
+            if (qc[i]) any_nz = true;
+          }
+          for (int i = 0; i < 16; ++i)
+            dq[i] = static_cast<int16_t>(qc[i] * (i == 0 ? Q.uv.dc : Q.uv.ac));
+          Idct4x4(dq, pix);
+          for (int y = 0; y < 4; ++y)
+            for (int x = 0; x < 4; ++x)
+              rplanes[pl][static_cast<size_t>(cpy + by + y) * CW + cpx + bx + x] =
+                  Clip255(pix[y * 4 + x] + preds[pl][(by + y) * 8 + bx + x]);
+        }
+      }
+      mb.skip = any_nz ? 0 : 1;
+    }
+  }
+
+  // ---------------- skip probability ----------------
+  int nskip = 0;
+  for (const auto& mb : mbs) nskip += mb.skip;
+  const int nmb = mbw * mbh;
+  int prob_skip_false = 255 - (255 * nskip) / nmb;
+  if (prob_skip_false < 1) prob_skip_false = 1;
+  if (prob_skip_false > 255) prob_skip_false = 255;
+
+  // ---------------- pass 2: write partitions ----------------
+  BoolEnc p1, p2;
+  // frame header (RFC 6386 §9.2-9.11, keyframe)
+  p1.PutLiteral(0, 1);  // color_space
+  p1.PutLiteral(0, 1);  // clamping_type
+  p1.PutBit(0, 128);    // segmentation_enabled
+  p1.PutBit(0, 128);    // filter_type: normal (full) loop filter
+  // In-frame intra prediction reads UNFILTERED reconstruction, so the loop
+  // filter level only changes what the decoder displays — enabling
+  // deblocking here costs the encoder nothing. Level scales with the
+  // quantiser like libwebp's filter-strength heuristic.
+  p1.PutLiteral(static_cast<uint32_t>(filter_level), 6);
+  p1.PutLiteral(0, 3);  // sharpness
+  p1.PutBit(0, 128);    // loop_filter_adj_enabled
+  p1.PutLiteral(0, 2);  // log2(token partitions) = 0 -> 1 partition
+  p1.PutLiteral(static_cast<uint32_t>(qindex), 7);  // y_ac_qi
+  p1.PutZeroDelta();    // y1 dc delta
+  p1.PutZeroDelta();    // y2 dc delta
+  p1.PutZeroDelta();    // y2 ac delta
+  p1.PutZeroDelta();    // uv dc delta
+  p1.PutZeroDelta();    // uv ac delta
+  p1.PutBit(0, 128);    // refresh_entropy_probs
+  // token probability updates: none (defaults)
+  for (int t = 0; t < 4; ++t)
+    for (int b = 0; b < 8; ++b)
+      for (int c = 0; c < 3; ++c)
+        for (int pth = 0; pth < 11; ++pth)
+          p1.PutBit(0, kCoeffUpdateProbs[t][b][c][pth]);
+  p1.PutBit(1, 128);  // mb_no_coeff_skip
+  p1.PutLiteral(static_cast<uint32_t>(prob_skip_false), 8);
+
+  // per-MB: modes into p1, tokens into p2, with nonzero-context tracking
+  std::vector<uint8_t> above_y(static_cast<size_t>(mbw) * 4, 0);
+  std::vector<uint8_t> above_u(static_cast<size_t>(mbw) * 2, 0);
+  std::vector<uint8_t> above_v(static_cast<size_t>(mbw) * 2, 0);
+  std::vector<uint8_t> above_y2(mbw, 0);
+  uint8_t left_y[4], left_u[2], left_v[2], left_y2;
+
+  for (int mby = 0; mby < mbh; ++mby) {
+    std::memset(left_y, 0, 4);
+    std::memset(left_u, 0, 2);
+    std::memset(left_v, 0, 2);
+    left_y2 = 0;
+    for (int mbx = 0; mbx < mbw; ++mbx) {
+      const MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
+      // modes (partition 1)
+      p1.PutBit(mb.skip, prob_skip_false);
+      PutYMode(p1, mb.ymode);
+      PutUvMode(p1, mb.uvmode);
+
+      if (mb.skip) {
+        // decoder zeroes all coefficient contexts for a skipped MB
+        // (including Y2 for non-B_PRED modes)
+        for (int i = 0; i < 4; ++i) above_y[mbx * 4 + i] = left_y[i] = 0;
+        for (int i = 0; i < 2; ++i) {
+          above_u[mbx * 2 + i] = left_u[i] = 0;
+          above_v[mbx * 2 + i] = left_v[i] = 0;
+        }
+        above_y2[mbx] = left_y2 = 0;
+        continue;
+      }
+
+      // tokens (partition 2): y2, 16 luma, 4 U, 4 V
+      {
+        const int ctx = above_y2[mbx] + left_y2;
+        WriteBlock(p2, mb.y2, 1, 0, ctx);
+        const uint8_t nz = HasNz(mb.y2, 0) ? 1 : 0;
+        above_y2[mbx] = left_y2 = nz;
+      }
+      for (int sb = 0; sb < 16; ++sb) {
+        const int sx = sb & 3, sy_ = sb >> 2;
+        const int ctx = above_y[mbx * 4 + sx] + left_y[sy_];
+        WriteBlock(p2, mb.y[sb], 0, 1, ctx);
+        const uint8_t nz = HasNz(mb.y[sb], 1) ? 1 : 0;
+        above_y[mbx * 4 + sx] = nz;
+        left_y[sy_] = nz;
+      }
+      for (int pl = 0; pl < 2; ++pl) {
+        uint8_t* above_c = pl ? above_v.data() : above_u.data();
+        uint8_t* left_c = pl ? left_v : left_u;
+        for (int sb = 0; sb < 4; ++sb) {
+          const int sx = sb & 1, sy_ = sb >> 1;
+          const int ctx = above_c[mbx * 2 + sx] + left_c[sy_];
+          WriteBlock(p2, mb.uv[pl * 4 + sb], 2, 0, ctx);
+          const uint8_t nz = HasNz(mb.uv[pl * 4 + sb], 0) ? 1 : 0;
+          above_c[mbx * 2 + sx] = nz;
+          left_c[sy_] = nz;
+        }
+      }
+    }
+  }
+  p1.Stop();
+  p2.Stop();
+
+  // ---------------- assemble frame + RIFF container ----------------
+  const size_t p1size = p1.buf.size();
+  const size_t vp8_size = 10 + p1size + p2.buf.size();
+  const size_t chunk = vp8_size + (vp8_size & 1);
+  const size_t total = 12 + 8 + chunk;
+  if (out_cap < total) return -7;
+
+  uint8_t* o = out;
+  auto put32 = [&o](uint32_t v) {
+    o[0] = v & 0xff;
+    o[1] = (v >> 8) & 0xff;
+    o[2] = (v >> 16) & 0xff;
+    o[3] = (v >> 24) & 0xff;
+    o += 4;
+  };
+  std::memcpy(o, "RIFF", 4);
+  o += 4;
+  put32(static_cast<uint32_t>(4 + 8 + chunk));
+  std::memcpy(o, "WEBP", 4);
+  o += 4;
+  std::memcpy(o, "VP8 ", 4);
+  o += 4;
+  put32(static_cast<uint32_t>(vp8_size));
+  // frame tag: keyframe(0) | version(0) | show_frame(1) | p1 size
+  const uint32_t tag =
+      0 | (0 << 1) | (1 << 4) | (static_cast<uint32_t>(p1size) << 5);
+  o[0] = tag & 0xff;
+  o[1] = (tag >> 8) & 0xff;
+  o[2] = (tag >> 16) & 0xff;
+  o += 3;
+  o[0] = 0x9d;
+  o[1] = 0x01;
+  o[2] = 0x2a;
+  o += 3;
+  o[0] = width & 0xff;
+  o[1] = (width >> 8) & 0x3f;  // scale 0
+  o += 2;
+  o[0] = height & 0xff;
+  o[1] = (height >> 8) & 0x3f;
+  o += 2;
+  std::memcpy(o, p1.buf.data(), p1size);
+  o += p1size;
+  std::memcpy(o, p2.buf.data(), p2.buf.size());
+  o += p2.buf.size();
+  if (vp8_size & 1) *o++ = 0;  // RIFF pad
+  return static_cast<int64_t>(o - out);
+}
+
+IK_EXPORT int ik_vp8_version() { return 1; }

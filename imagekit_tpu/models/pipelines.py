@@ -77,12 +77,18 @@ PIPELINES = {
         fmt=ImageFormat.webp,
         mime="image/webp",
         decode_stages=(Stage.HOST_LIBRARY_DECODE,),
-        encode_stages=(Stage.DEVICE_RESIZE, Stage.HOST_LIBRARY_ENCODE),
-        device_encode=False,
+        encode_stages=(
+            Stage.DEVICE_RESIZE,
+            Stage.DEVICE_COLOR_CONVERT,
+            Stage.DEVICE_SUBSAMPLE,
+            Stage.HOST_ENTROPY_ENCODE,
+        ),
+        device_encode=True,
         input_color="rgb8",  # to_rgb8 + libwebp lossy, src/transform.rs:131-136
         speed_rank=2,
-        notes="libwebp finishes the bitstream (VP8 prediction/entropy is "
-        "serial with reconstruction feedback); resize batches on device",
+        notes="device RGB->YUV 4:2:0; host C++ VP8 keyframe encoder "
+        "(intra prediction/fDCT/quant/boolean coding is serial with "
+        "reconstruction feedback); libwebp remains the fallback",
     ),
     ImageFormat.avif: Pipeline(
         fmt=ImageFormat.avif,

@@ -1,0 +1,144 @@
+"""TPU-native WebP (VP8) encoder tests.
+
+Parity bar (VERDICT r1 item 1): output decodable by libwebp, PSNR within
+1.5 dB of libwebp at q in {10,30,50,70,90,100} (vs the same source), wired
+into encode_bytes with host-library fallback.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imagekit_tpu.config import ImageFormat
+from tests.conftest import make_test_image, psnr
+
+vp8 = pytest.importorskip("imagekit_tpu.codecs.vp8")
+pytestmark = pytest.mark.skipif(
+    not vp8.available(), reason="native VP8 encoder unavailable"
+)
+
+from imagekit_tpu.ops import color  # noqa: E402
+
+
+def _photo(w=400, h=225, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb = np.stack(
+        [
+            128 + 90 * np.sin(xx / 37),
+            128 + 90 * np.cos(yy / 61),
+            128 + 60 * np.sin((xx + yy) / 98),
+        ],
+        -1,
+    )
+    return np.clip(rgb + rng.normal(0, 4, rgb.shape), 0, 255).astype(np.uint8)
+
+
+def _libwebp_encode(rgb, q):
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "WEBP", quality=q, lossless=False)
+    return buf.getvalue()
+
+
+def _decode(data):
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def test_output_decodable_by_libwebp():
+    rgb = _photo()
+    data = vp8.encode_rgb(rgb, 80)
+    im = Image.open(io.BytesIO(data))
+    assert im.format == "WEBP"
+    assert im.size == (400, 225)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (16, 16), (17, 31), (400, 225)])
+def test_odd_and_tiny_dimensions(w, h):
+    rgb = make_test_image(w, h)
+    data = vp8.encode_rgb(rgb, 80)
+    im = Image.open(io.BytesIO(data))
+    assert im.size == (w, h)
+
+
+def test_psnr_within_parity_bar_of_libwebp():
+    """PSNR (vs source) within 1.5 dB of libwebp at every reference quality
+    level (mirrors tests/test_quality_matrix.py's sweep)."""
+    rgb = _photo()
+    for q in (10, 30, 50, 70, 90, 100):
+        ours = vp8.encode_rgb(rgb, q)
+        ref = _libwebp_encode(rgb, q)
+        p_ours = psnr(_decode(ours), rgb)
+        p_ref = psnr(_decode(ref), rgb)
+        assert p_ours >= p_ref - 1.5, (q, p_ours, p_ref)
+
+
+def test_size_comparable_to_libwebp():
+    rgb = _photo()
+    for q in (30, 50, 70, 80, 90):
+        ours = vp8.encode_rgb(rgb, q)
+        ref = _libwebp_encode(rgb, q)
+        assert len(ours) <= 2.0 * len(ref), (q, len(ours), len(ref))
+
+
+def test_quality_monotonic():
+    """Higher quality -> higher PSNR and (weakly) more bytes
+    (reference tests/transform.rs:175-186 analogue)."""
+    rgb = _photo()
+    results = [(q, vp8.encode_rgb(rgb, q)) for q in (10, 50, 90)]
+    psnrs = [psnr(_decode(d), rgb) for _, d in results]
+    assert psnrs[0] < psnrs[1] < psnrs[2]
+
+
+def test_flat_image_all_skip():
+    rgb = np.full((64, 80, 3), 200, np.uint8)
+    data = vp8.encode_rgb(rgb, 80)
+    assert len(data) < 200  # every MB skip-coded
+    dec = _decode(data)
+    assert np.abs(dec.astype(int) - 200).max() <= 4
+
+
+def test_grayscale_roundtrip():
+    g = make_test_image(120, 90)[:, :, :1]
+    rgb = np.repeat(g, 3, axis=2)
+    dec = _decode(vp8.encode_rgb(rgb, 90))
+    assert psnr(dec, rgb) >= 32.0
+
+
+def test_device_and_host_yuv_agree():
+    rgb = _photo(96, 64)
+    yd, ud, vd = color.rgb_to_yuv420(rgb)
+    yh, uh, vh = color.rgb_to_yuv420_host(rgb)
+    assert np.abs(yd.astype(int) - yh.astype(int)).max() <= 1
+    assert np.abs(ud.astype(int) - uh.astype(int)).max() <= 1
+    assert np.abs(vd.astype(int) - vh.astype(int)).max() <= 1
+
+
+def test_encode_bytes_routes_webp_native():
+    from imagekit_tpu.codecs import encode_bytes
+
+    rgb = _photo(160, 96)
+    via_codecs = encode_bytes(rgb, ImageFormat.webp, 80)
+    direct = vp8.encode_rgb(rgb, 80)
+    # both native: same deterministic bitstream
+    assert via_codecs == direct
+
+
+def test_fallback_env_switch(monkeypatch):
+    monkeypatch.setenv("IMAGEKIT_NO_NATIVE_WEBP", "1")
+    assert not vp8.available()
+    from imagekit_tpu.codecs import encode_bytes
+
+    rgb = _photo(64, 48)
+    data = encode_bytes(rgb, ImageFormat.webp, 80)  # host libwebp path
+    assert _decode(data).shape == (48, 64, 3)
+
+
+def test_jpeg_range_remap_exact():
+    y = np.array([[0, 128, 255]], np.float32)
+    c = np.array([[0, 128, 255]], np.float32)
+    yv, cbv, crv = color.jpeg_to_vp8_range(y, c, c)
+    assert yv.tolist() == [[16, 126, 235]]
+    assert cbv[0][1] == 128  # neutral chroma stays neutral
+    assert crv[0][0] == 16 and crv[0][2] == 240
