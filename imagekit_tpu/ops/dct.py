@@ -215,6 +215,125 @@ def _decode_resize_kernel(
     return rgb.reshape(B, -1)  # flat 2D out for fast D2H
 
 
+@functools.lru_cache(maxsize=1024)
+def combined_chroma_half_weights(
+    chroma_true: int,
+    full_true: int,
+    out_true: int,
+    chroma_bucket: int,
+    out_half_bucket: int,
+    filter_name: str = "lanczos3",
+) -> np.ndarray:
+    """One (out_half_bucket, chroma_bucket) matrix = 2x box-subsample ∘
+    resize(full->out) ∘ upsample(chroma->full): the chroma plane of a
+    JPEG->WebP transform goes straight from source half-res to target
+    half-res. An odd target dimension pairs the final row with itself
+    (edge replication), matching the RGB path's edge-padded subsample."""
+    W = resample_weights(full_true, out_true, filter_name)  # (out, full)
+    U = upsample_weights(chroma_true, full_true)  # (full, chroma)
+    half = (out_true + 1) // 2
+    S = np.zeros((half, out_true), np.float32)
+    for i in range(half):
+        S[i, 2 * i] += 0.5
+        S[i, min(2 * i + 1, out_true - 1)] += 0.5
+    C = (S @ W @ U).astype(np.float32)  # (half, chroma)
+    out = np.zeros((out_half_bucket, chroma_bucket), np.float32)
+    out[:half, :chroma_true] = C
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("by_y", "bx_y", "by_c", "bx_c")
+)
+def _decode_resize_yuv_kernel(
+    y_flat,     # (B, by_y, bx_y*64) i16
+    cb_flat,    # (B, by_c, bx_c*64) i16
+    cr_flat,
+    qtabs,      # (B, 128) f32
+    wv_y_u,     # (U, OHb, by_y*8) luma resize weights
+    wh_y_u,     # (U, OWb, bx_y*8)
+    wv_c_u,     # (U, OHb/2, by_c*8) combined subsample∘resize∘upsample
+    wh_c_u,     # (U, OWb/2, bx_c*8)
+    vidx,
+    by_y: int,
+    bx_y: int,
+    by_c: int,
+    bx_c: int,
+):
+    """JPEG coefficients -> resized VP8 studio-range YUV 4:2:0 planes, fully
+    fused: no RGB round trip (the BT.601 matrix is shared between JFIF and
+    VP8 up to the studio-range affine remap, which commutes with the linear
+    resampler). Output is ONE flat (B, OH*OW + 2*(OH/2*OW/2)) u8 array —
+    1.5 bytes/pixel on the wire, half the RGB path's device->host bytes."""
+    A = jnp.asarray(idct_basis())
+    Y = _blocks_to_plane(y_flat, by_y, bx_y, qtabs[:, :64], A)
+    Cb = _blocks_to_plane(cb_flat, by_c, bx_c, qtabs[:, 64:], A)
+    Cr = _blocks_to_plane(cr_flat, by_c, bx_c, qtabs[:, 64:], A)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    # full-range JFIF -> studio-range VP8: Y' = 16 + 219/255 Y,
+    # C' = 128 + 224/255 (C - 128); resize rows sum to 1 so the affine
+    # offsets apply exactly after resampling
+    y = plane_resize(Y, wv_y_u, wh_y_u) * (219.0 / 255.0) + 16.0
+    c_off = 128.0 * (1.0 - 224.0 / 255.0)
+    cb = plane_resize(Cb, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
+    cr = plane_resize(Cr, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
+
+    def q8(p):
+        B = p.shape[0]
+        return jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0).astype(jnp.uint8).reshape(B, -1)
+
+    return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
+
+
+def decode_resize_yuv_batch(
+    y_flat: np.ndarray,
+    cb_flat: np.ndarray,
+    cr_flat: np.ndarray,
+    qtabs: np.ndarray,
+    weights,
+    vidx: np.ndarray,
+    block_dims,
+    out_shape,
+):
+    """Run the fused YUV kernel; returns (Y, Cb, Cr) u8 arrays of shapes
+    (B, OHb, OWb) and (B, OHb/2, OWb/2) x2 (crop on host)."""
+    wv_y, wh_y, wv_c, wh_c = weights
+    by_y, bx_y, by_c, bx_c = block_dims
+    obh, obw = out_shape
+    flat = np.asarray(
+        _decode_resize_yuv_kernel(
+            jnp.asarray(y_flat),
+            jnp.asarray(cb_flat),
+            jnp.asarray(cr_flat),
+            jnp.asarray(qtabs),
+            jnp.asarray(wv_y),
+            jnp.asarray(wh_y),
+            jnp.asarray(wv_c),
+            jnp.asarray(wh_c),
+            jnp.asarray(vidx),
+            by_y=by_y,
+            bx_y=bx_y,
+            by_c=by_c,
+            bx_c=bx_c,
+        )
+    )
+    B = flat.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = flat[:, :ny].reshape(B, obh, obw)
+    cb = flat[:, ny:ny + nc].reshape(B, obh // 2, obw // 2)
+    cr = flat[:, ny + nc:].reshape(B, obh // 2, obw // 2)
+    return y, cb, cr
+
+
 def decode_resize_rgb_batch(
     y_flat: np.ndarray,
     cb_flat: np.ndarray,

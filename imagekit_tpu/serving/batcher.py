@@ -286,7 +286,16 @@ class BatchedEngine(TransformEngine):
         item = _JpegItem(
             hdr, coeffs, qtabs, out_h, out_w, fmt, quality, fut
         )
-        key = (yb_h, yb_w, obh, obw)
+        # webp output takes the fused coefficients->YUV kernel (no RGB round
+        # trip, half the D2H bytes); other formats the coefficients->RGB one
+        from imagekit_tpu.codecs import vp8 as vp8_native
+
+        kind = (
+            "yuv"
+            if fmt == ImageFormat.webp and vp8_native.available()
+            else "rgb"
+        )
+        key = (yb_h, yb_w, obh, obw, kind)
         queue = self._jqueues.setdefault(key, [])
         queue.append(item)
         if len(queue) >= self.max_batch:
@@ -325,19 +334,21 @@ class BatchedEngine(TransformEngine):
 
     async def _flush_jpeg_group(self, key, items) -> None:
         from imagekit_tpu.ops.dct import (
+            combined_chroma_half_weights,
             combined_chroma_weights,
             decode_resize_rgb_batch,
+            decode_resize_yuv_batch,
         )
         from imagekit_tpu.utils.bucketing import batch_bucket
 
         loop = asyncio.get_running_loop()
-        yb_h, yb_w, obh, obw = key
+        yb_h, yb_w, obh, obw, kind = key
         by_b, bx_b = yb_h // 8, yb_w // 8
         cy_b, cx_b = yb_h // 16, yb_w // 16
         try:
             t0 = time.perf_counter()
             nb = batch_bucket(len(items), self.max_batch)
-            sig = ("jpeg", nb, yb_h, yb_w, obh, obw)
+            sig = ("jpeg", kind, nb, yb_h, yb_w, obh, obw)
             if sig not in self._compiled:
                 self._kick_compile_jpeg(sig)
                 await self._host_fallback_jpeg(items)
@@ -368,16 +379,32 @@ class BatchedEngine(TransformEngine):
             wkey = (key, nu, tuple(sorted(u_keys.items(), key=lambda kv: kv[1])))
             cached = self._dweights.get(wkey)
             if cached is None:
+                # chroma weights: to full output res for the RGB kernel, to
+                # half res (subsample∘resize∘upsample folded) for the YUV one
+                c_obh = obh if kind == "rgb" else obh // 2
+                c_obw = obw if kind == "rgb" else obw // 2
                 wv_y = np.zeros((nu, obh, yb_h), np.float32)
                 wh_y = np.zeros((nu, obw, yb_w), np.float32)
-                wv_c = np.zeros((nu, obh, yb_h // 2), np.float32)
-                wh_c = np.zeros((nu, obw, yb_w // 2), np.float32)
+                wv_c = np.zeros((nu, c_obh, yb_h // 2), np.float32)
+                wh_c = np.zeros((nu, c_obw, yb_w // 2), np.float32)
                 for (iw, ih, ow_, oh_), u in u_keys.items():
                     c_h, c_w = chroma_dims[(iw, ih, ow_, oh_)]
                     wv_y[u] = _cached_weights(ih, oh_, yb_h, obh)
                     wh_y[u] = _cached_weights(iw, ow_, yb_w, obw)
-                    wv_c[u] = combined_chroma_weights(c_h, ih, oh_, yb_h // 2, obh)
-                    wh_c[u] = combined_chroma_weights(c_w, iw, ow_, yb_w // 2, obw)
+                    if kind == "rgb":
+                        wv_c[u] = combined_chroma_weights(
+                            c_h, ih, oh_, yb_h // 2, obh
+                        )
+                        wh_c[u] = combined_chroma_weights(
+                            c_w, iw, ow_, yb_w // 2, obw
+                        )
+                    else:
+                        wv_c[u] = combined_chroma_half_weights(
+                            c_h, ih, oh_, yb_h // 2, obh // 2
+                        )
+                        wh_c[u] = combined_chroma_half_weights(
+                            c_w, iw, ow_, yb_w // 2, obw // 2
+                        )
                 import jax as _jax
 
                 cached = tuple(
@@ -389,8 +416,13 @@ class BatchedEngine(TransformEngine):
             wv_y, wh_y, wv_c, wh_c = cached
             t1 = time.perf_counter()
 
-            def device_step() -> np.ndarray:
-                return decode_resize_rgb_batch(
+            def device_step():
+                fn = (
+                    decode_resize_rgb_batch
+                    if kind == "rgb"
+                    else decode_resize_yuv_batch
+                )
+                return fn(
                     y.reshape(nb, by_b, -1),
                     cb.reshape(nb, cy_b, -1),
                     cr.reshape(nb, cy_b, -1),
@@ -412,16 +444,41 @@ class BatchedEngine(TransformEngine):
             self.metrics.add_stage_time("device_decode_resize", t2 - t1)
             self.metrics.record_batch(len(items))
 
-            async def finish(i: int, it) -> None:
-                cropped = out[i, : it.out_h, : it.out_w]
-                try:
-                    encoded = await self._encode(loop, cropped, it.fmt, it.quality)
-                except Exception as e:  # noqa: BLE001
+            if kind == "rgb":
+
+                async def finish(i: int, it) -> None:
+                    cropped = out[i, : it.out_h, : it.out_w]
+                    try:
+                        encoded = await self._encode(
+                            loop, cropped, it.fmt, it.quality
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
                     if not it.future.done():
-                        it.future.set_exception(e)
-                    return
-                if not it.future.done():
-                    it.future.set_result(encoded)
+                        it.future.set_result(encoded)
+
+            else:
+                yb, cbb, crb = out
+
+                async def finish(i: int, it) -> None:
+                    ch = (it.out_h + 1) // 2
+                    cw = (it.out_w + 1) // 2
+                    try:
+                        encoded = await self._encode_yuv(
+                            loop,
+                            yb[i, : it.out_h, : it.out_w],
+                            cbb[i, :ch, :cw],
+                            crb[i, :ch, :cw],
+                            it.quality,
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
+                    if not it.future.done():
+                        it.future.set_result(encoded)
 
             await asyncio.gather(*(finish(i, it) for i, it in enumerate(items)))
         except Exception as e:  # noqa: BLE001
@@ -578,11 +635,16 @@ class BatchedEngine(TransformEngine):
         if sig in self._compiling:
             return
         self._compiling.add(sig)
-        from imagekit_tpu.ops.dct import decode_resize_rgb_batch
+        from imagekit_tpu.ops.dct import (
+            decode_resize_rgb_batch,
+            decode_resize_yuv_batch,
+        )
 
-        _, nb, yb_h, yb_w, obh, obw = sig
+        _, kind, nb, yb_h, yb_w, obh, obw = sig
         by_b, bx_b = yb_h // 8, yb_w // 8
         cy_b, cx_b = yb_h // 16, yb_w // 16
+        c_obh = obh if kind == "rgb" else obh // 2
+        c_obw = obw if kind == "rgb" else obw // 2
 
         def compile_step():
             try:
@@ -591,10 +653,15 @@ class BatchedEngine(TransformEngine):
                 qt = np.zeros((nb, 128), np.float32)
                 wv_y = np.zeros((self.MAX_UNIQUE, obh, yb_h), np.float32)
                 wh_y = np.zeros((self.MAX_UNIQUE, obw, yb_w), np.float32)
-                wv_c = np.zeros((self.MAX_UNIQUE, obh, yb_h // 2), np.float32)
-                wh_c = np.zeros((self.MAX_UNIQUE, obw, yb_w // 2), np.float32)
+                wv_c = np.zeros((self.MAX_UNIQUE, c_obh, yb_h // 2), np.float32)
+                wh_c = np.zeros((self.MAX_UNIQUE, c_obw, yb_w // 2), np.float32)
                 idx = np.zeros(nb, np.int32)
-                decode_resize_rgb_batch(
+                fn = (
+                    decode_resize_rgb_batch
+                    if kind == "rgb"
+                    else decode_resize_yuv_batch
+                )
+                fn(
                     y, c, c, qt, (wv_y, wh_y, wv_c, wh_c), idx,
                     (by_b, bx_b, cy_b, cx_b), (obh, obw),
                 )
@@ -672,6 +739,25 @@ class BatchedEngine(TransformEngine):
         self.metrics.add_stage_time("encode", time.perf_counter() - t0)
         return data
 
+    async def _encode_yuv(
+        self,
+        loop: asyncio.AbstractEventLoop,
+        y: np.ndarray,
+        cb: np.ndarray,
+        cr: np.ndarray,
+        q: int,
+    ) -> bytes:
+        """WebP encode from device-produced studio-range YUV planes (the
+        fused JPEG->WebP path): only the VP8 bitstream runs on host."""
+        from imagekit_tpu.codecs import vp8 as vp8_native
+
+        t0 = time.perf_counter()
+        data = await loop.run_in_executor(
+            self._codec_pool, vp8_native.encode_yuv420, y, cb, cr, q
+        )
+        self.metrics.add_stage_time("encode", time.perf_counter() - t0)
+        return data
+
     async def _exact_path(
         self,
         loop: asyncio.AbstractEventLoop,
@@ -727,35 +813,51 @@ class BatchedEngine(TransformEngine):
 
             await loop.run_in_executor(self._device_pool, step)
             self._compiled.add(("rgb", b, bh, bw, obh, obw, ch))
-        # jpeg coeffs-path shapes for the same bucket pairs
-        from imagekit_tpu.ops.dct import decode_resize_rgb_batch
+        # jpeg coeffs-path shapes for the same bucket pairs. "jpeg" warms the
+        # fused coefficients->YUV kernel (webp is the default output format);
+        # "jpeg_rgb" additionally warms the coefficients->RGB variant used by
+        # jpeg/avif outputs (otherwise it compiles in the background on first
+        # use while requests ride the host fallback).
+        from imagekit_tpu.ops.dct import (
+            decode_resize_rgb_batch,
+            decode_resize_yuv_batch,
+        )
 
-        for b, bh, bw, obh, obw, ch in shapes if "jpeg" in paths else []:
-            if bh % 16 or bw % 16 or ch != 3:
-                continue
-            by_b, bx_b = bh // 8, bw // 8
-            cy_b, cx_b = bh // 16, bw // 16
-            y = np.zeros((b, by_b, bx_b * 64), np.int16)
-            cbcr = np.zeros((b, cy_b, cx_b * 64), np.int16)
-            qt = np.zeros((b, 128), np.float32)
-            wv_y = np.zeros((self.MAX_UNIQUE, obh, bh), np.float32)
-            wh_y = np.zeros((self.MAX_UNIQUE, obw, bw), np.float32)
-            wv_c = np.zeros((self.MAX_UNIQUE, obh, bh // 2), np.float32)
-            wh_c = np.zeros((self.MAX_UNIQUE, obw, bw // 2), np.float32)
-            idx = np.zeros(b, np.int32)
+        kinds = []
+        if "jpeg" in paths:
+            kinds.append("yuv")
+        if "jpeg_rgb" in paths:
+            kinds.append("rgb")
+        for kind in kinds:
+            fn = decode_resize_rgb_batch if kind == "rgb" else decode_resize_yuv_batch
+            for b, bh, bw, obh, obw, ch in shapes:
+                if bh % 16 or bw % 16 or ch != 3:
+                    continue
+                by_b, bx_b = bh // 8, bw // 8
+                cy_b, cx_b = bh // 16, bw // 16
+                c_obh = obh if kind == "rgb" else obh // 2
+                c_obw = obw if kind == "rgb" else obw // 2
+                y = np.zeros((b, by_b, bx_b * 64), np.int16)
+                cbcr = np.zeros((b, cy_b, cx_b * 64), np.int16)
+                qt = np.zeros((b, 128), np.float32)
+                wv_y = np.zeros((self.MAX_UNIQUE, obh, bh), np.float32)
+                wh_y = np.zeros((self.MAX_UNIQUE, obw, bw), np.float32)
+                wv_c = np.zeros((self.MAX_UNIQUE, c_obh, bh // 2), np.float32)
+                wh_c = np.zeros((self.MAX_UNIQUE, c_obw, bw // 2), np.float32)
+                idx = np.zeros(b, np.int32)
 
-            def jstep(
-                y=y, cbcr=cbcr, qt=qt, wv_y=wv_y, wh_y=wh_y, wv_c=wv_c,
-                wh_c=wh_c, idx=idx, dims=(by_b, bx_b, cy_b, cx_b),
-                oshape=(obh, obw),
-            ):
-                return decode_resize_rgb_batch(
-                    y, cbcr, cbcr, qt, (wv_y, wh_y, wv_c, wh_c), idx,
-                    dims, oshape,
-                )
+                def jstep(
+                    fn=fn, y=y, cbcr=cbcr, qt=qt, wv_y=wv_y, wh_y=wh_y,
+                    wv_c=wv_c, wh_c=wh_c, idx=idx,
+                    dims=(by_b, bx_b, cy_b, cx_b), oshape=(obh, obw),
+                ):
+                    return fn(
+                        y, cbcr, cbcr, qt, (wv_y, wh_y, wv_c, wh_c), idx,
+                        dims, oshape,
+                    )
 
-            await loop.run_in_executor(self._device_pool, jstep)
-            self._compiled.add(("jpeg", b, bh, bw, obh, obw))
+                await loop.run_in_executor(self._device_pool, jstep)
+                self._compiled.add(("jpeg", kind, b, bh, bw, obh, obw))
 
     async def close(self) -> None:
         self._closed = True

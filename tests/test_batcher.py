@@ -269,3 +269,46 @@ def test_jpeg_native_path_nonstandard_tq_mapping():
 
     a, b = asyncio.run(run())
     assert a == b
+
+
+def test_jpeg_to_webp_fused_yuv_path():
+    """JPEG->WebP through the engine takes the fused coefficients->YUV
+    device kernel (no RGB round trip) after warmup, and output quality
+    matches the host-pipeline golden."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from imagekit_tpu.codecs import vp8 as vp8_native
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(640, 480)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90)
+    data = buf.getvalue()
+
+    engine = make_engine()
+    shapes = [
+        (1, bucket_for(480), bucket_for(640), bucket_for(240), bucket_for(320), 3)
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg",))
+        out = await engine.transform(data, 320, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert out[:4] == b"RIFF"
+    # device YUV kernel actually ran (not the host fallback)
+    assert engine.metrics.stage_seconds.get("device_decode_resize", 0) > 0
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize((320, 240), Image.LANCZOS)
+    )
+    assert dec.shape == golden.shape
+    assert psnr(dec, golden) >= 32.0
