@@ -103,12 +103,30 @@ class BatchedEngine(TransformEngine):
         config: Optional[ImageKitConfig] = None,
         metrics: Metrics = METRICS,
         codec_workers: Optional[int] = None,
+        mesh=None,
     ) -> None:
         from imagekit_tpu.utils import enable_persistent_compile_cache
 
         enable_persistent_compile_cache()
         self.config = config or ImageKitConfig()
         self.metrics = metrics
+        # Multi-chip data parallelism is a property of the engine, not a
+        # side module (SURVEY.md §5.8: "multi-chip DP sharding of the batch
+        # is config, not code"): with >1 device, batches are placed with a
+        # NamedSharding over the mesh's data axis and XLA partitions the
+        # batched kernels per-device; with one device nothing changes.
+        self._mesh = mesh
+        if self._mesh is None:
+            try:
+                import jax
+
+                if len(jax.devices()) > 1:
+                    from imagekit_tpu.parallel.mesh import make_mesh
+
+                    self._mesh = make_mesh()
+            except Exception:  # noqa: BLE001
+                self._mesh = None
+        self._mesh_ndev = self._mesh.devices.size if self._mesh is not None else 1
         bc = self.config.batch
         self.max_batch = bc.max_batch
         self.max_delay = bc.max_delay_ms / 1000.0
@@ -305,6 +323,33 @@ class BatchedEngine(TransformEngine):
 
     MAX_UNIQUE = 4  # fixed unique-geometry slots per device call
 
+    # -- mesh placement helpers ------------------------------------------
+
+    def _use_mesh(self, nb: int) -> bool:
+        """Shard this batch over the data axis? Requires an even split
+        (JAX shardings need the axis divisible by the mesh extent)."""
+        return self._mesh is not None and nb % self._mesh_ndev == 0
+
+    def _put_sharded(self, arr):
+        """Place with the batch axis over the mesh's data axis."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from imagekit_tpu.parallel.mesh import DATA_AXIS
+
+        spec = P(DATA_AXIS, *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self._mesh, spec))
+
+    def _put_replicated(self, arr):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._mesh is None:
+            return jax.device_put(arr)
+        return jax.device_put(
+            arr, NamedSharding(self._mesh, P(*([None] * arr.ndim)))
+        )
+
     @staticmethod
     def _split_by_geometry(items, key_fn, max_unique):
         """Partition into groups containing at most ``max_unique`` distinct
@@ -348,7 +393,8 @@ class BatchedEngine(TransformEngine):
         try:
             t0 = time.perf_counter()
             nb = batch_bucket(len(items), self.max_batch)
-            sig = ("jpeg", kind, nb, yb_h, yb_w, obh, obw)
+            shard = self._use_mesh(nb)
+            sig = ("jpeg", kind, shard, nb, yb_h, yb_w, obh, obw)
             if sig not in self._compiled:
                 self._kick_compile_jpeg(sig)
                 await self._host_fallback_jpeg(items)
@@ -376,7 +422,10 @@ class BatchedEngine(TransformEngine):
                 chroma_dims.setdefault(
                     ukey, (it.hdr.comp_height[1], it.hdr.comp_width[1])
                 )
-            wkey = (key, nu, tuple(sorted(u_keys.items(), key=lambda kv: kv[1])))
+            wkey = (
+                key, nu, shard,
+                tuple(sorted(u_keys.items(), key=lambda kv: kv[1])),
+            )
             cached = self._dweights.get(wkey)
             if cached is None:
                 # chroma weights: to full output res for the RGB kernel, to
@@ -407,9 +456,8 @@ class BatchedEngine(TransformEngine):
                         )
                 import jax as _jax
 
-                cached = tuple(
-                    _jax.device_put(x) for x in (wv_y, wh_y, wv_c, wh_c)
-                )
+                place = self._put_replicated if shard else _jax.device_put
+                cached = tuple(place(x) for x in (wv_y, wh_y, wv_c, wh_c))
                 if len(self._dweights) > 64:
                     self._dweights.pop(next(iter(self._dweights)))
                 self._dweights[wkey] = cached
@@ -422,13 +470,21 @@ class BatchedEngine(TransformEngine):
                     if kind == "rgb"
                     else decode_resize_yuv_batch
                 )
-                return fn(
+                yb_, cbb_, crb_ = (
                     y.reshape(nb, by_b, -1),
                     cb.reshape(nb, cy_b, -1),
                     cr.reshape(nb, cy_b, -1),
-                    qt,
+                )
+                qt_, vidx_ = qt, vidx
+                if shard:  # DP over the mesh's data axis
+                    yb_, cbb_, crb_, qt_, vidx_ = (
+                        self._put_sharded(a)
+                        for a in (yb_, cbb_, crb_, qt_, vidx_)
+                    )
+                return fn(
+                    yb_, cbb_, crb_, qt_,
                     (wv_y, wh_y, wv_c, wh_c),
-                    vidx,
+                    vidx_,
                     (by_b, bx_b, cy_b, cx_b),
                     (obh, obw),
                 )
@@ -539,7 +595,8 @@ class BatchedEngine(TransformEngine):
             from imagekit_tpu.utils.bucketing import batch_bucket
 
             nb = batch_bucket(len(items), self.max_batch)
-            sig = ("rgb", nb, bh, bw, obh, obw, ch)
+            shard = self._use_mesh(nb)
+            sig = ("rgb", shard, nb, bh, bw, obh, obw, ch)
             if sig not in self._compiled:
                 self._kick_compile_rgb(sig)
                 await self._host_fallback_rgb(items)
@@ -568,8 +625,15 @@ class BatchedEngine(TransformEngine):
             t1 = time.perf_counter()
 
             def device_step() -> np.ndarray:
+                if shard:  # DP over the mesh's data axis
+                    b_, v_, h_ = (
+                        self._put_sharded(a) for a in (batch, vidx, hidx)
+                    )
+                    wv_, wh_ = (self._put_replicated(a) for a in (wv, wh))
+                else:
+                    b_, v_, h_, wv_, wh_ = batch, vidx, hidx, wv, wh
                 flat = np.asarray(
-                    resample_bucketed_flat(batch, wv, wh, vidx, hidx, ch)
+                    resample_bucketed_flat(b_, wv_, wh_, v_, h_, ch)
                 )
                 return flat.reshape(nb, obh, obw, ch)
 
@@ -614,7 +678,7 @@ class BatchedEngine(TransformEngine):
         self._compiling.add(sig)
         from imagekit_tpu.ops.resize import resample_bucketed_flat
 
-        _, nb, bh, bw, obh, obw, ch = sig
+        _, shard, nb, bh, bw, obh, obw, ch = sig
 
         def compile_step():
             try:
@@ -622,6 +686,9 @@ class BatchedEngine(TransformEngine):
                 wv = np.zeros((self.MAX_UNIQUE, obh, bh), np.float32)
                 wh = np.zeros((self.MAX_UNIQUE, obw, bw), np.float32)
                 idx = np.zeros(nb, np.int32)
+                if shard:
+                    batch, idx = self._put_sharded(batch), self._put_sharded(idx)
+                    wv, wh = self._put_replicated(wv), self._put_replicated(wh)
                 np.asarray(resample_bucketed_flat(batch, wv, wh, idx, idx, ch))
                 self._compiled.add(sig)
             except Exception:
@@ -640,7 +707,7 @@ class BatchedEngine(TransformEngine):
             decode_resize_yuv_batch,
         )
 
-        _, kind, nb, yb_h, yb_w, obh, obw = sig
+        _, kind, shard, nb, yb_h, yb_w, obh, obw = sig
         by_b, bx_b = yb_h // 8, yb_w // 8
         cy_b, cx_b = yb_h // 16, yb_w // 16
         c_obh = obh if kind == "rgb" else obh // 2
@@ -656,13 +723,22 @@ class BatchedEngine(TransformEngine):
                 wv_c = np.zeros((self.MAX_UNIQUE, c_obh, yb_h // 2), np.float32)
                 wh_c = np.zeros((self.MAX_UNIQUE, c_obw, yb_w // 2), np.float32)
                 idx = np.zeros(nb, np.int32)
+                weights = (wv_y, wh_y, wv_c, wh_c)
+                if shard:
+                    y, qt, idx = (
+                        self._put_sharded(y),
+                        self._put_sharded(qt),
+                        self._put_sharded(idx),
+                    )
+                    c = self._put_sharded(c)
+                    weights = tuple(self._put_replicated(w) for w in weights)
                 fn = (
                     decode_resize_rgb_batch
                     if kind == "rgb"
                     else decode_resize_yuv_batch
                 )
                 fn(
-                    y, c, c, qt, (wv_y, wh_y, wv_c, wh_c), idx,
+                    y, c, c, qt, weights, idx,
                     (by_b, bx_b, cy_b, cx_b), (obh, obw),
                 )
                 self._compiled.add(sig)
@@ -801,10 +877,14 @@ class BatchedEngine(TransformEngine):
             shapes = [(b, bh, bw, obh, obw, 3) for b in sizes]
         loop = asyncio.get_running_loop()
         for b, bh, bw, obh, obw, ch in shapes if "rgb" in paths else []:
+            shard = self._use_mesh(b)
             batch = np.zeros((b, bh, bw * ch), dtype=np.uint8)
             idx = np.zeros(b, np.int32)
             wv = np.zeros((self.MAX_UNIQUE, obh, bh), dtype=np.float32)
             wh = np.zeros((self.MAX_UNIQUE, obw, bw), dtype=np.float32)
+            if shard:
+                batch, idx = self._put_sharded(batch), self._put_sharded(idx)
+                wv, wh = self._put_replicated(wv), self._put_replicated(wh)
 
             def step(batch=batch, wv=wv, wh=wh, idx=idx, ch=ch):
                 return np.asarray(
@@ -812,7 +892,7 @@ class BatchedEngine(TransformEngine):
                 )
 
             await loop.run_in_executor(self._device_pool, step)
-            self._compiled.add(("rgb", b, bh, bw, obh, obw, ch))
+            self._compiled.add(("rgb", shard, b, bh, bw, obh, obw, ch))
         # jpeg coeffs-path shapes for the same bucket pairs. "jpeg" warms the
         # fused coefficients->YUV kernel (webp is the default output format);
         # "jpeg_rgb" additionally warms the coefficients->RGB variant used by
@@ -833,6 +913,7 @@ class BatchedEngine(TransformEngine):
             for b, bh, bw, obh, obw, ch in shapes:
                 if bh % 16 or bw % 16 or ch != 3:
                     continue
+                shard = self._use_mesh(b)
                 by_b, bx_b = bh // 8, bw // 8
                 cy_b, cx_b = bh // 16, bw // 16
                 c_obh = obh if kind == "rgb" else obh // 2
@@ -845,6 +926,14 @@ class BatchedEngine(TransformEngine):
                 wv_c = np.zeros((self.MAX_UNIQUE, c_obh, bh // 2), np.float32)
                 wh_c = np.zeros((self.MAX_UNIQUE, c_obw, bw // 2), np.float32)
                 idx = np.zeros(b, np.int32)
+                if shard:
+                    y, cbcr, qt, idx = (
+                        self._put_sharded(a) for a in (y, cbcr, qt, idx)
+                    )
+                    wv_y, wh_y, wv_c, wh_c = (
+                        self._put_replicated(a)
+                        for a in (wv_y, wh_y, wv_c, wh_c)
+                    )
 
                 def jstep(
                     fn=fn, y=y, cbcr=cbcr, qt=qt, wv_y=wv_y, wh_y=wh_y,
@@ -857,7 +946,7 @@ class BatchedEngine(TransformEngine):
                     )
 
                 await loop.run_in_executor(self._device_pool, jstep)
-                self._compiled.add(("jpeg", kind, b, bh, bw, obh, obw))
+                self._compiled.add(("jpeg", kind, shard, b, bh, bw, obh, obw))
 
     async def close(self) -> None:
         self._closed = True

