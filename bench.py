@@ -110,6 +110,30 @@ async def run_bench():
         )
         lowload.append(time.perf_counter() - t0)
     lowload.sort()
+
+    # moderate load: concurrency 8 (a realistic per-core request depth;
+    # VERDICT r1: the saturated p50 is pure queueing and says nothing)
+    mod_lat = []
+
+    async def one_mod(i: int):
+        t0 = time.perf_counter()
+        await engine.transform(
+            sources[i % n_sources], 400, None, ImageFormat.webp, 80
+        )
+        mod_lat.append(time.perf_counter() - t0)
+
+    sem8 = asyncio.Semaphore(8)
+
+    async def gated(i):
+        async with sem8:
+            await one_mod(i)
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*(gated(i) for i in range(64)))
+    mod_elapsed = time.perf_counter() - t0
+    mod_lat.sort()
+
+    device_only = await measure_device_only(engine, sources[0])
     await engine.close()
 
     lat = np.array(sorted(latencies))
@@ -124,12 +148,99 @@ async def run_bench():
         "p50_ms": round(float(lat[len(lat) // 2]) * 1000, 1),
         "p95_ms": round(float(lat[int(len(lat) * 0.95)]) * 1000, 1),
         "p50_ms_lowload": round(lowload[len(lowload) // 2] * 1000, 1),
+        "p50_ms_c8": round(mod_lat[len(mod_lat) // 2] * 1000, 1),
+        "ips_c8": round(64 / mod_elapsed, 2),
+        "device_only_ips": device_only["ips"],
+        "mfu_pct": device_only["mfu_pct"],
         "mean_output_bytes": int(np.mean(sizes)),
         "mean_batch_size": round(mean_batch, 1),
         "warmup_s": round(warmup_s, 1),
         "stage_s": {k: round(v, 2) for k, v in stage.items()},
         "device": _device_name(),
     }
+
+
+async def measure_device_only(engine, src: bytes):
+    """Batched device pipeline throughput with host codecs excluded: the
+    fused coefficients->YUV kernel at batch = max_batch with resident
+    weights, including host<->device transfers (what the chip itself
+    sustains when fed; VERDICT r1 weak #4 asks for this + an MFU figure
+    so device-path regressions are visible despite the host ceiling)."""
+    import jax
+
+    from imagekit_tpu.codecs.native import jpeg_abi, loader
+    from imagekit_tpu.ops.dct import (
+        combined_chroma_half_weights,
+        decode_resize_yuv_batch,
+    )
+    from imagekit_tpu.ops.resize import padded_weights, target_dimensions
+    from imagekit_tpu.utils.bucketing import bucket_for
+
+    lib = loader.load()
+    if lib is None:
+        return {"ips": None, "mfu_pct": None}
+    hdr, coeffs, qtabs = jpeg_abi.decode(lib, src)
+    out_w, out_h = target_dimensions(hdr.width, hdr.height, 400, None)
+    by, bx = coeffs[0].shape[:2]
+    cy, cx = coeffs[1].shape[:2]
+    yb_h, yb_w = bucket_for(by * 8), bucket_for(bx * 8)
+    obh, obw = bucket_for(out_h), bucket_for(out_w)
+    nb = engine.max_batch
+    by_b, bx_b = yb_h // 8, yb_w // 8
+    cy_b, cx_b = yb_h // 16, yb_w // 16
+
+    y = np.zeros((nb, by_b, bx_b * 64), np.int16)
+    cb = np.zeros((nb, cy_b, cx_b * 64), np.int16)
+    cr = np.zeros((nb, cy_b, cx_b * 64), np.int16)
+    qt = np.zeros((nb, 128), np.float32)
+    for i in range(nb):
+        y[i, :by] = coeffs[0].reshape(by, -1)
+        cb[i, :cy] = coeffs[1].reshape(cy, -1)
+        cr[i, :cy] = coeffs[2].reshape(cy, -1)
+        qt[i, :64] = qtabs[hdr.comp_tq[0]]
+        qt[i, 64:] = qtabs[hdr.comp_tq[1]]
+    nu = engine.MAX_UNIQUE
+    wv_y = np.zeros((nu, obh, yb_h), np.float32)
+    wh_y = np.zeros((nu, obw, yb_w), np.float32)
+    wv_c = np.zeros((nu, obh // 2, yb_h // 2), np.float32)
+    wh_c = np.zeros((nu, obw // 2, yb_w // 2), np.float32)
+    wv_y[0] = padded_weights(hdr.height, out_h, yb_h, obh)
+    wh_y[0] = padded_weights(hdr.width, out_w, yb_w, obw)
+    wv_c[0] = combined_chroma_half_weights(
+        hdr.comp_height[1], hdr.height, out_h, yb_h // 2, obh // 2
+    )
+    wh_c[0] = combined_chroma_half_weights(
+        hdr.comp_width[1], hdr.width, out_w, yb_w // 2, obw // 2
+    )
+    dweights = tuple(jax.device_put(w) for w in (wv_y, wh_y, wv_c, wh_c))
+    vidx = np.zeros(nb, np.int32)
+    dims = (by_b, bx_b, cy_b, cx_b)
+
+    def step():
+        return decode_resize_yuv_batch(
+            y, cb, cr, qt, dweights, vidx, dims, (obh, obw)
+        )
+
+    step()  # warm (already compiled by engine warmup for this shape)
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        step()
+    dt = time.perf_counter() - t0
+    ips = reps * nb / dt
+
+    # Analytic FLOPs per image for this kernel (einsum MACs x2):
+    # IDCT 8x8 per block: 2 basis matmuls folded into one einsum = 64*64*2
+    flops = 0.0
+    flops += (by_b * bx_b) * 64 * 64 * 2  # luma IDCT
+    flops += 2 * (cy_b * cx_b) * 64 * 64 * 2  # chroma IDCT
+    flops += 2.0 * obh * yb_h * yb_w  # luma vertical resize
+    flops += 2.0 * obw * obh * yb_w  # luma horizontal
+    flops += 2 * (2.0 * (obh // 2) * (yb_h // 2) * (yb_w // 2))  # chroma v
+    flops += 2 * (2.0 * (obw // 2) * (obh // 2) * (yb_w // 2))  # chroma h
+    peak = 197e12  # TPU v5e fp32 peak (the kernel runs f32 einsums)
+    mfu = 100.0 * ips * flops / peak
+    return {"ips": round(ips, 1), "mfu_pct": round(mfu, 3)}
 
 
 def _device_name():

@@ -83,6 +83,18 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
     """Decode to an HWC uint8 array (RGB, or RGBA when the source carries
     alpha). Raises TransformError on malformed input."""
     fmt = guess_format(data)
+    if fmt == SourceFormat.png:
+        # native entropy stage: C++ inflate + unfilter + expansion
+        # (interlaced / non-8-bit sources return None -> host library)
+        from imagekit_tpu.codecs import png as png_native
+
+        if png_native.available():
+            try:
+                arr = png_native.decode(data)
+            except ValueError as e:
+                raise TransformError(str(e)) from e
+            if arr is not None:
+                return arr, fmt
     from imagekit_tpu.codecs import pil_backend
 
     arr = pil_backend.decode(data)

@@ -19,7 +19,7 @@ from typing import Optional
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "jpeg_entropy.cpp"
-_SOURCES = ("jpeg_entropy.cpp", "vp8_encode.cpp")
+_SOURCES = ("jpeg_entropy.cpp", "vp8_encode.cpp", "png_decode.cpp")
 _LIB = _HERE / "libik_native.so"
 
 _lock = threading.Lock()
@@ -49,6 +49,7 @@ def _build() -> bool:
         *[str(s) for s in srcs],
         "-o",
         str(_LIB),
+        "-lz",  # png_decode.cpp inflates IDAT via zlib
     ]
     try:
         subprocess.run(
