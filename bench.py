@@ -170,55 +170,64 @@ async def measure_device_only(engine, src: bytes):
 
     from imagekit_tpu.codecs.native import jpeg_abi, loader
     from imagekit_tpu.ops.dct import (
-        combined_chroma_half_weights,
-        decode_resize_yuv_batch,
+        decode_resize_yuv_lowfreq_batch,
+        lowfreq_chroma_half_weights,
+        lowfreq_luma_weights,
+        pad128,
     )
-    from imagekit_tpu.ops.resize import padded_weights, target_dimensions
+    from imagekit_tpu.ops.resize import target_dimensions
     from imagekit_tpu.utils.bucketing import bucket_for
 
     lib = loader.load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq"):
         return {"ips": None, "mfu_pct": None}
-    hdr, coeffs, qtabs = jpeg_abi.decode(lib, src)
+    hdr = jpeg_abi.parse(lib, src)
     out_w, out_h = target_dimensions(hdr.width, hdr.height, 400, None)
+    yb_h = bucket_for(hdr.blocks_h[0] * 8)
+    yb_w = bucket_for(hdr.blocks_w[0] * 8)
+    obh, obw = bucket_for(out_h), bucket_for(out_w)
+    k = engine._choose_k(yb_h, yb_w, obh, obw)
+    if k == 8:
+        return {"ips": None, "mfu_pct": None}
+    hdr, coeffs, qtabs = jpeg_abi.decode_lowfreq(lib, src, k)
     by, bx = coeffs[0].shape[:2]
     cy, cx = coeffs[1].shape[:2]
-    yb_h, yb_w = bucket_for(by * 8), bucket_for(bx * 8)
-    obh, obw = bucket_for(out_h), bucket_for(out_w)
     nb = engine.max_batch
     by_b, bx_b = yb_h // 8, yb_w // 8
     cy_b, cx_b = yb_h // 16, yb_w // 16
+    nk = k * k
 
-    y = np.zeros((nb, by_b, bx_b * 64), np.int16)
-    cb = np.zeros((nb, cy_b, cx_b * 64), np.int16)
-    cr = np.zeros((nb, cy_b, cx_b * 64), np.int16)
+    y = np.zeros((nb, by_b, pad128(bx_b * nk)), np.int16)
+    cb = np.zeros((nb, cy_b, pad128(cx_b * nk)), np.int16)
+    cr = np.zeros_like(cb)
     qt = np.zeros((nb, 128), np.float32)
     for i in range(nb):
-        y[i, :by] = coeffs[0].reshape(by, -1)
-        cb[i, :cy] = coeffs[1].reshape(cy, -1)
-        cr[i, :cy] = coeffs[2].reshape(cy, -1)
+        y[i, :by, : bx * nk] = coeffs[0].reshape(by, -1)
+        cb[i, :cy, : cx * nk] = coeffs[1].reshape(cy, -1)
+        cr[i, :cy, : cx * nk] = coeffs[2].reshape(cy, -1)
         qt[i, :64] = qtabs[hdr.comp_tq[0]]
         qt[i, 64:] = qtabs[hdr.comp_tq[1]]
     nu = engine.MAX_UNIQUE
-    wv_y = np.zeros((nu, obh, yb_h), np.float32)
-    wh_y = np.zeros((nu, obw, yb_w), np.float32)
-    wv_c = np.zeros((nu, obh // 2, yb_h // 2), np.float32)
-    wh_c = np.zeros((nu, obw // 2, yb_w // 2), np.float32)
-    wv_y[0] = padded_weights(hdr.height, out_h, yb_h, obh)
-    wh_y[0] = padded_weights(hdr.width, out_w, yb_w, obw)
-    wv_c[0] = combined_chroma_half_weights(
-        hdr.comp_height[1], hdr.height, out_h, yb_h // 2, obh // 2
+    ly, lx = yb_h * k // 8, yb_w * k // 8
+    wv_y = np.zeros((nu, obh, ly), np.float32)
+    wh_y = np.zeros((nu, obw, lx), np.float32)
+    wv_c = np.zeros((nu, obh // 2, ly // 2), np.float32)
+    wh_c = np.zeros((nu, obw // 2, lx // 2), np.float32)
+    wv_y[0] = lowfreq_luma_weights(hdr.height, out_h, k, ly, obh)
+    wh_y[0] = lowfreq_luma_weights(hdr.width, out_w, k, lx, obw)
+    wv_c[0] = lowfreq_chroma_half_weights(
+        hdr.comp_height[1], hdr.height, out_h, ly // 2, obh // 2, k
     )
-    wh_c[0] = combined_chroma_half_weights(
-        hdr.comp_width[1], hdr.width, out_w, yb_w // 2, obw // 2
+    wh_c[0] = lowfreq_chroma_half_weights(
+        hdr.comp_width[1], hdr.width, out_w, lx // 2, obw // 2, k
     )
     dweights = tuple(jax.device_put(w) for w in (wv_y, wh_y, wv_c, wh_c))
     vidx = np.zeros(nb, np.int32)
     dims = (by_b, bx_b, cy_b, cx_b)
 
     def step():
-        return decode_resize_yuv_batch(
-            y, cb, cr, qt, dweights, vidx, dims, (obh, obw)
+        return decode_resize_yuv_lowfreq_batch(
+            y, cb, cr, qt, dweights, vidx, dims, (obh, obw), k
         )
 
     step()  # warm (already compiled by engine warmup for this shape)
@@ -229,15 +238,15 @@ async def measure_device_only(engine, src: bytes):
     dt = time.perf_counter() - t0
     ips = reps * nb / dt
 
-    # Analytic FLOPs per image for this kernel (einsum MACs x2):
-    # IDCT 8x8 per block: 2 basis matmuls folded into one einsum = 64*64*2
+    # Analytic FLOPs per image (einsum MACs x2); the truncated kernel does
+    # a k-point IDCT per block and resizes the k/8-scale planes
     flops = 0.0
-    flops += (by_b * bx_b) * 64 * 64 * 2  # luma IDCT
-    flops += 2 * (cy_b * cx_b) * 64 * 64 * 2  # chroma IDCT
-    flops += 2.0 * obh * yb_h * yb_w  # luma vertical resize
-    flops += 2.0 * obw * obh * yb_w  # luma horizontal
-    flops += 2 * (2.0 * (obh // 2) * (yb_h // 2) * (yb_w // 2))  # chroma v
-    flops += 2 * (2.0 * (obw // 2) * (obh // 2) * (yb_w // 2))  # chroma h
+    flops += (by_b * bx_b) * (nk * nk) * 2  # luma scaled IDCT
+    flops += 2 * (cy_b * cx_b) * (nk * nk) * 2  # chroma scaled IDCT
+    flops += 2.0 * obh * ly * lx  # luma vertical resize
+    flops += 2.0 * obw * obh * lx  # luma horizontal
+    flops += 2 * (2.0 * (obh // 2) * (ly // 2) * (lx // 2))  # chroma v
+    flops += 2 * (2.0 * (obw // 2) * (obh // 2) * (lx // 2))  # chroma h
     peak = 197e12  # TPU v5e fp32 peak (the kernel runs f32 einsums)
     mfu = 100.0 * ips * flops / peak
     return {"ips": round(ips, 1), "mfu_pct": round(mfu, 3)}

@@ -64,6 +64,15 @@ def configure(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p,
     ]
     lib.ik_jpeg_decode_coeffs.restype = ctypes.c_int
+    if hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq"):
+        lib.ik_jpeg_decode_coeffs_lowfreq.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_void_p,
+        ]
+        lib.ik_jpeg_decode_coeffs_lowfreq.restype = ctypes.c_int
     lib.ik_jpeg_encode.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),  # coeff planes
         ctypes.c_int,                      # ncomp
@@ -162,6 +171,30 @@ def decode(
     )
     rc = lib.ik_jpeg_decode_coeffs(
         data, len(data), ptrs, qtabs.ctypes.data_as(ctypes.c_void_p)
+    )
+    if rc != 0:
+        raise NativeJpegError(rc)
+    return hdr, coeffs, qtabs
+
+
+def decode_lowfreq(
+    lib: ctypes.CDLL, data: bytes, k: int, hdr: JpegHeader = None
+) -> Tuple[JpegHeader, List[np.ndarray], np.ndarray]:
+    """Entropy decode keeping only each block's KxK low-frequency
+    coefficients (scaled-IDCT thumbnail path): plane c is
+    (blocks_h, blocks_w, k*k) i16 natural order."""
+    if hdr is None:
+        hdr = parse(lib, data)
+    coeffs = [
+        np.zeros((hdr.blocks_h[c], hdr.blocks_w[c], k * k), np.int16)
+        for c in range(hdr.ncomp)
+    ]
+    qtabs = np.empty((4, 64), np.uint16)
+    ptrs = (ctypes.c_void_p * 4)(
+        *[p.ctypes.data_as(ctypes.c_void_p).value for p in coeffs]
+    )
+    rc = lib.ik_jpeg_decode_coeffs_lowfreq(
+        data, len(data), k, ptrs, qtabs.ctypes.data_as(ctypes.c_void_p)
     )
     if rc != 0:
         raise NativeJpegError(rc)

@@ -1047,6 +1047,71 @@ IK_EXPORT int ik_jpeg_decode_coeffs(const uint8_t* data, size_t len,
   return rc;
 }
 
+// Decode to LOW-FREQUENCY coefficient blocks: only the KxK top-left
+// (natural-order) coefficients of every block are stored, laid out
+// [by][bx][K*K]. The device applies a K-point scaled IDCT, producing a
+// K/8-scale plane directly — for thumbnail-class downscales this cuts the
+// host->device coefficient upload by (8/K)^2 (16x at K=2) and the IDCT
+// FLOPs likewise, with the discarded frequencies being exactly the ones the
+// Lanczos downsample would have removed (>=55 dB vs the full path at the
+// target resolution; see tests/test_dct.py). Baseline scans sink truncated
+// blocks directly; progressive scans accumulate full blocks in scratch and
+// truncate on copy-out.
+IK_EXPORT int ik_jpeg_decode_coeffs_lowfreq(const uint8_t* data, size_t len,
+                                            int K, int16_t** coeffs,
+                                            uint16_t* qtabs_out) {
+  if (K < 1 || K > 8) return IK_ERR_UNSUPPORTED;
+  Decoder d;
+  d.data = data;
+  d.len = len;
+  {
+    Decoder probe;
+    probe.data = data;
+    probe.len = len;
+    int prc = probe.Parse();  // header-only for baseline; progressive needs
+    if (prc != IK_OK) return prc;
+    if (probe.progressive) {
+      std::vector<std::vector<int16_t>> bufs(probe.ncomp);
+      int16_t* ptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+      for (int c = 0; c < probe.ncomp; ++c) {
+        bufs[c].assign(static_cast<size_t>(probe.comp[c].blocks_w) *
+                           probe.comp[c].blocks_h * 64,
+                       0);
+        ptrs[c] = bufs[c].data();
+      }
+      int rc = ik_jpeg_decode_coeffs(data, len, ptrs, qtabs_out);
+      if (rc != IK_OK) return rc;
+      for (int c = 0; c < probe.ncomp; ++c) {
+        const int bw = probe.comp[c].blocks_w, bh = probe.comp[c].blocks_h;
+        for (int by = 0; by < bh; ++by) {
+          for (int bx = 0; bx < bw; ++bx) {
+            const int16_t* src =
+                ptrs[c] + (static_cast<size_t>(by) * bw + bx) * 64;
+            int16_t* dst =
+                coeffs[c] + (static_cast<size_t>(by) * bw + bx) * K * K;
+            for (int u = 0; u < K; ++u)
+              for (int v = 0; v < K; ++v) dst[u * K + v] = src[u * 8 + v];
+          }
+        }
+      }
+      return IK_OK;
+    }
+  }
+  int rc = d.Parse();
+  if (rc != IK_OK) return rc;
+  for (int t = 0; t < 4; ++t)
+    std::memcpy(qtabs_out + t * 64, d.qtab[t], 64 * sizeof(uint16_t));
+  const int KK = K;
+  rc = d.DecodeScan([&](int c, int bx, int by, const int16_t* blk) {
+    int16_t* dst =
+        coeffs[c] +
+        (static_cast<size_t>(by) * d.comp[c].blocks_w + bx) * KK * KK;
+    for (int u = 0; u < KK; ++u)
+      for (int v = 0; v < KK; ++v) dst[u * KK + v] = blk[u * 8 + v];
+  });
+  return rc;
+}
+
 // Encode a baseline JFIF JPEG from quantised coefficient planes.
 // comp layout mirrors the decoder: coeffs[c] is [by][bx][64] natural order,
 // sampling given by samp_h/samp_v arrays; qtab_luma/chroma natural order.

@@ -1,0 +1,209 @@
+// Concurrency sanitizer harness for the native codecs (SURVEY.md §5.2: the
+// reference leans on Rust's ownership model for data-race freedom; this C++
+// is exercised under TSan/ASan instead). The serving engine calls these
+// entry points concurrently from the codec thread pool, so this harness
+// replicates exactly that pattern — N threads hammering every exported
+// decode/encode path on shared input buffers — as a standalone binary so
+// the sanitizers see only instrumented code (no CPython noise).
+//
+// Build + run: make sanitize  (see Makefile; results recorded in
+// docs/ARCHITECTURE.md §sanitizers).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+struct IkJpegInfo {
+  int32_t width, height, ncomp, hmax, vmax;
+  int32_t comp_h[4], comp_v[4], comp_width[4], comp_height[4];
+  int32_t blocks_w[4], blocks_h[4], comp_tq[4];
+  int32_t progressive;
+};
+int ik_jpeg_parse(const uint8_t*, size_t, IkJpegInfo*);
+int ik_jpeg_decode_planes(const uint8_t*, size_t, uint8_t**);
+int ik_jpeg_decode_coeffs(const uint8_t*, size_t, int16_t**, uint16_t*);
+int ik_jpeg_decode_coeffs_lowfreq(const uint8_t*, size_t, int, int16_t**,
+                                  uint16_t*);
+int64_t ik_jpeg_encode(const int16_t**, int, int, int, const int32_t*,
+                       const int32_t*, const uint16_t*, const uint16_t*,
+                       uint8_t*, size_t);
+int64_t ik_vp8_encode(const uint8_t*, const uint8_t*, const uint8_t*, int,
+                      int, int, int, int, uint8_t*, size_t);
+struct IkPngInfo {
+  int32_t width, height, channels, color_type, bit_depth, interlaced;
+};
+int ik_png_parse(const uint8_t*, size_t, IkPngInfo*);
+int ik_png_decode(const uint8_t*, size_t, uint8_t*, size_t);
+}
+
+namespace {
+
+std::atomic<int> failures{0};
+
+void Require(bool ok, const char* what) {
+  if (!ok) {
+    std::fprintf(stderr, "FAIL: %s\n", what);
+    failures.fetch_add(1);
+  }
+}
+
+// Build a real baseline JPEG via the encoder itself (synthetic coefficients).
+std::vector<uint8_t> MakeJpeg(int w, int h) {
+  const int bw = (w + 15) / 16 * 2, bh = (h + 15) / 16 * 2;
+  const int cbw = bw / 2, cbh = bh / 2;
+  std::vector<int16_t> y(static_cast<size_t>(bw) * bh * 64, 0);
+  std::vector<int16_t> cb(static_cast<size_t>(cbw) * cbh * 64, 0);
+  std::vector<int16_t> cr = cb;
+  for (size_t i = 0; i < y.size(); i += 64) {
+    y[i] = static_cast<int16_t>((i / 64) % 120) - 60;  // varying DC
+    y[i + 1] = 5;                                      // some AC
+  }
+  const int16_t* planes[3] = {y.data(), cb.data(), cr.data()};
+  int32_t sh[3] = {2, 1, 1}, sv[3] = {2, 1, 1};
+  uint16_t ql[64], qc[64];
+  for (int i = 0; i < 64; ++i) {
+    ql[i] = 16;
+    qc[i] = 17;
+  }
+  std::vector<uint8_t> out(1 << 20);
+  int64_t n = ik_jpeg_encode(planes, 3, w, h, sh, sv, ql, qc, out.data(),
+                             out.size());
+  Require(n > 0, "jpeg encode");
+  out.resize(n > 0 ? static_cast<size_t>(n) : 0);
+  return out;
+}
+
+// Minimal valid PNG (RGB8, filter 0) assembled with zlib.
+std::vector<uint8_t> MakePng(int w, int h) {
+  std::vector<uint8_t> raw((static_cast<size_t>(w) * 3 + 1) * h);
+  for (int yy = 0; yy < h; ++yy) {
+    uint8_t* line = raw.data() + static_cast<size_t>(yy) * (w * 3 + 1);
+    line[0] = 0;
+    for (int x = 0; x < w * 3; ++x) line[1 + x] = (x * 7 + yy * 13) & 0xff;
+  }
+  uLongf zcap = compressBound(raw.size());
+  std::vector<uint8_t> z(zcap);
+  Require(compress(z.data(), &zcap, raw.data(), raw.size()) == Z_OK,
+          "png deflate");
+  z.resize(zcap);
+
+  std::vector<uint8_t> png;
+  const uint8_t magic[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  png.insert(png.end(), magic, magic + 8);
+  auto chunk = [&png](const char* type, const uint8_t* body, size_t n) {
+    uint8_t hdr[8] = {static_cast<uint8_t>(n >> 24),
+                      static_cast<uint8_t>(n >> 16),
+                      static_cast<uint8_t>(n >> 8), static_cast<uint8_t>(n),
+                      0, 0, 0, 0};
+    std::memcpy(hdr + 4, type, 4);
+    png.insert(png.end(), hdr, hdr + 8);
+    png.insert(png.end(), body, body + n);
+    uint32_t crc = crc32(0L, Z_NULL, 0);
+    crc = crc32(crc, reinterpret_cast<const Bytef*>(type), 4);
+    crc = crc32(crc, body, n);
+    uint8_t c[4] = {static_cast<uint8_t>(crc >> 24),
+                    static_cast<uint8_t>(crc >> 16),
+                    static_cast<uint8_t>(crc >> 8), static_cast<uint8_t>(crc)};
+    png.insert(png.end(), c, c + 4);
+  };
+  uint8_t ihdr[13] = {static_cast<uint8_t>(w >> 24),
+                      static_cast<uint8_t>(w >> 16),
+                      static_cast<uint8_t>(w >> 8), static_cast<uint8_t>(w),
+                      static_cast<uint8_t>(h >> 24),
+                      static_cast<uint8_t>(h >> 16),
+                      static_cast<uint8_t>(h >> 8), static_cast<uint8_t>(h),
+                      8, 2, 0, 0, 0};
+  chunk("IHDR", ihdr, 13);
+  chunk("IDAT", z.data(), z.size());
+  chunk("IEND", nullptr, 0);
+  return png;
+}
+
+}  // namespace
+
+int main() {
+  const int kThreads = 8, kIters = 24;
+  const std::vector<uint8_t> jpeg = MakeJpeg(144, 112);
+  const std::vector<uint8_t> png = MakePng(96, 64);
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < kThreads; ++t) {
+    threads.emplace_back([&, t]() {
+      for (int it = 0; it < kIters; ++it) {
+        // -- JPEG paths on the SHARED input buffer --
+        IkJpegInfo info;
+        Require(ik_jpeg_parse(jpeg.data(), jpeg.size(), &info) == 0, "parse");
+        std::vector<std::vector<int16_t>> cbufs(3);
+        int16_t* cptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+        for (int c = 0; c < 3; ++c) {
+          cbufs[c].assign(
+              static_cast<size_t>(info.blocks_w[c]) * info.blocks_h[c] * 64,
+              0);
+          cptrs[c] = cbufs[c].data();
+        }
+        uint16_t qt[256];
+        Require(
+            ik_jpeg_decode_coeffs(jpeg.data(), jpeg.size(), cptrs, qt) == 0,
+            "decode_coeffs");
+        const int k = (t % 2) ? 2 : 4;
+        std::vector<std::vector<int16_t>> lbufs(3);
+        int16_t* lptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+        for (int c = 0; c < 3; ++c) {
+          lbufs[c].assign(static_cast<size_t>(info.blocks_w[c]) *
+                              info.blocks_h[c] * k * k,
+                          0);
+          lptrs[c] = lbufs[c].data();
+        }
+        Require(ik_jpeg_decode_coeffs_lowfreq(jpeg.data(), jpeg.size(), k,
+                                              lptrs, qt) == 0,
+                "decode_lowfreq");
+        std::vector<std::vector<uint8_t>> pbufs(3);
+        uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+        for (int c = 0; c < 3; ++c) {
+          pbufs[c].assign(static_cast<size_t>(info.blocks_w[c]) * 8 *
+                              info.blocks_h[c] * 8,
+                          0);
+          pptrs[c] = pbufs[c].data();
+        }
+        Require(
+            ik_jpeg_decode_planes(jpeg.data(), jpeg.size(), pptrs) == 0,
+            "decode_planes");
+
+        // -- VP8 encode (per-thread outputs, shared nothing but tables) --
+        const int w = 80 + 16 * (t % 3), h = 48;
+        std::vector<uint8_t> y(static_cast<size_t>(w) * h);
+        std::vector<uint8_t> u(static_cast<size_t>(w / 2) * (h / 2), 128);
+        std::vector<uint8_t> v = u;
+        for (size_t i = 0; i < y.size(); ++i)
+          y[i] = static_cast<uint8_t>((i * 3 + it) & 0xff);
+        std::vector<uint8_t> webp(static_cast<size_t>(w) * h * 4 + 65536);
+        Require(ik_vp8_encode(y.data(), u.data(), v.data(), w, h, w, w / 2,
+                              20 + (it % 80), webp.data(), webp.size()) > 0,
+                "vp8 encode");
+
+        // -- PNG decode on the SHARED input buffer --
+        IkPngInfo pi;
+        Require(ik_png_parse(png.data(), png.size(), &pi) == 0, "png parse");
+        std::vector<uint8_t> out(static_cast<size_t>(pi.width) * pi.height *
+                                 pi.channels);
+        Require(ik_png_decode(png.data(), png.size(), out.data(),
+                              out.size()) == 0,
+                "png decode");
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  if (failures.load() == 0) {
+    std::printf("sanitize harness: all codec paths OK under %d threads\n",
+                kThreads);
+    return 0;
+  }
+  std::printf("sanitize harness: %d failures\n", failures.load());
+  return 1;
+}

@@ -334,6 +334,227 @@ def decode_resize_yuv_batch(
     return y, cb, cr
 
 
+@functools.lru_cache(maxsize=8)
+def idct_basis_k(k: int) -> np.ndarray:
+    """Orthonormal k-point IDCT basis A_k[u, x]."""
+    A = np.zeros((k, k), np.float32)
+    for u in range(k):
+        cu = np.sqrt(2.0 / k) if u else np.sqrt(1.0 / k)
+        for x in range(k):
+            A[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / (2 * k))
+    return A
+
+
+def intermediate_dim(true_full: int, k: int) -> int:
+    """True sample extent of the k/8-scale intermediate plane."""
+    return (true_full * k + 7) // 8
+
+
+def lowfreq_luma_weights(
+    true_full: int, out_true: int, k: int, inter_bucket: int, out_bucket: int
+) -> np.ndarray:
+    """(out_bucket, inter_bucket) Lanczos weights resampling the k/8-scale
+    intermediate plane to the target."""
+    inter_true = intermediate_dim(true_full, k)
+    W = resample_weights(inter_true, out_true)
+    out = np.zeros((out_bucket, inter_bucket), np.float32)
+    out[:out_true, :inter_true] = W
+    return out
+
+
+@functools.lru_cache(maxsize=1024)
+def lowfreq_chroma_half_weights(
+    chroma_true: int,
+    full_true: int,
+    out_true: int,
+    chroma_inter_bucket: int,
+    out_half_bucket: int,
+    k: int,
+) -> np.ndarray:
+    """Truncated-path chroma weights: 2x box-subsample ∘ resize ∘ 2x
+    upsample on the k/8-scale grids, one matrix per axis."""
+    ci = intermediate_dim(chroma_true, k)
+    fi = intermediate_dim(full_true, k)
+    W = resample_weights(fi, out_true)  # (out, inter-luma)
+    U = upsample_weights(ci, fi)  # (inter-luma, inter-chroma)
+    half = (out_true + 1) // 2
+    S = np.zeros((half, out_true), np.float32)
+    for i in range(half):
+        S[i, 2 * i] += 0.5
+        S[i, min(2 * i + 1, out_true - 1)] += 0.5
+    C = (S @ W @ U).astype(np.float32)
+    out = np.zeros((out_half_bucket, chroma_inter_bucket), np.float32)
+    out[:half, :ci] = C
+    return out
+
+
+def pad128(n: int) -> int:
+    return (n + 127) // 128 * 128
+
+
+# natural-order indices of the KxK low-frequency coefficients
+@functools.lru_cache(maxsize=8)
+def _lowfreq_indices(k: int) -> np.ndarray:
+    return np.array([u * 8 + v for u in range(k) for v in range(k)], np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("by_b", "bx_b", "cy_b", "cx_b", "k")
+)
+def _decode_resize_yuv_lowfreq_kernel(
+    y_flat,     # (B, by_b, pad128(bx_b*k*k)) i16
+    cb_flat,    # (B, cy_b, pad128(cx_b*k*k)) i16
+    cr_flat,
+    qtabs,      # (B, 128) f32
+    wv_y_u,     # (U, OHb, by_b*k)
+    wh_y_u,     # (U, OWb, bx_b*k)
+    wv_c_u,     # (U, OHb/2, cy_b*k)
+    wh_c_u,
+    vidx,
+    by_b: int,
+    bx_b: int,
+    cy_b: int,
+    cx_b: int,
+    k: int,
+):
+    """Truncated-coefficient fused decode: KxK low-frequency blocks ->
+    k-point scaled IDCT (a k/8-scale plane — the frequencies dropped are
+    the ones the full-path Lanczos downsample would remove) -> resize in
+    YUV -> studio-range remap -> 4:2:0 planes. Upload and IDCT cost shrink
+    by (8/k)^2 vs the full kernel; >=55 dB vs the full path at k=2 on the
+    bench shape."""
+    A = jnp.asarray(idct_basis_k(k))
+    idx = jnp.asarray(_lowfreq_indices(k))
+    scale = k / 8.0
+
+    def blocks(flat, by, bx, qt):
+        B = flat.shape[0]
+        c = flat[:, :, : bx * k * k].reshape(B, by, bx, k * k)
+        c = c.astype(jnp.float32) * qt[:, None, None, :] * scale
+        c = c.reshape(B, by, bx, k, k)
+        p = jnp.einsum(
+            "ux,vy,bijuv->bijxy", A, A, c, precision=jax.lax.Precision.HIGHEST
+        )
+        p = p + 128.0
+        p = p.transpose(0, 1, 3, 2, 4).reshape(B, by * k, bx * k)
+        return jnp.clip(p, 0.0, 255.0)
+
+    qt_l = qtabs[:, :64][:, idx]
+    qt_c = qtabs[:, 64:][:, idx]
+    Y = blocks(y_flat, by_b, bx_b, qt_l)
+    Cb = blocks(cb_flat, cy_b, cx_b, qt_c)
+    Cr = blocks(cr_flat, cy_b, cx_b, qt_c)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    y = plane_resize(Y, wv_y_u, wh_y_u) * (219.0 / 255.0) + 16.0
+    c_off = 128.0 * (1.0 - 224.0 / 255.0)
+    cb = plane_resize(Cb, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
+    cr = plane_resize(Cr, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
+
+    def q8(p):
+        B = p.shape[0]
+        return (
+            jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0)
+            .astype(jnp.uint8)
+            .reshape(B, -1)
+        )
+
+    return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
+
+
+def decode_resize_yuv_lowfreq_batch(
+    y_flat: np.ndarray,
+    cb_flat: np.ndarray,
+    cr_flat: np.ndarray,
+    qtabs: np.ndarray,
+    weights,
+    vidx: np.ndarray,
+    block_dims,
+    out_shape,
+    k: int,
+):
+    """Run the truncated fused kernel; returns (Y, Cb, Cr) u8 planes."""
+    wv_y, wh_y, wv_c, wh_c = weights
+    by_b, bx_b, cy_b, cx_b = block_dims
+    obh, obw = out_shape
+    flat = np.asarray(
+        _decode_resize_yuv_lowfreq_kernel(
+            jnp.asarray(y_flat),
+            jnp.asarray(cb_flat),
+            jnp.asarray(cr_flat),
+            jnp.asarray(qtabs),
+            jnp.asarray(wv_y),
+            jnp.asarray(wh_y),
+            jnp.asarray(wv_c),
+            jnp.asarray(wh_c),
+            jnp.asarray(vidx),
+            by_b=by_b,
+            bx_b=bx_b,
+            cy_b=cy_b,
+            cx_b=cx_b,
+            k=k,
+        )
+    )
+    B = flat.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = flat[:, :ny].reshape(B, obh, obw)
+    cb = flat[:, ny:ny + nc].reshape(B, obh // 2, obw // 2)
+    cr = flat[:, ny + nc:].reshape(B, obh // 2, obw // 2)
+    return y, cb, cr
+
+
+def host_decode_resize_yuv_lowfreq_single(
+    coeffs, qtabs, width: int, height: int,
+    chroma_w: int, chroma_h: int, out_h: int, out_w: int, k: int,
+):
+    """Numpy mirror of the truncated kernel for ONE image (host fallback
+    while the shape compiles; same math -> matching results). Returns
+    studio-range (Y, Cb, Cr) u8 planes at 4:2:0 geometry."""
+    A = idct_basis_k(k)
+    idx = _lowfreq_indices(k)
+    scale = k / 8.0
+
+    def plane(cpl, q):
+        by, bx = cpl.shape[:2]
+        c = cpl.astype(np.float32) * q[idx][None, None, :] * scale
+        c = c.reshape(by, bx, k, k)
+        p = np.einsum("ux,vy,ijuv->ijxy", A, A, c) + 128.0
+        p = p.transpose(0, 2, 1, 3).reshape(by * k, bx * k)
+        return np.clip(p, 0.0, 255.0)
+
+    Y = plane(coeffs[0], qtabs[0].astype(np.float32))
+    Cb = plane(coeffs[1], qtabs[1].astype(np.float32))
+    Cr = plane(coeffs[2], qtabs[1].astype(np.float32))
+
+    yi_h, yi_w = intermediate_dim(height, k), intermediate_dim(width, k)
+    wv = lowfreq_luma_weights(height, out_h, k, Y.shape[0], out_h)
+    wh = lowfreq_luma_weights(width, out_w, k, Y.shape[1], out_w)
+    cv = lowfreq_chroma_half_weights(
+        chroma_h, height, out_h, Cb.shape[0], (out_h + 1) // 2, k
+    )
+    ch = lowfreq_chroma_half_weights(
+        chroma_w, width, out_w, Cb.shape[1], (out_w + 1) // 2, k
+    )
+    del yi_h, yi_w
+
+    def q8(p):
+        return np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+
+    y = q8(wv @ Y @ wh.T * (219.0 / 255.0) + 16.0)
+    c_off = 128.0 * (1.0 - 224.0 / 255.0)
+    cb = q8(cv @ Cb @ ch.T * (224.0 / 255.0) + c_off)
+    cr = q8(cv @ Cr @ ch.T * (224.0 / 255.0) + c_off)
+    return y, cb, cr
+
+
 def decode_resize_rgb_batch(
     y_flat: np.ndarray,
     cb_flat: np.ndarray,

@@ -87,6 +87,7 @@ class _JpegItem:
     fmt: ImageFormat
     quality: int
     future: asyncio.Future
+    k: int = 8  # coefficients kept per block axis (8 = full)
     enqueued: float = field(default_factory=time.perf_counter)
 
 
@@ -252,12 +253,50 @@ class BatchedEngine(TransformEngine):
         loop = asyncio.get_running_loop()
         self._ensure_flusher(loop)
 
+        from imagekit_tpu.codecs import vp8 as vp8_native
         from imagekit_tpu.codecs.native import jpeg_abi, loader
 
         lib = loader.load()
+        try:
+            pre_hdr = jpeg_abi.parse(lib, data)  # header-only, microseconds
+        except jpeg_abi.NativeJpegError as e:
+            raise _NativeUnsupported() from e
+
+        # Truncated-coefficient path for thumbnail-class downscales: keep
+        # only each block's KxK low-frequency coefficients, shrinking the
+        # host->device upload and the IDCT by (8/K)^2 (the dropped
+        # frequencies are the ones the Lanczos downsample would remove).
+        # Only for webp output (the fused YUV kernel has the lowfreq
+        # variant); K=8 means the full path.
+        pre_out_w, pre_out_h = target_dimensions(
+            pre_hdr.width, pre_hdr.height, w, h
+        )
+        kind = (
+            "yuv"
+            if fmt == ImageFormat.webp and vp8_native.available()
+            else "rgb"
+        )
+        k = 8
+        if kind == "yuv" and hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq"):
+            # K is chosen from the BUCKET geometry (not true dims) so the
+            # runtime choice always matches what warmup compiled; within a
+            # bucket step of an exact 2x boundary the intermediate may be
+            # slightly below the true target and the Lanczos weights upscale
+            # mildly — a corner case the PSNR tests cover.
+            try:
+                k = self._choose_k(
+                    bucket_for(pre_hdr.blocks_h[0] * 8),
+                    bucket_for(pre_hdr.blocks_w[0] * 8),
+                    bucket_for(pre_out_h),
+                    bucket_for(pre_out_w),
+                )
+            except ValueError:
+                k = 8  # outside the ladder; later checks handle fallback
 
         def entropy_decode():
             try:
+                if k < 8:
+                    return jpeg_abi.decode_lowfreq(lib, data, k, pre_hdr)
                 return jpeg_abi.decode(lib, data)
             except jpeg_abi.NativeJpegError as e:
                 raise _NativeUnsupported() from e
@@ -272,7 +311,7 @@ class BatchedEngine(TransformEngine):
             # geometry — zero blocks IDCT to flat 128, so the colour matrix
             # contributes exactly nothing and R=G=B=Y
             by, bx = coeffs[0].shape[:2]
-            cz = np.zeros(((by + 1) // 2, (bx + 1) // 2, 64), np.int16)
+            cz = np.zeros(((by + 1) // 2, (bx + 1) // 2, k * k), np.int16)
             coeffs = [coeffs[0], cz, cz]
             # zero chroma coeffs dequantise to zero under any table, so the
             # chroma slot just reuses the luma's selected table
@@ -305,24 +344,27 @@ class BatchedEngine(TransformEngine):
 
         fut: asyncio.Future = loop.create_future()
         item = _JpegItem(
-            hdr, coeffs, qtabs, out_h, out_w, fmt, quality, fut
+            hdr, coeffs, qtabs, out_h, out_w, fmt, quality, fut, k=k
         )
         # webp output takes the fused coefficients->YUV kernel (no RGB round
         # trip, half the D2H bytes); other formats the coefficients->RGB one
-        from imagekit_tpu.codecs import vp8 as vp8_native
-
-        kind = (
-            "yuv"
-            if fmt == ImageFormat.webp and vp8_native.available()
-            else "rgb"
-        )
-        key = (yb_h, yb_w, obh, obw, kind)
+        key = (yb_h, yb_w, obh, obw, kind, k)
         queue = self._jqueues.setdefault(key, [])
         queue.append(item)
         if len(queue) >= self.max_batch:
             self._jqueues[key] = []
             asyncio.ensure_future(self._flush_jpeg(key, queue))
         return await fut
+
+    @staticmethod
+    def _choose_k(src_bh: int, src_bw: int, out_bh: int, out_bw: int) -> int:
+        """Smallest K in {2, 4, 8} whose K/8-scale intermediate still covers
+        the target — computed on BUCKET dims so warmup and the request path
+        always agree (downscales >=2x get truncated decode)."""
+        for cand in (2, 4):
+            if src_bh * cand // 8 >= out_bh and src_bw * cand // 8 >= out_bw:
+                return cand
+        return 8
 
     MAX_UNIQUE = 4  # fixed unique-geometry slots per device call
 
@@ -386,34 +428,44 @@ class BatchedEngine(TransformEngine):
             combined_chroma_weights,
             decode_resize_rgb_batch,
             decode_resize_yuv_batch,
+            decode_resize_yuv_lowfreq_batch,
+            lowfreq_chroma_half_weights,
+            lowfreq_luma_weights,
+            pad128,
         )
         from imagekit_tpu.utils.bucketing import batch_bucket
 
         loop = asyncio.get_running_loop()
-        yb_h, yb_w, obh, obw, kind = key
+        yb_h, yb_w, obh, obw, kind, k = key
         by_b, bx_b = yb_h // 8, yb_w // 8
         cy_b, cx_b = yb_h // 16, yb_w // 16
+        lowfreq = k < 8
+        nk = k * k if lowfreq else 64
         try:
             t0 = time.perf_counter()
             nb = batch_bucket(len(items), self.max_batch)
             shard = self._use_mesh(nb)
-            sig = ("jpeg", kind, shard, nb, yb_h, yb_w, obh, obw)
+            sig = ("jpeg", kind, k, shard, nb, yb_h, yb_w, obh, obw)
             if sig not in self._compiled:
                 self._kick_compile_jpeg(sig)
                 await self._host_fallback_jpeg(items)
                 return
-            y = np.zeros((nb, by_b, bx_b, 64), np.int16)
-            cb = np.zeros((nb, cy_b, cx_b, 64), np.int16)
-            cr = np.zeros((nb, cy_b, cx_b, 64), np.int16)
+            # lowfreq layout: flat (B, by, pad128(bx*k*k)) keeps the minor
+            # transfer dim 128-aligned regardless of k
+            ym = pad128(bx_b * nk) if lowfreq else bx_b * 64
+            cm = pad128(cx_b * nk) if lowfreq else cx_b * 64
+            y = np.zeros((nb, by_b, ym), np.int16)
+            cb = np.zeros((nb, cy_b, cm), np.int16)
+            cr = np.zeros((nb, cy_b, cm), np.int16)
             qt = np.zeros((nb, 128), np.float32)
             u_keys: Dict[Tuple[int, int, int, int], int] = {}
             vidx = np.zeros(nb, np.int32)
             for i, it in enumerate(items):
                 byi, bxi = it.coeffs[0].shape[:2]
                 cyi, cxi = it.coeffs[1].shape[:2]
-                y[i, :byi, :bxi] = it.coeffs[0]
-                cb[i, :cyi, :cxi] = it.coeffs[1]
-                cr[i, :cyi, :cxi] = it.coeffs[2]
+                y[i, :byi, : bxi * nk] = it.coeffs[0].reshape(byi, -1)
+                cb[i, :cyi, : cxi * nk] = it.coeffs[1].reshape(cyi, -1)
+                cr[i, :cyi, : cxi * nk] = it.coeffs[2].reshape(cyi, -1)
                 qt[i, :64] = it.qtabs[0]
                 qt[i, 64:] = it.qtabs[1]
                 ukey = (it.hdr.width, it.hdr.height, it.out_w, it.out_h)
@@ -432,15 +484,37 @@ class BatchedEngine(TransformEngine):
             cached = self._dweights.get(wkey)
             if cached is None:
                 # chroma weights: to full output res for the RGB kernel, to
-                # half res (subsample∘resize∘upsample folded) for the YUV one
-                c_obh = obh if kind == "rgb" else obh // 2
-                c_obw = obw if kind == "rgb" else obw // 2
-                wv_y = np.zeros((nu, obh, yb_h), np.float32)
-                wh_y = np.zeros((nu, obw, yb_w), np.float32)
-                wv_c = np.zeros((nu, c_obh, yb_h // 2), np.float32)
-                wh_c = np.zeros((nu, c_obw, yb_w // 2), np.float32)
+                # half res (subsample∘resize∘upsample folded) for the YUV one;
+                # lowfreq weights resample the k/8-scale intermediate planes
+                if lowfreq:
+                    ly, lx = yb_h * k // 8, yb_w * k // 8
+                    wv_y = np.zeros((nu, obh, ly), np.float32)
+                    wh_y = np.zeros((nu, obw, lx), np.float32)
+                    wv_c = np.zeros((nu, obh // 2, ly // 2), np.float32)
+                    wh_c = np.zeros((nu, obw // 2, lx // 2), np.float32)
+                else:
+                    c_obh = obh if kind == "rgb" else obh // 2
+                    c_obw = obw if kind == "rgb" else obw // 2
+                    wv_y = np.zeros((nu, obh, yb_h), np.float32)
+                    wh_y = np.zeros((nu, obw, yb_w), np.float32)
+                    wv_c = np.zeros((nu, c_obh, yb_h // 2), np.float32)
+                    wh_c = np.zeros((nu, c_obw, yb_w // 2), np.float32)
                 for (iw, ih, ow_, oh_), u in u_keys.items():
                     c_h, c_w = chroma_dims[(iw, ih, ow_, oh_)]
+                    if lowfreq:
+                        wv_y[u] = lowfreq_luma_weights(
+                            ih, oh_, k, yb_h * k // 8, obh
+                        )
+                        wh_y[u] = lowfreq_luma_weights(
+                            iw, ow_, k, yb_w * k // 8, obw
+                        )
+                        wv_c[u] = lowfreq_chroma_half_weights(
+                            c_h, ih, oh_, yb_h * k // 16, obh // 2, k
+                        )
+                        wh_c[u] = lowfreq_chroma_half_weights(
+                            c_w, iw, ow_, yb_w * k // 16, obw // 2, k
+                        )
+                        continue
                     wv_y[u] = _cached_weights(ih, oh_, yb_h, obh)
                     wh_y[u] = _cached_weights(iw, ow_, yb_w, obw)
                     if kind == "rgb":
@@ -468,22 +542,26 @@ class BatchedEngine(TransformEngine):
             t1 = time.perf_counter()
 
             def device_step():
-                fn = (
-                    decode_resize_rgb_batch
-                    if kind == "rgb"
-                    else decode_resize_yuv_batch
-                )
-                yb_, cbb_, crb_ = (
-                    y.reshape(nb, by_b, -1),
-                    cb.reshape(nb, cy_b, -1),
-                    cr.reshape(nb, cy_b, -1),
-                )
-                qt_, vidx_ = qt, vidx
+                yb_, cbb_, crb_, qt_, vidx_ = y, cb, cr, qt, vidx
                 if shard:  # DP over the mesh's data axis
                     yb_, cbb_, crb_, qt_, vidx_ = (
                         self._put_sharded(a)
                         for a in (yb_, cbb_, crb_, qt_, vidx_)
                     )
+                if lowfreq:
+                    return decode_resize_yuv_lowfreq_batch(
+                        yb_, cbb_, crb_, qt_,
+                        (wv_y, wh_y, wv_c, wh_c),
+                        vidx_,
+                        (by_b, bx_b, cy_b, cx_b),
+                        (obh, obw),
+                        k,
+                    )
+                fn = (
+                    decode_resize_rgb_batch
+                    if kind == "rgb"
+                    else decode_resize_yuv_batch
+                )
                 return fn(
                     yb_, cbb_, crb_, qt_,
                     (wv_y, wh_y, wv_c, wh_c),
@@ -701,50 +779,74 @@ class BatchedEngine(TransformEngine):
 
         self._device_pool.submit(compile_step)
 
+    def _compile_jpeg_sig(self, sig) -> None:
+        """Blocking compile of one jpeg-path signature with zero inputs
+        (shared by warmup and the background cold-shape kicker)."""
+        from imagekit_tpu.ops.dct import (
+            decode_resize_rgb_batch,
+            decode_resize_yuv_batch,
+            decode_resize_yuv_lowfreq_batch,
+            pad128,
+        )
+
+        _, kind, k, shard, nb, yb_h, yb_w, obh, obw = sig
+        by_b, bx_b = yb_h // 8, yb_w // 8
+        cy_b, cx_b = yb_h // 16, yb_w // 16
+        lowfreq = k < 8
+        nk = k * k if lowfreq else 64
+        ym = pad128(bx_b * nk) if lowfreq else bx_b * 64
+        cm = pad128(cx_b * nk) if lowfreq else cx_b * 64
+        if lowfreq:
+            wdims = (
+                (obh, yb_h * k // 8),
+                (obw, yb_w * k // 8),
+                (obh // 2, yb_h * k // 16),
+                (obw // 2, yb_w * k // 16),
+            )
+        else:
+            c_obh = obh if kind == "rgb" else obh // 2
+            c_obw = obw if kind == "rgb" else obw // 2
+            wdims = (
+                (obh, yb_h),
+                (obw, yb_w),
+                (c_obh, yb_h // 2),
+                (c_obw, yb_w // 2),
+            )
+        y = np.zeros((nb, by_b, ym), np.int16)
+        c = np.zeros((nb, cy_b, cm), np.int16)
+        qt = np.zeros((nb, 128), np.float32)
+        weights = tuple(
+            np.zeros((self.MAX_UNIQUE,) + d, np.float32) for d in wdims
+        )
+        idx = np.zeros(nb, np.int32)
+        if shard:
+            y, c, qt, idx = (self._put_sharded(a) for a in (y, c, qt, idx))
+            weights = tuple(self._put_replicated(w) for w in weights)
+        if lowfreq:
+            decode_resize_yuv_lowfreq_batch(
+                y, c, c, qt, weights, idx,
+                (by_b, bx_b, cy_b, cx_b), (obh, obw), k,
+            )
+        else:
+            fn = (
+                decode_resize_rgb_batch
+                if kind == "rgb"
+                else decode_resize_yuv_batch
+            )
+            fn(
+                y, c, c, qt, weights, idx,
+                (by_b, bx_b, cy_b, cx_b), (obh, obw),
+            )
+        self._compiled.add(sig)
+
     def _kick_compile_jpeg(self, sig) -> None:
         if sig in self._compiling:
             return
         self._compiling.add(sig)
-        from imagekit_tpu.ops.dct import (
-            decode_resize_rgb_batch,
-            decode_resize_yuv_batch,
-        )
-
-        _, kind, shard, nb, yb_h, yb_w, obh, obw = sig
-        by_b, bx_b = yb_h // 8, yb_w // 8
-        cy_b, cx_b = yb_h // 16, yb_w // 16
-        c_obh = obh if kind == "rgb" else obh // 2
-        c_obw = obw if kind == "rgb" else obw // 2
 
         def compile_step():
             try:
-                y = np.zeros((nb, by_b, bx_b * 64), np.int16)
-                c = np.zeros((nb, cy_b, cx_b * 64), np.int16)
-                qt = np.zeros((nb, 128), np.float32)
-                wv_y = np.zeros((self.MAX_UNIQUE, obh, yb_h), np.float32)
-                wh_y = np.zeros((self.MAX_UNIQUE, obw, yb_w), np.float32)
-                wv_c = np.zeros((self.MAX_UNIQUE, c_obh, yb_h // 2), np.float32)
-                wh_c = np.zeros((self.MAX_UNIQUE, c_obw, yb_w // 2), np.float32)
-                idx = np.zeros(nb, np.int32)
-                weights = (wv_y, wh_y, wv_c, wh_c)
-                if shard:
-                    y, qt, idx = (
-                        self._put_sharded(y),
-                        self._put_sharded(qt),
-                        self._put_sharded(idx),
-                    )
-                    c = self._put_sharded(c)
-                    weights = tuple(self._put_replicated(w) for w in weights)
-                fn = (
-                    decode_resize_rgb_batch
-                    if kind == "rgb"
-                    else decode_resize_yuv_batch
-                )
-                fn(
-                    y, c, c, qt, weights, idx,
-                    (by_b, bx_b, cy_b, cx_b), (obh, obw),
-                )
-                self._compiled.add(sig)
+                self._compile_jpeg_sig(sig)
             except Exception:
                 pass
             finally:
@@ -779,26 +881,49 @@ class BatchedEngine(TransformEngine):
         await asyncio.gather(*(one(it) for it in items))
 
     async def _host_fallback_jpeg(self, items) -> None:
-        from imagekit_tpu.ops.dct import host_decode_resize_single
+        from imagekit_tpu.ops.dct import (
+            host_decode_resize_single,
+            host_decode_resize_yuv_lowfreq_single,
+        )
 
         loop = asyncio.get_running_loop()
         self.metrics.inc("host_fallbacks", len(items))
 
         async def one(it) -> None:
             try:
-                rgb = await loop.run_in_executor(
-                    self._codec_pool,
-                    host_decode_resize_single,
-                    it.coeffs,
-                    it.qtabs,
-                    it.hdr.width,
-                    it.hdr.height,
-                    it.hdr.comp_width[1],
-                    it.hdr.comp_height[1],
-                    it.out_h,
-                    it.out_w,
-                )
-                encoded = await self._encode(loop, rgb, it.fmt, it.quality)
+                if it.k < 8:
+                    # truncated items carry KxK blocks: numpy mirror of the
+                    # lowfreq kernel -> YUV planes -> native VP8 encode
+                    yuv = await loop.run_in_executor(
+                        self._codec_pool,
+                        host_decode_resize_yuv_lowfreq_single,
+                        it.coeffs,
+                        it.qtabs,
+                        it.hdr.width,
+                        it.hdr.height,
+                        it.hdr.comp_width[1],
+                        it.hdr.comp_height[1],
+                        it.out_h,
+                        it.out_w,
+                        it.k,
+                    )
+                    encoded = await self._encode_yuv(
+                        loop, yuv[0], yuv[1], yuv[2], it.quality
+                    )
+                else:
+                    rgb = await loop.run_in_executor(
+                        self._codec_pool,
+                        host_decode_resize_single,
+                        it.coeffs,
+                        it.qtabs,
+                        it.hdr.width,
+                        it.hdr.height,
+                        it.hdr.comp_width[1],
+                        it.hdr.comp_height[1],
+                        it.out_h,
+                        it.out_w,
+                    )
+                    encoded = await self._encode(loop, rgb, it.fmt, it.quality)
             except Exception as e:  # noqa: BLE001
                 if not it.future.done():
                     it.future.set_exception(e)
@@ -897,59 +1022,33 @@ class BatchedEngine(TransformEngine):
             await loop.run_in_executor(self._device_pool, step)
             self._compiled.add(("rgb", shard, b, bh, bw, obh, obw, ch))
         # jpeg coeffs-path shapes for the same bucket pairs. "jpeg" warms the
-        # fused coefficients->YUV kernel (webp is the default output format);
+        # fused coefficients->YUV kernel (webp is the default output format)
+        # with the truncation factor the bucket geometry would choose;
         # "jpeg_rgb" additionally warms the coefficients->RGB variant used by
         # jpeg/avif outputs (otherwise it compiles in the background on first
         # use while requests ride the host fallback).
-        from imagekit_tpu.ops.dct import (
-            decode_resize_rgb_batch,
-            decode_resize_yuv_batch,
-        )
+        from imagekit_tpu.codecs.native import loader as _loader
 
+        lowfreq_ok = hasattr(_loader.load() or object(), "ik_jpeg_decode_coeffs_lowfreq")
         kinds = []
         if "jpeg" in paths:
             kinds.append("yuv")
         if "jpeg_rgb" in paths:
             kinds.append("rgb")
         for kind in kinds:
-            fn = decode_resize_rgb_batch if kind == "rgb" else decode_resize_yuv_batch
             for b, bh, bw, obh, obw, ch in shapes:
                 if bh % 16 or bw % 16 or ch != 3:
                     continue
                 shard = self._use_mesh(b)
-                by_b, bx_b = bh // 8, bw // 8
-                cy_b, cx_b = bh // 16, bw // 16
-                c_obh = obh if kind == "rgb" else obh // 2
-                c_obw = obw if kind == "rgb" else obw // 2
-                y = np.zeros((b, by_b, bx_b * 64), np.int16)
-                cbcr = np.zeros((b, cy_b, cx_b * 64), np.int16)
-                qt = np.zeros((b, 128), np.float32)
-                wv_y = np.zeros((self.MAX_UNIQUE, obh, bh), np.float32)
-                wh_y = np.zeros((self.MAX_UNIQUE, obw, bw), np.float32)
-                wv_c = np.zeros((self.MAX_UNIQUE, c_obh, bh // 2), np.float32)
-                wh_c = np.zeros((self.MAX_UNIQUE, c_obw, bw // 2), np.float32)
-                idx = np.zeros(b, np.int32)
-                if shard:
-                    y, cbcr, qt, idx = (
-                        self._put_sharded(a) for a in (y, cbcr, qt, idx)
-                    )
-                    wv_y, wh_y, wv_c, wh_c = (
-                        self._put_replicated(a)
-                        for a in (wv_y, wh_y, wv_c, wh_c)
-                    )
-
-                def jstep(
-                    fn=fn, y=y, cbcr=cbcr, qt=qt, wv_y=wv_y, wh_y=wh_y,
-                    wv_c=wv_c, wh_c=wh_c, idx=idx,
-                    dims=(by_b, bx_b, cy_b, cx_b), oshape=(obh, obw),
-                ):
-                    return fn(
-                        y, cbcr, cbcr, qt, (wv_y, wh_y, wv_c, wh_c), idx,
-                        dims, oshape,
-                    )
-
-                await loop.run_in_executor(self._device_pool, jstep)
-                self._compiled.add(("jpeg", kind, shard, b, bh, bw, obh, obw))
+                k = (
+                    self._choose_k(bh, bw, obh, obw)
+                    if kind == "yuv" and lowfreq_ok
+                    else 8
+                )
+                sig = ("jpeg", kind, k, shard, b, bh, bw, obh, obw)
+                await loop.run_in_executor(
+                    self._device_pool, self._compile_jpeg_sig, sig
+                )
 
     async def close(self) -> None:
         self._closed = True

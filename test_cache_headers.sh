@@ -75,17 +75,58 @@ else
   FAIL=$((FAIL+1))
 fi
 
-echo "== cloudflare edge interpretation (informational) =="
+echo "== local hit-path proof (metrics counters) =="
+# the reference script can only infer hits from latency; the rebuild's
+# /metrics makes the origin hit observable directly
+M=$(curl -fsS "$BASE/metrics")
+HITS=$(printf '%s' "$M" | grep '^imagekit_cache_hits_total' | awk '{print $2}')
+if [ -n "$HITS" ] && [ "${HITS%.*}" -ge 1 ]; then
+  green "  ok: imagekit_cache_hits_total >= 1 after second request ($HITS)"
+  PASS=$((PASS+1))
+else
+  red "  FAIL: no cache hit recorded in /metrics (hits=$HITS)"
+  FAIL=$((FAIL+1))
+fi
+
+echo "== /sign also gets edge-cache headers (reproduced quirk SURVEY §2.4.3) =="
+HS=$(curl -fsS -D - -o /dev/null "$BASE/sign?url=$SRC&w=401")
+check "sign 200" "$HS" '^HTTP.* 200'
+check "sign Cache-Control rewritten by middleware" "$HS" 's-maxage=86400'
+check "sign CDN-Cache-Control" "$HS" 'cdn-cache-control: max-age=86400'
+
+echo "== upload (no-store rewritten by middleware on 2xx — reproduced quirk) =="
+python3 - <<'PYEOF'
+from PIL import Image
+import numpy as np
+Image.fromarray(np.full((32, 32, 3), 99, np.uint8)).save("/tmp/ik_e2e_up.png")
+PYEOF
+HU=$(curl -fsS -D - -o /tmp/ik_e2e_up_out -F "file=@/tmp/ik_e2e_up.png" -F w=16 "$BASE/upload")
+check "upload 200" "$HU" '^HTTP.* 200'
+check "upload Content-Type image" "$HU" 'content-type: image/'
+check "upload Cache-Control rewritten (middleware overrides no-store)" "$HU" 's-maxage=86400'
+
+echo "== error-path statuses =="
+HT=$(curl -sS -D - -o /dev/null "$BASE/img?url=$SRC&w=400&sig=deadbeef")
+check "tampered sig -> 401" "$HT" '^HTTP.* 401'
+HM=$(curl -sS -D - -o /dev/null "$BASE/img?url=$SRC&w=400")
+check "missing sig -> 400" "$HM" '^HTTP.* 400'
+
+echo "== cloudflare edge interpretation =="
 CF=$(printf '%s' "$H2" | grep -i 'cf-cache-status' | tr -d '\r' || true)
 if [ -n "$CF" ]; then
   case "$CF" in
-    *HIT*)     green "  cf-cache-status HIT — served from Cloudflare edge";;
-    *MISS*)    echo  "  cf-cache-status MISS — edge will cache this response";;
-    *DYNAMIC*) red   "  cf-cache-status DYNAMIC — edge is NOT caching (check page rules)";;
-    *)         echo  "  $CF";;
+    *HIT*)         green "  cf-cache-status HIT — served from Cloudflare edge";;
+    *MISS*)        echo  "  cf-cache-status MISS — first request; edge will cache this response";;
+    *EXPIRED*)     echo  "  cf-cache-status EXPIRED — edge copy expired, revalidating against origin";;
+    *REVALIDATED*) echo  "  cf-cache-status REVALIDATED — stale copy revalidated";;
+    *DYNAMIC*)     red   "  cf-cache-status DYNAMIC — edge is NOT caching (add a 'Cache Everything' page rule)";;
+    *BYPASS*)      red   "  cf-cache-status BYPASS — cache bypassed (check page rules / cookies)";;
+    *)             echo  "  $CF (unknown status)";;
   esac
+  AGE=$(printf '%s' "$H2" | grep -i '^age:' | tr -d '\r' || true)
+  [ -n "$AGE" ] && echo "  $AGE seconds since the edge cached this object"
 else
-  echo "  (no cf-cache-status header — not behind Cloudflare)"
+  echo "  (no cf-cache-status header — not behind Cloudflare; expected for localhost)"
 fi
 
 echo

@@ -312,3 +312,93 @@ def test_jpeg_to_webp_fused_yuv_path():
     )
     assert dec.shape == golden.shape
     assert psnr(dec, golden) >= 32.0
+
+
+def test_jpeg_lowfreq_truncated_path():
+    """Thumbnail-class downscales take the K-truncated coefficient path
+    (16x less upload at K=2) with quality matching the golden pipeline."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from imagekit_tpu.codecs import vp8 as vp8_native
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(1280, 720)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=88)
+    data = buf.getvalue()
+
+    engine = make_engine()
+    # 1280x720 -> 256x144 (5x downscale): bucket geometry chooses K=2
+    assert engine._choose_k(
+        bucket_for(720), bucket_for(1280), bucket_for(144), bucket_for(256)
+    ) == 2
+    shapes = [
+        (1, bucket_for(720), bucket_for(1280), bucket_for(144),
+         bucket_for(256), 3)
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg",))
+        out = await engine.transform(data, 256, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    # the truncated device kernel actually ran
+    assert any(
+        s[0] == "jpeg" and s[1] == "yuv" and s[2] == 2
+        for s in engine._compiled
+    )
+    assert engine.metrics.stage_seconds.get("device_decode_resize", 0) > 0
+    assert engine.metrics.host_fallbacks == 0
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (256, 144), Image.LANCZOS
+        )
+    )
+    assert dec.shape == golden.shape
+    assert psnr(dec, golden) >= 31.0
+
+
+def test_jpeg_lowfreq_host_fallback_matches():
+    """Cold-shape truncated items ride the host lowfreq mirror and still
+    produce a valid webp of the same quality class."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from imagekit_tpu.codecs import vp8 as vp8_native
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(1280, 720)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=88)
+    data = buf.getvalue()
+
+    engine = make_engine()
+
+    async def run():
+        out = await engine.transform(data, 256, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())  # no warmup: first flush -> host fallback
+    assert engine.metrics.host_fallbacks >= 1
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (256, 144), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 31.0

@@ -118,3 +118,97 @@ def test_fused_decode_resize_kernel():
     ref_full = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     golden = resample_reference(ref_full, out_h, out_w)
     assert psnr(out, golden) >= 40.0
+
+
+def test_lowfreq_decode_matches_full_path():
+    """K-truncated coefficient decode (scaled IDCT) vs the full path at the
+    target resolution: the dropped frequencies are the ones Lanczos
+    removes, so the two pipelines agree to high PSNR."""
+    from imagekit_tpu.ops.dct import (
+        host_decode_resize_yuv_lowfreq_single,
+    )
+
+    img = make_test_image(1280, 720)
+    data = _jpeg(img, 85)
+    out_h, out_w = 150, 267
+
+    # full path -> RGB golden at target res
+    hdr, coeffs, qtabs = jpeg_abi.decode(lib, data)
+    qt2 = np.stack([qtabs[hdr.comp_tq[0]], qtabs[hdr.comp_tq[1]]])
+    full_rgb = dct_ops.host_decode_resize_single(
+        coeffs, qt2, hdr.width, hdr.height,
+        hdr.comp_width[1], hdr.comp_height[1], out_h, out_w,
+    )
+
+    for k in (2, 4):
+        hdr2, ck, qk = jpeg_abi.decode_lowfreq(lib, data, k)
+        assert ck[0].shape == (hdr.blocks_h[0], hdr.blocks_w[0], k * k)
+        qk2 = np.stack([qk[hdr2.comp_tq[0]], qk[hdr2.comp_tq[1]]])
+        y, cb, cr = host_decode_resize_yuv_lowfreq_single(
+            ck, qk2, hdr.width, hdr.height,
+            hdr.comp_width[1], hdr.comp_height[1], out_h, out_w, k,
+        )
+        # compare in luma space: full path's Y (BT.601 from RGB) remapped
+        r, g, b = [full_rgb[..., i].astype(np.float32) for i in range(3)]
+        y_full = (0.299 * r + 0.587 * g + 0.114 * b) * (219 / 255) + 16
+        assert psnr(y.astype(np.float32), y_full) >= 40.0, k
+
+
+def test_lowfreq_device_kernel_matches_host_mirror():
+    from imagekit_tpu.ops.dct import (
+        decode_resize_yuv_lowfreq_batch,
+        host_decode_resize_yuv_lowfreq_single,
+        lowfreq_chroma_half_weights,
+        lowfreq_luma_weights,
+        pad128,
+    )
+    from imagekit_tpu.utils.bucketing import bucket_for
+
+    img = make_test_image(640, 480)
+    data = _jpeg(img, 88)
+    k = 2
+    hdr, ck, qk = jpeg_abi.decode_lowfreq(lib, data, k)
+    qt2 = np.stack([qk[hdr.comp_tq[0]], qk[hdr.comp_tq[1]]])
+    out_h, out_w = 120, 160
+
+    by, bx = ck[0].shape[:2]
+    cy, cx = ck[1].shape[:2]
+    yb_h, yb_w = bucket_for(by * 8), bucket_for(bx * 8)
+    obh, obw = bucket_for(out_h), bucket_for(out_w)
+    nk = k * k
+    y = np.zeros((1, yb_h // 8, pad128((yb_w // 8) * nk)), np.int16)
+    cb = np.zeros((1, yb_h // 16, pad128((yb_w // 16) * nk)), np.int16)
+    cr = np.zeros_like(cb)
+    y[0, :by, : bx * nk] = ck[0].reshape(by, -1)
+    cb[0, :cy, : cx * nk] = ck[1].reshape(cy, -1)
+    cr[0, :cy, : cx * nk] = ck[2].reshape(cy, -1)
+    qt = np.zeros((1, 128), np.float32)
+    qt[0, :64] = qt2[0]
+    qt[0, 64:] = qt2[1]
+    wv = np.zeros((1, obh, yb_h * k // 8), np.float32)
+    wh = np.zeros((1, obw, yb_w * k // 8), np.float32)
+    wvc = np.zeros((1, obh // 2, yb_h * k // 16), np.float32)
+    whc = np.zeros((1, obw // 2, yb_w * k // 16), np.float32)
+    wv[0] = lowfreq_luma_weights(hdr.height, out_h, k, yb_h * k // 8, obh)
+    wh[0] = lowfreq_luma_weights(hdr.width, out_w, k, yb_w * k // 8, obw)
+    wvc[0] = lowfreq_chroma_half_weights(
+        hdr.comp_height[1], hdr.height, out_h, yb_h * k // 16, obh // 2, k
+    )
+    whc[0] = lowfreq_chroma_half_weights(
+        hdr.comp_width[1], hdr.width, out_w, yb_w * k // 16, obw // 2, k
+    )
+    yd, cbd, crd = decode_resize_yuv_lowfreq_batch(
+        y, cb, cr, qt, (wv, wh, wvc, whc), np.zeros(1, np.int32),
+        (yb_h // 8, yb_w // 8, yb_h // 16, yb_w // 16), (obh, obw), k,
+    )
+    yh, cbh, crh = host_decode_resize_yuv_lowfreq_single(
+        ck, qt2, hdr.width, hdr.height,
+        hdr.comp_width[1], hdr.comp_height[1], out_h, out_w, k,
+    )
+    assert np.abs(
+        yd[0, :out_h, :out_w].astype(int) - yh.astype(int)
+    ).max() <= 1
+    ch, cw = (out_h + 1) // 2, (out_w + 1) // 2
+    assert np.abs(
+        cbd[0, :ch, :cw].astype(int) - cbh.astype(int)
+    ).max() <= 1
