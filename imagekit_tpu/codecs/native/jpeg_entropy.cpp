@@ -258,7 +258,9 @@ struct BitReader {
   inline int Receive(int n) {
     if (n == 0) return 0;
     int v = Get(n);
-    if (v < (1 << (n - 1))) v += (-1 << n) + 1;
+    // extend: v - (2^n - 1) when the sign bit is clear (avoid the UB of
+    // left-shifting a negative value; caught by UBSan)
+    if (v < (1 << (n - 1))) v -= (1 << n) - 1;
     return v;
   }
 

@@ -103,10 +103,10 @@ std::vector<uint8_t> MakePng(int w, int h) {
                       0, 0, 0, 0};
     std::memcpy(hdr + 4, type, 4);
     png.insert(png.end(), hdr, hdr + 8);
-    png.insert(png.end(), body, body + n);
+    if (n) png.insert(png.end(), body, body + n);
     uint32_t crc = crc32(0L, Z_NULL, 0);
     crc = crc32(crc, reinterpret_cast<const Bytef*>(type), 4);
-    crc = crc32(crc, body, n);
+    if (n) crc = crc32(crc, body, n);
     uint8_t c[4] = {static_cast<uint8_t>(crc >> 24),
                     static_cast<uint8_t>(crc >> 16),
                     static_cast<uint8_t>(crc >> 8), static_cast<uint8_t>(crc)};
