@@ -95,6 +95,20 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
                 raise TransformError(str(e)) from e
             if arr is not None:
                 return arr, fmt
+    elif fmt in (SourceFormat.gif, SourceFormat.bmp):
+        from imagekit_tpu.codecs import misc as misc_native
+
+        if misc_native.available():
+            try:
+                arr = (
+                    misc_native.decode_gif(data)
+                    if fmt == SourceFormat.gif
+                    else misc_native.decode_bmp(data)
+                )
+            except ValueError as e:
+                raise TransformError(str(e)) from e
+            if arr is not None:
+                return arr, fmt
     from imagekit_tpu.codecs import pil_backend
 
     arr = pil_backend.decode(data)

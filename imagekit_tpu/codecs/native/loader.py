@@ -19,7 +19,12 @@ from typing import Optional
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "jpeg_entropy.cpp"
-_SOURCES = ("jpeg_entropy.cpp", "vp8_encode.cpp", "png_decode.cpp")
+_SOURCES = (
+    "jpeg_entropy.cpp",
+    "vp8_encode.cpp",
+    "png_decode.cpp",
+    "misc_decode.cpp",
+)
 _LIB = _HERE / "libik_native.so"
 
 _lock = threading.Lock()

@@ -116,3 +116,87 @@ def test_env_switch_disables_native(monkeypatch):
     img = rng.integers(0, 256, (16, 16, 3), np.uint8)
     arr, _ = decode_bytes(_png(img))  # host library path still works
     np.testing.assert_array_equal(arr, img)
+
+
+# -- GIF / BMP native decode (same host-unpack family) -----------------------
+
+
+def _misc():
+    mod = pytest.importorskip("imagekit_tpu.codecs.misc")
+    if not mod.available():
+        pytest.skip("native misc decoder unavailable")
+    return mod
+
+
+def test_bmp_24_and_palette_exact():
+    misc = _misc()
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (60, 90, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "BMP")
+    np.testing.assert_array_equal(misc.decode_bmp(buf.getvalue()), img)
+    pimg = Image.fromarray(img).quantize(64)
+    buf = io.BytesIO()
+    pimg.save(buf, "BMP")
+    np.testing.assert_array_equal(
+        misc.decode_bmp(buf.getvalue()), np.asarray(pimg.convert("RGB"))
+    )
+
+
+def test_gif_first_frame_exact():
+    misc = _misc()
+    yy, xx = np.mgrid[0:200, 0:300]
+    grad = np.stack(
+        [(xx * 255 // 300), (yy * 255 // 200), ((xx + yy) // 3 % 256)], -1
+    ).astype(np.uint8)
+    g = Image.fromarray(grad).quantize(256)
+    for kw in ({}, {"interlace": True}):
+        buf = io.BytesIO()
+        g.save(buf, "GIF", **kw)
+        ref = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+        np.testing.assert_array_equal(misc.decode_gif(buf.getvalue()), ref)
+
+
+def test_gif_transparency_matches_host_library():
+    misc = _misc()
+    from imagekit_tpu.codecs import pil_backend
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    pt = Image.fromarray(img).quantize(32)
+    buf = io.BytesIO()
+    pt.save(buf, "GIF", transparency=3)
+    out = misc.decode_gif(buf.getvalue())
+    assert out.shape[2] == 4
+    np.testing.assert_array_equal(out, pil_backend.decode(buf.getvalue()))
+
+
+def test_gif_bmp_route_through_decode_bytes():
+    _misc()
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (32, 40, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "BMP")
+    arr, fmt = decode_bytes(buf.getvalue())
+    assert fmt.value == "bmp"
+    np.testing.assert_array_equal(arr, img)
+    g = Image.fromarray(img).quantize(16)
+    buf = io.BytesIO()
+    g.save(buf, "GIF")
+    arr, fmt = decode_bytes(buf.getvalue())
+    assert fmt.value == "gif"
+    ref = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(arr, ref)
+
+
+def test_gif_corrupt_raises():
+    misc = _misc()
+    rng = np.random.default_rng(24)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    g = Image.fromarray(img).quantize(16)
+    buf = io.BytesIO()
+    g.save(buf, "GIF")
+    data = bytearray(buf.getvalue())
+    data = data[: len(data) // 2]  # truncate mid-LZW
+    with pytest.raises(ValueError):
+        misc.decode_gif(bytes(data))
