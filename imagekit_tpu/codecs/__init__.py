@@ -95,6 +95,17 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
                 raise TransformError(str(e)) from e
             if arr is not None:
                 return arr, fmt
+    elif fmt == SourceFormat.webp:
+        # native VP8 decode (lossy); VP8L/VP8X fall back to the host library
+        from imagekit_tpu.codecs import vp8 as vp8_native
+
+        if vp8_native.decode_available():
+            try:
+                arr = vp8_native.decode_rgb(data)
+            except ValueError as e:
+                raise TransformError(str(e)) from e
+            if arr is not None:
+                return arr, fmt
     elif fmt in (SourceFormat.gif, SourceFormat.bmp):
         from imagekit_tpu.codecs import misc as misc_native
 

@@ -22,6 +22,7 @@ _SRC = _HERE / "jpeg_entropy.cpp"
 _SOURCES = (
     "jpeg_entropy.cpp",
     "vp8_encode.cpp",
+    "vp8_decode.cpp",
     "png_decode.cpp",
     "misc_decode.cpp",
 )

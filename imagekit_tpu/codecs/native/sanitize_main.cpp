@@ -35,6 +35,14 @@ int64_t ik_jpeg_encode(const int16_t**, int, int, int, const int32_t*,
                        uint8_t*, size_t);
 int64_t ik_vp8_encode(const uint8_t*, const uint8_t*, const uint8_t*, int,
                       int, int, int, int, uint8_t*, size_t);
+struct IkVp8Info {
+  int32_t width, height;
+};
+int ik_webp_parse(const uint8_t*, size_t, IkVp8Info*);
+int ik_webp_decode_yuv(const uint8_t*, size_t, uint8_t*, int, uint8_t*,
+                       uint8_t*, int);
+int ik_gif_parse(const uint8_t*, size_t, void*);
+int ik_bmp_parse(const uint8_t*, size_t, void*);
 struct IkPngInfo {
   int32_t width, height, channels, color_type, bit_depth, interlaced;
 };
@@ -183,9 +191,24 @@ int main() {
         for (size_t i = 0; i < y.size(); ++i)
           y[i] = static_cast<uint8_t>((i * 3 + it) & 0xff);
         std::vector<uint8_t> webp(static_cast<size_t>(w) * h * 4 + 65536);
-        Require(ik_vp8_encode(y.data(), u.data(), v.data(), w, h, w, w / 2,
-                              20 + (it % 80), webp.data(), webp.size()) > 0,
-                "vp8 encode");
+        const int64_t wn =
+            ik_vp8_encode(y.data(), u.data(), v.data(), w, h, w, w / 2,
+                          20 + (it % 80), webp.data(), webp.size());
+        Require(wn > 0, "vp8 encode");
+
+        // -- VP8 decode of the just-encoded stream (round trip) --
+        IkVp8Info vi;
+        Require(ik_webp_parse(webp.data(), static_cast<size_t>(wn), &vi) == 0,
+                "webp parse");
+        const int W16 = (vi.width + 15) / 16 * 16;
+        const int H16 = (vi.height + 15) / 16 * 16;
+        std::vector<uint8_t> dy(static_cast<size_t>(W16) * H16);
+        std::vector<uint8_t> du(static_cast<size_t>(W16 / 2) * (H16 / 2));
+        std::vector<uint8_t> dv = du;
+        Require(ik_webp_decode_yuv(webp.data(), static_cast<size_t>(wn),
+                                   dy.data(), W16, du.data(), dv.data(),
+                                   W16 / 2) == 0,
+                "webp decode");
 
         // -- PNG decode on the SHARED input buffer --
         IkPngInfo pi;

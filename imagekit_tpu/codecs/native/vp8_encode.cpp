@@ -26,6 +26,7 @@
 #include <cstring>
 #include <vector>
 
+#include "vp8_common.h"
 #include "vp8_tables.h"
 
 #ifndef IK_EXPORT
@@ -33,6 +34,14 @@
 #endif
 
 namespace {
+
+using ikvp8::Clip255;
+using ikvp8::Idct4x4;
+using ikvp8::InvWht4x4;
+using ikvp8::QuantPair;
+using ikvp8::Quantizers;
+using ikvp8::ClampQ;
+using ikvp8::SetupQuant;
 
 // ---------------------------------------------------------------------------
 // Boolean (range) encoder — RFC 6386 §7. The decoder-side algorithm is
@@ -168,42 +177,6 @@ void Fdct4x4(const int16_t* in, int16_t* out) {  // in: 4x4 residual, row-major
   }
 }
 
-// Inverse DCT (RFC 6386 §14.4) — adds result to predictor in-place.
-const int kSinPi8Sqrt2 = 35468;
-const int kCosPi8Sqrt2Minus1 = 20091;
-
-void Idct4x4(const int16_t* in, int* out /*16*/) {
-  int tmp[16];
-  for (int i = 0; i < 4; ++i) {
-    const int a1 = in[i] + in[8 + i];
-    const int b1 = in[i] - in[8 + i];
-    int t1 = (in[4 + i] * kSinPi8Sqrt2) >> 16;
-    int t2 = in[12 + i] + ((in[12 + i] * kCosPi8Sqrt2Minus1) >> 16);
-    const int c1 = t1 - t2;
-    t1 = in[4 + i] + ((in[4 + i] * kCosPi8Sqrt2Minus1) >> 16);
-    t2 = (in[12 + i] * kSinPi8Sqrt2) >> 16;
-    const int d1 = t1 + t2;
-    tmp[0 + i] = a1 + d1;
-    tmp[12 + i] = a1 - d1;
-    tmp[4 + i] = b1 + c1;
-    tmp[8 + i] = b1 - c1;
-  }
-  for (int i = 0; i < 4; ++i) {
-    const int a1 = tmp[i * 4 + 0] + tmp[i * 4 + 2];
-    const int b1 = tmp[i * 4 + 0] - tmp[i * 4 + 2];
-    int t1 = (tmp[i * 4 + 1] * kSinPi8Sqrt2) >> 16;
-    int t2 = tmp[i * 4 + 3] + ((tmp[i * 4 + 3] * kCosPi8Sqrt2Minus1) >> 16);
-    const int c1 = t1 - t2;
-    t1 = tmp[i * 4 + 1] + ((tmp[i * 4 + 1] * kCosPi8Sqrt2Minus1) >> 16);
-    t2 = (tmp[i * 4 + 3] * kSinPi8Sqrt2) >> 16;
-    const int d1 = t1 + t2;
-    out[i * 4 + 0] = (a1 + d1 + 4) >> 3;
-    out[i * 4 + 3] = (a1 - d1 + 4) >> 3;
-    out[i * 4 + 1] = (b1 + c1 + 4) >> 3;
-    out[i * 4 + 2] = (b1 - c1 + 4) >> 3;
-  }
-}
-
 // Forward Walsh-Hadamard over the 16 luma DC values.
 void Wht4x4(const int16_t* in, int16_t* out) {
   int tmp[16];
@@ -235,70 +208,6 @@ void Wht4x4(const int16_t* in, int16_t* out) {
     out[8 + i] = static_cast<int16_t>((c2 + 3) >> 3);
     out[12 + i] = static_cast<int16_t>((d2 + 3) >> 3);
   }
-}
-
-// Inverse WHT (RFC 6386 §14.3) — normative.
-void InvWht4x4(const int16_t* in, int* out) {
-  int tmp[16];
-  for (int i = 0; i < 4; ++i) {
-    const int a1 = in[0 + i] + in[12 + i];
-    const int b1 = in[4 + i] + in[8 + i];
-    const int c1 = in[4 + i] - in[8 + i];
-    const int d1 = in[0 + i] - in[12 + i];
-    tmp[0 + i] = a1 + b1;
-    tmp[4 + i] = c1 + d1;
-    tmp[8 + i] = a1 - b1;
-    tmp[12 + i] = d1 - c1;
-  }
-  for (int i = 0; i < 4; ++i) {
-    const int a1 = tmp[i * 4 + 0] + tmp[i * 4 + 3];
-    const int b1 = tmp[i * 4 + 1] + tmp[i * 4 + 2];
-    const int c1 = tmp[i * 4 + 1] - tmp[i * 4 + 2];
-    const int d1 = tmp[i * 4 + 0] - tmp[i * 4 + 3];
-    const int a2 = a1 + b1 + 3;
-    const int b2 = c1 + d1;
-    const int c2 = a1 - b1;
-    const int d2 = d1 - c1;
-    out[i * 4 + 0] = a2 >> 3;
-    out[i * 4 + 1] = (b2 + 3) >> 3;
-    out[i * 4 + 2] = (c2 + 3) >> 3;
-    out[i * 4 + 3] = (d2 + 3) >> 3;
-  }
-}
-
-inline uint8_t Clip255(int v) {
-  return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
-}
-
-// ---------------------------------------------------------------------------
-// Quantiser setup (RFC 6386 §14.1) + libwebp's quality->qindex mapping.
-// ---------------------------------------------------------------------------
-struct QuantPair {
-  uint16_t dc, ac;
-};
-struct Quantizers {
-  QuantPair y1, y2, uv;
-};
-
-inline int ClampQ(int v) { return v < 0 ? 0 : (v > 127 ? 127 : v); }
-
-Quantizers SetupQuant(int qindex) {
-  Quantizers q;
-  q.y1.dc = kDcQLookup[ClampQ(qindex)];
-  q.y1.ac = kAcQLookup[ClampQ(qindex)];
-  q.y2.dc = static_cast<uint16_t>(kDcQLookup[ClampQ(qindex)] * 2);
-  {
-    int v = (kAcQLookup[ClampQ(qindex)] * 155) / 100;
-    if (v < 8) v = 8;
-    q.y2.ac = static_cast<uint16_t>(v);
-  }
-  {
-    int v = kDcQLookup[ClampQ(qindex)];
-    if (v > 132) v = 132;  // chroma DC clamp (RFC 6386 §14.1)
-    q.uv.dc = static_cast<uint16_t>(v);
-  }
-  q.uv.ac = kAcQLookup[ClampQ(qindex)];
-  return q;
 }
 
 // libwebp quality->compression (quant.c, sns_strength=0): qindex =
@@ -484,16 +393,18 @@ inline bool HasNz(const int16_t* coef, int first) {
 
 }  // namespace
 
-// ---------------------------------------------------------------------------
-// C ABI
-// ---------------------------------------------------------------------------
+namespace {
+
 // Encodes YUV 4:2:0 planes into a complete WebP (RIFF) file.
-// y: h x w (stride ys), u/v: ((h+1)/2) x ((w+1)/2) (stride cs).
-// Returns bytes written, or <0 on error (-7: buffer too small).
-IK_EXPORT int64_t ik_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
-                                const uint8_t* vsrc, int width, int height,
-                                int ystride, int cstride, int quality,
-                                uint8_t* out, size_t out_cap) {
+// flags bit0: force loop-filter level 0 (makes the internal reconstruction
+// equal decoder output exactly — used by the round-trip exactness tests).
+// recon_* (nullable): receive the padded reconstruction planes, strides
+// mbw*16 / mbw*8.
+int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
+                   const uint8_t* vsrc, int width, int height, int ystride,
+                   int cstride, int quality, uint8_t* out, size_t out_cap,
+                   int flags, uint8_t* recon_y, uint8_t* recon_u,
+                   uint8_t* recon_v) {
   if (width <= 0 || height <= 0 || width > 16383 || height > 16383) return -5;
   const int mbw = (width + 15) / 16;
   const int mbh = (height + 15) / 16;
@@ -530,6 +441,7 @@ IK_EXPORT int64_t ik_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
 #endif
   int filter_level = (qindex * IK_VP8_FILTER_SCALE) >> 6;
   if (filter_level > 63) filter_level = 63;
+  if (flags & 1) filter_level = 0;
 
   std::vector<MbData> mbs(static_cast<size_t>(mbw) * mbh);
 
@@ -802,7 +714,36 @@ IK_EXPORT int64_t ik_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
   std::memcpy(o, p2.buf.data(), p2.buf.size());
   o += p2.buf.size();
   if (vp8_size & 1) *o++ = 0;  // RIFF pad
+
+  if (recon_y) std::memcpy(recon_y, ry.data(), ry.size());
+  if (recon_u) std::memcpy(recon_u, ru.data(), ru.size());
+  if (recon_v) std::memcpy(recon_v, rv.data(), rv.size());
   return static_cast<int64_t>(o - out);
 }
 
-IK_EXPORT int ik_vp8_version() { return 1; }
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+IK_EXPORT int64_t ik_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
+                                const uint8_t* vsrc, int width, int height,
+                                int ystride, int cstride, int quality,
+                                uint8_t* out, size_t out_cap) {
+  return EncodeImpl(ysrc, usrc, vsrc, width, height, ystride, cstride,
+                    quality, out, out_cap, 0, nullptr, nullptr, nullptr);
+}
+
+// Extended entry for tests/tools: flags bit0 = loop filter off; recon planes
+// (nullable) sized mbw*16 x mbh*16 and mbw*8 x mbh*8.
+IK_EXPORT int64_t ik_vp8_encode_ex(const uint8_t* ysrc, const uint8_t* usrc,
+                                   const uint8_t* vsrc, int width, int height,
+                                   int ystride, int cstride, int quality,
+                                   uint8_t* out, size_t out_cap, int flags,
+                                   uint8_t* recon_y, uint8_t* recon_u,
+                                   uint8_t* recon_v) {
+  return EncodeImpl(ysrc, usrc, vsrc, width, height, ystride, cstride,
+                    quality, out, out_cap, flags, recon_y, recon_u, recon_v);
+}
+
+IK_EXPORT int ik_vp8_version() { return 2; }

@@ -1,4 +1,4 @@
-"""TPU-native WebP (VP8) encode glue.
+"""TPU-native WebP (VP8) encode + decode glue.
 
 Split per SURVEY.md §2.2 (reference arm: ``src/transform.rs:129-137``):
 
@@ -119,3 +119,111 @@ def encode_rgb(
     else:
         y, u, v = color.rgb_to_yuv420_host(img)
     return encode_yuv420(y, u, v, quality)
+
+
+# ---------------------------------------------------------------------------
+# Decode (vp8_decode.cpp): lossy WebP sources -> pixels for the batched
+# device resize. VP8L (lossless) / VP8X (alpha, animation) containers return
+# None and callers fall back to the host library. The decoder is validated
+# BIT-EXACT against libwebp's decoder (tests/test_vp8_decode.py).
+# ---------------------------------------------------------------------------
+
+
+class _IkVp8Info(ctypes.Structure):
+    _fields_ = [("width", ctypes.c_int32), ("height", ctypes.c_int32)]
+
+
+_dec_configured = False
+
+
+def _dec_lib() -> Optional[ctypes.CDLL]:
+    global _dec_configured
+    from imagekit_tpu.codecs.native import loader
+
+    lib = loader.load()
+    if lib is None or not hasattr(lib, "ik_webp_decode_yuv"):
+        return None
+    if not _dec_configured:
+        lib.ik_webp_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(_IkVp8Info),
+        ]
+        lib.ik_webp_parse.restype = ctypes.c_int
+        lib.ik_webp_decode_yuv.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.ik_webp_decode_yuv.restype = ctypes.c_int
+        _dec_configured = True
+    return lib
+
+
+def decode_available() -> bool:
+    if os.environ.get("IMAGEKIT_NO_NATIVE_WEBP"):
+        return False
+    try:
+        return _dec_lib() is not None
+    except Exception:
+        return False
+
+
+def decode_yuv420(data: bytes):
+    """Decode a lossy WebP to cropped studio-range (Y, U, V) planes.
+    Returns None when the container needs the host library (VP8L/VP8X)."""
+    lib = _dec_lib()
+    if lib is None:
+        return None
+    info = _IkVp8Info()
+    rc = lib.ik_webp_parse(data, len(data), ctypes.byref(info))
+    if rc == -3:  # unsupported container/features
+        return None
+    if rc != 0:
+        raise ValueError(f"corrupt WebP ({rc})")
+    w, h = info.width, info.height
+    W, H = (w + 15) // 16 * 16, (h + 15) // 16 * 16
+    y = np.zeros((H, W), np.uint8)
+    u = np.zeros((H // 2, W // 2), np.uint8)
+    v = np.zeros_like(u)
+    rc = lib.ik_webp_decode_yuv(
+        data, len(data),
+        y.ctypes.data_as(ctypes.c_void_p), W,
+        u.ctypes.data_as(ctypes.c_void_p),
+        v.ctypes.data_as(ctypes.c_void_p), W // 2,
+    )
+    if rc == -3:
+        return None
+    if rc != 0:
+        raise ValueError(f"corrupt WebP ({rc})")
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    return y[:h, :w], u[:ch, :cw], v[:ch, :cw]
+
+
+def decode_rgb(data: bytes) -> Optional[np.ndarray]:
+    """Lossy WebP -> HWC u8 RGB: native VP8 decode + the 'fancy' separable
+    triangle chroma upsample (libwebp's default kernel) + studio-range
+    BT.601 inverse. None -> host-library fallback."""
+    planes = decode_yuv420(data)
+    if planes is None:
+        return None
+    y, u, v = planes
+    from imagekit_tpu.ops.dct import upsample_weights
+
+    h, w = y.shape
+    Uv = upsample_weights(u.shape[0], h)
+    Uh = upsample_weights(u.shape[1], w)
+    uu = Uv @ u.astype(np.float32) @ Uh.T
+    vv = Uv @ v.astype(np.float32) @ Uh.T
+    yf = (y.astype(np.float32) - 16.0) * (255.0 / 219.0)
+    cb = (uu - 128.0) * (255.0 / 224.0)
+    cr = (vv - 128.0) * (255.0 / 224.0)
+    r = yf + 1.402 * cr
+    g = yf - 0.344136286 * cb - 0.714136286 * cr
+    b = yf + 1.772 * cb
+    rgb = np.stack([r, g, b], -1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
