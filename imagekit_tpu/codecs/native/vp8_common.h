@@ -116,6 +116,162 @@ inline Quantizers SetupQuant(int qindex) {
   return SetupQuantDeltas(qindex, 0, 0, 0, 0, 0);
 }
 
+// 4x4 sub-block prediction (§12.3). A: 8 above pixels (4 + 4 above-right),
+// L: 4 left pixels, AL: above-left. Formulas are the normative per-pixel
+// definitions (written out position by position).
+inline void PredictB(uint8_t* o, int os, int mode, const uint8_t* A,
+              const uint8_t* L, int AL) {
+  auto a3 = [](int a, int b, int c) {
+    return static_cast<uint8_t>((a + 2 * b + c + 2) >> 2);
+  };
+  auto a2 = [](int a, int b) { return static_cast<uint8_t>((a + b + 1) >> 1); };
+  auto D = [&](int y, int x) -> uint8_t& { return o[y * os + x]; };
+  switch (mode) {
+    case 0: {  // B_DC: above4 + left4 (borders included for sub-blocks)
+      int sum = 4;
+      for (int i = 0; i < 4; ++i) sum += A[i] + L[i];
+      const int dc = sum >> 3;
+      for (int y = 0; y < 4; ++y) std::memset(o + y * os, dc, 4);
+      break;
+    }
+    case 1:  // B_TM
+      for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) D(y, x) = Clip255(L[y] + A[x] - AL);
+      break;
+    case 2: {  // B_VE
+      const uint8_t r[4] = {a3(AL, A[0], A[1]), a3(A[0], A[1], A[2]),
+                            a3(A[1], A[2], A[3]), a3(A[2], A[3], A[4])};
+      for (int y = 0; y < 4; ++y) std::memcpy(o + y * os, r, 4);
+      break;
+    }
+    case 3: {  // B_HE
+      const uint8_t r[4] = {a3(AL, L[0], L[1]), a3(L[0], L[1], L[2]),
+                            a3(L[1], L[2], L[3]), a3(L[2], L[3], L[3])};
+      for (int y = 0; y < 4; ++y) std::memset(o + y * os, r[y], 4);
+      break;
+    }
+    case 4:  // B_LD (down-left)
+      D(0, 0) = a3(A[0], A[1], A[2]);
+      D(0, 1) = D(1, 0) = a3(A[1], A[2], A[3]);
+      D(0, 2) = D(1, 1) = D(2, 0) = a3(A[2], A[3], A[4]);
+      D(0, 3) = D(1, 2) = D(2, 1) = D(3, 0) = a3(A[3], A[4], A[5]);
+      D(1, 3) = D(2, 2) = D(3, 1) = a3(A[4], A[5], A[6]);
+      D(2, 3) = D(3, 2) = a3(A[5], A[6], A[7]);
+      D(3, 3) = a3(A[6], A[7], A[7]);
+      break;
+    case 5:  // B_RD (down-right)
+      D(3, 0) = a3(L[3], L[2], L[1]);
+      D(3, 1) = D(2, 0) = a3(L[2], L[1], L[0]);
+      D(3, 2) = D(2, 1) = D(1, 0) = a3(L[1], L[0], AL);
+      D(3, 3) = D(2, 2) = D(1, 1) = D(0, 0) = a3(L[0], AL, A[0]);
+      D(2, 3) = D(1, 2) = D(0, 1) = a3(AL, A[0], A[1]);
+      D(1, 3) = D(0, 2) = a3(A[0], A[1], A[2]);
+      D(0, 3) = a3(A[1], A[2], A[3]);
+      break;
+    case 6:  // B_VR (vertical-right)
+      D(0, 0) = D(2, 1) = a2(AL, A[0]);
+      D(0, 1) = D(2, 2) = a2(A[0], A[1]);
+      D(0, 2) = D(2, 3) = a2(A[1], A[2]);
+      D(0, 3) = a2(A[2], A[3]);
+      D(1, 0) = D(3, 1) = a3(L[0], AL, A[0]);
+      D(1, 1) = D(3, 2) = a3(AL, A[0], A[1]);
+      D(1, 2) = D(3, 3) = a3(A[0], A[1], A[2]);
+      D(1, 3) = a3(A[1], A[2], A[3]);
+      D(2, 0) = a3(L[1], L[0], AL);
+      D(3, 0) = a3(L[2], L[1], L[0]);
+      break;
+    case 7:  // B_VL (vertical-left)
+      D(0, 0) = a2(A[0], A[1]);
+      D(1, 0) = a3(A[0], A[1], A[2]);
+      D(2, 0) = D(0, 1) = a2(A[1], A[2]);
+      D(1, 1) = D(3, 0) = a3(A[1], A[2], A[3]);
+      D(2, 1) = D(0, 2) = a2(A[2], A[3]);
+      D(3, 1) = D(1, 2) = a3(A[2], A[3], A[4]);
+      D(2, 2) = D(0, 3) = a2(A[3], A[4]);
+      D(3, 2) = D(1, 3) = a3(A[3], A[4], A[5]);
+      D(2, 3) = a3(A[4], A[5], A[6]);
+      D(3, 3) = a3(A[5], A[6], A[7]);
+      break;
+    case 8:  // B_HD (horizontal-down)
+      D(0, 0) = D(1, 2) = a2(AL, L[0]);
+      D(0, 1) = D(1, 3) = a3(A[0], AL, L[0]);
+      D(0, 2) = a3(A[1], A[0], AL);
+      D(0, 3) = a3(A[2], A[1], A[0]);
+      D(1, 0) = D(2, 2) = a2(L[0], L[1]);
+      D(1, 1) = D(2, 3) = a3(AL, L[0], L[1]);
+      D(2, 0) = D(3, 2) = a2(L[1], L[2]);
+      D(2, 1) = D(3, 3) = a3(L[0], L[1], L[2]);
+      D(3, 0) = a2(L[2], L[3]);
+      D(3, 1) = a3(L[1], L[2], L[3]);
+      break;
+    default:  // B_HU (horizontal-up)
+      D(0, 0) = a2(L[0], L[1]);
+      D(0, 1) = a3(L[0], L[1], L[2]);
+      D(0, 2) = D(1, 0) = a2(L[1], L[2]);
+      D(0, 3) = D(1, 1) = a3(L[1], L[2], L[3]);
+      D(1, 2) = D(2, 0) = a2(L[2], L[3]);
+      D(1, 3) = D(2, 1) = a3(L[2], L[3], L[3]);
+      D(2, 2) = D(2, 3) = D(3, 0) = D(3, 1) = D(3, 2) = D(3, 3) = L[3];
+      break;
+  }
+}
+
+
+// ---------------------------------------------------------------------------
+// Intra prediction (RFC 6386 §12). Planes carry a 1-px top/left border:
+// data origin at (1, 1); row 0 = 127 (with corner 127), col 0 = 129. Luma
+// additionally keeps 4 extra columns on the right for "above-right" reads.
+// ---------------------------------------------------------------------------
+inline void PredictDc(uint8_t* o, int os, const uint8_t* above, const uint8_t* left,
+               int ls, int size, bool have_above, bool have_left) {
+  int dc, shift;
+  if (have_above || have_left) {
+    int sum = 0;
+    int total = 0;
+    if (have_above) {
+      for (int i = 0; i < size; ++i) sum += above[i];
+      total += size;
+    }
+    if (have_left) {
+      for (int i = 0; i < size; ++i) sum += left[i * ls];
+      total += size;
+    }
+    shift = (size == 16 ? 4 : 3) + (have_above && have_left ? 1 : 0);
+    dc = (sum + (1 << (shift - 1))) >> shift;
+    (void)total;
+  } else {
+    dc = 128;
+  }
+  for (int y = 0; y < size; ++y) std::memset(o + y * os, dc, size);
+}
+
+inline void PredictI16OrChroma(uint8_t* plane, int stride, int px, int py, int size,
+                        int mode, bool have_above, bool have_left) {
+  uint8_t* o = plane + py * stride + px;
+  const uint8_t* above = o - stride;
+  const uint8_t* left = o - 1;
+  switch (mode) {
+    case 0:
+      PredictDc(o, stride, above, left, stride, size, have_above, have_left);
+      break;
+    case 1:  // V
+      for (int y = 0; y < size; ++y) std::memcpy(o + y * stride, above, size);
+      break;
+    case 2:  // H
+      for (int y = 0; y < size; ++y)
+        std::memset(o + y * stride, left[y * stride], size);
+      break;
+    default: {  // TM
+      const int al = above[-1];
+      for (int y = 0; y < size; ++y)
+        for (int x = 0; x < size; ++x)
+          o[y * stride + x] = Clip255(left[y * stride] + above[x] - al);
+      break;
+    }
+  }
+}
+
+
 }  // namespace ikvp8
 
 #endif  // IK_VP8_COMMON_H_

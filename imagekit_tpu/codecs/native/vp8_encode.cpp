@@ -126,13 +126,62 @@ const Cat kCats[6] = {{5, 1, kCat1},  {7, 2, kCat2},   {11, 3, kCat3},
                       {19, 4, kCat4}, {35, 5, kCat5},  {67, 11, kCat6}};
 
 void PutYMode(BoolEnc& e, int mode) {  // kf_ymode_tree paths
-  e.PutBit(1, 145);  // not B_PRED (4x4 submodes unused here)
+  if (mode == 4) {  // B_PRED
+    e.PutBit(0, 145);
+    return;
+  }
+  e.PutBit(1, 145);
   switch (mode) {
     case 0: e.PutBit(0, 156); e.PutBit(0, 163); break;  // DC
     case 1: e.PutBit(0, 156); e.PutBit(1, 163); break;  // V
     case 2: e.PutBit(1, 156); e.PutBit(0, 128); break;  // H
     default: e.PutBit(1, 156); e.PutBit(1, 128); break;  // TM
   }
+}
+
+// bmode_tree writer — exact mirror of the decoder's ReadBMode
+void PutBMode(BoolEnc& e, const uint8_t* p, int m) {
+  switch (m) {
+    case 0: e.PutBit(0, p[0]); break;                                 // B_DC
+    case 1: e.PutBit(1, p[0]); e.PutBit(0, p[1]); break;              // B_TM
+    case 2: e.PutBit(1, p[0]); e.PutBit(1, p[1]); e.PutBit(0, p[2]); break;
+    case 3:  // B_HE
+      e.PutBit(1, p[0]); e.PutBit(1, p[1]); e.PutBit(1, p[2]);
+      e.PutBit(0, p[3]); e.PutBit(0, p[4]);
+      break;
+    case 5:  // B_RD
+      e.PutBit(1, p[0]); e.PutBit(1, p[1]); e.PutBit(1, p[2]);
+      e.PutBit(0, p[3]); e.PutBit(1, p[4]); e.PutBit(0, p[5]);
+      break;
+    case 6:  // B_VR
+      e.PutBit(1, p[0]); e.PutBit(1, p[1]); e.PutBit(1, p[2]);
+      e.PutBit(0, p[3]); e.PutBit(1, p[4]); e.PutBit(1, p[5]);
+      break;
+    case 4:  // B_LD
+      e.PutBit(1, p[0]); e.PutBit(1, p[1]); e.PutBit(1, p[2]);
+      e.PutBit(1, p[3]); e.PutBit(0, p[6]);
+      break;
+    case 7:  // B_VL
+      e.PutBit(1, p[0]); e.PutBit(1, p[1]); e.PutBit(1, p[2]);
+      e.PutBit(1, p[3]); e.PutBit(1, p[6]); e.PutBit(0, p[7]);
+      break;
+    case 8:  // B_HD
+      e.PutBit(1, p[0]); e.PutBit(1, p[1]); e.PutBit(1, p[2]);
+      e.PutBit(1, p[3]); e.PutBit(1, p[6]); e.PutBit(1, p[7]);
+      e.PutBit(0, p[8]);
+      break;
+    default:  // B_HU
+      e.PutBit(1, p[0]); e.PutBit(1, p[1]); e.PutBit(1, p[2]);
+      e.PutBit(1, p[3]); e.PutBit(1, p[6]); e.PutBit(1, p[7]);
+      e.PutBit(1, p[8]);
+      break;
+  }
+}
+
+// map I16 luma modes to b-modes for sub-mode contexts (decoder mirror)
+inline int I16ToBMode(int m) {
+  static const int kMap[4] = {0, 2, 3, 1};
+  return kMap[m];
 }
 
 void PutUvMode(BoolEnc& e, int mode) {  // uv_mode_tree paths
@@ -242,70 +291,36 @@ inline int16_t Quantize(int v, int q, bool is_dc) {
 // Per-macroblock data produced by the analysis/reconstruction pass.
 // ---------------------------------------------------------------------------
 struct MbData {
-  uint8_t ymode;   // 0=DC 1=V 2=H 3=TM
-  uint8_t uvmode;  // same numbering
-  uint8_t skip;    // all 25 blocks quantised to zero
-  int16_t y2[16];      // quantised WHT coefficients (natural order)
-  int16_t y[16][16];   // quantised luma AC (index 0 unused/zero)
+  uint8_t ymode;   // 0=DC 1=V 2=H 3=TM, 4=B_PRED
+  uint8_t uvmode;  // 0..3
+  uint8_t skip;    // every coded block quantised to zero
+  uint8_t bmodes[16];  // B_PRED sub-modes (I16: mapped equivalents)
+  int16_t y2[16];      // quantised WHT coefficients (I16 only)
+  int16_t y[16][16];   // I16: AC only (index 0 zero); B_PRED: full
   int16_t uv[8][16];   // 4 U then 4 V blocks
 };
 
-// Prediction helpers. `recon` is the reconstructed plane (stride `rs`),
-// (px, py) the block's top-left. Availability flags say whether real
-// reconstructed neighbours exist (edge MBs restrict the mode search, so
-// prediction never needs the out-of-frame default rows).
-void Predict(const uint8_t* recon, int rs, int px, int py, int size, int mode,
-             uint8_t* pred /*size*size*/) {
-  const uint8_t* above = recon + (py - 1) * rs + px;
-  const uint8_t* left0 = recon + py * rs + (px - 1);
-  switch (mode) {
-    case 0: {  // DC with availability handling
-      int sum = 0, n = 0;
-      if (py > 0) {
-        for (int x = 0; x < size; ++x) sum += above[x];
-        n += size;
-      }
-      if (px > 0) {
-        for (int y = 0; y < size; ++y) sum += left0[y * rs];
-        n += size;
-      }
-      const int dc = n ? (sum + n / 2) / n : 128;
-      std::memset(pred, dc, static_cast<size_t>(size) * size);
-      break;
-    }
-    case 1:  // V
-      for (int y = 0; y < size; ++y) std::memcpy(pred + y * size, above, size);
-      break;
-    case 2:  // H
-      for (int y = 0; y < size; ++y)
-        std::memset(pred + y * size, left0[y * rs], size);
-      break;
-    default: {  // TM
-      const int al = recon[(py - 1) * rs + (px - 1)];
-      for (int y = 0; y < size; ++y)
-        for (int x = 0; x < size; ++x)
-          pred[y * size + x] = Clip255(left0[y * rs] + above[x] - al);
-      break;
-    }
-  }
-}
-
-int64_t PredSse(const uint8_t* src, int ss, int px, int py, int size,
-                const uint8_t* pred) {
+int64_t SseRegion(const uint8_t* a, int as, const uint8_t* b, int bs,
+                  int size) {
   int64_t sse = 0;
-  for (int y = 0; y < size; ++y) {
-    const uint8_t* s = src + (py + y) * ss + px;
-    const uint8_t* p = pred + y * size;
+  for (int y = 0; y < size; ++y)
     for (int x = 0; x < size; ++x) {
-      const int d = s[x] - p[x];
+      const int d = a[y * as + x] - b[y * bs + x];
       sse += d * d;
     }
-  }
   return sse;
 }
 
-// DC prediction averages use exact /n; VP8's 16x16 DC uses (sum+16)>>5 etc.
-// — (sum + n/2) / n equals those shifts for the power-of-two sizes here.
+// token-rate proxy in bits-ish units over QUANTISED levels (RD decisions)
+inline int RateProxy(const int16_t* lvl, int first) {
+  int r = 1;  // EOB
+  for (int i = first; i < 16; ++i) {
+    int a = lvl[i] < 0 ? -lvl[i] : lvl[i];
+    if (!a) continue;
+    r += 3 + (a > 1 ? 2 : 0) + (a > 4 ? 3 : 0) + (a > 10 ? 3 : 0);
+  }
+  return r;
+}
 
 // ---------------------------------------------------------------------------
 // Token writing
@@ -431,8 +446,21 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
     std::memset(rv + cw, rv[cw - 1], CW - cw);
   }
 
-  // --- reconstruction planes ---
-  std::vector<uint8_t> ry(sy.size()), ru(su.size()), rv(sv.size());
+  // --- reconstruction planes with decoder-identical prediction borders:
+  // 1-px top row 127 (incl. corner), 1-px left col 129, and 4 extra luma
+  // columns on the right for B_PRED "above-right" reads (replicated per MB
+  // row exactly like the decoder) ---
+  const int ls = 1 + W + 4;
+  const int cs = 1 + CW;
+  std::vector<uint8_t> ybuf(static_cast<size_t>(1 + H) * ls, 129);
+  std::vector<uint8_t> ubuf(static_cast<size_t>(1 + CH) * cs, 129);
+  std::vector<uint8_t> vbuf(static_cast<size_t>(1 + CH) * cs, 129);
+  std::memset(ybuf.data(), 127, ls);
+  std::memset(ubuf.data(), 127, cs);
+  std::memset(vbuf.data(), 127, cs);
+  uint8_t* RY = ybuf.data() + ls + 1;
+  uint8_t* RU = ubuf.data() + cs + 1;
+  uint8_t* RV = vbuf.data() + cs + 1;
 
   const int qindex = QualityToQIndex(quality);
   const Quantizers Q = SetupQuant(qindex);
@@ -443,12 +471,23 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   if (filter_level > 63) filter_level = 63;
   if (flags & 1) filter_level = 0;
 
+  // RD lambda for the I16-vs-B_PRED decision, scaled with the quantiser
+  // (distortion is SSE in pixel^2; rate proxy is bits-ish)
+#ifndef IK_VP8_LAMBDA_NUM
+#define IK_VP8_LAMBDA_NUM 4
+#endif
+  const double lambda =
+      IK_VP8_LAMBDA_NUM * static_cast<double>(Q.y1.ac) * Q.y1.ac / 16.0;
+  // only try B_PRED when I16 leaves real energy on the table
+  const int64_t i4_gate = 20LL * Q.y1.ac * Q.y1.ac;
+
   std::vector<MbData> mbs(static_cast<size_t>(mbw) * mbh);
 
   // ---------------- pass 1: analyse / transform / reconstruct ----------------
   int16_t res[16], coef[16], dcs[16];
   int pix[16];
-  uint8_t pred16[256], pred8u[64], pred8v[64], best16[256], b8u[64], b8v[64];
+  uint8_t best16[256], b8u[64], b8v[64];
+  uint8_t recon16[256];
   int16_t dq[16];
 
   for (int mby = 0; mby < mbh; ++mby) {
@@ -456,88 +495,177 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
       MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
       const int px = mbx * 16, py = mby * 16;
       const int cpx = mbx * 8, cpy = mby * 8;
+      const uint8_t* src = sy.data() + static_cast<size_t>(py) * W + px;
 
-      // --- luma mode selection (edge MBs restrict candidates so
-      // prediction always reads real reconstructed neighbours) ---
+      // --- I16 candidate: pick prediction by SSE (borders give the exact
+      // decoder semantics at frame edges), then transform/quant/recon into
+      // a scratch block ---
       int64_t best = -1;
       int bestmode = 0;
       for (int m = 0; m < 4; ++m) {
-        if (m == 1 && mby == 0) continue;
-        if (m == 2 && mbx == 0) continue;
-        if (m == 3 && (mbx == 0 || mby == 0)) continue;
-        Predict(ry.data(), W, px, py, 16, m, pred16);
-        const int64_t sse = PredSse(sy.data(), W, px, py, 16, pred16);
+        ikvp8::PredictI16OrChroma(RY, ls, px, py, 16, m, mby > 0, mbx > 0);
+        const int64_t sse = SseRegion(src, W, RY + py * ls + px, ls, 16);
         if (best < 0 || sse < best) {
           best = sse;
           bestmode = m;
-          std::memcpy(best16, pred16, 256);
         }
       }
-      mb.ymode = static_cast<uint8_t>(bestmode);
+      ikvp8::PredictI16OrChroma(RY, ls, px, py, 16, bestmode, mby > 0, mbx > 0);
+      for (int y = 0; y < 16; ++y)
+        std::memcpy(best16 + y * 16, RY + (py + y) * ls + px, 16);
 
-      // --- luma transform/quant/recon ---
-      bool any_nz = false;
+      int16_t y16[16][16], y2c[16];
+      int rate16 = 4;  // ymode bits
+      bool nz16 = false;
       for (int sb = 0; sb < 16; ++sb) {
         const int bx = (sb & 3) * 4, by = (sb >> 2) * 4;
         for (int y = 0; y < 4; ++y)
           for (int x = 0; x < 4; ++x)
             res[y * 4 + x] = static_cast<int16_t>(
-                sy[static_cast<size_t>(py + by + y) * W + px + bx + x] -
+                src[static_cast<size_t>(by + y) * W + bx + x] -
                 best16[(by + y) * 16 + bx + x]);
         Fdct4x4(res, coef);
         dcs[sb] = coef[0];
-        mb.y[sb][0] = 0;
+        y16[sb][0] = 0;
         for (int i = 1; i < 16; ++i) {
-          mb.y[sb][i] = Quantize(coef[i], Q.y1.ac, false);
-          if (mb.y[sb][i]) any_nz = true;
+          y16[sb][i] = Quantize(coef[i], Q.y1.ac, false);
+          if (y16[sb][i]) nz16 = true;
         }
+        rate16 += RateProxy(y16[sb], 1);
       }
-      // Y2: WHT over the 16 DCs
       Wht4x4(dcs, coef);
       for (int i = 0; i < 16; ++i) {
-        mb.y2[i] = Quantize(coef[i], i == 0 ? Q.y2.dc : Q.y2.ac, i == 0);
-        if (mb.y2[i]) any_nz = true;
+        y2c[i] = Quantize(coef[i], i == 0 ? Q.y2.dc : Q.y2.ac, i == 0);
+        if (y2c[i]) nz16 = true;
       }
-      // reconstruct luma: dequant y2 -> inverse WHT -> per-block DC
+      rate16 += RateProxy(y2c, 0);
       for (int i = 0; i < 16; ++i)
-        dq[i] = static_cast<int16_t>(mb.y2[i] * (i == 0 ? Q.y2.dc : Q.y2.ac));
+        dq[i] = static_cast<int16_t>(y2c[i] * (i == 0 ? Q.y2.dc : Q.y2.ac));
       int dcout[16];
       InvWht4x4(dq, dcout);
       for (int sb = 0; sb < 16; ++sb) {
         const int bx = (sb & 3) * 4, by = (sb >> 2) * 4;
         dq[0] = static_cast<int16_t>(dcout[sb]);
         for (int i = 1; i < 16; ++i)
-          dq[i] = static_cast<int16_t>(mb.y[sb][i] * Q.y1.ac);
+          dq[i] = static_cast<int16_t>(y16[sb][i] * Q.y1.ac);
         Idct4x4(dq, pix);
         for (int y = 0; y < 4; ++y)
           for (int x = 0; x < 4; ++x)
-            ry[static_cast<size_t>(py + by + y) * W + px + bx + x] =
-                Clip255(pix[y * 4 + x] + best16[(by + y) * 16 + bx + x]);
+            recon16[(by + y) * 16 + bx + x] = Clip255(
+                pix[y * 4 + x] + best16[(by + y) * 16 + bx + x]);
+      }
+      const int64_t dist16 = SseRegion(src, W, recon16, 16, 16);
+
+      // --- B_PRED candidate (gated): per-sub-block best of the 10 modes,
+      // encoded sequentially in a local tile so neighbours are the true
+      // reconstruction; wins on structured content where one 16x16
+      // predictor can't follow edges ---
+      bool use_b = false;
+      uint8_t tile[17 * 21];
+      int16_t yb[16][16];
+      uint8_t bmodes[16];
+      // gate on PREDICTION error (post-recon distortion is always near the
+      // quantisation floor — the I16/B_PRED difference shows up as rate)
+      if (best > i4_gate) {
+        for (int r = -1; r < 16; ++r)
+          std::memcpy(tile + (r + 1) * 21, RY + (py + r) * ls + px - 1, 21);
+        int64_t dist_b = 0;
+        int rate_b = 2;  // B_PRED ymode bit + change
+        uint8_t predb[16];
+        for (int sb = 0; sb < 16; ++sb) {
+          const int bx = (sb & 3) * 4, by = (sb >> 2) * 4;
+          uint8_t* o = tile + (1 + by) * 21 + 1 + bx;
+          uint8_t A[8], L[4];
+          const uint8_t* arow = o - 21;
+          std::memcpy(A, arow, 4);
+          if ((sb & 3) < 3 || sb < 4) {
+            std::memcpy(A + 4, arow + 4, 4);
+          } else {
+            std::memcpy(A + 4, tile + 1 + 16, 4);  // row above the MB
+          }
+          for (int i = 0; i < 4; ++i) L[i] = o[i * 21 - 1];
+          const int AL = arow[-1];
+          const uint8_t* bsrc = src + static_cast<size_t>(by) * W + bx;
+          int64_t bb = -1;
+          int bm = 0;
+          for (int m = 0; m < 10; ++m) {
+            ikvp8::PredictB(predb, 4, m, A, L, AL);
+            const int64_t sse = SseRegion(bsrc, W, predb, 4, 4);
+            if (bb < 0 || sse < bb) {
+              bb = sse;
+              bm = m;
+            }
+          }
+          bmodes[sb] = static_cast<uint8_t>(bm);
+          ikvp8::PredictB(o, 21, bm, A, L, AL);
+          for (int y = 0; y < 4; ++y)
+            for (int x = 0; x < 4; ++x)
+              res[y * 4 + x] =
+                  static_cast<int16_t>(bsrc[y * W + x] - o[y * 21 + x]);
+          Fdct4x4(res, coef);
+          for (int i = 0; i < 16; ++i)
+            yb[sb][i] = Quantize(coef[i], i == 0 ? Q.y1.dc : Q.y1.ac, i == 0);
+          rate_b += RateProxy(yb[sb], 0) + 4;  // + sub-mode bits
+          for (int i = 0; i < 16; ++i)
+            dq[i] =
+                static_cast<int16_t>(yb[sb][i] * (i == 0 ? Q.y1.dc : Q.y1.ac));
+          Idct4x4(dq, pix);
+          for (int y = 0; y < 4; ++y)
+            for (int x = 0; x < 4; ++x)
+              o[y * 21 + x] = Clip255(pix[y * 4 + x] + o[y * 21 + x]);
+          dist_b += SseRegion(bsrc, W, o, 21, 4);
+        }
+        use_b = dist_b + lambda * rate_b < dist16 + lambda * rate16;
+        if (use_b) {
+          for (int y = 0; y < 16; ++y)
+            std::memcpy(RY + (py + y) * ls + px, tile + (y + 1) * 21 + 1, 16);
+          mb.ymode = 4;
+          std::memcpy(mb.bmodes, bmodes, 16);
+          std::memcpy(mb.y, yb, sizeof(yb));
+          std::memset(mb.y2, 0, sizeof(mb.y2));
+        }
+      }
+      bool any_nz = false;
+      if (!use_b) {
+        for (int y = 0; y < 16; ++y)
+          std::memcpy(RY + (py + y) * ls + px, recon16 + y * 16, 16);
+        mb.ymode = static_cast<uint8_t>(bestmode);
+        const uint8_t bm = static_cast<uint8_t>(I16ToBMode(bestmode));
+        std::memset(mb.bmodes, bm, 16);
+        std::memcpy(mb.y, y16, sizeof(y16));
+        std::memcpy(mb.y2, y2c, sizeof(y2c));
+        any_nz = nz16;
+      } else {
+        for (int sb = 0; sb < 16 && !any_nz; ++sb)
+          any_nz = HasNz(mb.y[sb], 0);
       }
 
-      // --- chroma mode selection (joint U+V) ---
+      // --- chroma: mode by prediction SSE, transform/recon in place ---
       best = -1;
       bestmode = 0;
       for (int m = 0; m < 4; ++m) {
-        if (m == 1 && mby == 0) continue;
-        if (m == 2 && mbx == 0) continue;
-        if (m == 3 && (mbx == 0 || mby == 0)) continue;
-        Predict(ru.data(), CW, cpx, cpy, 8, m, pred8u);
-        Predict(rv.data(), CW, cpx, cpy, 8, m, pred8v);
-        const int64_t sse = PredSse(su.data(), CW, cpx, cpy, 8, pred8u) +
-                            PredSse(sv.data(), CW, cpx, cpy, 8, pred8v);
+        ikvp8::PredictI16OrChroma(RU, cs, cpx, cpy, 8, m, mby > 0, mbx > 0);
+        ikvp8::PredictI16OrChroma(RV, cs, cpx, cpy, 8, m, mby > 0, mbx > 0);
+        const int64_t sse =
+            SseRegion(su.data() + static_cast<size_t>(cpy) * CW + cpx, CW,
+                      RU + cpy * cs + cpx, cs, 8) +
+            SseRegion(sv.data() + static_cast<size_t>(cpy) * CW + cpx, CW,
+                      RV + cpy * cs + cpx, cs, 8);
         if (best < 0 || sse < best) {
           best = sse;
           bestmode = m;
-          std::memcpy(b8u, pred8u, 64);
-          std::memcpy(b8v, pred8v, 64);
         }
       }
       mb.uvmode = static_cast<uint8_t>(bestmode);
+      ikvp8::PredictI16OrChroma(RU, cs, cpx, cpy, 8, bestmode, mby > 0, mbx > 0);
+      ikvp8::PredictI16OrChroma(RV, cs, cpx, cpy, 8, bestmode, mby > 0, mbx > 0);
+      for (int y = 0; y < 8; ++y) {
+        std::memcpy(b8u + y * 8, RU + (cpy + y) * cs + cpx, 8);
+        std::memcpy(b8v + y * 8, RV + (cpy + y) * cs + cpx, 8);
+      }
 
-      // --- chroma transform/quant/recon (4 U blocks then 4 V) ---
       const uint8_t* splanes[2] = {su.data(), sv.data()};
-      uint8_t* rplanes[2] = {ru.data(), rv.data()};
+      uint8_t* rplanes[2] = {RU, RV};
       const uint8_t* preds[2] = {b8u, b8v};
       for (int pl = 0; pl < 2; ++pl) {
         for (int sb = 0; sb < 4; ++sb) {
@@ -545,8 +673,8 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           for (int y = 0; y < 4; ++y)
             for (int x = 0; x < 4; ++x)
               res[y * 4 + x] = static_cast<int16_t>(
-                  splanes[pl][static_cast<size_t>(cpy + by + y) * CW + cpx + bx +
-                              x] -
+                  splanes[pl][static_cast<size_t>(cpy + by + y) * CW + cpx +
+                              bx + x] -
                   preds[pl][(by + y) * 8 + bx + x]);
           Fdct4x4(res, coef);
           int16_t* qc = mb.uv[pl * 4 + sb];
@@ -559,11 +687,18 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           Idct4x4(dq, pix);
           for (int y = 0; y < 4; ++y)
             for (int x = 0; x < 4; ++x)
-              rplanes[pl][static_cast<size_t>(cpy + by + y) * CW + cpx + bx + x] =
+              rplanes[pl][static_cast<size_t>(cpy + by + y) * cs + cpx + bx +
+                          x] =
                   Clip255(pix[y * 4 + x] + preds[pl][(by + y) * 8 + bx + x]);
         }
       }
       mb.skip = any_nz ? 0 : 1;
+    }
+    // extend the right luma border for next row's above-right reads
+    // (decoder mirror)
+    for (int yy = mby * 16; yy < mby * 16 + 16; ++yy) {
+      uint8_t* row = RY + yy * ls;
+      std::memset(row + W, row[W - 1], 4);
     }
   }
 
@@ -611,44 +746,63 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   std::vector<uint8_t> above_u(static_cast<size_t>(mbw) * 2, 0);
   std::vector<uint8_t> above_v(static_cast<size_t>(mbw) * 2, 0);
   std::vector<uint8_t> above_y2(mbw, 0);
-  uint8_t left_y[4], left_u[2], left_v[2], left_y2;
+  // sub-mode prediction contexts (decoder mirror; B_DC outside the frame)
+  std::vector<uint8_t> above_bm(static_cast<size_t>(mbw) * 4, 0);
+  uint8_t left_y[4], left_u[2], left_v[2], left_y2, left_bm[4];
 
   for (int mby = 0; mby < mbh; ++mby) {
     std::memset(left_y, 0, 4);
     std::memset(left_u, 0, 2);
     std::memset(left_v, 0, 2);
     left_y2 = 0;
+    std::memset(left_bm, 0, 4);
     for (int mbx = 0; mbx < mbw; ++mbx) {
       const MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
+      const bool bpred = mb.ymode == 4;
       // modes (partition 1)
       p1.PutBit(mb.skip, prob_skip_false);
       PutYMode(p1, mb.ymode);
+      if (bpred) {
+        for (int sb = 0; sb < 16; ++sb) {
+          const int sx = sb & 3, sy_ = sb >> 2;
+          const int am =
+              sy_ == 0 ? above_bm[mbx * 4 + sx] : mb.bmodes[sb - 4];
+          const int lm = sx == 0 ? left_bm[sy_] : mb.bmodes[sb - 1];
+          PutBMode(p1, kKfBModeProbs[am][lm], mb.bmodes[sb]);
+        }
+      }
+      for (int i = 0; i < 4; ++i) {
+        above_bm[mbx * 4 + i] = mb.bmodes[12 + i];
+        left_bm[i] = mb.bmodes[i * 4 + 3];
+      }
       PutUvMode(p1, mb.uvmode);
 
       if (mb.skip) {
         // decoder zeroes all coefficient contexts for a skipped MB
-        // (including Y2 for non-B_PRED modes)
+        // (Y2 context only for MBs that carry a Y2 block)
         for (int i = 0; i < 4; ++i) above_y[mbx * 4 + i] = left_y[i] = 0;
         for (int i = 0; i < 2; ++i) {
           above_u[mbx * 2 + i] = left_u[i] = 0;
           above_v[mbx * 2 + i] = left_v[i] = 0;
         }
-        above_y2[mbx] = left_y2 = 0;
+        if (!bpred) above_y2[mbx] = left_y2 = 0;
         continue;
       }
 
-      // tokens (partition 2): y2, 16 luma, 4 U, 4 V
-      {
+      // tokens (partition 2): y2 (I16 only), 16 luma, 4 U, 4 V
+      if (!bpred) {
         const int ctx = above_y2[mbx] + left_y2;
         WriteBlock(p2, mb.y2, 1, 0, ctx);
         const uint8_t nz = HasNz(mb.y2, 0) ? 1 : 0;
         above_y2[mbx] = left_y2 = nz;
       }
+      const int plane = bpred ? 3 : 0;
+      const int first = bpred ? 0 : 1;
       for (int sb = 0; sb < 16; ++sb) {
         const int sx = sb & 3, sy_ = sb >> 2;
         const int ctx = above_y[mbx * 4 + sx] + left_y[sy_];
-        WriteBlock(p2, mb.y[sb], 0, 1, ctx);
-        const uint8_t nz = HasNz(mb.y[sb], 1) ? 1 : 0;
+        WriteBlock(p2, mb.y[sb], plane, first, ctx);
+        const uint8_t nz = HasNz(mb.y[sb], first) ? 1 : 0;
         above_y[mbx * 4 + sx] = nz;
         left_y[sy_] = nz;
       }
@@ -715,9 +869,15 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   o += p2.buf.size();
   if (vp8_size & 1) *o++ = 0;  // RIFF pad
 
-  if (recon_y) std::memcpy(recon_y, ry.data(), ry.size());
-  if (recon_u) std::memcpy(recon_u, ru.data(), ru.size());
-  if (recon_v) std::memcpy(recon_v, rv.data(), rv.size());
+  if (recon_y)
+    for (int yy = 0; yy < H; ++yy)
+      std::memcpy(recon_y + static_cast<size_t>(yy) * W, RY + yy * ls, W);
+  if (recon_u)
+    for (int yy = 0; yy < CH; ++yy)
+      std::memcpy(recon_u + static_cast<size_t>(yy) * CW, RU + yy * cs, CW);
+  if (recon_v)
+    for (int yy = 0; yy < CH; ++yy)
+      std::memcpy(recon_v + static_cast<size_t>(yy) * CW, RV + yy * cs, CW);
   return static_cast<int64_t>(o - out);
 }
 
