@@ -76,7 +76,7 @@ PIPELINES = {
     ImageFormat.webp: Pipeline(
         fmt=ImageFormat.webp,
         mime="image/webp",
-        decode_stages=(Stage.HOST_LIBRARY_DECODE,),
+        decode_stages=(Stage.HOST_ENTROPY_DECODE,),
         encode_stages=(
             Stage.DEVICE_RESIZE,
             Stage.DEVICE_COLOR_CONVERT,
@@ -86,9 +86,10 @@ PIPELINES = {
         device_encode=True,
         input_color="rgb8",  # to_rgb8 + libwebp lossy, src/transform.rs:131-136
         speed_rank=2,
-        notes="device RGB->YUV 4:2:0; host C++ VP8 keyframe encoder "
-        "(intra prediction/fDCT/quant/boolean coding is serial with "
-        "reconstruction feedback); libwebp remains the fallback",
+        notes="native both directions: C++ VP8 keyframe decoder (bit-exact "
+        "vs libwebp; VP8L/VP8X fall back to the host library) and encoder "
+        "(I16+B_PRED, RD mode decision); device RGB->YUV 4:2:0 stages; "
+        "JPEG->WebP runs fully fused in YUV space",
     ),
     ImageFormat.avif: Pipeline(
         fmt=ImageFormat.avif,

@@ -24,6 +24,7 @@ resize/encode failures -> 400 with the error text.
 
 from __future__ import annotations
 
+import asyncio
 import os
 import re
 from pathlib import Path
@@ -662,4 +663,9 @@ def run(port: Optional[int] = None) -> None:
     config.validate()
     app = create_app(config)
     port = port or int(os.environ.get("PORT", "8080"))
-    web.run_app(app, host="0.0.0.0", port=port)
+    # eager task factory (3.12): handler coroutines that complete without
+    # suspending skip the event-loop round trip — a real win on small hosts
+    loop = asyncio.new_event_loop()
+    if hasattr(asyncio, "eager_task_factory"):
+        loop.set_task_factory(asyncio.eager_task_factory)
+    web.run_app(app, host="0.0.0.0", port=port, loop=loop)
