@@ -458,7 +458,21 @@ class BatchedEngine(TransformEngine):
             cb = np.zeros((nb, cy_b, cm), np.int16)
             cr = np.zeros((nb, cy_b, cm), np.int16)
             qt = np.zeros((nb, 128), np.float32)
-            u_keys: Dict[Tuple[int, int, int, int], int] = {}
+            # canonical (sorted) unique-geometry indexing: groups holding the
+            # same SET of geometries share one device-resident weight stack
+            # regardless of arrival order (order-dependent keys thrashed the
+            # cache and re-uploaded ~1 MB of weights per flush)
+            u_keys: Dict[Tuple[int, int, int, int], int] = {
+                k: i
+                for i, k in enumerate(
+                    sorted(
+                        {
+                            (it.hdr.width, it.hdr.height, it.out_w, it.out_h)
+                            for it in items
+                        }
+                    )
+                )
+            }
             vidx = np.zeros(nb, np.int32)
             for i, it in enumerate(items):
                 byi, bxi = it.coeffs[0].shape[:2]
@@ -468,8 +482,7 @@ class BatchedEngine(TransformEngine):
                 cr[i, :cyi, : cxi * nk] = it.coeffs[2].reshape(cyi, -1)
                 qt[i, :64] = it.qtabs[0]
                 qt[i, 64:] = it.qtabs[1]
-                ukey = (it.hdr.width, it.hdr.height, it.out_w, it.out_h)
-                vidx[i] = u_keys.setdefault(ukey, len(u_keys))
+                vidx[i] = u_keys[(it.hdr.width, it.hdr.height, it.out_w, it.out_h)]
             nu = self.MAX_UNIQUE
             chroma_dims = {}
             for it in items:
@@ -477,10 +490,7 @@ class BatchedEngine(TransformEngine):
                 chroma_dims.setdefault(
                     ukey, (it.hdr.comp_height[1], it.hdr.comp_width[1])
                 )
-            wkey = (
-                key, nu, shard,
-                tuple(sorted(u_keys.items(), key=lambda kv: kv[1])),
-            )
+            wkey = (key, nu, shard, tuple(sorted(u_keys)))
             cached = self._dweights.get(wkey)
             if cached is None:
                 # chroma weights: to full output res for the RGB kernel, to
@@ -535,7 +545,7 @@ class BatchedEngine(TransformEngine):
 
                 place = self._put_replicated if shard else _jax.device_put
                 cached = tuple(place(x) for x in (wv_y, wh_y, wv_c, wh_c))
-                if len(self._dweights) > 64:
+                if len(self._dweights) > 256:
                     self._dweights.pop(next(iter(self._dweights)))
                 self._dweights[wkey] = cached
             wv_y, wh_y, wv_c, wh_c = cached
@@ -685,36 +695,59 @@ class BatchedEngine(TransformEngine):
             # flat (B, H, W*C) u8 layout: keeps the minor transfer dim wide
             # (avoids the 128-lane padding blowup of NHWC u8 transfers)
             batch = np.zeros((nb, bh, bw * ch), dtype=np.uint8)
-            # dedupe weight matrices: uniform batches ship one matrix
-            v_keys: Dict[Tuple[int, int], int] = {}
-            h_keys: Dict[Tuple[int, int], int] = {}
+            # canonical (sorted) unique-geometry indexing so equal geometry
+            # SETS share one device-resident weight stack (see jpeg path)
+            v_keys: Dict[Tuple[int, int], int] = {
+                k: i
+                for i, k in enumerate(
+                    sorted({(it.img.shape[0], it.out_h) for it in items})
+                )
+            }
+            h_keys: Dict[Tuple[int, int], int] = {
+                k: i
+                for i, k in enumerate(
+                    sorted({(it.img.shape[1], it.out_w) for it in items})
+                )
+            }
             vidx = np.zeros(nb, np.int32)
             hidx = np.zeros(nb, np.int32)
             for i, it in enumerate(items):
                 h_i, w_i = it.img.shape[:2]
                 batch[i, :h_i, : w_i * ch] = it.img.reshape(h_i, w_i * ch)
-                vidx[i] = v_keys.setdefault((h_i, it.out_h), len(v_keys))
-                hidx[i] = h_keys.setdefault((w_i, it.out_w), len(h_keys))
-            nu_v = self.MAX_UNIQUE
-            nu_h = self.MAX_UNIQUE
-            wv = np.zeros((nu_v, obh, bh), dtype=np.float32)
-            wh = np.zeros((nu_h, obw, bw), dtype=np.float32)
-            for (ti, to), u in v_keys.items():
-                wv[u] = _cached_weights(ti, to, bh, obh)
-            for (ti, to), u in h_keys.items():
-                wh[u] = _cached_weights(ti, to, bw, obw)
+                vidx[i] = v_keys[(h_i, it.out_h)]
+                hidx[i] = h_keys[(w_i, it.out_w)]
+            wkey = (
+                key, shard, tuple(sorted(v_keys)), tuple(sorted(h_keys)),
+            )
+            cached = self._dweights.get(wkey)
+            if cached is None:
+                nu_v = self.MAX_UNIQUE
+                nu_h = self.MAX_UNIQUE
+                wv = np.zeros((nu_v, obh, bh), dtype=np.float32)
+                wh = np.zeros((nu_h, obw, bw), dtype=np.float32)
+                for (ti, to), u in v_keys.items():
+                    wv[u] = _cached_weights(ti, to, bh, obh)
+                for (ti, to), u in h_keys.items():
+                    wh[u] = _cached_weights(ti, to, bw, obw)
+                import jax as _jax
+
+                place = self._put_replicated if shard else _jax.device_put
+                cached = (place(wv), place(wh))
+                if len(self._dweights) > 256:
+                    self._dweights.pop(next(iter(self._dweights)))
+                self._dweights[wkey] = cached
+            wv, wh = cached
             t1 = time.perf_counter()
 
             def device_step() -> np.ndarray:
-                if shard:  # DP over the mesh's data axis
+                b_, v_, h_ = batch, vidx, hidx
+                if shard:  # DP over the mesh's data axis (weights cached
+                    # with a replicated placement already)
                     b_, v_, h_ = (
                         self._put_sharded(a) for a in (batch, vidx, hidx)
                     )
-                    wv_, wh_ = (self._put_replicated(a) for a in (wv, wh))
-                else:
-                    b_, v_, h_, wv_, wh_ = batch, vidx, hidx, wv, wh
                 flat = np.asarray(
-                    resample_bucketed_flat(b_, wv_, wh_, v_, h_, ch)
+                    resample_bucketed_flat(b_, wv, wh, v_, h_, ch)
                 )
                 return flat.reshape(nb, obh, obw, ch)
 
