@@ -402,3 +402,83 @@ def test_jpeg_lowfreq_host_fallback_matches():
         )
     )
     assert psnr(dec, golden) >= 31.0
+
+
+def test_progressive_jpeg_takes_lowfreq_path():
+    """Progressive sources decode truncated coefficients identical to the
+    full decode's KxK subset and ride the same engine path."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.codecs.native import jpeg_abi, loader
+
+    lib = loader.load()
+    if lib is None or not vp8_native.available():
+        pytest.skip("native codecs unavailable")
+
+    img = make_test_image(1280, 720)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=85, progressive=True)
+    data = buf.getvalue()
+
+    hdr, ck, _ = jpeg_abi.decode_lowfreq(lib, data, 2)
+    _, cf, _ = jpeg_abi.decode(lib, data)
+    for p_trunc, p_full in zip(ck, cf):
+        by, bx = p_full.shape[:2]
+        sub = p_full.reshape(by, bx, 8, 8)[:, :, :2, :2].reshape(by, bx, 4)
+        np.testing.assert_array_equal(p_trunc, sub)
+
+    engine = make_engine()
+
+    async def run():
+        out = await engine.transform(data, 256, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    from PIL import Image as PILImage
+
+    dec = np.asarray(PILImage.open(io.BytesIO(out)).convert("RGB"))
+    golden = np.asarray(
+        PILImage.open(io.BytesIO(data)).convert("RGB").resize(
+            (256, 144), PILImage.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 31.0
+
+
+def test_422_sampling_falls_back_to_generic_path():
+    """4:2:2 sources can't take the 4:2:0 coefficient kernel; the generic
+    decode path serves them with correct output."""
+    import io
+
+    from PIL import Image
+
+    img = make_test_image(320, 240)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90, subsampling=1)
+    data = buf.getvalue()
+
+    engine = make_engine()
+
+    async def run():
+        out = await engine.transform(data, 160, None, ImageFormat.jpeg, 90)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    dec, _ = decode_image(out)
+    assert dec.shape[:2] == (120, 160)
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (160, 120), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 30.0
+    # the sampling check rejected the coefficient path after the entropy
+    # stage, and the generic decode path actually served the request
+    assert engine.metrics.stage_seconds.get("decode", 0) > 0
