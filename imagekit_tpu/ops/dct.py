@@ -635,23 +635,101 @@ def encode_rgb_to_coefficients(
     img: np.ndarray, quality: int
 ) -> Tuple[List[np.ndarray], Tuple[np.ndarray, np.ndarray]]:
     """Device: colour + subsample + fDCT + quantise. Returns coefficient
-    planes [(byY,bxY,64), (byC,bxC,64), ...] i16 and the quant tables."""
+    planes [(byY,bxY,64), (byC,bxC,64), ...] i16 and the quant tables.
+
+    The image is edge-padded to BUCKET dims before the jitted kernel runs —
+    per-exact-shape jits would mean one 30s-7min remote compile per novel
+    output size (compiled-shape discipline); the padded extra blocks are
+    sliced off on host (a JPEG stream's MCU count comes from the SOF dims,
+    so only ceil(h/16) x ceil(w/16) blocks are ever emitted). Shapes
+    outside the bucket ladder fall back to the numpy mirror."""
+    from imagekit_tpu.utils.bucketing import bucket_for
+
     h, w = img.shape[:2]
     ph = (h + 15) // 16 * 16
     pw = (w + 15) // 16 * 16
-    padded = np.pad(
-        img[:, :, :3], ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
-    )
     qy, qc = quality_tables(quality)
+    try:
+        bh, bw = bucket_for(ph), bucket_for(pw)
+    except ValueError:
+        return host_encode_rgb_to_coefficients(img, quality)
+    # cold shapes are served by the numpy mirror (level-identical math,
+    # proven in tests) — an inline remote compile would stall a request
+    # 30s-7min on the tunnelled TPU. Shapes become device-eligible via
+    # warm_encode_shape (the engine warms its target buckets).
+    if (bh, bw) not in _encode_shapes_ready:
+        return host_encode_rgb_to_coefficients(img, quality)
+    padded = np.pad(
+        img[:, :, :3], ((0, bh - h), (0, bw - w), (0, 0)), mode="edge"
+    )
     yq, cbq, crq = _encode_kernel(
         jnp.asarray(padded.reshape(1, -1)),
         jnp.asarray(qy.astype(np.float32)),
         jnp.asarray(qc.astype(np.float32)),
-        h=ph,
-        w=pw,
+        h=bh,
+        w=bw,
     )
+    # slice to the true MCU grid
+    by, bx = ph // 8, pw // 8
+    cy, cx = ph // 16, pw // 16
     return (
-        [np.asarray(yq), np.asarray(cbq), np.asarray(crq)],
+        [
+            np.asarray(yq)[:by, :bx],
+            np.asarray(cbq)[:cy, :cx],
+            np.asarray(crq)[:cy, :cx],
+        ],
+        (qy, qc),
+    )
+
+
+_encode_shapes_ready: set = set()
+
+
+def warm_encode_shape(bh: int, bw: int) -> None:
+    """Blocking compile of the fDCT/quant kernel for one bucket shape;
+    afterwards encode_rgb_to_coefficients uses the device for images whose
+    MCU-padded dims bucket to (bh, bw). Called from the engine's warmup on
+    its worker pool."""
+    zeros = jnp.zeros((1, bh * bw * 3), jnp.uint8)
+    q = jnp.ones(64, jnp.float32)
+    r = _encode_kernel(zeros, q, q, h=bh, w=bw)
+    np.asarray(r[0])
+    _encode_shapes_ready.add((bh, bw))
+
+
+def host_encode_rgb_to_coefficients(
+    img: np.ndarray, quality: int
+) -> Tuple[List[np.ndarray], Tuple[np.ndarray, np.ndarray]]:
+    """Numpy mirror of the encode kernel for shapes outside the bucket
+    ladder (same math; exact-shape device jits are forbidden by the
+    compiled-shape discipline)."""
+    h, w = img.shape[:2]
+    ph = (h + 15) // 16 * 16
+    pw = (w + 15) // 16 * 16
+    x = np.pad(
+        img[:, :, :3], ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+    ).astype(np.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    cb_d = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr_d = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    A = idct_basis()
+    qy, qc = quality_tables(quality)
+
+    def fdct_quant(plane, q):
+        hh, ww = plane.shape
+        blocks = np.ascontiguousarray(
+            plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+        ).reshape(-1, 8, 8)
+        # c[u,v] = A @ p @ A^T per block, as broadcast BLAS matmuls
+        c = A[None] @ blocks @ A.T[None]
+        c = c.reshape(hh // 8, ww // 8, 64) / q.astype(np.float32)[None, None]
+        return (np.sign(c) * np.floor(np.abs(c) + 0.5)).astype(np.int16)
+
+    return (
+        [fdct_quant(y, qy), fdct_quant(cb_d, qc), fdct_quant(cr_d, qc)],
         (qy, qc),
     )
 

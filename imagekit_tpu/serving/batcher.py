@@ -1082,6 +1082,20 @@ class BatchedEngine(TransformEngine):
                 await loop.run_in_executor(
                     self._device_pool, self._compile_jpeg_sig, sig
                 )
+        # jpeg-format OUTPUTS encode via the device fDCT kernel only for
+        # warmed bucket shapes (cold shapes host-mirror); warm the target
+        # buckets these shapes produce
+        if "rgb" in paths or "jpeg_rgb" in paths:
+            from imagekit_tpu.ops.dct import warm_encode_shape
+
+            seen = set()
+            for _b, _bh, _bw, obh, obw, _ch in shapes:
+                if (obh, obw) in seen:
+                    continue
+                seen.add((obh, obw))
+                await loop.run_in_executor(
+                    self._device_pool, warm_encode_shape, obh, obw
+                )
 
     async def close(self) -> None:
         self._closed = True
