@@ -82,6 +82,7 @@ def decode(data: bytes) -> Optional[np.ndarray]:
         return None
     if rc != _OK:
         raise ValueError(f"corrupt PNG ({rc})")
+    _check_pixel_count(info.width, info.height)
     out = np.empty((info.height, info.width, info.channels), np.uint8)
     rc = lib.ik_png_decode(
         data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes
@@ -91,3 +92,14 @@ def decode(data: bytes) -> Optional[np.ndarray]:
     if rc != _OK:
         raise ValueError(f"corrupt PNG ({rc})")
     return out
+
+
+def _check_pixel_count(w: int, h: int) -> None:
+    """Decompression-bomb guard: the native decoders bypass PIL's
+    MAX_IMAGE_PIXELS check, so enforce the same ceiling here (a tiny
+    compressed file must not allocate gigabytes of pixels)."""
+    from PIL import Image
+
+    limit = Image.MAX_IMAGE_PIXELS or 89_478_485
+    if w * h > 2 * limit:  # PIL errors at 2x its warning threshold
+        raise ValueError(f"image is too large ({w}x{h} pixels)")

@@ -186,6 +186,7 @@ def decode_yuv420(data: bytes):
     if rc != 0:
         raise ValueError(f"corrupt WebP ({rc})")
     w, h = info.width, info.height
+    _check_pixel_count(w, h)
     W, H = (w + 15) // 16 * 16, (h + 15) // 16 * 16
     y = np.zeros((H, W), np.uint8)
     u = np.zeros((H // 2, W // 2), np.uint8)
@@ -227,3 +228,14 @@ def decode_rgb(data: bytes) -> Optional[np.ndarray]:
     b = yf + 1.772 * cb
     rgb = np.stack([r, g, b], -1)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _check_pixel_count(w: int, h: int) -> None:
+    """Decompression-bomb guard: the native decoders bypass PIL's
+    MAX_IMAGE_PIXELS check, so enforce the same ceiling here (a tiny
+    compressed file must not allocate gigabytes of pixels)."""
+    from PIL import Image
+
+    limit = Image.MAX_IMAGE_PIXELS or 89_478_485
+    if w * h > 2 * limit:  # PIL errors at 2x its warning threshold
+        raise ValueError(f"image is too large ({w}x{h} pixels)")
