@@ -194,3 +194,73 @@ def test_jpeg_yuv_kernel_multichip():
     for out in outs:
         dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
         assert psnr(dec, golden) >= 32.0
+
+
+def test_lowfreq_kernel_multichip():
+    """The truncated (K=2) coefficients->YUV kernel runs sharded over the
+    mesh through the engine."""
+    import asyncio
+    import io
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    from imagekit_tpu.config import BatchConfig, ImageKitConfig, ImageFormat
+    from imagekit_tpu.parallel.mesh import make_mesh
+    from imagekit_tpu.serving.batcher import BatchedEngine
+    from imagekit_tpu.serving.metrics import Metrics
+    from imagekit_tpu.utils.bucketing import bucket_for
+    from tests.conftest import cpu_devices, make_test_image, psnr
+
+    mesh = make_mesh(8, devices=cpu_devices()[:8])
+    cfg = ImageKitConfig(
+        secret="s",
+        batch=BatchConfig(max_batch=8, max_delay_ms=500.0, hard_delay_ms=2000.0),
+    )
+    metrics = Metrics()
+    engine = BatchedEngine(cfg, metrics=metrics, mesh=mesh)
+    assert engine._choose_k(
+        bucket_for(720), bucket_for(1280), bucket_for(144), bucket_for(256)
+    ) == 2
+
+    src_img = make_test_image(1280, 720)
+    buf = io.BytesIO()
+    Image.fromarray(src_img).save(buf, "JPEG", quality=88)
+    data = buf.getvalue()
+    shapes = [
+        (8, bucket_for(720), bucket_for(1280), bucket_for(144),
+         bucket_for(256), 3)
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg",))
+        outs = await asyncio.gather(
+            *(
+                engine.transform(data, 256, None, ImageFormat.webp, 85)
+                for _ in range(8)
+            )
+        )
+        await engine.close()
+        return outs
+
+    outs = asyncio.run(run())
+    assert metrics.host_fallbacks == 0
+    # the sharded truncated kernel compiled and ran
+    assert any(
+        s[0] == "jpeg" and s[1] == "yuv" and s[2] == 2 and s[3] is True
+        for s in engine._compiled
+    )
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (256, 144), Image.LANCZOS
+        )
+    )
+    for out in outs:
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        assert psnr(dec, golden) >= 31.0
