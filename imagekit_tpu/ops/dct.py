@@ -511,6 +511,108 @@ def decode_resize_yuv_lowfreq_batch(
     return y, cb, cr
 
 
+@functools.partial(
+    jax.jit, static_argnames=("bh", "bw", "obh", "obw")
+)
+def _resize_yuv420_kernel(
+    flat,       # (B, pad128(bh*bw*3/2)) u8: packed Y then Cb then Cr planes
+    wv_y,       # (U, OHb, bh)
+    wh_y,       # (U, OWb, bw)
+    wv_c,       # (U, OHb/2, bh/2) subsample∘resize∘upsample folded
+    wh_c,
+    vidx,
+    bh: int,
+    bw: int,
+    obh: int,
+    obw: int,
+):
+    """Pixel-domain YUV 4:2:0 -> resized YUV 4:2:0 (the WebP->WebP path:
+    the native VP8 decoder's planes feed this directly — no RGB and no
+    range remap anywhere, both ends are studio range)."""
+    B = flat.shape[0]
+    ny = bh * bw
+    nc = (bh // 2) * (bw // 2)
+    Y = flat[:, :ny].reshape(B, bh, bw).astype(jnp.float32)
+    Cb = flat[:, ny:ny + nc].reshape(B, bh // 2, bw // 2).astype(jnp.float32)
+    Cr = flat[:, ny + nc:ny + 2 * nc].reshape(B, bh // 2, bw // 2).astype(
+        jnp.float32
+    )
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    y = plane_resize(Y, wv_y, wh_y)
+    cb = plane_resize(Cb, wv_c, wh_c)
+    cr = plane_resize(Cr, wv_c, wh_c)
+
+    def q8(p):
+        return (
+            jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0)
+            .astype(jnp.uint8)
+            .reshape(B, -1)
+        )
+
+    return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
+
+
+def resize_yuv420_batch(flat, weights, vidx, in_shape, out_shape):
+    """Run the YUV-domain resize; returns (Y, Cb, Cr) u8 planes at bucket
+    output shapes (crop on host)."""
+    wv_y, wh_y, wv_c, wh_c = weights
+    bh, bw = in_shape
+    obh, obw = out_shape
+    out = np.asarray(
+        _resize_yuv420_kernel(
+            jnp.asarray(flat),
+            jnp.asarray(wv_y),
+            jnp.asarray(wh_y),
+            jnp.asarray(wv_c),
+            jnp.asarray(wh_c),
+            jnp.asarray(vidx),
+            bh=bh,
+            bw=bw,
+            obh=obh,
+            obw=obw,
+        )
+    )
+    B = out.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = out[:, :ny].reshape(B, obh, obw)
+    cb = out[:, ny:ny + nc].reshape(B, obh // 2, obw // 2)
+    cr = out[:, ny + nc:].reshape(B, obh // 2, obw // 2)
+    return y, cb, cr
+
+
+def host_resize_yuv420_single(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, out_h: int, out_w: int
+):
+    """Numpy mirror of the YUV-domain resize for ONE image (host fallback
+    while the batched shape compiles)."""
+    h, w = y.shape
+    wv = resample_weights(h, out_h)
+    wh = resample_weights(w, out_w)
+    cv = combined_chroma_half_weights(
+        cb.shape[0], h, out_h, cb.shape[0], (out_h + 1) // 2
+    )
+    ch = combined_chroma_half_weights(
+        cb.shape[1], w, out_w, cb.shape[1], (out_w + 1) // 2
+    )
+
+    def q8(p):
+        return np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+
+    yo = q8(wv @ y.astype(np.float32) @ wh.T)
+    cbo = q8(cv @ cb.astype(np.float32) @ ch.T)
+    cro = q8(cv @ cr.astype(np.float32) @ ch.T)
+    return yo, cbo, cro
+
+
 def host_decode_resize_yuv_lowfreq_single(
     coeffs, qtabs, width: int, height: int,
     chroma_w: int, chroma_h: int, out_h: int, out_w: int, k: int,

@@ -91,6 +91,21 @@ class _JpegItem:
     enqueued: float = field(default_factory=time.perf_counter)
 
 
+@dataclass
+class _YuvItem:
+    """A decoded YUV 4:2:0 source (native WebP decode) bound for a webp
+    output — resized entirely in YUV space, no RGB anywhere."""
+
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+    out_h: int
+    out_w: int
+    quality: int
+    future: asyncio.Future
+    enqueued: float = field(default_factory=time.perf_counter)
+
+
 @functools.lru_cache(maxsize=4096)
 def _cached_weights(
     true_in: int, true_out: int, bucket_in: int, bucket_out: int
@@ -145,7 +160,8 @@ class BatchedEngine(TransformEngine):
             max_workers=2, thread_name_prefix="ik-device"
         )
         self._queues: Dict[_BucketKey, List[_Item]] = {}
-        self._jqueues: Dict[Tuple[int, int, int, int], list] = {}
+        self._jqueues: Dict[tuple, list] = {}
+        self._yqueues: Dict[tuple, list] = {}
         # weight stacks are identical batch-to-batch for steady traffic;
         # keep them device-resident so only coefficients/pixels transfer
         self._dweights: Dict[tuple, tuple] = {}
@@ -235,8 +251,250 @@ class BatchedEngine(TransformEngine):
                 return await self._transform_jpeg_native(data, w, h, fmt, quality)
             except _NativeUnsupported:
                 pass
+        # WebP -> WebP: native VP8 decode feeds the YUV-domain batched
+        # resize directly (no RGB round trip on either side)
+        if (
+            fmt == ImageFormat.webp
+            and len(data) >= 12
+            and data[:4] == b"RIFF"
+            and data[8:12] == b"WEBP"
+            and (w is not None or h is not None)
+        ):
+            try:
+                return await self._transform_webp_native(data, w, h, quality)
+            except _NativeUnsupported:
+                pass
         img = await self.decode(data)
         return await self.resize_encode(img, w, h, fmt, quality)
+
+    async def _transform_webp_native(
+        self, data: bytes, w, h, quality: int
+    ) -> bytes:
+        from imagekit_tpu.codecs import vp8 as vp8_native
+
+        if not (vp8_native.available() and vp8_native.decode_available()):
+            raise _NativeUnsupported()
+        loop = asyncio.get_running_loop()
+        self._ensure_flusher(loop)
+
+        def vp8_decode():
+            try:
+                return vp8_native.decode_yuv420(data)
+            except ValueError as e:
+                raise _NativeUnsupported() from e
+
+        t0 = time.perf_counter()
+        planes = await loop.run_in_executor(self._codec_pool, vp8_decode)
+        self.metrics.add_stage_time("vp8_decode", time.perf_counter() - t0)
+        if planes is None:  # VP8L / VP8X -> host-library path
+            raise _NativeUnsupported()
+        y, cb, cr = planes
+        ih, iw = y.shape
+        out_w, out_h = target_dimensions(iw, ih, w, h)
+        try:
+            bh, bw = bucket_for(ih), bucket_for(iw)
+            obh, obw = bucket_for(out_h), bucket_for(out_w)
+        except ValueError:
+            raise _NativeUnsupported()
+        if bh % 16 or bw % 16:
+            raise _NativeUnsupported()
+
+        fut: asyncio.Future = loop.create_future()
+        item = _YuvItem(y, cb, cr, out_h, out_w, quality, fut)
+        key = (bh, bw, obh, obw)
+        queue = self._yqueues.setdefault(key, [])
+        queue.append(item)
+        if len(queue) >= self.max_batch:
+            self._yqueues[key] = []
+            asyncio.ensure_future(self._flush_yuv(key, queue))
+        return await fut
+
+    async def _flush_yuv(self, key, items) -> None:
+        groups = self._split_by_geometry(
+            items,
+            lambda it: (it.y.shape[1], it.y.shape[0], it.out_w, it.out_h),
+            self.MAX_UNIQUE,
+        )
+        await asyncio.gather(*(self._flush_yuv_group(key, g) for g in groups))
+
+    async def _flush_yuv_group(self, key, items) -> None:
+        from imagekit_tpu.ops.dct import (
+            combined_chroma_half_weights,
+            pad128,
+            resize_yuv420_batch,
+        )
+        from imagekit_tpu.utils.bucketing import batch_bucket
+
+        loop = asyncio.get_running_loop()
+        bh, bw, obh, obw = key
+        try:
+            t0 = time.perf_counter()
+            nb = batch_bucket(len(items), self.max_batch)
+            shard = self._use_mesh(nb)
+            sig = ("yuvsrc", shard, nb, bh, bw, obh, obw)
+            if sig not in self._compiled:
+                self._kick_compile_yuvsrc(sig)
+                await self._host_fallback_yuv(items)
+                return
+            ny = bh * bw
+            nc = (bh // 2) * (bw // 2)
+            flat = np.zeros((nb, pad128(ny + 2 * nc)), np.uint8)
+            u_keys: Dict[Tuple[int, int, int, int], int] = {
+                k: i
+                for i, k in enumerate(
+                    sorted(
+                        {
+                            (it.y.shape[1], it.y.shape[0], it.out_w, it.out_h)
+                            for it in items
+                        }
+                    )
+                )
+            }
+            vidx = np.zeros(nb, np.int32)
+            for i, it in enumerate(items):
+                ihh, iww = it.y.shape
+                yv = flat[i, :ny].reshape(bh, bw)
+                yv[:ihh, :iww] = it.y
+                chh, cww = it.cb.shape
+                cbv = flat[i, ny:ny + nc].reshape(bh // 2, bw // 2)
+                crv = flat[i, ny + nc:ny + 2 * nc].reshape(bh // 2, bw // 2)
+                cbv[:chh, :cww] = it.cb
+                crv[:chh, :cww] = it.cr
+                vidx[i] = u_keys[(iww, ihh, it.out_w, it.out_h)]
+            wkey = (key, shard, tuple(sorted(u_keys)))
+            cached = self._dweights.get(wkey)
+            if cached is None:
+                nu = self.MAX_UNIQUE
+                wv_y = np.zeros((nu, obh, bh), np.float32)
+                wh_y = np.zeros((nu, obw, bw), np.float32)
+                wv_c = np.zeros((nu, obh // 2, bh // 2), np.float32)
+                wh_c = np.zeros((nu, obw // 2, bw // 2), np.float32)
+                for (iww, ihh, ow_, oh_), u in u_keys.items():
+                    ch_, cw_ = (ihh + 1) // 2, (iww + 1) // 2
+                    wv_y[u] = _cached_weights(ihh, oh_, bh, obh)
+                    wh_y[u] = _cached_weights(iww, ow_, bw, obw)
+                    wv_c[u] = combined_chroma_half_weights(
+                        ch_, ihh, oh_, bh // 2, obh // 2
+                    )
+                    wh_c[u] = combined_chroma_half_weights(
+                        cw_, iww, ow_, bw // 2, obw // 2
+                    )
+                import jax as _jax
+
+                place = self._put_replicated if shard else _jax.device_put
+                cached = tuple(place(x) for x in (wv_y, wh_y, wv_c, wh_c))
+                if len(self._dweights) > 256:
+                    self._dweights.pop(next(iter(self._dweights)))
+                self._dweights[wkey] = cached
+            weights = cached
+            t1 = time.perf_counter()
+
+            def device_step():
+                f_, v_ = flat, vidx
+                if shard:
+                    f_, v_ = self._put_sharded(flat), self._put_sharded(vidx)
+                return resize_yuv420_batch(
+                    f_, weights, v_, (bh, bw), (obh, obw)
+                )
+
+            self._inflight += 1
+            try:
+                yb, cbb, crb = await loop.run_in_executor(
+                    self._device_pool, device_step
+                )
+            finally:
+                self._inflight -= 1
+            self._compiled.add(sig)
+            t2 = time.perf_counter()
+            self.metrics.add_stage_time("batch_build", t1 - t0)
+            self.metrics.add_stage_time("device_resize", t2 - t1)
+            self.metrics.record_batch(len(items))
+
+            async def finish(i: int, it) -> None:
+                ch_ = (it.out_h + 1) // 2
+                cw_ = (it.out_w + 1) // 2
+                try:
+                    encoded = await self._encode_yuv(
+                        loop,
+                        yb[i, : it.out_h, : it.out_w],
+                        cbb[i, :ch_, :cw_],
+                        crb[i, :ch_, :cw_],
+                        it.quality,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    if not it.future.done():
+                        it.future.set_exception(e)
+                    return
+                if not it.future.done():
+                    it.future.set_result(encoded)
+
+            await asyncio.gather(*(finish(i, it) for i, it in enumerate(items)))
+        except Exception as e:  # noqa: BLE001
+            for it in items:
+                if not it.future.done():
+                    it.future.set_exception(e)
+
+    def _kick_compile_yuvsrc(self, sig) -> None:
+        if sig in self._compiling:
+            return
+        self._compiling.add(sig)
+        from imagekit_tpu.ops.dct import pad128, resize_yuv420_batch
+
+        _, shard, nb, bh, bw, obh, obw = sig
+
+        def compile_step():
+            try:
+                ny = bh * bw
+                nc = (bh // 2) * (bw // 2)
+                flat = np.zeros((nb, pad128(ny + 2 * nc)), np.uint8)
+                nu = self.MAX_UNIQUE
+                weights = (
+                    np.zeros((nu, obh, bh), np.float32),
+                    np.zeros((nu, obw, bw), np.float32),
+                    np.zeros((nu, obh // 2, bh // 2), np.float32),
+                    np.zeros((nu, obw // 2, bw // 2), np.float32),
+                )
+                idx = np.zeros(nb, np.int32)
+                if shard:
+                    flat, idx = self._put_sharded(flat), self._put_sharded(idx)
+                    weights = tuple(self._put_replicated(w) for w in weights)
+                resize_yuv420_batch(flat, weights, idx, (bh, bw), (obh, obw))
+                self._compiled.add(sig)
+            except Exception:
+                pass
+            finally:
+                self._compiling.discard(sig)
+
+        self._device_pool.submit(compile_step)
+
+    async def _host_fallback_yuv(self, items) -> None:
+        from imagekit_tpu.ops.dct import host_resize_yuv420_single
+
+        loop = asyncio.get_running_loop()
+        self.metrics.inc("host_fallbacks", len(items))
+
+        async def one(it) -> None:
+            try:
+                yo, cbo, cro = await loop.run_in_executor(
+                    self._codec_pool,
+                    host_resize_yuv420_single,
+                    it.y,
+                    it.cb,
+                    it.cr,
+                    it.out_h,
+                    it.out_w,
+                )
+                encoded = await self._encode_yuv(
+                    loop, yo, cbo, cro, it.quality
+                )
+            except Exception as e:  # noqa: BLE001
+                if not it.future.done():
+                    it.future.set_exception(e)
+                return
+            if not it.future.done():
+                it.future.set_result(encoded)
+
+        await asyncio.gather(*(one(it) for it in items))
 
     async def _transform_jpeg_native(
         self,
@@ -651,6 +909,7 @@ class BatchedEngine(TransformEngine):
                 for queues, flush in (
                     (self._queues, self._flush),
                     (self._jqueues, self._flush_jpeg),
+                    (self._yqueues, self._flush_yuv),
                 ):
                     for key in sorted(
                         list(queues), key=lambda k: -len(queues.get(k) or [])

@@ -482,3 +482,55 @@ def test_422_sampling_falls_back_to_generic_path():
     # the sampling check rejected the coefficient path after the entropy
     # stage, and the generic decode path actually served the request
     assert engine.metrics.stage_seconds.get("decode", 0) > 0
+
+
+def test_webp_to_webp_yuv_direct_path():
+    """WebP sources bound for webp output resize entirely in YUV space:
+    native VP8 decode -> batched YUV-domain resize -> native VP8 encode,
+    no RGB anywhere. Host fallback first (cold shape), device after."""
+    import io
+
+    import pytest
+    from PIL import Image
+
+    pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from imagekit_tpu.codecs import vp8 as vp8_native
+
+    if not (vp8_native.available() and vp8_native.decode_available()):
+        pytest.skip("native VP8 unavailable")
+
+    img = make_test_image(640, 480)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=92)
+    data = buf.getvalue()
+
+    engine = make_engine()
+
+    async def run():
+        a = await engine.transform(data, 320, None, ImageFormat.webp, 85)
+        # allow the kicked background compile to land, then device pass
+        for _ in range(200):
+            if any(s[0] == "yuvsrc" for s in engine._compiled):
+                break
+            await asyncio.sleep(0.05)
+        b = await engine.transform(data, 320, None, ImageFormat.webp, 85)
+        await engine.close()
+        return a, b
+
+    a, b = asyncio.run(run())
+    assert engine.metrics.stage_seconds.get("vp8_decode", 0) > 0
+    assert engine.metrics.host_fallbacks >= 1  # first pass
+    assert any(s[0] == "yuvsrc" for s in engine._compiled)
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (320, 240), Image.LANCZOS
+        )
+    )
+    for out in (a, b):
+        assert out[:4] == b"RIFF"
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        assert psnr(dec, golden) >= 32.0
+    # fallback and device agree
+    da = np.asarray(Image.open(io.BytesIO(a)).convert("RGB"))
+    db = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    assert psnr(da, db) >= 45.0
