@@ -219,7 +219,7 @@ class BatchedEngine(TransformEngine):
         key = (bh, bw, obh, obw, ch)
         queue = self._queues.setdefault(key, [])
         queue.append(item)
-        self.metrics.queue_depth = sum(len(q) for q in self._queues.values())
+        self.metrics.queue_depth = self._total_queued()
         if len(queue) >= self.max_batch:
             self._queues[key] = []
             asyncio.ensure_future(self._flush(key, queue))
@@ -625,6 +625,13 @@ class BatchedEngine(TransformEngine):
         return 8
 
     MAX_UNIQUE = 4  # fixed unique-geometry slots per device call
+
+    def _total_queued(self) -> int:
+        return sum(
+            len(q)
+            for queues in (self._queues, self._jqueues, self._yqueues)
+            for q in queues.values()
+        )
 
     # -- mesh placement helpers ------------------------------------------
 
@@ -1038,9 +1045,7 @@ class BatchedEngine(TransformEngine):
                 if not it.future.done():
                     it.future.set_exception(e)
         finally:
-            self.metrics.queue_depth = sum(
-                len(q) for q in self._queues.values()
-            )
+            self.metrics.queue_depth = self._total_queued()
 
     # -- compile-miss host fallback ------------------------------------
 
