@@ -754,7 +754,12 @@ def encode_rgb_to_coefficients(
     try:
         bh, bw = bucket_for(ph), bucket_for(pw)
     except ValueError:
-        return host_encode_rgb_to_coefficients(img, quality)
+        # beyond the bucket ladder (e.g. extreme upscales): the float
+        # mirror would allocate gigabytes of temporaries — let the caller
+        # fall back to the host library encoder instead
+        raise ValueError(
+            f"image {w}x{h} exceeds the native encode ladder"
+        ) from None
     # cold shapes are served by the numpy mirror (level-identical math,
     # proven in tests) — an inline remote compile would stall a request
     # 30s-7min on the tunnelled TPU. Shapes become device-eligible via

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Rate limiting off by default in tests (reference tests/integration.rs:12).
 os.environ.setdefault("DISABLE_RATE_LIMIT", "1")
+# Each create_app() otherwise background-compiles the full warmup ladder
+# (several kernels per app instance); tests that need warm shapes call
+# engine.warmup() explicitly with exactly the shapes they use.
+os.environ.setdefault("IMAGEKIT_NO_WARMUP", "1")
 
 import jax  # noqa: E402
 
