@@ -31,7 +31,11 @@ COPY --from=builder /build/native/libik_native.so ./imagekit_tpu/codecs/native/
 
 ENV PYTHONPATH=/app \
     IMAGEKIT_CACHE_DIR=/app/cache \
-    PORT=8080
+    PORT=8080 \
+    # glibc arena retention balloons RSS ~6x under shape-diverse load
+    # (imagekit_tpu.utils.limit_malloc_arenas applies the same cap at
+    # runtime; the env var is belt-and-braces for library embedders)
+    MALLOC_ARENA_MAX=2
 
 VOLUME /app/cache
 EXPOSE 8080

@@ -20,6 +20,12 @@ import os
 import sys
 import time
 
+# deterministic glibc arena cap (must be env before arenas spawn; the TPU
+# sitecustomize starts XLA threads at interpreter start -> re-exec once)
+if os.environ.get("MALLOC_ARENA_MAX") is None and sys.platform == "linux":
+    os.environ["MALLOC_ARENA_MAX"] = "2"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -263,6 +269,9 @@ def _device_name():
 
 
 def _main():
+    from imagekit_tpu.utils import limit_malloc_arenas
+
+    limit_malloc_arenas()
     # eager task factory (3.12): coroutines that complete synchronously
     # skip the event-loop round trip — measurable on the 1-core host
     runner = asyncio.Runner()

@@ -85,6 +85,13 @@ class BatchConfig:
     """
 
     max_batch: int = 32
+    # Ceiling on distinct compiled executables the engine will create at
+    # runtime (warmup shapes don't count against it). Each executable
+    # retains host+device memory for the life of the process — on the
+    # tunnelled dev TPU ~65 MB each — so shape-diverse (or adversarial)
+    # traffic must not compile unboundedly; shapes beyond the budget are
+    # served by the host fallback forever.
+    max_compiled_shapes: int = 32
     # Deadline for flushing a partial batch while the device is idle.
     max_delay_ms: float = 4.0
     # Absolute ceiling on queueing time: while the device is busy, partial

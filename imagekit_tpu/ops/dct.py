@@ -86,8 +86,18 @@ def quality_tables(quality: int) -> Tuple[np.ndarray, np.ndarray]:
     return scaled(QTAB_LUMA_BASE), scaled(QTAB_CHROMA_BASE)
 
 
-@functools.lru_cache(maxsize=256)
-def upsample_weights(half: int, full: int) -> np.ndarray:
+from imagekit_tpu.utils.sized_cache import SizedArrayCache
+
+# Chroma/upsample weight matrices run 0.1-7 MB each and are keyed by true
+# dims — byte-budgeted LRU instead of entry caps (see utils/sized_cache.py).
+_CHROMA_WEIGHTS = SizedArrayCache(64 * 1024 * 1024)
+
+
+def _chroma_cached(key, build):
+    return _CHROMA_WEIGHTS.get_or_build(key, build)
+
+
+def _upsample_weights_impl(half: int, full: int) -> np.ndarray:
     """(full, half) matrix for libjpeg-style 'fancy' (triangle) 2x chroma
     upsampling along one axis: output 2i   = (3*c[i] + c[i-1]) / 4,
     output 2i+1 = (3*c[i] + c[i+1]) / 4, edges clamped."""
@@ -105,8 +115,7 @@ def upsample_weights(half: int, full: int) -> np.ndarray:
     return U
 
 
-@functools.lru_cache(maxsize=1024)
-def combined_chroma_weights(
+def _combined_chroma_weights_impl(
     chroma_true: int,
     full_true: int,
     out_true: int,
@@ -122,6 +131,38 @@ def combined_chroma_weights(
     out = np.zeros((out_bucket, chroma_bucket), np.float32)
     out[:out_true, :chroma_true] = C
     return out
+
+
+
+
+def upsample_weights(half, full):
+    return _chroma_cached(("up", half, full), lambda: _upsample_weights_impl(half, full))
+
+
+def combined_chroma_weights(chroma_true, full_true, out_true, chroma_bucket,
+                            out_bucket, filter_name="lanczos3"):
+    key = ("cc", chroma_true, full_true, out_true, chroma_bucket, out_bucket, filter_name)
+    return _chroma_cached(key, lambda: _combined_chroma_weights_impl(
+        chroma_true, full_true, out_true, chroma_bucket, out_bucket, filter_name))
+
+
+def combined_chroma_half_weights(chroma_true, full_true, out_true,
+                                 chroma_bucket, out_half_bucket,
+                                 filter_name="lanczos3"):
+    key = ("cch", chroma_true, full_true, out_true, chroma_bucket,
+           out_half_bucket, filter_name)
+    return _chroma_cached(key, lambda: _combined_chroma_half_weights_impl(
+        chroma_true, full_true, out_true, chroma_bucket, out_half_bucket,
+        filter_name))
+
+
+def lowfreq_chroma_half_weights(chroma_true, full_true, out_true,
+                                chroma_inter_bucket, out_half_bucket, k):
+    key = ("lch", chroma_true, full_true, out_true, chroma_inter_bucket,
+           out_half_bucket, k)
+    return _chroma_cached(key, lambda: _lowfreq_chroma_half_weights_impl(
+        chroma_true, full_true, out_true, chroma_inter_bucket,
+        out_half_bucket, k))
 
 
 # ---------------------------------------------------------------------------
@@ -215,8 +256,7 @@ def _decode_resize_kernel(
     return rgb.reshape(B, -1)  # flat 2D out for fast D2H
 
 
-@functools.lru_cache(maxsize=1024)
-def combined_chroma_half_weights(
+def _combined_chroma_half_weights_impl(
     chroma_true: int,
     full_true: int,
     out_true: int,
@@ -362,8 +402,7 @@ def lowfreq_luma_weights(
     return out
 
 
-@functools.lru_cache(maxsize=1024)
-def lowfreq_chroma_half_weights(
+def _lowfreq_chroma_half_weights_impl(
     chroma_true: int,
     full_true: int,
     out_true: int,

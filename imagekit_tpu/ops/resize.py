@@ -101,8 +101,20 @@ FILTERS: Dict[str, Tuple[float, Callable[[np.ndarray], np.ndarray]]] = {
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=512)
-def resample_weights(
+from imagekit_tpu.utils.sized_cache import SizedArrayCache
+
+_WEIGHTS_CACHE = SizedArrayCache(64 * 1024 * 1024)
+
+
+def resample_weights(true_in, true_out, filter_name="lanczos3"):
+    """Cached (byte-budgeted) resample weight matrix; see the impl below."""
+    key = ("rw", true_in, true_out, filter_name)
+    return _WEIGHTS_CACHE.get_or_build(
+        key, lambda: _resample_weights_impl(true_in, true_out, filter_name)
+    )
+
+
+def _resample_weights_impl(
     in_size: int, out_size: int, filter_name: str = "lanczos3"
 ) -> np.ndarray:
     """Dense (out_size, in_size) f32 weight matrix for one axis.

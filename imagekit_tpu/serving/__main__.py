@@ -3,9 +3,24 @@
 Reference entrypoint analogue (``src/main.rs:20-59``).
 """
 
-import argparse
+import os
+import sys
 
-from imagekit_tpu.serving.app import run
+# glibc arena retention balloons RSS ~6x under load (see
+# utils.limit_malloc_arenas). MALLOC_ARENA_MAX must be in the environment
+# BEFORE glibc spawns arenas, and the TPU plugin's sitecustomize starts
+# XLA threads at interpreter start — so re-exec once with the cap set
+# before importing anything heavyweight.
+if os.environ.get("MALLOC_ARENA_MAX") is None and sys.platform == "linux":
+    os.environ["MALLOC_ARENA_MAX"] = "2"
+    os.execv(
+        sys.executable,
+        [sys.executable, "-m", "imagekit_tpu.serving", *sys.argv[1:]],
+    )
+
+import argparse  # noqa: E402
+
+from imagekit_tpu.serving.app import run  # noqa: E402
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="imagekit_tpu server")

@@ -639,10 +639,23 @@ def create_app(
         ):
             app["warmup_task"] = _asyncio.ensure_future(state.engine.warmup())
 
+        async def trim_loop():
+            # return freed arena memory to the OS periodically: transient
+            # codec buffers push the allocator high-water mark up under
+            # load spikes and glibc retains it otherwise
+            from imagekit_tpu.utils import malloc_trim
+
+            while True:
+                await _asyncio.sleep(30.0)
+                malloc_trim()
+
+        app["trim_task"] = _asyncio.ensure_future(trim_loop())
+
     async def on_cleanup(app):
-        task = app.get("warmup_task")
-        if task is not None:
-            task.cancel()
+        for name in ("warmup_task", "trim_task"):
+            task = app.get(name)
+            if task is not None:
+                task.cancel()
         await state.close()
 
     app.on_startup.append(on_startup)
@@ -659,6 +672,9 @@ def run(port: Optional[int] = None) -> None:
         level=os.environ.get("IMAGEKIT_LOG", "INFO").upper(),
         format="%(asctime)s %(levelname)s %(name)s %(message)s",
     )
+    from imagekit_tpu.utils import limit_malloc_arenas
+
+    limit_malloc_arenas()  # before any thread pool spawns (see docstring)
     config = ImageKitConfig.from_env()
     config.validate()
     app = create_app(config)

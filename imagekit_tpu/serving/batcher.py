@@ -106,11 +106,21 @@ class _YuvItem:
     enqueued: float = field(default_factory=time.perf_counter)
 
 
-@functools.lru_cache(maxsize=4096)
+# Byte-budgeted host weight cache: entry-capped lru_cache leaked gigabytes
+# under random-dimension traffic (each entry is a 0.5-3 MB matrix keyed by
+# true dims; see utils/sized_cache.py).
+from imagekit_tpu.utils.sized_cache import SizedArrayCache  # noqa: E402
+
+_HOST_WEIGHTS = SizedArrayCache(128 * 1024 * 1024)
+
+
 def _cached_weights(
     true_in: int, true_out: int, bucket_in: int, bucket_out: int
 ) -> np.ndarray:
-    return padded_weights(true_in, true_out, bucket_in, bucket_out)
+    key = (true_in, true_out, bucket_in, bucket_out)
+    return _HOST_WEIGHTS.get_or_build(
+        key, lambda: padded_weights(true_in, true_out, bucket_in, bucket_out)
+    )
 
 
 class BatchedEngine(TransformEngine):
@@ -145,6 +155,7 @@ class BatchedEngine(TransformEngine):
         self._mesh_ndev = self._mesh.devices.size if self._mesh is not None else 1
         bc = self.config.batch
         self.max_batch = bc.max_batch
+        self.max_compiled = getattr(bc, "max_compiled_shapes", 32)
         self.max_delay = bc.max_delay_ms / 1000.0
         self.hard_delay = bc.hard_delay_ms / 1000.0
         import os
@@ -164,7 +175,11 @@ class BatchedEngine(TransformEngine):
         self._yqueues: Dict[tuple, list] = {}
         # weight stacks are identical batch-to-batch for steady traffic;
         # keep them device-resident so only coefficients/pixels transfer
-        self._dweights: Dict[tuple, tuple] = {}
+        # (byte-budgeted: the tunnelled device client mirrors placements in
+        # host memory, so an entry-capped cache leaks under random dims)
+        self._dweights = SizedArrayCache(
+            int(os.environ.get("IMAGEKIT_DEVICE_WEIGHT_CACHE_MB", "64")) * 1024 * 1024
+        )
         # shape signatures whose executable is known compiled; batches for
         # cold shapes run on a host fallback while the compile warms in the
         # background (per-request device->host fallback, SURVEY.md §5.3)
@@ -383,9 +398,7 @@ class BatchedEngine(TransformEngine):
 
                 place = self._put_replicated if shard else _jax.device_put
                 cached = tuple(place(x) for x in (wv_y, wh_y, wv_c, wh_c))
-                if len(self._dweights) > 256:
-                    self._dweights.pop(next(iter(self._dweights)))
-                self._dweights[wkey] = cached
+                self._dweights.put(wkey, cached)
             weights = cached
             t1 = time.perf_counter()
 
@@ -434,8 +447,20 @@ class BatchedEngine(TransformEngine):
                 if not it.future.done():
                     it.future.set_exception(e)
 
-    def _kick_compile_yuvsrc(self, sig) -> None:
+
+    def _may_compile(self, sig) -> bool:
+        """Runtime compile budget: each executable permanently retains
+        host+device memory (~65 MB on the tunnelled dev TPU), so
+        shape-diverse traffic must not compile without bound. Shapes
+        beyond the budget ride the host fallback forever."""
         if sig in self._compiling:
+            return True  # already accounted
+        return (
+            len(self._compiled) + len(self._compiling) < self.max_compiled
+        )
+
+    def _kick_compile_yuvsrc(self, sig) -> None:
+        if sig in self._compiling or not self._may_compile(sig):
             return
         self._compiling.add(sig)
         from imagekit_tpu.ops.dct import pad128, resize_yuv420_batch
@@ -810,9 +835,7 @@ class BatchedEngine(TransformEngine):
 
                 place = self._put_replicated if shard else _jax.device_put
                 cached = tuple(place(x) for x in (wv_y, wh_y, wv_c, wh_c))
-                if len(self._dweights) > 256:
-                    self._dweights.pop(next(iter(self._dweights)))
-                self._dweights[wkey] = cached
+                self._dweights.put(wkey, cached)
             wv_y, wh_y, wv_c, wh_c = cached
             t1 = time.perf_counter()
 
@@ -999,9 +1022,7 @@ class BatchedEngine(TransformEngine):
 
                 place = self._put_replicated if shard else _jax.device_put
                 cached = (place(wv), place(wh))
-                if len(self._dweights) > 256:
-                    self._dweights.pop(next(iter(self._dweights)))
-                self._dweights[wkey] = cached
+                self._dweights.put(wkey, cached)
             wv, wh = cached
             t1 = time.perf_counter()
 
@@ -1051,7 +1072,7 @@ class BatchedEngine(TransformEngine):
 
     def _kick_compile_rgb(self, sig) -> None:
         """Compile a cold rgb-path shape in the background (zero inputs)."""
-        if sig in self._compiling:
+        if sig in self._compiling or not self._may_compile(sig):
             return
         self._compiling.add(sig)
         from imagekit_tpu.ops.resize import resample_bucketed_flat
@@ -1137,7 +1158,7 @@ class BatchedEngine(TransformEngine):
         self._compiled.add(sig)
 
     def _kick_compile_jpeg(self, sig) -> None:
-        if sig in self._compiling:
+        if sig in self._compiling or not self._may_compile(sig):
             return
         self._compiling.add(sig)
 
