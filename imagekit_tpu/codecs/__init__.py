@@ -96,7 +96,8 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
             if arr is not None:
                 return arr, fmt
     elif fmt == SourceFormat.webp:
-        # native VP8 decode (lossy); VP8L/VP8X fall back to the host library
+        # native VP8 (lossy) + VP8L (lossless) decode; VP8X containers
+        # fall back to the host library
         from imagekit_tpu.codecs import vp8 as vp8_native
 
         if vp8_native.decode_available():

@@ -404,6 +404,8 @@ struct Decoder {
             comp[c].h = seg[7 + 3 * c] >> 4;
             comp[c].v = seg[7 + 3 * c] & 15;
             comp[c].tq = seg[8 + 3 * c];
+            // tq indexes qtab[4]; T.81 allows 0..3 only
+            if (comp[c].tq > 3) return IK_ERR_BAD_MARKER;
             if (comp[c].h < 1 || comp[c].h > 4 || comp[c].v < 1 || comp[c].v > 4)
               return IK_ERR_UNSUPPORTED;
             hmax = comp[c].h > hmax ? comp[c].h : hmax;
@@ -444,6 +446,8 @@ struct Decoder {
           for (int s = 0; s < si.ns; ++s) {
             int cid = seg[1 + 2 * s];
             int tabs = seg[2 + 2 * s];
+            // table ids index HuffTable dc[4]/ac[4]; T.81 allows 0..3 only
+            if ((tabs >> 4) > 3 || (tabs & 15) > 3) return IK_ERR_BAD_MARKER;
             int found = -1;
             for (int c = 0; c < ncomp; ++c) {
               if (comp[c].id == cid) {
@@ -463,6 +467,9 @@ struct Decoder {
           si.Se = sp[1];
           si.Ah = sp[2] >> 4;
           si.Al = sp[2] & 15;
+          // spectral band indexes kZigzag[64] (T.81: 0 <= Ss <= Se <= 63)
+          if (si.Ss > 63 || si.Se > 63 || si.Ss > si.Se)
+            return IK_ERR_BAD_MARKER;
           if (!progressive) {
             if (si.ns != ncomp) return IK_ERR_UNSUPPORTED;
             scan_start = p + seglen;

@@ -23,6 +23,7 @@ _SOURCES = (
     "jpeg_entropy.cpp",
     "vp8_encode.cpp",
     "vp8_decode.cpp",
+    "vp8l_decode.cpp",
     "png_decode.cpp",
     "misc_decode.cpp",
 )

@@ -48,6 +48,11 @@ struct IkPngInfo {
 };
 int ik_png_parse(const uint8_t*, size_t, IkPngInfo*);
 int ik_png_decode(const uint8_t*, size_t, uint8_t*, size_t);
+struct IkVp8lInfo {
+  int32_t width, height, has_alpha;
+};
+int ik_vp8l_parse(const uint8_t*, size_t, IkVp8lInfo*);
+int ik_vp8l_decode(const uint8_t*, size_t, uint8_t*, size_t);
 }
 
 namespace {
@@ -133,12 +138,62 @@ std::vector<uint8_t> MakePng(int w, int h) {
   return png;
 }
 
+// Hand-assembled minimal VP8L stream: no transforms/cache/meta, a
+// two-symbol green code (literals 10 and 200) alternating per pixel,
+// single-symbol red/blue/alpha/dist codes. Exercises the LSB bit reader,
+// simple-form prefix codes, tree walking, and the literal pixel loop.
+std::vector<uint8_t> MakeVp8l(int w, int h) {
+  std::vector<uint8_t> bits;
+  uint32_t acc = 0;
+  int nacc = 0;
+  auto put = [&](uint32_t v, int n) {
+    acc |= v << nacc;
+    nacc += n;
+    while (nacc >= 8) {
+      bits.push_back(static_cast<uint8_t>(acc));
+      acc >>= 8;
+      nacc -= 8;
+    }
+  };
+  put(0x2f, 8);                                  // VP8L signature byte
+  put(static_cast<uint32_t>(w - 1), 14);
+  put(static_cast<uint32_t>(h - 1), 14);
+  put(0, 1);                                     // no alpha
+  put(0, 3);                                     // version 0
+  put(0, 1);                                     // no transforms
+  put(0, 1);                                     // no colour cache
+  put(0, 1);                                     // no meta groups
+  // green: simple form, 2 symbols (literal 10, literal 200)
+  put(1, 1); put(1, 1); put(1, 1); put(10, 8); put(200, 8);
+  // red / blue / alpha / dist: simple form, 1 symbol each
+  put(1, 1); put(0, 1); put(1, 1); put(20, 8);   // red = 20
+  put(1, 1); put(0, 1); put(1, 1); put(30, 8);   // blue = 30
+  put(1, 1); put(0, 1); put(1, 1); put(255, 8);  // alpha = 255
+  put(1, 1); put(0, 1); put(1, 1); put(0, 8);    // dist (unused)
+  for (int i = 0; i < w * h; ++i) put(i & 1, 1); // alternate green symbols
+  if (nacc) bits.push_back(static_cast<uint8_t>(acc));
+
+  std::vector<uint8_t> riff;
+  auto le32 = [&riff](uint32_t v) {
+    for (int i = 0; i < 4; ++i) riff.push_back((v >> (8 * i)) & 0xff);
+  };
+  const uint32_t body = static_cast<uint32_t>(bits.size());
+  riff.insert(riff.end(), {'R', 'I', 'F', 'F'});
+  le32(4 + 8 + body + (body & 1));
+  riff.insert(riff.end(), {'W', 'E', 'B', 'P', 'V', 'P', '8', 'L'});
+  le32(body);
+  riff.insert(riff.end(), bits.begin(), bits.end());
+  if (body & 1) riff.push_back(0);
+  return riff;
+}
+
 }  // namespace
 
 int main() {
   const int kThreads = 8, kIters = 24;
   const std::vector<uint8_t> jpeg = MakeJpeg(144, 112);
   const std::vector<uint8_t> png = MakePng(96, 64);
+  const std::vector<uint8_t> vp8l = MakeVp8l(37, 22);
 
   std::vector<std::thread> threads;
   for (int t = 0; t < kThreads; ++t) {
@@ -218,6 +273,19 @@ int main() {
         Require(ik_png_decode(png.data(), png.size(), out.data(),
                               out.size()) == 0,
                 "png decode");
+
+        // -- VP8L decode on the SHARED input buffer --
+        IkVp8lInfo li;
+        Require(ik_vp8l_parse(vp8l.data(), vp8l.size(), &li) == 0,
+                "vp8l parse");
+        std::vector<uint8_t> lout(static_cast<size_t>(li.width) * li.height *
+                                  4);
+        Require(ik_vp8l_decode(vp8l.data(), vp8l.size(), lout.data(),
+                               lout.size()) == 0,
+                "vp8l decode");
+        Require(lout[1] == 10 && lout[5] == 200 && lout[0] == 20 &&
+                    lout[2] == 30 && lout[3] == 255,
+                "vp8l pixels");
       }
     });
   }

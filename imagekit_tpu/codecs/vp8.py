@@ -122,15 +122,24 @@ def encode_rgb(
 
 
 # ---------------------------------------------------------------------------
-# Decode (vp8_decode.cpp): lossy WebP sources -> pixels for the batched
-# device resize. VP8L (lossless) / VP8X (alpha, animation) containers return
-# None and callers fall back to the host library. The decoder is validated
-# BIT-EXACT against libwebp's decoder (tests/test_vp8_decode.py).
+# Decode: lossy (vp8_decode.cpp) and lossless (vp8l_decode.cpp) WebP
+# sources -> pixels for the batched device resize. VP8X (alpha/animation)
+# containers return None and callers fall back to the host library. Both
+# decoders are validated BIT-EXACT against libwebp's decoder
+# (tests/test_vp8_decode.py, tests/test_vp8l.py).
 # ---------------------------------------------------------------------------
 
 
 class _IkVp8Info(ctypes.Structure):
     _fields_ = [("width", ctypes.c_int32), ("height", ctypes.c_int32)]
+
+
+class _IkVp8lInfo(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int32),
+        ("height", ctypes.c_int32),
+        ("has_alpha", ctypes.c_int32),
+    ]
 
 
 _dec_configured = False
@@ -143,7 +152,22 @@ def _dec_lib() -> Optional[ctypes.CDLL]:
     lib = loader.load()
     if lib is None or not hasattr(lib, "ik_webp_decode_yuv"):
         return None
+    if not hasattr(lib, "ik_vp8l_decode"):
+        return None  # stale library built before vp8l_decode.cpp existed
     if not _dec_configured:
+        lib.ik_vp8l_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(_IkVp8lInfo),
+        ]
+        lib.ik_vp8l_parse.restype = ctypes.c_int
+        lib.ik_vp8l_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.ik_vp8l_decode.restype = ctypes.c_int
         lib.ik_webp_parse.argtypes = [
             ctypes.c_char_p,
             ctypes.c_size_t,
@@ -205,10 +229,41 @@ def decode_yuv420(data: bytes):
     return y[:h, :w], u[:ch, :cw], v[:ch, :cw]
 
 
+def decode_lossless(data: bytes) -> Optional[np.ndarray]:
+    """Lossless WebP (VP8L chunk) -> HWC u8 RGB/RGBA, bit-exact vs libwebp
+    (vp8l_decode.cpp). Returns None for non-VP8L containers (lossy VP8 or
+    extended VP8X, which the callers route elsewhere)."""
+    if len(data) < 16 or data[12:16] != b"VP8L":
+        return None  # lossy/extended container: not ours
+    lib = _dec_lib()
+    if lib is None:
+        return None
+    info = _IkVp8lInfo()
+    rc = lib.ik_vp8l_parse(data, len(data), ctypes.byref(info))
+    if rc == -3 or rc == -2:  # VP8X or unsupported version bits
+        return None
+    if rc != 0:
+        raise ValueError(f"corrupt WebP ({rc})")
+    w, h = info.width, info.height
+    _check_pixel_count(w, h)
+    out = np.empty((h, w, 4), np.uint8)
+    rc = lib.ik_vp8l_decode(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes
+    )
+    if rc == -3:
+        return None
+    if rc != 0:
+        raise ValueError(f"corrupt WebP ({rc})")
+    return out if info.has_alpha else np.ascontiguousarray(out[:, :, :3])
+
+
 def decode_rgb(data: bytes) -> Optional[np.ndarray]:
-    """Lossy WebP -> HWC u8 RGB: native VP8 decode + the 'fancy' separable
-    triangle chroma upsample (libwebp's default kernel) + studio-range
-    BT.601 inverse. None -> host-library fallback."""
+    """WebP -> HWC u8 pixels. Lossless (VP8L) decodes bit-exactly; lossy
+    (VP8) decodes natively + the 'fancy' separable triangle chroma upsample
+    (libwebp's default kernel) + studio-range BT.601 inverse.
+    None -> host-library fallback (VP8X containers)."""
+    if len(data) >= 16 and data[12:16] == b"VP8L":
+        return decode_lossless(data)
     planes = decode_yuv420(data)
     if planes is None:
         return None

@@ -161,15 +161,30 @@ def test_decode_bytes_routes_webp_native():
     np.testing.assert_array_equal(arr, direct)
 
 
-def test_lossless_vp8l_falls_back():
+def test_lossless_vp8l_decodes_natively():
     rgb = make_test_image(40, 30)
     buf = io.BytesIO()
     Image.fromarray(rgb).save(buf, "WEBP", lossless=True)
     data = buf.getvalue()
-    assert vp8.decode_rgb(data) is None  # VP8L -> host library
-    arr, fmt = decode_bytes(data)  # still decodes via fallback
+    out = vp8.decode_rgb(data)  # VP8L -> native lossless decoder
+    assert out is not None
+    np.testing.assert_array_equal(out[:, :, :3], rgb)
+    arr, fmt = decode_bytes(data)
     assert fmt.value == "webp"
-    np.testing.assert_array_equal(arr, rgb)  # lossless round trip
+    np.testing.assert_array_equal(arr[:, :, :3], rgb)
+
+
+def test_vp8x_container_falls_back():
+    # synthesize an extended container: RIFF(WEBP VP8X + VP8L)
+    rgb = make_test_image(24, 18)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "WEBP", lossless=True)
+    data = buf.getvalue()
+    vp8l_chunk = data[12:]
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(10)
+    body = b"WEBP" + vp8x + vp8l_chunk
+    riff = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert vp8.decode_rgb(riff) is None  # host library handles VP8X
 
 
 def test_corrupt_webp_raises():

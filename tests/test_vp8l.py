@@ -1,0 +1,127 @@
+"""VP8L (lossless WebP) native decoder tests.
+
+The decoder (codecs/native/vp8l_decode.cpp) must be BIT-EXACT against the
+host libwebp decoder for every encoder effort level: lossless decode has a
+single normative output (reference decode arm: src/transform.rs:27-43 via
+the `image` crate, which is exact for lossless sources).
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imagekit_tpu.codecs import SourceFormat, decode_bytes
+from imagekit_tpu.codecs import vp8
+
+
+pytestmark = pytest.mark.skipif(
+    not vp8.decode_available(), reason="native codec unavailable"
+)
+
+
+def _lossless(img: np.ndarray, method: int, mode: str = "RGB") -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(img, mode).save(
+        buf, "WEBP", lossless=True, method=method
+    )
+    return buf.getvalue()
+
+
+def _ref_rgba(data: bytes) -> np.ndarray:
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+
+
+def _images():
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:57, 0:83]
+    photo = np.stack(
+        [(yy * 2 + xx) % 256, (xx * 3) % 256, ((yy + xx) * 5) % 256], -1
+    ).astype(np.uint8)
+    photo = (
+        (photo.astype(np.int16) + rng.integers(-8, 8, photo.shape))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    noise = rng.integers(0, 255, (41, 66, 3), np.uint8)
+    # 2-colour palette exercises pixel bundling (8 px/unit)
+    pal2 = np.array([[250, 10, 10], [10, 250, 10]], np.uint8)[
+        rng.integers(0, 2, (30, 45))
+    ]
+    # 13-colour palette exercises 1-px bundling + colour-indexing deltas
+    idx = rng.integers(0, 13, (25, 37))
+    pal13 = np.stack([(idx * 19).astype(np.uint8)] * 3, -1)
+    rows = np.repeat(rng.integers(0, 255, (20, 1, 3), np.uint8), 50, axis=1)
+    return {
+        "photo": photo,
+        "noise": noise,
+        "pal2": pal2,
+        "pal13": pal13,
+        "rows": rows,
+    }
+
+
+@pytest.mark.parametrize("method", [0, 2, 4, 6])
+@pytest.mark.parametrize("name", ["photo", "noise", "pal2", "pal13", "rows"])
+def test_bit_exact_vs_libwebp(name, method):
+    img = _images()[name]
+    data = _lossless(img, method)
+    out = vp8.decode_lossless(data)
+    assert out is not None, "should be a plain VP8L container"
+    ref = _ref_rgba(data)
+    if out.shape[2] == 3:
+        ref = ref[:, :, :3]
+    np.testing.assert_array_equal(out, ref)
+    # lossless round trip: decoded pixels ARE the source pixels
+    np.testing.assert_array_equal(out[:, :, :3], img)
+
+
+@pytest.mark.parametrize("method", [0, 4])
+def test_rgba_alpha_exact(method):
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 255, (29, 43, 4), np.uint8)
+    data = _lossless(rgba, method, mode="RGBA")
+    out = vp8.decode_lossless(data)
+    assert out is not None and out.shape == (29, 43, 4)
+    np.testing.assert_array_equal(out, _ref_rgba(data))
+    # libwebp's encoder zeroes RGB under fully-transparent pixels by
+    # default (exact=False), so round-trip only where alpha > 0
+    vis = rgba[:, :, 3] > 0
+    np.testing.assert_array_equal(out[vis], rgba[vis])
+
+
+def test_decode_bytes_routes_vp8l():
+    img = _images()["photo"]
+    data = _lossless(img, 2)
+    arr, fmt = decode_bytes(data)
+    assert fmt == SourceFormat.webp
+    np.testing.assert_array_equal(arr[:, :, :3], img)
+
+
+def test_lossy_container_returns_none():
+    img = _images()["photo"]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=80)
+    assert vp8.decode_lossless(buf.getvalue()) is None
+
+
+def test_corrupt_vp8l_raises_or_none():
+    data = bytearray(_lossless(_images()["noise"], 2))
+    # corrupt the entropy payload beyond the header
+    for i in range(40, min(len(data), 120)):
+        data[i] ^= 0xA5
+    try:
+        out = vp8.decode_lossless(bytes(data))
+    except ValueError:
+        return  # corrupt detected: fine
+    # or it decoded as garbage under a still-valid bitstream: also fine,
+    # but it must not crash and must keep the declared geometry
+    if out is not None:
+        assert out.shape[0] == 41 and out.shape[1] == 66
+
+
+def test_truncated_vp8l_raises():
+    data = _lossless(_images()["photo"], 2)
+    with pytest.raises(ValueError):
+        vp8.decode_lossless(data[: len(data) // 2])

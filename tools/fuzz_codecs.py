@@ -38,6 +38,7 @@ def make_corpus():
         ("PNG", {}),
         ("BMP", {}),
         ("WEBP", {"quality": 80}),
+        ("WEBP", {"lossless": True, "method": 2}),
     ):
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, fmt, **kw)
@@ -69,6 +70,7 @@ def feed(kind: str, data: bytes) -> None:
             misc.decode_bmp(data)
         elif kind == "webp":
             vp8.decode_yuv420(data)
+            vp8.decode_lossless(data)
     except (jpeg_abi.NativeJpegError, ValueError):
         pass  # expected on corrupt input
 
