@@ -53,6 +53,7 @@ struct IkVp8lInfo {
 };
 int ik_vp8l_parse(const uint8_t*, size_t, IkVp8lInfo*);
 int ik_vp8l_decode(const uint8_t*, size_t, uint8_t*, size_t);
+int ik_webp_decode_alph(const uint8_t*, size_t, int, int, uint8_t*);
 }
 
 namespace {
@@ -286,6 +287,17 @@ int main() {
         Require(lout[1] == 10 && lout[5] == 200 && lout[0] == 20 &&
                     lout[2] == 30 && lout[3] == 255,
                 "vp8l pixels");
+
+        // -- ALPH raw alpha plane, one filter mode per thread --
+        const int aw = 33, ah = 17;
+        std::vector<uint8_t> alph(1 + static_cast<size_t>(aw) * ah);
+        alph[0] = static_cast<uint8_t>((t % 4) << 2);  // filter in bits 2-3
+        for (size_t i = 1; i < alph.size(); ++i)
+          alph[i] = static_cast<uint8_t>((i * 5 + it) & 0xff);
+        std::vector<uint8_t> aout(static_cast<size_t>(aw) * ah);
+        Require(ik_webp_decode_alph(alph.data(), alph.size(), aw, ah,
+                                    aout.data()) == 0,
+                "alph decode");
       }
     });
   }

@@ -575,6 +575,42 @@ int InverseColorIndexing(std::vector<uint32_t>& img, int w, int h,
   return VL_OK;
 }
 
+// Full post-header decode: entropy stream + inverse transforms in reverse
+// order of reading -> w*h ARGB words. Shared by the image path
+// (ik_vp8l_decode) and the VP8X alpha-plane path (ik_webp_decode_alph).
+int DecodeVp8lBody(LsbReader& br, int w, int h, std::vector<uint32_t>* img) {
+  std::vector<Transform> transforms;
+  int coded_w;
+  int rc = DecodeImageStream(br, w, h, true, img, &coded_w, &transforms);
+  if (rc != VL_OK) return rc;
+
+  int cur_w = coded_w;
+  for (auto it = transforms.rbegin(); it != transforms.rend(); ++it) {
+    switch (it->type) {
+      case 3: {  // color indexing restores the full width
+        std::vector<uint32_t> full;
+        rc = InverseColorIndexing(*img, it->xsize, h, *it, &full);
+        if (rc != VL_OK) return rc;
+        img->swap(full);
+        cur_w = it->xsize;
+        break;
+      }
+      case 2:
+        InverseSubtractGreen(*img);
+        break;
+      case 1:
+        InverseColorTransform(*img, cur_w, h, *it);
+        break;
+      case 0:
+        InversePredictor(*img, cur_w, h, *it);
+        break;
+    }
+  }
+  if (cur_w != w) return VL_BAD_DATA;
+  if (img->size() != static_cast<size_t>(w) * h) return VL_BAD_DATA;
+  return VL_OK;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -650,37 +686,9 @@ IK_EXPORT int ik_vp8l_decode(const uint8_t* d, size_t len, uint8_t* out,
   if (w <= 0 || h <= 0) return VL_BAD_DATA;
   if (out_cap < static_cast<size_t>(w) * h * 4) return VL_BUFFER;
 
-  std::vector<Transform> transforms;
   std::vector<uint32_t> img;
-  int coded_w;
-  rc = DecodeImageStream(br, w, h, true, &img, &coded_w, &transforms);
+  rc = DecodeVp8lBody(br, w, h, &img);
   if (rc != VL_OK) return rc;
-
-  // apply inverse transforms in reverse order of reading
-  int cur_w = coded_w;
-  for (auto it = transforms.rbegin(); it != transforms.rend(); ++it) {
-    switch (it->type) {
-      case 3: {  // color indexing restores the full width
-        std::vector<uint32_t> full;
-        rc = InverseColorIndexing(img, it->xsize, h, *it, &full);
-        if (rc != VL_OK) return rc;
-        img.swap(full);
-        cur_w = it->xsize;
-        break;
-      }
-      case 2:
-        InverseSubtractGreen(img);
-        break;
-      case 1:
-        InverseColorTransform(img, cur_w, h, *it);
-        break;
-      case 0:
-        InversePredictor(img, cur_w, h, *it);
-        break;
-    }
-  }
-  if (cur_w != w) return VL_BAD_DATA;
-  if (img.size() != static_cast<size_t>(w) * h) return VL_BAD_DATA;
 
   // ARGB words -> RGBA bytes
   for (size_t i = 0; i < img.size(); ++i) {
@@ -689,6 +697,63 @@ IK_EXPORT int ik_vp8l_decode(const uint8_t* d, size_t len, uint8_t* out,
     out[i * 4 + 1] = (v >> 8) & 0xff;
     out[i * 4 + 2] = v & 0xff;
     out[i * 4 + 3] = (v >> 24) & 0xff;
+  }
+  return VL_OK;
+}
+
+// Decode a VP8X/ALPH alpha-plane chunk payload to w*h alpha bytes.
+// Container-spec layout: 1 header byte (reserved:2 | preprocessing:2 |
+// filtering:2 | compression:2, MSB..LSB) then either raw filtered bytes
+// (compression 0) or a headerless VP8L bitstream whose GREEN channel is
+// the filtered alpha (compression 1). The four row filters are inverted
+// exactly as the spec's horizontal/vertical/gradient predictors.
+IK_EXPORT int ik_webp_decode_alph(const uint8_t* d, size_t len, int w, int h,
+                                  uint8_t* out) {
+  if (w <= 0 || h <= 0) return VL_BAD_DATA;
+  if (len < 1) return VL_TRUNCATED;
+  const int compression = d[0] & 3;
+  const int filter = (d[0] >> 2) & 3;
+  const int reserved = d[0] >> 6;
+  if (reserved != 0 || compression > 1) return VL_BAD_DATA;
+  const size_t npix = static_cast<size_t>(w) * h;
+
+  if (compression == 0) {
+    if (len < 1 + npix) return VL_TRUNCATED;
+    std::memcpy(out, d + 1, npix);
+  } else {
+    LsbReader br;
+    br.Init(d + 1, len - 1);
+    std::vector<uint32_t> img;
+    const int rc = DecodeVp8lBody(br, w, h, &img);
+    if (rc != VL_OK) return rc;
+    for (size_t i = 0; i < npix; ++i)
+      out[i] = static_cast<uint8_t>((img[i] >> 8) & 0xff);  // green = alpha
+  }
+
+  // inverse row filters, in place (prev row is already reconstructed)
+  if (filter == 0) return VL_OK;
+  for (int y = 0; y < h; ++y) {
+    uint8_t* row = out + static_cast<size_t>(y) * w;
+    const uint8_t* prev = y ? row - w : nullptr;
+    if (prev == nullptr || filter == 1) {  // horizontal (and every row 0)
+      uint8_t pred = prev ? prev[0] : 0;
+      for (int x = 0; x < w; ++x) {
+        row[x] = static_cast<uint8_t>(row[x] + pred);
+        pred = row[x];
+      }
+    } else if (filter == 2) {  // vertical
+      for (int x = 0; x < w; ++x)
+        row[x] = static_cast<uint8_t>(row[x] + prev[x]);
+    } else {  // gradient
+      int left = prev[0], top_left = prev[0];
+      for (int x = 0; x < w; ++x) {
+        const int top = prev[x];
+        const int g = left + top - top_left;
+        left = (row[x] + (g < 0 ? 0 : (g > 255 ? 255 : g))) & 0xff;
+        top_left = top;
+        row[x] = static_cast<uint8_t>(left);
+      }
+    }
   }
   return VL_OK;
 }

@@ -168,6 +168,14 @@ def _dec_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_size_t,
         ]
         lib.ik_vp8l_decode.restype = ctypes.c_int
+        lib.ik_webp_decode_alph.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.ik_webp_decode_alph.restype = ctypes.c_int
         lib.ik_webp_parse.argtypes = [
             ctypes.c_char_p,
             ctypes.c_size_t,
@@ -257,13 +265,77 @@ def decode_lossless(data: bytes) -> Optional[np.ndarray]:
     return out if info.has_alpha else np.ascontiguousarray(out[:, :, :3])
 
 
+def _webp_chunks(data: bytes):
+    """RIFF chunk walk -> list of (tag, payload). None if not a WebP RIFF
+    or a chunk is truncated."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    pos, out = 12, []
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            return None  # truncated chunk
+        out.append((tag, body))
+        pos += 8 + sz + (sz & 1)
+    return out
+
+
+def _riff(tag: bytes, body: bytes) -> bytes:
+    """Wrap one chunk back into a minimal standalone WebP container."""
+    chunk = tag + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _decode_alpha_plane(alph: bytes, w: int, h: int) -> np.ndarray:
+    lib = _dec_lib()
+    out = np.empty((h, w), np.uint8)
+    rc = lib.ik_webp_decode_alph(
+        alph, len(alph), w, h, out.ctypes.data_as(ctypes.c_void_p)
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt WebP alpha ({rc})")
+    return out
+
+
+def _decode_vp8x(data: bytes) -> Optional[np.ndarray]:
+    """Extended (VP8X) still images: VP8L sub-image, or lossy VP8 with an
+    optional ALPH alpha plane. Animations -> None (host library)."""
+    chunks = _webp_chunks(data)
+    if chunks is None:
+        raise ValueError("corrupt WebP (bad RIFF)")
+    tags = {t for t, _ in chunks}
+    if b"ANIM" in tags or b"ANMF" in tags:
+        return None  # animation: host library renders the first frame
+    bodies = {t: b for t, b in chunks}
+    if b"VP8L" in bodies:
+        # alpha (if any) is inside the lossless stream itself
+        return decode_lossless(_riff(b"VP8L", bodies[b"VP8L"]))
+    if b"VP8 " not in bodies:
+        return None  # nothing we can decode natively
+    rgb = decode_rgb(_riff(b"VP8 ", bodies[b"VP8 "]))
+    if rgb is None or b"ALPH" not in bodies:
+        return rgb
+    h, w = rgb.shape[:2]
+    alpha = _decode_alpha_plane(bodies[b"ALPH"], w, h)
+    return np.dstack([rgb, alpha])
+
+
 def decode_rgb(data: bytes) -> Optional[np.ndarray]:
     """WebP -> HWC u8 pixels. Lossless (VP8L) decodes bit-exactly; lossy
     (VP8) decodes natively + the 'fancy' separable triangle chroma upsample
-    (libwebp's default kernel) + studio-range BT.601 inverse.
-    None -> host-library fallback (VP8X containers)."""
+    (libwebp's default kernel) + studio-range BT.601 inverse; extended
+    (VP8X) still images route through both (+ native ALPH alpha decode).
+    None -> host-library fallback (animations)."""
     if len(data) >= 16 and data[12:16] == b"VP8L":
         return decode_lossless(data)
+    if len(data) >= 16 and data[12:16] == b"VP8X":
+        if _dec_lib() is None:
+            return None
+        return _decode_vp8x(data)
     planes = decode_yuv420(data)
     if planes is None:
         return None

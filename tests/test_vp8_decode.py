@@ -174,7 +174,7 @@ def test_lossless_vp8l_decodes_natively():
     np.testing.assert_array_equal(arr[:, :, :3], rgb)
 
 
-def test_vp8x_container_falls_back():
+def test_vp8x_lossless_decodes_natively():
     # synthesize an extended container: RIFF(WEBP VP8X + VP8L)
     rgb = make_test_image(24, 18)
     buf = io.BytesIO()
@@ -184,7 +184,24 @@ def test_vp8x_container_falls_back():
     vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(10)
     body = b"WEBP" + vp8x + vp8l_chunk
     riff = b"RIFF" + len(body).to_bytes(4, "little") + body
-    assert vp8.decode_rgb(riff) is None  # host library handles VP8X
+    out = vp8.decode_rgb(riff)
+    assert out is not None
+    np.testing.assert_array_equal(out[:, :, :3], rgb)
+
+
+def test_webp_animation_falls_back():
+    rng = np.random.default_rng(4)
+    frames = [
+        Image.fromarray(rng.integers(0, 255, (20, 20, 3), np.uint8))
+        for _ in range(2)
+    ]
+    buf = io.BytesIO()
+    frames[0].save(
+        buf, "WEBP", save_all=True, append_images=frames[1:], duration=100
+    )
+    data = buf.getvalue()
+    assert data[12:16] == b"VP8X"
+    assert vp8.decode_rgb(data) is None  # host library renders frame 0
 
 
 def test_corrupt_webp_raises():

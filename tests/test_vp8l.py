@@ -125,3 +125,75 @@ def test_truncated_vp8l_raises():
     data = _lossless(_images()["photo"], 2)
     with pytest.raises(ValueError):
         vp8.decode_lossless(data[: len(data) // 2])
+
+
+# ---------------------------------------------------------------------------
+# VP8X containers: lossy + ALPH alpha plane (container spec; the reference
+# decodes these via the `image` crate / libwebp, src/transform.rs:27-43)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["smooth", "noisy", "binary"])
+def test_vp8x_alph_alpha_exact(kind):
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:60, 0:80]
+    rgb = np.stack(
+        [(yy + xx) % 256, (xx * 2) % 256, (yy * 3) % 256], -1
+    ).astype(np.uint8)
+    alpha = {
+        "smooth": ((yy + xx) % 256).astype(np.uint8),
+        "noisy": rng.integers(0, 255, (60, 80), np.uint8),
+        "binary": ((xx > 40) * 255).astype(np.uint8),
+    }[kind]
+    buf = io.BytesIO()
+    Image.fromarray(np.dstack([rgb, alpha]), "RGBA").save(
+        buf, "WEBP", quality=80
+    )
+    data = buf.getvalue()
+    assert data[12:16] == b"VP8X"  # PIL writes lossy+alpha as extended
+    out = vp8.decode_rgb(data)
+    assert out is not None and out.shape == (60, 80, 4)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+    # the alpha plane decode is exact; lossy RGB matches libwebp within
+    # the same float-vs-fixed-point upsample tolerance as plain VP8
+    np.testing.assert_array_equal(out[:, :, 3], ref[:, :, 3])
+    assert np.abs(out[:, :, :3].astype(int) - ref[:, :, :3].astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_alph_raw_filters_exact(filt):
+    """Hand-built uncompressed ALPH payloads against a numpy forward-filter
+    oracle: every spec row filter must invert exactly."""
+    import ctypes
+
+    from imagekit_tpu.codecs.native import loader
+
+    lib = loader.load()
+    rng = np.random.default_rng(23)
+    w, h = 37, 21
+    alpha = rng.integers(0, 255, (h, w), np.uint8)
+    a = alpha.astype(np.int16)
+    out_f = a.copy()
+    for y in range(h):
+        for x in range(w):
+            if filt == 0:
+                pred = 0
+            elif y == 0:  # every filter's row 0 predicts horizontally
+                pred = a[0, x - 1] if x else 0
+            elif filt == 1:
+                pred = a[y, x - 1] if x else a[y - 1, 0]
+            elif filt == 2:
+                pred = a[y - 1, x]
+            else:
+                left = a[y, x - 1] if x else a[y - 1, 0]
+                top = a[y - 1, x]
+                tl = a[y - 1, x - 1] if x else a[y - 1, 0]
+                pred = min(255, max(0, int(left) + int(top) - int(tl)))
+            out_f[y, x] = (a[y, x] - pred) % 256
+    payload = bytes([filt << 2]) + out_f.astype(np.uint8).tobytes()
+    out = np.empty((h, w), np.uint8)
+    rc = lib.ik_webp_decode_alph(
+        payload, len(payload), w, h, out.ctypes.data_as(ctypes.c_void_p)
+    )
+    assert rc == 0
+    np.testing.assert_array_equal(out, alpha)

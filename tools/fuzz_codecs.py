@@ -39,7 +39,14 @@ def make_corpus():
         ("BMP", {}),
         ("WEBP", {"quality": 80}),
         ("WEBP", {"lossless": True, "method": 2}),
+        ("WEBP", {"quality": 80, "alpha": True}),  # VP8X + ALPH container
     ):
+        if kw.pop("alpha", False):
+            rgba = np.dstack([img, rng.integers(0, 255, img.shape[:2], np.uint8)])
+            buf = io.BytesIO()
+            Image.fromarray(rgba, "RGBA").save(buf, fmt, **kw)
+            corpus.append((fmt.lower(), buf.getvalue()))
+            continue
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, fmt, **kw)
         corpus.append((fmt.lower(), buf.getvalue()))
@@ -71,6 +78,7 @@ def feed(kind: str, data: bytes) -> None:
         elif kind == "webp":
             vp8.decode_yuv420(data)
             vp8.decode_lossless(data)
+            vp8.decode_rgb(data)  # covers the VP8X/ALPH container walk
     except (jpeg_abi.NativeJpegError, ValueError):
         pass  # expected on corrupt input
 
