@@ -568,8 +568,11 @@ int InverseColorIndexing(std::vector<uint32_t>& img, int w, int h,
           ppu_bits ? ((packed >> (idx_bits * (x & ((1 << ppu_bits) - 1)))) &
                       idx_mask)
                    : packed;
-      if (idx >= static_cast<uint32_t>(n)) return VL_BAD_DATA;
-      (*out)[static_cast<size_t>(y) * w + x] = t.data[idx];
+      // spec: an index >= color_table_size decodes as 0x00000000
+      // (transparent black) — encoders exploit this, e.g. libwebp's
+      // alpha palettes omit the zero entry
+      (*out)[static_cast<size_t>(y) * w + x] =
+          idx < static_cast<uint32_t>(n) ? t.data[idx] : 0u;
     }
   }
   return VL_OK;

@@ -302,14 +302,16 @@ def _decode_alpha_plane(alph: bytes, w: int, h: int) -> np.ndarray:
 
 
 def _decode_vp8x(data: bytes) -> Optional[np.ndarray]:
-    """Extended (VP8X) still images: VP8L sub-image, or lossy VP8 with an
-    optional ALPH alpha plane. Animations -> None (host library)."""
+    """Extended (VP8X) images: VP8L sub-image, or lossy VP8 with an
+    optional ALPH alpha plane. Animations decode frame 0 natively when it
+    covers the whole canvas (the common case — matching the reference's
+    first-frame transform semantics); otherwise None (host library)."""
     chunks = _webp_chunks(data)
     if chunks is None:
         raise ValueError("corrupt WebP (bad RIFF)")
     tags = {t for t, _ in chunks}
     if b"ANIM" in tags or b"ANMF" in tags:
-        return None  # animation: host library renders the first frame
+        return _decode_first_frame(chunks)
     bodies = {t: b for t, b in chunks}
     if b"VP8L" in bodies:
         # alpha (if any) is inside the lossless stream itself
@@ -322,6 +324,42 @@ def _decode_vp8x(data: bytes) -> Optional[np.ndarray]:
     h, w = rgb.shape[:2]
     alpha = _decode_alpha_plane(bodies[b"ALPH"], w, h)
     return np.dstack([rgb, alpha])
+
+
+def _decode_first_frame(chunks) -> Optional[np.ndarray]:
+    """Animated WebP: decode frame 0 when it is a full-canvas frame.
+    ANMF payload (container spec): 3B x/2, 3B y/2, 3B w-1, 3B h-1,
+    3B duration, 1B flags, then the frame's ALPH?/VP8|VP8L sub-chunks."""
+    canvas_w = canvas_h = None
+    for tag, body in chunks:
+        if tag == b"VP8X" and len(body) >= 10:
+            canvas_w = int.from_bytes(body[4:7], "little") + 1
+            canvas_h = int.from_bytes(body[7:10], "little") + 1
+        if tag != b"ANMF" or len(body) < 16:
+            continue
+        fx = int.from_bytes(body[0:3], "little") * 2
+        fy = int.from_bytes(body[3:6], "little") * 2
+        fw = int.from_bytes(body[6:9], "little") + 1
+        fh = int.from_bytes(body[9:12], "little") + 1
+        if (fx, fy) != (0, 0) or (fw, fh) != (canvas_w, canvas_h):
+            return None  # partial frame: compositing -> host library
+        sub = _webp_chunks(
+            b"RIFF" + (4 + len(body) - 16).to_bytes(4, "little")
+            + b"WEBP" + body[16:]
+        )
+        if sub is None:
+            raise ValueError("corrupt WebP (bad ANMF)")
+        frame = {t: b for t, b in sub}
+        if b"VP8L" in frame:
+            return decode_lossless(_riff(b"VP8L", frame[b"VP8L"]))
+        if b"VP8 " not in frame:
+            return None
+        rgb = decode_rgb(_riff(b"VP8 ", frame[b"VP8 "]))
+        if rgb is None or b"ALPH" not in frame:
+            return rgb
+        h, w = rgb.shape[:2]
+        return np.dstack([rgb, _decode_alpha_plane(frame[b"ALPH"], w, h)])
+    return None
 
 
 def decode_rgb(data: bytes) -> Optional[np.ndarray]:

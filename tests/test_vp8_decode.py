@@ -189,19 +189,21 @@ def test_vp8x_lossless_decodes_natively():
     np.testing.assert_array_equal(out[:, :, :3], rgb)
 
 
-def test_webp_animation_falls_back():
+def test_webp_animation_decodes_first_frame():
     rng = np.random.default_rng(4)
-    frames = [
-        Image.fromarray(rng.integers(0, 255, (20, 20, 3), np.uint8))
-        for _ in range(2)
-    ]
+    f0 = rng.integers(0, 255, (20, 24, 3), np.uint8)
+    frames = [Image.fromarray(f0),
+              Image.fromarray(rng.integers(0, 255, (20, 24, 3), np.uint8))]
     buf = io.BytesIO()
     frames[0].save(
-        buf, "WEBP", save_all=True, append_images=frames[1:], duration=100
+        buf, "WEBP", save_all=True, append_images=frames[1:], duration=100,
+        lossless=True,
     )
     data = buf.getvalue()
     assert data[12:16] == b"VP8X"
-    assert vp8.decode_rgb(data) is None  # host library renders frame 0
+    out = vp8.decode_rgb(data)  # full-canvas frame 0 decodes natively
+    assert out is not None
+    np.testing.assert_array_equal(out[:, :, :3], f0)
 
 
 def test_corrupt_webp_raises():

@@ -160,6 +160,52 @@ def test_vp8x_alph_alpha_exact(kind):
     assert np.abs(out[:, :, :3].astype(int) - ref[:, :, :3].astype(int)).max() <= 2
 
 
+def test_sparse_alpha_palette_overflow_index():
+    """libwebp's alpha palettes omit the zero entry and use an
+    out-of-range index for it (spec: index >= color_table_size decodes
+    as transparent black). Exercises that rule end-to-end."""
+    yy, xx = np.mgrid[0:50, 0:70]
+    rgb = np.stack(
+        [(yy + xx) % 256, (xx * 2) % 256, (yy * 3) % 256], -1
+    ).astype(np.uint8)
+    alpha = ((yy * 4) % 256).astype(np.uint8)  # 50 values incl. 0
+    buf = io.BytesIO()
+    Image.fromarray(np.dstack([rgb, alpha]), "RGBA").save(
+        buf, "WEBP", quality=80
+    )
+    out = vp8.decode_rgb(buf.getvalue())
+    assert out is not None
+    ref = _ref_rgba(buf.getvalue())
+    np.testing.assert_array_equal(out[:, :, 3], ref[:, :, 3])
+
+
+@pytest.mark.parametrize("lossless", [False, True])
+def test_animation_first_frame(lossless):
+    rng = np.random.default_rng(6)
+    yy, xx = np.mgrid[0:40, 0:52]
+    f0 = np.dstack(
+        [
+            np.stack([(yy + xx) % 256, (xx * 2) % 256, (yy * 3) % 256], -1)
+            .astype(np.uint8),
+            ((yy * 5) % 256).astype(np.uint8),
+        ]
+    )
+    f1 = rng.integers(0, 255, (40, 52, 4), np.uint8)
+    buf = io.BytesIO()
+    kw = {"lossless": True} if lossless else {"quality": 80}
+    Image.fromarray(f0, "RGBA").save(
+        buf, "WEBP", save_all=True,
+        append_images=[Image.fromarray(f1, "RGBA")], duration=90, **kw
+    )
+    data = buf.getvalue()
+    out = vp8.decode_rgb(data)
+    assert out is not None
+    ref = _ref_rgba(data)
+    np.testing.assert_array_equal(out[:, :, 3], ref[:, :, 3])
+    diff = np.abs(out[:, :, :3].astype(int) - ref[:, :, :3].astype(int))
+    assert diff.max() <= (0 if lossless else 2)
+
+
 @pytest.mark.parametrize("filt", [0, 1, 2, 3])
 def test_alph_raw_filters_exact(filt):
     """Hand-built uncompressed ALPH payloads against a numpy forward-filter
