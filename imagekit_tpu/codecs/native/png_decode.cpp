@@ -5,9 +5,11 @@
 //
 // The decompressed pixels feed the batched device resize directly, replacing
 // the PIL fallback for the second-most-common source format (VERDICT r1
-// missing #3). Scope: non-interlaced, bit depth 8 (all five colour types,
-// palette with optional tRNS alpha). Interlaced/1-2-4-16-bit sources return
-// IK_PNG_UNSUPPORTED and callers fall back to the host library decoder.
+// missing #3). Scope: every legal PNG — all five colour types, bit depths
+// 1/2/4/8/16, Adam7 interlacing, palette with optional tRNS alpha. 16-bit
+// samples convert to 8-bit by taking the high byte (the reference's
+// to_rgb8 semantics; see the parity ledger for the deliberate divergence
+// from PIL's I;16 clamping on 16-bit grayscale).
 
 #include <cstdint>
 #include <cstring>
@@ -94,8 +96,7 @@ int ParsePng(const uint8_t* data, size_t len, PngInfo* info, Chunks* chunks) {
   if (info->width == 0 || info->height == 0 ||
       info->width > (1u << 24) || info->height > (1u << 24))
     return IK_PNG_BAD_DIMS;
-  if (info->interlace != 0) return IK_PNG_UNSUPPORTED;  // Adam7 -> fallback
-  if (info->depth != 8) return IK_PNG_UNSUPPORTED;
+  if (info->interlace != 0 && info->interlace != 1) return IK_PNG_BAD_DATA;
   switch (info->color) {
     case 0: info->src_channels = 1; break;  // gray
     case 2: info->src_channels = 3; break;  // RGB
@@ -104,6 +105,14 @@ int ParsePng(const uint8_t* data, size_t len, PngInfo* info, Chunks* chunks) {
     case 6: info->src_channels = 4; break;  // RGBA
     default: return IK_PNG_BAD_DATA;
   }
+  // legal depth x colour-type combinations (PNG spec table 11.1)
+  const int d = info->depth;
+  const bool depth_ok =
+      (info->color == 0 && (d == 1 || d == 2 || d == 4 || d == 8 || d == 16)) ||
+      (info->color == 3 && (d == 1 || d == 2 || d == 4 || d == 8)) ||
+      ((info->color == 2 || info->color == 4 || info->color == 6) &&
+       (d == 8 || d == 16));
+  if (!depth_ok) return IK_PNG_BAD_DATA;
   if (info->color == 3 && chunks->plte == nullptr) return IK_PNG_BAD_DATA;
   // output layout mirrors the host-library backend (pil_backend.decode):
   // alpha-carrying sources expand to RGBA, the rest to RGB
@@ -181,6 +190,18 @@ IK_EXPORT int ik_png_parse(const uint8_t* data, size_t len, IkPngInfo* out) {
   return rc;
 }
 
+namespace {
+
+// Adam7 pass geometry: x_start, y_start, x_step, y_step
+struct Pass {
+  int x0, y0, dx, dy;
+};
+const Pass kAdam7[7] = {{0, 0, 8, 8}, {4, 0, 8, 8}, {0, 4, 4, 8},
+                        {2, 0, 4, 4}, {0, 2, 2, 4}, {1, 0, 2, 2},
+                        {0, 1, 1, 2}};
+
+}  // namespace
+
 // Decode into caller-provided buffer of width*height*channels bytes
 // (channels from ik_png_parse). Returns IK_PNG_OK or an error code.
 IK_EXPORT int ik_png_decode(const uint8_t* data, size_t len, uint8_t* out,
@@ -192,93 +213,160 @@ IK_EXPORT int ik_png_decode(const uint8_t* data, size_t len, uint8_t* out,
   const size_t W = info.width, H = info.height;
   const int sc = info.src_channels;
   const int oc = info.out_channels;
+  const int depth = info.depth;
   if (out_cap < W * H * static_cast<size_t>(oc)) return IK_PNG_BUFFER;
 
-  const size_t stride = W * sc;
-  std::vector<uint8_t> raw((stride + 1) * H);
+  // per-row byte count for a given pixel width, and the filter unit
+  auto row_bytes = [&](size_t w) -> size_t {
+    return (w * sc * depth + 7) / 8;
+  };
+  const int bpp = depth < 8 ? 1 : sc * (depth / 8);
+  // grayscale expansion factor for depths < 8 (255 / max_sample_value)
+  const int gray_scale = depth < 8 ? 255 / ((1 << depth) - 1) : 1;
+
+  // pass list: one full-frame pass, or the seven Adam7 passes
+  struct PassDims {
+    int x0, y0, dx, dy;
+    size_t pw, ph;
+  };
+  std::vector<PassDims> passes;
+  if (info.interlace == 0) {
+    passes.push_back({0, 0, 1, 1, W, H});
+  } else {
+    for (const Pass& p : kAdam7) {
+      const size_t pw =
+          W > static_cast<size_t>(p.x0) ? (W - p.x0 + p.dx - 1) / p.dx : 0;
+      const size_t ph =
+          H > static_cast<size_t>(p.y0) ? (H - p.y0 + p.dy - 1) / p.dy : 0;
+      passes.push_back({p.x0, p.y0, p.dx, p.dy, pw, ph});
+    }
+  }
+  size_t total = 0;
+  for (const auto& p : passes)
+    if (p.pw && p.ph) total += p.ph * (1 + row_bytes(p.pw));
+  std::vector<uint8_t> raw(total);
   rc = InflateAll(chunks, &raw);
   if (rc != IK_PNG_OK) return rc;
 
-  // unfilter in place: scanline i is raw[i*(stride+1)] = filter byte + data
-  std::vector<uint8_t> prev(stride, 0);
-  const int bpp = sc;  // depth 8: bytes per pixel == channels
-  for (size_t yrow = 0; yrow < H; ++yrow) {
-    uint8_t* line = raw.data() + yrow * (stride + 1);
-    const int filter = line[0];
-    uint8_t* cur = line + 1;
-    switch (filter) {
-      case 0:
-        break;
-      case 1:  // sub
-        for (size_t i = bpp; i < stride; ++i) cur[i] += cur[i - bpp];
-        break;
-      case 2:  // up
-        for (size_t i = 0; i < stride; ++i) cur[i] += prev[i];
-        break;
-      case 3:  // average
-        for (size_t i = 0; i < static_cast<size_t>(bpp) && i < stride; ++i)
-          cur[i] += prev[i] / 2;
-        for (size_t i = bpp; i < stride; ++i)
-          cur[i] += (cur[i - bpp] + prev[i]) / 2;
-        break;
-      case 4:  // paeth
-        for (size_t i = 0; i < static_cast<size_t>(bpp) && i < stride; ++i)
-          cur[i] += PaethPredictor(0, prev[i], 0);
-        for (size_t i = bpp; i < stride; ++i)
-          cur[i] += PaethPredictor(cur[i - bpp], prev[i], prev[i - bpp]);
-        break;
-      default:
-        return IK_PNG_BAD_DATA;
-    }
-    std::memcpy(prev.data(), cur, stride);
+  // one sample (post-unfilter) -> 8-bit value; c is the channel index
+  auto sample = [&](const uint8_t* cur, size_t x, int c) -> int {
+    if (depth == 8) return cur[x * sc + c];
+    if (depth == 16) return cur[(x * sc + c) * 2];  // big-endian high byte
+    const int per_byte = 8 / depth;
+    const int shift =
+        8 - depth * (1 + static_cast<int>(x % per_byte));
+    return (cur[x / per_byte] >> shift) & ((1 << depth) - 1);
+  };
 
-    // expand this scanline straight into the output
-    uint8_t* dst = out + yrow * W * oc;
-    switch (info.color) {
-      case 0:  // gray -> RGB
-        for (size_t x = 0; x < W; ++x) {
-          const uint8_t g = cur[x];
-          dst[x * 3 + 0] = g;
-          dst[x * 3 + 1] = g;
-          dst[x * 3 + 2] = g;
-        }
-        break;
-      case 2:  // RGB passthrough
-        std::memcpy(dst, cur, stride);
-        break;
-      case 3: {  // palette
-        const size_t n = chunks.plte_len / 3;
-        for (size_t x = 0; x < W; ++x) {
-          const uint8_t idx = cur[x];
-          if (idx >= n) return IK_PNG_BAD_DATA;
-          const uint8_t* e = chunks.plte + 3 * idx;
-          if (oc == 4) {
-            dst[x * 4 + 0] = e[0];
-            dst[x * 4 + 1] = e[1];
-            dst[x * 4 + 2] = e[2];
-            dst[x * 4 + 3] =
-                idx < chunks.trns_len ? chunks.trns[idx] : 255;
-          } else {
-            dst[x * 3 + 0] = e[0];
-            dst[x * 3 + 1] = e[1];
-            dst[x * 3 + 2] = e[2];
-          }
-        }
-        break;
+  const size_t plte_n = chunks.plte_len / 3;
+  std::vector<uint8_t> prev, expanded;
+  size_t off = 0;
+  for (const auto& p : passes) {
+    if (!p.pw || !p.ph) continue;
+    const size_t rb = row_bytes(p.pw);
+    prev.assign(rb, 0);
+    expanded.resize(p.pw * oc);
+    for (size_t yrow = 0; yrow < p.ph; ++yrow) {
+      uint8_t* line = raw.data() + off + yrow * (1 + rb);
+      const int filter = line[0];
+      uint8_t* cur = line + 1;
+      switch (filter) {
+        case 0:
+          break;
+        case 1:  // sub
+          for (size_t i = bpp; i < rb; ++i) cur[i] += cur[i - bpp];
+          break;
+        case 2:  // up
+          for (size_t i = 0; i < rb; ++i) cur[i] += prev[i];
+          break;
+        case 3:  // average
+          for (size_t i = 0; i < static_cast<size_t>(bpp) && i < rb; ++i)
+            cur[i] += prev[i] / 2;
+          for (size_t i = bpp; i < rb; ++i)
+            cur[i] += (cur[i - bpp] + prev[i]) / 2;
+          break;
+        case 4:  // paeth
+          for (size_t i = 0; i < static_cast<size_t>(bpp) && i < rb; ++i)
+            cur[i] += PaethPredictor(0, prev[i], 0);
+          for (size_t i = bpp; i < rb; ++i)
+            cur[i] += PaethPredictor(cur[i - bpp], prev[i], prev[i - bpp]);
+          break;
+        default:
+          return IK_PNG_BAD_DATA;
       }
-      case 4:  // gray+alpha -> RGBA
-        for (size_t x = 0; x < W; ++x) {
-          const uint8_t g = cur[x * 2];
-          dst[x * 4 + 0] = g;
-          dst[x * 4 + 1] = g;
-          dst[x * 4 + 2] = g;
-          dst[x * 4 + 3] = cur[x * 2 + 1];
+      std::memcpy(prev.data(), cur, rb);
+
+      // expand the scanline to 8-bit RGB(A)
+      uint8_t* ex = expanded.data();
+      switch (info.color) {
+        case 0:  // gray -> RGB
+          for (size_t x = 0; x < p.pw; ++x) {
+            const uint8_t g =
+                static_cast<uint8_t>(sample(cur, x, 0) * gray_scale);
+            ex[x * 3 + 0] = g;
+            ex[x * 3 + 1] = g;
+            ex[x * 3 + 2] = g;
+          }
+          break;
+        case 2:  // RGB
+          if (depth == 8) {
+            std::memcpy(ex, cur, p.pw * 3);
+          } else {
+            for (size_t x = 0; x < p.pw; ++x)
+              for (int c = 0; c < 3; ++c)
+                ex[x * 3 + c] = static_cast<uint8_t>(sample(cur, x, c));
+          }
+          break;
+        case 3: {  // palette (indices never scale)
+          for (size_t x = 0; x < p.pw; ++x) {
+            const size_t idx = static_cast<size_t>(sample(cur, x, 0));
+            if (idx >= plte_n) return IK_PNG_BAD_DATA;
+            const uint8_t* e = chunks.plte + 3 * idx;
+            if (oc == 4) {
+              ex[x * 4 + 0] = e[0];
+              ex[x * 4 + 1] = e[1];
+              ex[x * 4 + 2] = e[2];
+              ex[x * 4 + 3] =
+                  idx < chunks.trns_len ? chunks.trns[idx] : 255;
+            } else {
+              ex[x * 3 + 0] = e[0];
+              ex[x * 3 + 1] = e[1];
+              ex[x * 3 + 2] = e[2];
+            }
+          }
+          break;
         }
-        break;
-      case 6:  // RGBA passthrough
-        std::memcpy(dst, cur, stride);
-        break;
+        case 4:  // gray+alpha -> RGBA
+          for (size_t x = 0; x < p.pw; ++x) {
+            const uint8_t g = static_cast<uint8_t>(sample(cur, x, 0));
+            ex[x * 4 + 0] = g;
+            ex[x * 4 + 1] = g;
+            ex[x * 4 + 2] = g;
+            ex[x * 4 + 3] = static_cast<uint8_t>(sample(cur, x, 1));
+          }
+          break;
+        case 6:  // RGBA
+          if (depth == 8) {
+            std::memcpy(ex, cur, p.pw * 4);
+          } else {
+            for (size_t x = 0; x < p.pw; ++x)
+              for (int c = 0; c < 4; ++c)
+                ex[x * 4 + c] = static_cast<uint8_t>(sample(cur, x, c));
+          }
+          break;
+      }
+
+      // place the scanline (contiguous rows for pass 7 / non-interlaced)
+      const size_t oy = p.y0 + yrow * p.dy;
+      uint8_t* dst = out + (oy * W + p.x0) * oc;
+      if (p.dx == 1) {
+        std::memcpy(dst, expanded.data(), p.pw * oc);
+      } else {
+        for (size_t x = 0; x < p.pw; ++x)
+          std::memcpy(dst + x * p.dx * oc, expanded.data() + x * oc, oc);
+      }
     }
+    off += p.ph * (1 + rb);
   }
   return IK_PNG_OK;
 }

@@ -4,8 +4,9 @@ Replaces the host-library decode for the second-most-common source format
 (reference decode arm: ``src/transform.rs:27-43``; VERDICT r1 missing #3):
 C++ parses chunks, inflates IDAT with zlib, unfilters scanlines and expands
 palette/grayscale, producing the RGB(A) pixels that feed the batched device
-resize. Interlaced or non-8-bit sources return None and callers fall back
-to the host library decoder (same output either way — parity-tested).
+resize. Covers every legal PNG: colour types 0/2/3/4/6, bit depths
+1/2/4/8/16, Adam7 interlacing (parity-tested vs the host library; the one
+deliberate divergence is 16-bit grayscale — see the parity ledger).
 
 Set ``IMAGEKIT_NO_NATIVE_PNG=1`` to force the host library path.
 """
@@ -70,9 +71,9 @@ def available() -> bool:
 
 
 def decode(data: bytes) -> Optional[np.ndarray]:
-    """Decode a PNG to HWC u8 (RGB or RGBA). Returns None when this source
-    needs the host-library fallback (interlaced / non-8-bit); raises
-    ValueError on corrupt data."""
+    """Decode a PNG to HWC u8 (RGB or RGBA) — every legal PNG (all colour
+    types, depths 1-16, Adam7). Returns None only when the native library
+    is unavailable; raises ValueError on corrupt data."""
     lib = _lib()
     if lib is None:
         return None

@@ -84,16 +84,117 @@ def test_decode_bytes_routes_png_native():
     np.testing.assert_array_equal(arr, img)
 
 
-def test_interlaced_falls_back_to_host_library():
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize(
+    "maker",
+    [
+        lambda img: Image.fromarray(img),
+        lambda img: Image.fromarray(img).quantize(100),
+        lambda img: Image.fromarray(img).quantize(4),  # 2-bit palette
+        lambda img: Image.fromarray(img[:, :, 0], "L"),
+        lambda img: Image.fromarray(img[:, :, 0] > 128),  # 1-bit
+        lambda img: Image.fromarray(
+            np.dstack([img, img[:, :, 0]]), "RGBA"
+        ),
+        lambda img: Image.fromarray(img[:, :, 0], "L").convert("LA"),
+    ],
+    ids=["rgb", "pal8", "pal2", "gray", "1bit", "rgba", "la"],
+)
+def test_matrix_exact_vs_host_library(maker, interlace):
+    """Every PIL-writable colour type / depth, interlaced and not, decodes
+    to exactly the host library's pixels (Adam7 included)."""
     rng = np.random.default_rng(10)
-    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
-    data = bytearray(_png(img))
-    # flip the IHDR interlace byte and fix the chunk CRC: PIL itself cannot
-    # write Adam7, so synthesize the header state
-    data[28] = 1
-    crc = zlib.crc32(bytes(data[12:29])) & 0xFFFFFFFF
-    data[29:33] = crc.to_bytes(4, "big")
-    assert png_native.decode(bytes(data)) is None  # caller falls back
+    img = rng.integers(0, 256, (29, 37, 3), np.uint8)
+    buf = io.BytesIO()
+    maker(img).save(buf, "PNG", interlace=interlace)
+    data = buf.getvalue()
+    out = png_native.decode(data)
+    assert out is not None
+    np.testing.assert_array_equal(out, _pil(data))
+
+
+def _craft_png(w, h, depth, color, rows, interlace=0):
+    import struct
+
+    def chunk(t, b):
+        return (
+            len(b).to_bytes(4, "big") + t + b
+            + zlib.crc32(t + b).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "color,nch", [(2, 3), (6, 4), (4, 2)], ids=["rgb16", "rgba16", "la16"]
+)
+def test_16bit_exact_vs_host_library(color, nch):
+    rng = np.random.default_rng(3)
+    w, h = 23, 17
+    px = rng.integers(0, 65535, (h, w, nch), np.uint16)
+    rows = b"".join(
+        b"\x00" + px[y].astype(">u2").tobytes() for y in range(h)
+    )
+    data = _craft_png(w, h, 16, color, rows)
+    out = png_native.decode(data)
+    np.testing.assert_array_equal(out, _pil(data))
+    # 16 -> 8 bit takes the big-endian high byte (to_rgb8 semantics)
+    np.testing.assert_array_equal(
+        out[:, :, 0], (px[:, :, 0] >> 8).astype(np.uint8)
+    )
+
+
+def test_16bit_gray_high_byte_not_pil_clamp():
+    """Deliberate divergence (parity ledger): 16-bit grayscale converts by
+    high byte like the reference's to_rgb8, NOT PIL's I;16 clamp-at-255."""
+    rng = np.random.default_rng(3)
+    w, h = 23, 17
+    pg = rng.integers(0, 65535, (h, w), np.uint16)
+    rows = b"".join(
+        b"\x00" + pg[y].astype(">u2").tobytes() for y in range(h)
+    )
+    data = _craft_png(w, h, 16, 0, rows)
+    out = png_native.decode(data)
+    np.testing.assert_array_equal(out[:, :, 0], (pg >> 8).astype(np.uint8))
+    pil = _pil(data)
+    assert (pil[:, :, 0] == 255).sum() > (out[:, :, 0] == 255).sum()
+
+
+def test_16bit_adam7_and_filters_exact():
+    rng = np.random.default_rng(5)
+    w, h = 19, 13
+    px = rng.integers(0, 65535, (h, w, 3), np.uint16)
+    # interlaced, filter 0 rows per pass
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    blob = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            blob += b"\x00" + sub[y].astype(">u2").tobytes()
+    data = _craft_png(w, h, 16, 2, bytes(blob), interlace=1)
+    out = png_native.decode(data)
+    np.testing.assert_array_equal(out, _pil(data))
+    # sequential with sub+up filters at 16-bit bpp (6 bytes)
+    rows16 = np.frombuffer(px.astype(">u2").tobytes(), np.uint8)
+    rows16 = rows16.reshape(h, w * 6).astype(np.int16)
+    blob = bytearray()
+    f0 = rows16[0].copy()
+    f0[6:] = (rows16[0][6:] - rows16[0][:-6]) % 256
+    blob += b"\x01" + f0.astype(np.uint8).tobytes()
+    for y in range(1, h):
+        blob += b"\x02" + ((rows16[y] - rows16[y - 1]) % 256).astype(
+            np.uint8
+        ).tobytes()
+    data = _craft_png(w, h, 16, 2, bytes(blob))
+    out = png_native.decode(data)
+    np.testing.assert_array_equal(out, _pil(data))
 
 
 def test_corrupt_png_raises():

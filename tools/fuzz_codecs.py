@@ -36,6 +36,7 @@ def make_corpus():
         ("JPEG", {"quality": 85}),
         ("JPEG", {"quality": 85, "progressive": True}),
         ("PNG", {}),
+        ("PNG", {"interlace": True}),
         ("BMP", {}),
         ("WEBP", {"quality": 80}),
         ("WEBP", {"lossless": True, "method": 2}),
