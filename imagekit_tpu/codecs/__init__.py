@@ -121,6 +121,18 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
                 raise TransformError(str(e)) from e
             if arr is not None:
                 return arr, fmt
+    elif fmt == SourceFormat.tiff:
+        # native baseline TIFF (strips, none/LZW/PackBits); tiled/16-bit
+        # fall back to the host library
+        from imagekit_tpu.codecs import tiff as tiff_native
+
+        if tiff_native.available():
+            try:
+                arr = tiff_native.decode(data)
+            except ValueError as e:
+                raise TransformError(str(e)) from e
+            if arr is not None:
+                return arr, fmt
     from imagekit_tpu.codecs import pil_backend
 
     arr = pil_backend.decode(data)

@@ -26,6 +26,7 @@ _SOURCES = (
     "vp8l_decode.cpp",
     "png_decode.cpp",
     "misc_decode.cpp",
+    "tiff_decode.cpp",
 )
 _LIB = _HERE / "libik_native.so"
 

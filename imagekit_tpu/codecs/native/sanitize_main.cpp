@@ -54,6 +54,11 @@ struct IkVp8lInfo {
 int ik_vp8l_parse(const uint8_t*, size_t, IkVp8lInfo*);
 int ik_vp8l_decode(const uint8_t*, size_t, uint8_t*, size_t);
 int ik_webp_decode_alph(const uint8_t*, size_t, int, int, uint8_t*);
+struct IkTiffInfo {
+  int32_t width, height, channels;
+};
+int ik_tiff_parse(const uint8_t*, size_t, IkTiffInfo*);
+int ik_tiff_decode(const uint8_t*, size_t, uint8_t*, size_t);
 }
 
 namespace {
@@ -188,6 +193,44 @@ std::vector<uint8_t> MakeVp8l(int w, int h) {
   return riff;
 }
 
+// Minimal little-endian uncompressed RGB TIFF.
+std::vector<uint8_t> MakeTiff(int w, int h) {
+  std::vector<uint8_t> px(static_cast<size_t>(w) * h * 3);
+  for (size_t i = 0; i < px.size(); ++i)
+    px[i] = static_cast<uint8_t>((i * 11) & 0xff);
+  std::vector<uint8_t> out = {'I', 'I', 42, 0, 8, 0, 0, 0};
+  const int n = 9;
+  auto le16 = [&](int v) {
+    out.push_back(v & 0xff);
+    out.push_back((v >> 8) & 0xff);
+  };
+  auto le32 = [&](uint32_t v) {
+    for (int i = 0; i < 4; ++i) out.push_back((v >> (8 * i)) & 0xff);
+  };
+  const uint32_t bps_off = 8 + 2 + n * 12 + 4;
+  const uint32_t strip_off = bps_off + 6;
+  le16(n);
+  auto ent = [&](int tag, int type, uint32_t cnt, uint32_t val) {
+    le16(tag);
+    le16(type);
+    le32(cnt);
+    le32(val);
+  };
+  ent(256, 3, 1, w);
+  ent(257, 3, 1, h);
+  ent(258, 3, 3, bps_off);
+  ent(259, 3, 1, 1);
+  ent(262, 3, 1, 2);
+  ent(273, 4, 1, strip_off);
+  ent(277, 3, 1, 3);
+  ent(278, 3, 1, h);
+  ent(279, 4, 1, static_cast<uint32_t>(px.size()));
+  le32(0);              // next IFD
+  le16(8); le16(8); le16(8);  // BitsPerSample values
+  out.insert(out.end(), px.begin(), px.end());
+  return out;
+}
+
 }  // namespace
 
 int main() {
@@ -195,6 +238,7 @@ int main() {
   const std::vector<uint8_t> jpeg = MakeJpeg(144, 112);
   const std::vector<uint8_t> png = MakePng(96, 64);
   const std::vector<uint8_t> vp8l = MakeVp8l(37, 22);
+  const std::vector<uint8_t> tiff = MakeTiff(41, 19);
 
   std::vector<std::thread> threads;
   for (int t = 0; t < kThreads; ++t) {
@@ -298,6 +342,16 @@ int main() {
         Require(ik_webp_decode_alph(alph.data(), alph.size(), aw, ah,
                                     aout.data()) == 0,
                 "alph decode");
+
+        // -- TIFF decode on the SHARED input buffer --
+        IkTiffInfo ti;
+        Require(ik_tiff_parse(tiff.data(), tiff.size(), &ti) == 0,
+                "tiff parse");
+        std::vector<uint8_t> tout(static_cast<size_t>(ti.width) * ti.height *
+                                  ti.channels);
+        Require(ik_tiff_decode(tiff.data(), tiff.size(), tout.data(),
+                               tout.size()) == 0,
+                "tiff decode");
       }
     });
   }

@@ -38,6 +38,8 @@ def make_corpus():
         ("PNG", {}),
         ("PNG", {"interlace": True}),
         ("BMP", {}),
+        ("TIFF", {"compression": "tiff_lzw"}),
+        ("TIFF", {"compression": "packbits"}),
         ("WEBP", {"quality": 80}),
         ("WEBP", {"lossless": True, "method": 2}),
         ("WEBP", {"quality": 80, "alpha": True}),  # VP8X + ALPH container
@@ -59,7 +61,7 @@ def make_corpus():
 
 def feed(kind: str, data: bytes) -> None:
     """Throw the bytes at every relevant native entry; errors expected."""
-    from imagekit_tpu.codecs import misc, png, vp8
+    from imagekit_tpu.codecs import misc, png, tiff, vp8
     from imagekit_tpu.codecs.native import jpeg_abi, loader
 
     lib = loader.load()
@@ -76,6 +78,8 @@ def feed(kind: str, data: bytes) -> None:
             misc.decode_gif(data)
         elif kind == "bmp":
             misc.decode_bmp(data)
+        elif kind == "tiff":
+            tiff.decode(data)
         elif kind == "webp":
             vp8.decode_yuv420(data)
             vp8.decode_lossless(data)
