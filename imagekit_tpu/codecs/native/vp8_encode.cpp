@@ -22,6 +22,8 @@
 // (tools/extract_vp8_tables.py).
 
 #include <cmath>
+#include <array>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -323,11 +325,39 @@ inline int RateProxy(const int16_t* lvl, int first) {
 }
 
 // ---------------------------------------------------------------------------
-// Token writing
+// Token coding, abstracted over a sink so one tree walk serves both the
+// statistics pass (tally branch decisions per probability slot) and the
+// bitstream pass (write with the frame's adapted tables). Per-frame
+// coefficient probability updates are RFC 6386 §13.4: at high quality the
+// defaults are far off and adapting them is where libwebp's size edge was.
 // ---------------------------------------------------------------------------
-// plane types: 0 = Y after Y2 (first coeff 1), 1 = Y2, 2 = chroma
-void WriteBlock(BoolEnc& e, const int16_t* coef_nat, int plane, int first,
-                int ctx) {
+using CoeffProbs = uint8_t[4][8][3][11];
+
+struct TokenStats {
+  uint32_t cnt[4][8][3][11][2] = {};
+};
+
+struct WriteSink {
+  BoolEnc& e;
+  const CoeffProbs& probs;
+  inline void Node(int bit, int plane, int band, int c, int node) {
+    e.PutBit(bit, probs[plane][band][c][node]);
+  }
+  inline void Fixed(int bit, uint8_t prob) { e.PutBit(bit, prob); }
+};
+
+struct StatSink {
+  TokenStats& s;
+  inline void Node(int bit, int plane, int band, int c, int node) {
+    ++s.cnt[plane][band][c][node][bit];
+  }
+  inline void Fixed(int, uint8_t) {}
+};
+
+// plane types: 0 = Y after Y2 (first coeff 1), 1 = Y2, 2 = chroma, 3 = B_PRED Y
+template <class Sink>
+void CodeBlock(Sink& sk, const int16_t* coef_nat, int plane, int first,
+               int ctx) {
   int16_t zz[16];
   int n = -1;
   for (int i = first; i < 16; ++i) {
@@ -340,54 +370,54 @@ void WriteBlock(BoolEnc& e, const int16_t* coef_nat, int plane, int first,
   while (i <= n) {
     const int v = zz[i];
     const int a = v < 0 ? -v : v;
-    const uint8_t* p = kCoeffProbs[plane][kBands[i]][c];
-    if (!prev_zero) e.PutBit(1, p[0]);  // not EOB
+    const int band = kBands[i];
+    if (!prev_zero) sk.Node(1, plane, band, c, 0);  // not EOB
     if (a == 0) {
-      e.PutBit(0, p[1]);
+      sk.Node(0, plane, band, c, 1);
       prev_zero = true;
       c = 0;
       ++i;
       continue;
     }
-    e.PutBit(1, p[1]);
+    sk.Node(1, plane, band, c, 1);
     if (a == 1) {
-      e.PutBit(0, p[2]);
+      sk.Node(0, plane, band, c, 2);
     } else {
-      e.PutBit(1, p[2]);
+      sk.Node(1, plane, band, c, 2);
       if (a <= 4) {
-        e.PutBit(0, p[3]);
+        sk.Node(0, plane, band, c, 3);
         if (a == 2) {
-          e.PutBit(0, p[4]);
+          sk.Node(0, plane, band, c, 4);
         } else {
-          e.PutBit(1, p[4]);
-          e.PutBit(a == 4 ? 1 : 0, p[5]);
+          sk.Node(1, plane, band, c, 4);
+          sk.Node(a == 4 ? 1 : 0, plane, band, c, 5);
         }
       } else {
-        e.PutBit(1, p[3]);
+        sk.Node(1, plane, band, c, 3);
         int cat;
         if (a <= 10) {
-          e.PutBit(0, p[6]);
+          sk.Node(0, plane, band, c, 6);
           cat = (a <= 6) ? 0 : 1;
-          e.PutBit(cat, p[7]);
+          sk.Node(cat, plane, band, c, 7);
         } else {
-          e.PutBit(1, p[6]);
+          sk.Node(1, plane, band, c, 6);
           if (a <= 34) {
-            e.PutBit(0, p[8]);
+            sk.Node(0, plane, band, c, 8);
             cat = (a <= 18) ? 2 : 3;
-            e.PutBit(cat == 3 ? 1 : 0, p[9]);
+            sk.Node(cat == 3 ? 1 : 0, plane, band, c, 9);
           } else {
-            e.PutBit(1, p[8]);
+            sk.Node(1, plane, band, c, 8);
             cat = (a <= 66) ? 4 : 5;
-            e.PutBit(cat == 5 ? 1 : 0, p[10]);
+            sk.Node(cat == 5 ? 1 : 0, plane, band, c, 10);
           }
         }
         const Cat& cc = kCats[cat];
         const int rem = a - cc.base;
         for (int b = cc.bits - 1; b >= 0; --b)
-          e.PutBit((rem >> b) & 1, cc.probs[cc.bits - 1 - b]);
+          sk.Fixed((rem >> b) & 1, cc.probs[cc.bits - 1 - b]);
       }
     }
-    e.PutBit(v < 0 ? 1 : 0, 128);  // sign
+    sk.Fixed(v < 0 ? 1 : 0, 128);  // sign
     prev_zero = false;
     c = (a > 1) ? 2 : 1;
     ++i;
@@ -395,9 +425,52 @@ void WriteBlock(BoolEnc& e, const int16_t* coef_nat, int plane, int first,
   if (n < 15) {
     // EOB is legal here: the token at position n (if any) was nonzero
     const int pos = (n < first) ? first : n + 1;
-    const uint8_t* p = kCoeffProbs[plane][kBands[pos]][c];
-    e.PutBit(0, p[0]);
+    sk.Node(0, plane, kBands[pos], c, 0);
   }
+}
+
+// cost of coding `bit` under probability `p`, in 1/256-bit units
+inline int BitCost(int bit, int p) {
+  static const auto kCost = [] {
+    std::array<int, 256> t{};
+    for (int i = 1; i < 256; ++i)
+      t[i] = static_cast<int>(-std::log2(i / 256.0) * 256.0 + 0.5);
+    t[0] = t[1];
+    return t;
+  }();
+  return kCost[bit ? 255 - p : p];
+}
+
+// Pick per-slot probability updates that pay for their own signalling
+// (flag bit under kCoeffUpdateProbs + 8-bit literal).
+void AdaptCoeffProbs(const TokenStats& st, CoeffProbs& probs,
+                     bool updated[4][8][3][11]) {
+  std::memcpy(probs, kCoeffProbs, sizeof(CoeffProbs));
+  for (int t = 0; t < 4; ++t)
+    for (int b = 0; b < 8; ++b)
+      for (int c = 0; c < 3; ++c)
+        for (int n = 0; n < 11; ++n) {
+          updated[t][b][c][n] = false;
+          const uint32_t c0 = st.cnt[t][b][c][n][0];
+          const uint32_t c1 = st.cnt[t][b][c][n][1];
+          if (c0 + c1 == 0) continue;
+          const int oldp = kCoeffProbs[t][b][c][n];
+          int newp = static_cast<int>(
+              (255ull * c0 + (c0 + c1) / 2) / (c0 + c1));
+          if (newp < 1) newp = 1;
+          if (newp > 255) newp = 255;
+          if (newp == oldp) continue;
+          const int64_t save =
+              static_cast<int64_t>(c0) * (BitCost(0, oldp) - BitCost(0, newp)) +
+              static_cast<int64_t>(c1) * (BitCost(1, oldp) - BitCost(1, newp));
+          const int up = kCoeffUpdateProbs[t][b][c][n];
+          const int64_t signal =
+              8 * 256 + BitCost(1, up) - BitCost(0, up);
+          if (save > signal) {
+            probs[t][b][c][n] = static_cast<uint8_t>(newp);
+            updated[t][b][c][n] = true;
+          }
+        }
 }
 
 inline bool HasNz(const int16_t* coef, int first) {
@@ -710,6 +783,69 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   if (prob_skip_false < 1) prob_skip_false = 1;
   if (prob_skip_false > 255) prob_skip_false = 255;
 
+  // ---------------- token loop (shared by stats + write passes) --------
+  // replicates the decoder's nonzero-context tracking; the sink either
+  // tallies branch decisions or writes bits with the adapted tables
+  auto for_each_token = [&](auto&& sink) {
+    std::vector<uint8_t> ay(static_cast<size_t>(mbw) * 4, 0);
+    std::vector<uint8_t> au(static_cast<size_t>(mbw) * 2, 0);
+    std::vector<uint8_t> av(static_cast<size_t>(mbw) * 2, 0);
+    std::vector<uint8_t> ay2(mbw, 0);
+    uint8_t ly[4], lu[2], lv[2], ly2;
+    for (int mby = 0; mby < mbh; ++mby) {
+      std::memset(ly, 0, 4);
+      std::memset(lu, 0, 2);
+      std::memset(lv, 0, 2);
+      ly2 = 0;
+      for (int mbx = 0; mbx < mbw; ++mbx) {
+        const MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
+        const bool bpred = mb.ymode == 4;
+        if (mb.skip) {
+          for (int i = 0; i < 4; ++i) ay[mbx * 4 + i] = ly[i] = 0;
+          for (int i = 0; i < 2; ++i) {
+            au[mbx * 2 + i] = lu[i] = 0;
+            av[mbx * 2 + i] = lv[i] = 0;
+          }
+          if (!bpred) ay2[mbx] = ly2 = 0;
+          continue;
+        }
+        if (!bpred) {
+          CodeBlock(sink, mb.y2, 1, 0, ay2[mbx] + ly2);
+          const uint8_t nz = HasNz(mb.y2, 0) ? 1 : 0;
+          ay2[mbx] = ly2 = nz;
+        }
+        const int plane = bpred ? 3 : 0;
+        const int first = bpred ? 0 : 1;
+        for (int sb = 0; sb < 16; ++sb) {
+          const int sx = sb & 3, sy_ = sb >> 2;
+          CodeBlock(sink, mb.y[sb], plane, first, ay[mbx * 4 + sx] + ly[sy_]);
+          const uint8_t nz = HasNz(mb.y[sb], first) ? 1 : 0;
+          ay[mbx * 4 + sx] = nz;
+          ly[sy_] = nz;
+        }
+        for (int pl = 0; pl < 2; ++pl) {
+          uint8_t* ac = pl ? av.data() : au.data();
+          uint8_t* lc = pl ? lv : lu;
+          for (int sb = 0; sb < 4; ++sb) {
+            const int sx = sb & 1, sy_ = sb >> 1;
+            CodeBlock(sink, mb.uv[pl * 4 + sb], 2, 0, ac[mbx * 2 + sx] + lc[sy_]);
+            const uint8_t nz = HasNz(mb.uv[pl * 4 + sb], 0) ? 1 : 0;
+            ac[mbx * 2 + sx] = nz;
+            lc[sy_] = nz;
+          }
+        }
+      }
+    }
+  };
+
+  // ---------------- token statistics -> adapted probability tables -----
+  TokenStats stats;
+  StatSink stat_sink{stats};
+  for_each_token(stat_sink);
+  CoeffProbs frame_probs;
+  bool prob_updated[4][8][3][11];
+  AdaptCoeffProbs(stats, frame_probs, prob_updated);
+
   // ---------------- pass 2: write partitions ----------------
   BoolEnc p1, p2;
   // frame header (RFC 6386 §9.2-9.11, keyframe)
@@ -732,34 +868,31 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   p1.PutZeroDelta();    // uv dc delta
   p1.PutZeroDelta();    // uv ac delta
   p1.PutBit(0, 128);    // refresh_entropy_probs
-  // token probability updates: none (defaults)
+  // token probability updates (RFC 6386 §13.4): signal the slots whose
+  // adapted value pays for its own 8-bit literal
   for (int t = 0; t < 4; ++t)
     for (int b = 0; b < 8; ++b)
       for (int c = 0; c < 3; ++c)
-        for (int pth = 0; pth < 11; ++pth)
-          p1.PutBit(0, kCoeffUpdateProbs[t][b][c][pth]);
+        for (int pth = 0; pth < 11; ++pth) {
+          if (prob_updated[t][b][c][pth]) {
+            p1.PutBit(1, kCoeffUpdateProbs[t][b][c][pth]);
+            p1.PutLiteral(frame_probs[t][b][c][pth], 8);
+          } else {
+            p1.PutBit(0, kCoeffUpdateProbs[t][b][c][pth]);
+          }
+        }
   p1.PutBit(1, 128);  // mb_no_coeff_skip
   p1.PutLiteral(static_cast<uint32_t>(prob_skip_false), 8);
 
-  // per-MB: modes into p1, tokens into p2, with nonzero-context tracking
-  std::vector<uint8_t> above_y(static_cast<size_t>(mbw) * 4, 0);
-  std::vector<uint8_t> above_u(static_cast<size_t>(mbw) * 2, 0);
-  std::vector<uint8_t> above_v(static_cast<size_t>(mbw) * 2, 0);
-  std::vector<uint8_t> above_y2(mbw, 0);
-  // sub-mode prediction contexts (decoder mirror; B_DC outside the frame)
+  // per-MB modes into partition 1 (sub-mode prediction contexts mirror the
+  // decoder; B_DC outside the frame)
   std::vector<uint8_t> above_bm(static_cast<size_t>(mbw) * 4, 0);
-  uint8_t left_y[4], left_u[2], left_v[2], left_y2, left_bm[4];
-
+  uint8_t left_bm[4];
   for (int mby = 0; mby < mbh; ++mby) {
-    std::memset(left_y, 0, 4);
-    std::memset(left_u, 0, 2);
-    std::memset(left_v, 0, 2);
-    left_y2 = 0;
     std::memset(left_bm, 0, 4);
     for (int mbx = 0; mbx < mbw; ++mbx) {
       const MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
       const bool bpred = mb.ymode == 4;
-      // modes (partition 1)
       p1.PutBit(mb.skip, prob_skip_false);
       PutYMode(p1, mb.ymode);
       if (bpred) {
@@ -776,50 +909,12 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
         left_bm[i] = mb.bmodes[i * 4 + 3];
       }
       PutUvMode(p1, mb.uvmode);
-
-      if (mb.skip) {
-        // decoder zeroes all coefficient contexts for a skipped MB
-        // (Y2 context only for MBs that carry a Y2 block)
-        for (int i = 0; i < 4; ++i) above_y[mbx * 4 + i] = left_y[i] = 0;
-        for (int i = 0; i < 2; ++i) {
-          above_u[mbx * 2 + i] = left_u[i] = 0;
-          above_v[mbx * 2 + i] = left_v[i] = 0;
-        }
-        if (!bpred) above_y2[mbx] = left_y2 = 0;
-        continue;
-      }
-
-      // tokens (partition 2): y2 (I16 only), 16 luma, 4 U, 4 V
-      if (!bpred) {
-        const int ctx = above_y2[mbx] + left_y2;
-        WriteBlock(p2, mb.y2, 1, 0, ctx);
-        const uint8_t nz = HasNz(mb.y2, 0) ? 1 : 0;
-        above_y2[mbx] = left_y2 = nz;
-      }
-      const int plane = bpred ? 3 : 0;
-      const int first = bpred ? 0 : 1;
-      for (int sb = 0; sb < 16; ++sb) {
-        const int sx = sb & 3, sy_ = sb >> 2;
-        const int ctx = above_y[mbx * 4 + sx] + left_y[sy_];
-        WriteBlock(p2, mb.y[sb], plane, first, ctx);
-        const uint8_t nz = HasNz(mb.y[sb], first) ? 1 : 0;
-        above_y[mbx * 4 + sx] = nz;
-        left_y[sy_] = nz;
-      }
-      for (int pl = 0; pl < 2; ++pl) {
-        uint8_t* above_c = pl ? above_v.data() : above_u.data();
-        uint8_t* left_c = pl ? left_v : left_u;
-        for (int sb = 0; sb < 4; ++sb) {
-          const int sx = sb & 1, sy_ = sb >> 1;
-          const int ctx = above_c[mbx * 2 + sx] + left_c[sy_];
-          WriteBlock(p2, mb.uv[pl * 4 + sb], 2, 0, ctx);
-          const uint8_t nz = HasNz(mb.uv[pl * 4 + sb], 0) ? 1 : 0;
-          above_c[mbx * 2 + sx] = nz;
-          left_c[sy_] = nz;
-        }
-      }
     }
   }
+
+  // tokens into partition 2, with the frame-adapted tables
+  WriteSink write_sink{p2, frame_probs};
+  for_each_token(write_sink);
   p1.Stop();
   p2.Stop();
 
