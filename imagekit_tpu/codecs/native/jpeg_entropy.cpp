@@ -916,6 +916,77 @@ inline int Magnitude(int v) {
   return a ? 32 - __builtin_clz(a) : 0;
 }
 
+// Optimal Huffman table from symbol frequencies — the JPEG Annex K.2
+// procedure (merge the two least-frequent chains, histogram code sizes,
+// fold lengths >16 down, drop the reserved all-ones code point). Same
+// algorithm libjpeg's optimize_coding runs; beats the Annex K.3 standard
+// tables by 5-15% on typical photos.
+void BuildOptimalHuff(const uint32_t freq_in[256], uint8_t bits_out[17],
+                      uint8_t* vals, int* nvals) {
+  uint64_t freq[257];
+  int codesize[257] = {0};
+  int others[257];
+  for (int i = 0; i < 257; ++i) others[i] = -1;
+  for (int i = 0; i < 256; ++i) freq[i] = freq_in[i];
+  freq[256] = 1;  // reserved: guarantees no real symbol gets all-ones
+
+  for (;;) {
+    int c1 = -1, c2 = -1;
+    uint64_t v = ~0ull;
+    for (int i = 0; i <= 256; ++i)
+      if (freq[i] && freq[i] <= v) {
+        v = freq[i];
+        c1 = i;
+      }
+    v = ~0ull;
+    for (int i = 0; i <= 256; ++i)
+      if (freq[i] && freq[i] <= v && i != c1) {
+        v = freq[i];
+        c2 = i;
+      }
+    if (c2 < 0) break;
+    freq[c1] += freq[c2];
+    freq[c2] = 0;
+    ++codesize[c1];
+    while (others[c1] >= 0) {
+      c1 = others[c1];
+      ++codesize[c1];
+    }
+    others[c1] = c2;
+    ++codesize[c2];
+    while (others[c2] >= 0) {
+      c2 = others[c2];
+      ++codesize[c2];
+    }
+  }
+
+  int bits[33] = {0};
+  for (int i = 0; i <= 256; ++i)
+    if (codesize[i]) ++bits[codesize[i] > 32 ? 32 : codesize[i]];
+  // fold code lengths longer than 16 (Annex K.2 "Adjust_BITS")
+  for (int i = 32; i > 16; --i) {
+    while (bits[i] > 0) {
+      int j = i - 2;
+      while (bits[j] == 0) --j;
+      bits[i] -= 2;
+      bits[i - 1] += 1;
+      bits[j + 1] += 2;
+      bits[j] -= 1;
+    }
+  }
+  int i = 16;
+  while (bits[i] == 0) --i;
+  bits[i] -= 1;  // remove the reserved code point
+  for (int l = 1; l <= 16; ++l) bits_out[l] = static_cast<uint8_t>(bits[l]);
+  bits_out[0] = 0;
+
+  int n = 0;
+  for (int len = 1; len <= 32; ++len)
+    for (int s = 0; s < 256; ++s)
+      if (codesize[s] == len) vals[n++] = static_cast<uint8_t>(s);
+  *nvals = n;
+}
+
 }  // namespace
 
 // ===========================================================================
@@ -1181,21 +1252,96 @@ IK_EXPORT int64_t ik_jpeg_encode(const int16_t** coeffs, int ncomp, int width,
     w.PutByte(static_cast<uint8_t>((samp_h[c] << 4) | samp_v[c]));
     w.PutByte(c == 0 ? 0 : 1);
   }
-  // DHT (standard tables)
-  auto WriteDht = [&](int cls, int id, const uint8_t bits[17], const uint8_t* vals) {
-    int total = 0;
-    for (int l = 1; l <= 16; ++l) total += bits[l];
+  int blocks_w[4];
+  for (int c = 0; c < ncomp; ++c) blocks_w[c] = mcux * samp_h[c];
+
+  // Shared MCU walk: dc_op(class, symbol, payload_bits, n) and
+  // ac_op(class, symbol, payload_bits, n) run once per emitted Huffman
+  // symbol — the statistics pass counts symbols, the write pass looks up
+  // the optimised code and writes both the code and the payload.
+  auto walk = [&](auto&& dc_op, auto&& ac_op) {
+    int pred[4] = {0, 0, 0, 0};
+    for (int my = 0; my < mcuy; ++my) {
+      for (int mx = 0; mx < mcux; ++mx) {
+        for (int c = 0; c < ncomp; ++c) {
+          const int cls = c == 0 ? 0 : 1;
+          for (int v = 0; v < samp_v[c]; ++v) {
+            for (int h = 0; h < samp_h[c]; ++h) {
+              int bx = mx * samp_h[c] + h;
+              int by = my * samp_v[c] + v;
+              const int16_t* blk =
+                  coeffs[c] +
+                  (static_cast<size_t>(by) * blocks_w[c] + bx) * 64;
+              // DC
+              int diff = blk[0] - pred[c];
+              pred[c] = blk[0];
+              int n = Magnitude(diff);
+              dc_op(cls, n, diff < 0 ? diff - 1 + (1 << n) : diff, n);
+              // AC: gather into zigzag order with a nonzero bitmask, then
+              // iterate only the set bits (ctz run-skipping) — typical
+              // blocks have <10 nonzero coefficients out of 63
+              int16_t zz[64];
+              uint64_t nzmask = 0;
+              for (int k = 1; k < 64; ++k) {
+                int16_t vv = blk[kZigzag[k]];
+                zz[k] = vv;
+                nzmask |= static_cast<uint64_t>(vv != 0) << k;
+              }
+              if (nzmask == 0) {
+                ac_op(cls, 0x00, 0, 0);  // EOB
+              } else {
+                int last = 63 - __builtin_clzll(nzmask);
+                int k = 1;
+                while (k <= last) {
+                  int next = __builtin_ctzll(nzmask >> k) + k;
+                  int run = next - k;
+                  while (run > 15) {
+                    ac_op(cls, 0xF0, 0, 0);  // ZRL
+                    run -= 16;
+                  }
+                  int val = zz[next];
+                  int s = Magnitude(val);
+                  ac_op(cls, (run << 4) | s,
+                        val < 0 ? val - 1 + (1 << s) : val, s);
+                  k = next + 1;
+                }
+                if (last < 63) ac_op(cls, 0x00, 0, 0);  // EOB
+              }
+            }
+          }
+        }
+      }
+    }
+  };
+
+  // pass 1: symbol statistics -> optimal per-image Huffman tables
+  static_assert(sizeof(uint32_t) == 4, "");
+  uint32_t fdc[2][256] = {}, fac[2][256] = {};
+  walk([&](int cls, int sym, uint32_t, int) { ++fdc[cls][sym]; },
+       [&](int cls, int sym, uint32_t, int) { ++fac[cls][sym]; });
+
+  uint8_t dc_bits[2][17], dc_vals[2][256], ac_bits[2][17], ac_vals[2][256];
+  int dc_n[2], ac_n[2];
+  const int nclasses = ncomp == 3 ? 2 : 1;
+  for (int cls = 0; cls < nclasses; ++cls) {
+    BuildOptimalHuff(fdc[cls], dc_bits[cls], dc_vals[cls], &dc_n[cls]);
+    BuildOptimalHuff(fac[cls], ac_bits[cls], ac_vals[cls], &ac_n[cls]);
+  }
+
+  // DHT (optimised tables)
+  auto WriteDht = [&](int cls, int id, const uint8_t bits[17],
+                      const uint8_t* vals, int total) {
     Seg({0xFF, 0xC4});
     U16(2 + 1 + 16 + total);
     w.PutByte(static_cast<uint8_t>((cls << 4) | id));
     for (int l = 1; l <= 16; ++l) w.PutByte(bits[l]);
     for (int i = 0; i < total; ++i) w.PutByte(vals[i]);
   };
-  WriteDht(0, 0, kDcLumaBits, kDcLumaVals);
-  WriteDht(1, 0, kAcLumaBits, kAcLumaVals);
+  WriteDht(0, 0, dc_bits[0], dc_vals[0], dc_n[0]);
+  WriteDht(1, 0, ac_bits[0], ac_vals[0], ac_n[0]);
   if (ncomp == 3) {
-    WriteDht(0, 1, kDcChromaBits, kDcChromaVals);
-    WriteDht(1, 1, kAcChromaBits, kAcChromaVals);
+    WriteDht(0, 1, dc_bits[1], dc_vals[1], dc_n[1]);
+    WriteDht(1, 1, ac_bits[1], ac_vals[1], ac_n[1]);
   }
   // SOS
   Seg({0xFF, 0xDA});
@@ -1207,69 +1353,22 @@ IK_EXPORT int64_t ik_jpeg_encode(const int16_t** coeffs, int ncomp, int width,
   }
   Seg({0, 63, 0});
 
-  HuffEncTable dcL, acL, dcC, acC;
-  dcL.Build(kDcLumaBits, kDcLumaVals);
-  acL.Build(kAcLumaBits, kAcLumaVals);
-  dcC.Build(kDcChromaBits, kDcChromaVals);
-  acC.Build(kAcChromaBits, kAcChromaVals);
-
-  int pred[4] = {0, 0, 0, 0};
-  int blocks_w[4];
-  for (int c = 0; c < ncomp; ++c) blocks_w[c] = mcux * samp_h[c];
-
-  for (int my = 0; my < mcuy; ++my) {
-    for (int mx = 0; mx < mcux; ++mx) {
-      for (int c = 0; c < ncomp; ++c) {
-        const HuffEncTable& dct = c == 0 ? dcL : dcC;
-        const HuffEncTable& act = c == 0 ? acL : acC;
-        for (int v = 0; v < samp_v[c]; ++v) {
-          for (int h = 0; h < samp_h[c]; ++h) {
-            int bx = mx * samp_h[c] + h;
-            int by = my * samp_v[c] + v;
-            const int16_t* blk =
-                coeffs[c] + (static_cast<size_t>(by) * blocks_w[c] + bx) * 64;
-            // DC
-            int diff = blk[0] - pred[c];
-            pred[c] = blk[0];
-            int n = Magnitude(diff);
-            w.Put(dct.code[n], dct.size[n]);
-            if (n) w.Put(diff < 0 ? diff - 1 + (1 << n) : diff, n);
-            // AC: gather into zigzag order with a nonzero bitmask, then
-            // iterate only the set bits (ctz run-skipping) — typical blocks
-            // have <10 nonzero coefficients out of 63
-            int16_t zz[64];
-            uint64_t nzmask = 0;
-            for (int k = 1; k < 64; ++k) {
-              int16_t v = blk[kZigzag[k]];
-              zz[k] = v;
-              nzmask |= static_cast<uint64_t>(v != 0) << k;
-            }
-            if (nzmask == 0) {
-              w.Put(act.code[0x00], act.size[0x00]);  // EOB
-            } else {
-              int last = 63 - __builtin_clzll(nzmask);
-              int k = 1;
-              while (k <= last) {
-                int next = __builtin_ctzll(nzmask >> k) + k;
-                int run = next - k;
-                while (run > 15) {
-                  w.Put(act.code[0xF0], act.size[0xF0]);  // ZRL
-                  run -= 16;
-                }
-                int val = zz[next];
-                int s = Magnitude(val);
-                int rs = (run << 4) | s;
-                w.Put(act.code[rs], act.size[rs]);
-                w.Put(val < 0 ? val - 1 + (1 << s) : val, s);
-                k = next + 1;
-              }
-              if (last < 63) w.Put(act.code[0x00], act.size[0x00]);  // EOB
-            }
-          }
-        }
-      }
-    }
+  HuffEncTable dct[2], act[2];
+  for (int cls = 0; cls < nclasses; ++cls) {
+    dct[cls].Build(dc_bits[cls], dc_vals[cls]);
+    act[cls].Build(ac_bits[cls], ac_vals[cls]);
   }
+
+  // pass 2: entropy-coded data with the optimised tables
+  walk(
+      [&](int cls, int sym, uint32_t payload, int n) {
+        w.Put(dct[cls].code[sym], dct[cls].size[sym]);
+        if (n) w.Put(payload, n);
+      },
+      [&](int cls, int sym, uint32_t payload, int n) {
+        w.Put(act[cls].code[sym], act[cls].size[sym]);
+        if (n) w.Put(payload, n);
+      });
   w.Flush();
   w.PutByte(0xFF);
   w.PutByte(0xD9);  // EOI
