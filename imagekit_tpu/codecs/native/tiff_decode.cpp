@@ -58,6 +58,8 @@ struct TiffInfo {
   uint32_t width = 0, height = 0;
   int compression = 1, photometric = 1, spp = 1, predictor = 1;
   int planar = 1;
+  int depth = 8;           // bits per sample (8 or 16, uniform)
+  bool le = true;          // file byte order (for 16-bit samples)
   int extra_alpha = 0;     // one unassociated/associated alpha sample
   bool palette = false;
   std::vector<uint8_t> colormap;  // 3*256 RGB bytes (high byte of u16)
@@ -151,11 +153,18 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
   if (info->photometric > 3) return IK_TIFF_UNSUPPORTED;
   if (info->predictor != 1 && info->predictor != 2)
     return IK_TIFF_UNSUPPORTED;
-  // all samples must be 8-bit
+  // samples must be uniformly 8- or 16-bit (16-bit converts by high byte,
+  // the reference's to_rgb8 semantics — same policy as the PNG decoder)
+  info->le = r.le;
   if (bps_e.count > 0) {
-    for (uint32_t i = 0; i < bps_e.count; ++i)
-      if (EntryValue(r, bps_e, i) != 8) return IK_TIFF_UNSUPPORTED;
+    const uint32_t d0 = EntryValue(r, bps_e, 0);
+    if (d0 != 8 && d0 != 16) return IK_TIFF_UNSUPPORTED;
+    for (uint32_t i = 1; i < bps_e.count; ++i)
+      if (EntryValue(r, bps_e, i) != d0) return IK_TIFF_UNSUPPORTED;
+    info->depth = static_cast<int>(d0);
   }
+  if (info->depth == 16 && info->photometric == 3)
+    return IK_TIFF_UNSUPPORTED;  // 16-bit palette: fall back
   if (strip_off_e.count == 0 || strip_cnt_e.count != strip_off_e.count)
     return IK_TIFF_BAD_DATA;
   info->strip_offsets.resize(strip_off_e.count);
@@ -312,7 +321,8 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
   const int oc = info.extra_alpha ? 4 : 3;
   if (out_cap < W * H * static_cast<size_t>(oc)) return IK_TIFF_BUFFER;
 
-  const size_t row = W * spp;
+  const int sbytes = info.depth / 8;
+  const size_t row = W * spp * sbytes;
   std::vector<uint8_t> pixels(row * H);
   size_t y0 = 0;
   for (size_t s = 0; s < info.strip_offsets.size(); ++s) {
@@ -337,22 +347,55 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
         if (rc != IK_TIFF_OK) return rc;
         break;
     }
-    // horizontal differencing predictor inverts per row, per sample lane;
-    // it is defined for (and applied by libtiff/PIL only under) LZW-class
-    // codecs — the tag is ignored on uncompressed/PackBits data
+    // horizontal differencing predictor inverts per row, per sample lane
+    // (16-bit lanes add as 16-bit words in file byte order); it is defined
+    // for (and applied by libtiff/PIL only under) LZW-class codecs — the
+    // tag is ignored on uncompressed/PackBits data
     if (info.predictor == 2 && info.compression == 5) {
       for (size_t yy = 0; yy < rows; ++yy) {
         uint8_t* r = dst + yy * row;
-        for (size_t i = spp; i < row; ++i) r[i] += r[i - spp];
+        if (sbytes == 1) {
+          for (size_t i = spp; i < row; ++i) r[i] += r[i - spp];
+        } else {
+          const size_t lane = static_cast<size_t>(spp) * 2;
+          for (size_t i = lane; i < row; i += 2) {
+            uint32_t prev, cur;
+            if (info.le) {
+              prev = r[i - lane] | (r[i - lane + 1] << 8);
+              cur = r[i] | (r[i + 1] << 8);
+              cur = (cur + prev) & 0xffff;
+              r[i] = cur & 0xff;
+              r[i + 1] = (cur >> 8) & 0xff;
+            } else {
+              prev = (r[i - lane] << 8) | r[i - lane + 1];
+              cur = (r[i] << 8) | r[i + 1];
+              cur = (cur + prev) & 0xffff;
+              r[i] = (cur >> 8) & 0xff;
+              r[i + 1] = cur & 0xff;
+            }
+          }
+        }
       }
     }
     y0 += rows;
   }
   if (y0 < H) return IK_TIFF_TRUNCATED;
 
+  // 16-bit -> 8-bit by high byte, in place (row layout shrinks)
+  if (sbytes == 2) {
+    const int hi = info.le ? 1 : 0;
+    for (size_t y = 0; y < H; ++y) {
+      const uint8_t* srow = pixels.data() + y * row;
+      uint8_t* drow = pixels.data() + y * W * spp;
+      for (size_t i = 0; i < W * static_cast<size_t>(spp); ++i)
+        drow[i] = srow[i * 2 + hi];
+    }
+  }
+  const size_t row8 = W * spp;
+
   // expand to RGB(A)
   for (size_t y = 0; y < H; ++y) {
-    const uint8_t* src = pixels.data() + y * row;
+    const uint8_t* src = pixels.data() + y * row8;
     uint8_t* dst = out + y * W * oc;
     switch (info.photometric) {
       case 0:  // white-is-zero grayscale

@@ -185,6 +185,56 @@ def test_lzw_with_predictor():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_16bit_gray_high_byte():
+    rng = np.random.default_rng(6)
+    g16 = rng.integers(0, 65535, (25, 31), np.uint16)
+    for comp in (None, "tiff_lzw"):
+        buf = io.BytesIO()
+        im = Image.new("I;16", (31, 25))
+        im.frombytes(g16.astype("<u2").tobytes())
+        im.save(buf, "TIFF", **({"compression": comp} if comp else {}))
+        out = tiff_native.decode(buf.getvalue())
+        assert out is not None
+        np.testing.assert_array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+
+def test_16bit_rgb_lzw_predictor():
+    """Crafted 16-bit RGB with LZW + horizontal differencing: the
+    predictor must add 16-bit lanes (not bytes) before the high-byte
+    conversion."""
+    rng = np.random.default_rng(7)
+    h, w = 11, 13
+    px = rng.integers(0, 65535, (h, w, 3), np.uint16)
+    diff = px.astype(np.int32).copy()
+    diff[:, 1:, :] = (
+        px[:, 1:, :].astype(np.int32) - px[:, :-1, :].astype(np.int32)
+    ) % 65536
+    comp = _lzw_encode(diff.astype("<u2").tobytes())
+    ents = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None),
+            (259, 3, 1, 5), (262, 3, 1, 2), (273, 4, 1, None),
+            (277, 3, 1, 3), (278, 3, 1, h), (279, 4, 1, len(comp)),
+            (317, 3, 1, 2)]
+    n = len(ents)
+    bps_off = 8 + 2 + n * 12 + 4
+    strip_off = bps_off + 6
+    ifd = struct.pack("<H", n)
+    for t, ty, c, v in ents:
+        if t == 258:
+            v = bps_off
+        if t == 273:
+            v = strip_off
+        ifd += struct.pack("<HHII", t, ty, c, v)
+    ifd += struct.pack("<I", 0)
+    data = (b"II\x2a\x00" + struct.pack("<I", 8) + ifd
+            + struct.pack("<HHH", 16, 16, 16) + comp)
+    out = tiff_native.decode(data)
+    assert out is not None
+    np.testing.assert_array_equal(out, (px >> 8).astype(np.uint8))
+    # host library agrees on the crafted file
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_decode_bytes_routes_tiff():
     img = _img()
     buf = io.BytesIO()
@@ -194,11 +244,21 @@ def test_decode_bytes_routes_tiff():
     np.testing.assert_array_equal(arr, img)
 
 
-def test_16bit_falls_back():
-    img16 = (np.arange(200, dtype=np.uint16).reshape(10, 20) * 300)
+def test_tiled_falls_back():
+    # synthesize a tiled TIFF header (tag 322 TileWidth): must fall back
+    img = _img()
     buf = io.BytesIO()
-    Image.fromarray(img16, "I;16").save(buf, "TIFF")
-    assert tiff_native.decode(buf.getvalue()) is None  # host fallback
+    Image.fromarray(img).save(buf, "TIFF")
+    data = bytearray(buf.getvalue())
+    # PIL writes II; walk the IFD and rewrite RowsPerStrip (278) -> 322
+    ifd = struct.unpack("<I", data[4:8])[0]
+    n = struct.unpack("<H", data[ifd:ifd + 2])[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack("<H", data[e:e + 2])[0] == 278:
+            data[e:e + 2] = struct.pack("<H", 322)
+            break
+    assert tiff_native.decode(bytes(data)) is None  # host fallback
 
 
 def test_corrupt_tiff_raises():
