@@ -182,6 +182,23 @@ def _state(request: web.Request) -> AppState:
 # ---------------------------------------------------------------------------
 
 
+def _etag_matches(if_none_match: "str | None", etag: str) -> bool:
+    """RFC 9110 §13.1.2 weak comparison for If-None-Match: strip W/
+    prefixes, honour `*`, allow a comma-separated validator list."""
+    if not if_none_match:
+        return False
+    if if_none_match.strip() == "*":
+        return True
+    bare = etag[2:] if etag.startswith("W/") else etag
+    for candidate in if_none_match.split(","):
+        c = candidate.strip()
+        if c.startswith("W/"):
+            c = c[2:]
+        if c == bare:
+            return True
+    return False
+
+
 async def img_handler(request: web.Request) -> web.Response:
     """``GET /img`` (``src/lib.rs:104-211``)."""
     state = _state(request)
@@ -235,12 +252,25 @@ async def img_handler(request: web.Request) -> web.Response:
     if cached is not None:
         state.metrics.inc("cache_hits")
         logger.info("cache hit key=%s", key)
+        etag = cache.etag_for(key)
+        # Conditional revalidation: the reference emits ETags but never
+        # honours If-None-Match (src/lib.rs:104-211 has no 304 path), so
+        # revalidating clients re-download the full body. Deliberate
+        # improvement (parity ledger): a matching validator returns 304.
+        if _etag_matches(request.headers.get("If-None-Match"), etag):
+            return web.Response(
+                status=304,
+                headers={
+                    "Cache-Control": DEFAULT_CACHE_CONTROL,
+                    "ETag": etag,
+                },
+            )
         return web.Response(
             status=200,
             body=cached,
             headers={
                 "Cache-Control": DEFAULT_CACHE_CONTROL,
-                "ETag": cache.etag_for(key),
+                "ETag": etag,
                 "Content-Type": (stored_fmt or target_format).mime,
             },
         )

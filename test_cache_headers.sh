@@ -75,6 +75,14 @@ else
   FAIL=$((FAIL+1))
 fi
 
+echo "== conditional revalidation (304 on matching If-None-Match) =="
+ETAG_VAL=$(printf '%s' "$ETAG2" | sed 's/^[Ee][Tt][Aa][Gg]: *//')
+H304=$(curl -sS -D - -o /dev/null -H "If-None-Match: $ETAG_VAL" "$BASE$SIGNED_URL")
+check "304 Not Modified" "$H304" '^HTTP.* 304'
+check "304 carries ETag" "$H304" 'etag: "'
+HMISS=$(curl -sS -D - -o /dev/null -H 'If-None-Match: "bogus"' "$BASE$SIGNED_URL")
+check "mismatched validator still 200" "$HMISS" '^HTTP.* 200'
+
 echo "== local hit-path proof (metrics counters) =="
 # the reference script can only infer hits from latency; the rebuild's
 # /metrics makes the origin hit observable directly

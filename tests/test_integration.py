@@ -229,6 +229,24 @@ def test_img_full_transform_flow(tmp_path):
         assert len(fetcher.calls) == n_calls  # cache hit -> no fetch
         assert metrics.cache_hits == 1 and metrics.cache_misses == 1
 
+        # conditional revalidation (ledger improvement: the reference
+        # emits ETags but never answers 304)
+        etag = resp2.headers["ETag"]
+        resp3 = await client.get(url, headers={"If-None-Match": etag})
+        assert resp3.status == 304
+        assert await resp3.read() == b""
+        assert resp3.headers["ETag"] == etag
+        # weak validator + list forms also match; mismatch serves the body
+        resp4 = await client.get(
+            url, headers={"If-None-Match": f'W/"bogus", {etag}'}
+        )
+        assert resp4.status == 304
+        resp5 = await client.get(url, headers={"If-None-Match": '"bogus"'})
+        assert resp5.status == 200
+        assert await resp5.read() == body
+        resp6 = await client.get(url, headers={"If-None-Match": "*"})
+        assert resp6.status == 304
+
     run_with_client(tmp_path, fn, responses={IMG_URL: (200, "image/jpeg", src)})
 
 
