@@ -306,6 +306,7 @@ struct BmpState {
   int width = 0, height = 0;  // height sign-corrected
   bool top_down = false;
   int bpp = 0;
+  int comp = 0;  // 0=BI_RGB, 1=BI_RLE8, 2=BI_RLE4
   size_t pix_off = 0;
   const uint8_t* palette = nullptr;  // BGRA entries
   int palette_size = 0;
@@ -328,12 +329,19 @@ int BmpParse(const uint8_t* d, size_t len, BmpState* st) {
   const uint32_t comp = U32le(d + 30);
   if (st->width <= 0 || st->height <= 0 || st->width > (1 << 24))
     return IK_MISC_BAD_DATA;
-  // BI_RGB only (comp 3 = bitfields used by some 32bpp writers; the common
-  // 8888 layout would decode, but be conservative and fall back)
-  if (comp != 0) return IK_MISC_UNSUPPORTED;
-  if (st->bpp == 8) {
+  // BI_RGB, BI_RLE8 (8bpp) and BI_RLE4 (4bpp). comp 3 = bitfields used by
+  // some 32bpp writers; the common 8888 layout would decode, but be
+  // conservative and fall back.
+  st->comp = static_cast<int>(comp);
+  if (comp > 2) return IK_MISC_UNSUPPORTED;
+  if (comp == 1 && st->bpp != 8) return IK_MISC_BAD_DATA;
+  if (comp == 2 && st->bpp != 4) return IK_MISC_BAD_DATA;
+  if (st->bpp <= 8) {
+    if (st->bpp != 1 && st->bpp != 4 && st->bpp != 8)
+      return IK_MISC_UNSUPPORTED;
     uint32_t ncol = U32le(d + 46);
-    if (ncol == 0) ncol = 256;
+    if (ncol == 0) ncol = 1u << st->bpp;
+    if (ncol > 256) return IK_MISC_BAD_DATA;
     if (14 + hsz + ncol * 4 > len) return IK_MISC_TRUNCATED;
     st->palette = d + 14 + hsz;
     st->palette_size = static_cast<int>(ncol);
@@ -341,9 +349,63 @@ int BmpParse(const uint8_t* d, size_t len, BmpState* st) {
     return IK_MISC_UNSUPPORTED;
   }
   st->channels = 3;  // BI_RGB 32bpp alpha is conventionally ignored (PIL: RGB)
-  const size_t stride = (static_cast<size_t>(st->width) * st->bpp / 8 + 3) & ~3ull;
-  if (st->pix_off + stride * st->height > len) return IK_MISC_TRUNCATED;
+  if (comp == 0) {
+    const size_t stride =
+        ((static_cast<size_t>(st->width) * st->bpp + 7) / 8 + 3) & ~3ull;
+    if (st->pix_off + stride * st->height > len) return IK_MISC_TRUNCATED;
+  } else {
+    if (st->top_down) return IK_MISC_BAD_DATA;  // RLE is bottom-up only
+    if (st->pix_off >= len) return IK_MISC_TRUNCATED;
+  }
   return IK_MISC_OK;
+}
+
+// BI_RLE8 / BI_RLE4 -> palette-index plane (bottom-up source order is
+// handled by the caller's row mapping; indices land in image order here).
+int BmpRleDecode(const uint8_t* src, size_t n, int w, int h, int bpp,
+                 std::vector<uint8_t>* idx) {
+  idx->assign(static_cast<size_t>(w) * h, 0);
+  size_t pos = 0;
+  int x = 0, y = h - 1;  // RLE streams are bottom-up
+  auto put = [&](uint8_t v) {
+    if (x < w && y >= 0) (*idx)[static_cast<size_t>(y) * w + x] = v;
+    ++x;
+  };
+  while (pos + 2 <= n) {
+    const uint8_t cnt = src[pos], val = src[pos + 1];
+    pos += 2;
+    if (cnt > 0) {  // run
+      for (int i = 0; i < cnt; ++i)
+        put(bpp == 8 ? val
+                     : static_cast<uint8_t>((i & 1) ? val & 0xf : val >> 4));
+    } else if (val == 0) {  // end of line
+      x = 0;
+      --y;
+      if (y < -1) return IK_MISC_BAD_DATA;
+    } else if (val == 1) {  // end of bitmap
+      return IK_MISC_OK;
+    } else if (val == 2) {  // delta: skipped pixels keep palette index 0
+      if (pos + 2 > n) return IK_MISC_TRUNCATED;
+      x += src[pos];
+      y -= src[pos + 1];
+      pos += 2;
+      if (y < 0) return IK_MISC_BAD_DATA;
+    } else {  // absolute mode: `val` literal indices, word-aligned
+      const int count = val;
+      const size_t bytes =
+          bpp == 8 ? static_cast<size_t>(count)
+                   : (static_cast<size_t>(count) + 1) / 2;
+      const size_t padded = (bytes + 1) & ~1ull;
+      if (pos + padded > n) return IK_MISC_TRUNCATED;
+      for (int i = 0; i < count; ++i) {
+        const uint8_t b = src[pos + (bpp == 8 ? i : i / 2)];
+        put(bpp == 8 ? b
+                     : static_cast<uint8_t>((i & 1) ? b & 0xf : b >> 4));
+      }
+      pos += padded;
+    }
+  }
+  return IK_MISC_OK;  // stream ended without EOF marker: tolerated
 }
 
 }  // namespace
@@ -364,8 +426,30 @@ IK_EXPORT int ik_bmp_decode(const uint8_t* d, size_t len, uint8_t* out,
   if (rc != IK_MISC_OK) return rc;
   const size_t need = static_cast<size_t>(st.width) * st.height * 3;
   if (out_cap < need) return IK_MISC_BUFFER;
+
+  auto expand_index = [&](int pi, uint8_t* dst3) -> int {
+    if (pi >= st.palette_size) return IK_MISC_BAD_DATA;
+    const uint8_t* e = st.palette + 4 * pi;
+    dst3[0] = e[2];
+    dst3[1] = e[1];
+    dst3[2] = e[0];
+    return IK_MISC_OK;
+  };
+
+  if (st.comp != 0) {  // RLE8 / RLE4
+    std::vector<uint8_t> idx;
+    const int rc2 = BmpRleDecode(d + st.pix_off, len - st.pix_off, st.width,
+                                 st.height, st.bpp, &idx);
+    if (rc2 != IK_MISC_OK) return rc2;
+    for (size_t i = 0; i < idx.size(); ++i) {
+      const int rc3 = expand_index(idx[i], out + i * 3);
+      if (rc3 != IK_MISC_OK) return rc3;
+    }
+    return IK_MISC_OK;
+  }
+
   const size_t stride =
-      (static_cast<size_t>(st.width) * st.bpp / 8 + 3) & ~3ull;
+      ((static_cast<size_t>(st.width) * st.bpp + 7) / 8 + 3) & ~3ull;
   for (int y = 0; y < st.height; ++y) {
     const int sy = st.top_down ? y : st.height - 1 - y;
     const uint8_t* src = d + st.pix_off + static_cast<size_t>(sy) * stride;
@@ -382,14 +466,19 @@ IK_EXPORT int ik_bmp_decode(const uint8_t* d, size_t len, uint8_t* out,
         dst[x * 3 + 1] = src[x * 4 + 1];
         dst[x * 3 + 2] = src[x * 4 + 0];
       }
-    } else {  // 8bpp palette (BGRA entries)
+    } else if (st.bpp == 8) {  // 8bpp palette (BGRA entries)
       for (int x = 0; x < st.width; ++x) {
-        const int pi = src[x];
-        if (pi >= st.palette_size) return IK_MISC_BAD_DATA;
-        const uint8_t* e = st.palette + 4 * pi;
-        dst[x * 3 + 0] = e[2];
-        dst[x * 3 + 1] = e[1];
-        dst[x * 3 + 2] = e[0];
+        const int rc2 = expand_index(src[x], dst + x * 3);
+        if (rc2 != IK_MISC_OK) return rc2;
+      }
+    } else {  // 1/4bpp palette, MSB-first packing
+      const int per = 8 / st.bpp;
+      const int mask = (1 << st.bpp) - 1;
+      for (int x = 0; x < st.width; ++x) {
+        const int shift = 8 - st.bpp * (1 + (x % per));
+        const int pi = (src[x / per] >> shift) & mask;
+        const int rc2 = expand_index(pi, dst + x * 3);
+        if (rc2 != IK_MISC_OK) return rc2;
       }
     }
   }

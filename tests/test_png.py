@@ -244,6 +244,89 @@ def test_bmp_24_and_palette_exact():
     )
 
 
+def _craft_bmp(w, h, bpp, comp, pixdata, pal, ncol):
+    import struct
+
+    palette = b"".join(
+        bytes([int(pal[i, 2]), int(pal[i, 1]), int(pal[i, 0]), 0])
+        for i in range(ncol)
+    )
+    hdr_off = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(pixdata), 2835, 2835,
+        ncol, 0,
+    )
+    filehdr = struct.pack(
+        "<2sIHHI", b"BM", hdr_off + len(pixdata), 0, 0, hdr_off
+    )
+    return filehdr + info + palette + pixdata
+
+
+def test_bmp_rle8_rle4_and_low_bpp():
+    """RLE-compressed and 1/4-bit palette BMPs decode exactly (the
+    reference's `image` crate handles these; PIL is the oracle)."""
+    misc = _misc()
+    rng = np.random.default_rng(9)
+    w, h = 31, 17
+    idx = rng.integers(0, 16, (h, w), np.uint8)
+    pal = rng.integers(0, 255, (16, 3), np.uint8)
+
+    rle8 = bytearray()
+    for y in range(h - 1, -1, -1):
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and idx[y, x + run] == idx[y, x] and run < 255:
+                run += 1
+            rle8 += bytes([run, idx[y, x]])
+            x += run
+        rle8 += b"\x00\x00"
+    rle8[-2:] = b"\x00\x01"
+    data = _craft_bmp(w, h, 8, 1, bytes(rle8), pal, 16)
+    out = misc.decode_bmp(data)
+    np.testing.assert_array_equal(out, np.asarray(Image.open(io.BytesIO(data)).convert("RGB")))
+    np.testing.assert_array_equal(out, pal[idx])
+
+    rle4 = bytearray()
+    for y in range(h - 1, -1, -1):
+        x = 0
+        while x < w:
+            v1 = int(idx[y, x])
+            v2 = int(idx[y, x + 1]) if x + 1 < w else 0
+            n = min(2, w - x)
+            rle4 += bytes([n, (v1 << 4) | v2])
+            x += n
+        rle4 += b"\x00\x00"
+    rle4[-2:] = b"\x00\x01"
+    data = _craft_bmp(w, h, 4, 2, bytes(rle4), pal, 16)
+    out = misc.decode_bmp(data)
+    np.testing.assert_array_equal(out, np.asarray(Image.open(io.BytesIO(data)).convert("RGB")))
+    np.testing.assert_array_equal(out, pal[idx])
+
+    rows = bytearray()  # 4bpp uncompressed, MSB-first nibbles, 4B-aligned
+    for y in range(h - 1, -1, -1):
+        rb = bytearray()
+        for x in range(0, w, 2):
+            v1 = int(idx[y, x])
+            v2 = int(idx[y, x + 1]) if x + 1 < w else 0
+            rb.append((v1 << 4) | v2)
+        while len(rb) % 4:
+            rb.append(0)
+        rows += rb
+    data = _craft_bmp(w, h, 4, 0, bytes(rows), pal, 16)
+    np.testing.assert_array_equal(
+        misc.decode_bmp(data),
+        np.asarray(Image.open(io.BytesIO(data)).convert("RGB")),
+    )
+
+    buf = io.BytesIO()  # 1bpp: PIL writes these natively for mode "1"
+    Image.fromarray(idx > 7).save(buf, "BMP")
+    np.testing.assert_array_equal(
+        misc.decode_bmp(buf.getvalue()),
+        np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB")),
+    )
+
+
 def test_gif_first_frame_exact():
     misc = _misc()
     yy, xx = np.mgrid[0:200, 0:300]
