@@ -259,7 +259,9 @@ IK_EXPORT int ik_gif_decode(const uint8_t* d, size_t len, uint8_t* out,
     }
   }
 
-  // interlace pass ordering
+  // interlace pass ordering; per-pass row counts are ceil((fh-y0)/dy):
+  // pass1 ceil(fh/8), pass2 ceil((fh-4)/8) = (fh+3)/8,
+  // pass3 ceil((fh-2)/4) = (fh+1)/4, pass4 the rest
   auto row_of = [&](int i) {
     if (!st.interlaced) return i;
     int r = i;
@@ -267,13 +269,14 @@ IK_EXPORT int ik_gif_decode(const uint8_t* d, size_t len, uint8_t* out,
     r -= (st.fh + 7) / 8;
     if (r < (st.fh + 3) / 8) return r * 8 + 4;
     r -= (st.fh + 3) / 8;
-    if (r < (st.fh + 3) / 4) return r * 4 + 2;
-    r -= (st.fh + 3) / 4;
+    if (r < (st.fh + 1) / 4) return r * 4 + 2;
+    r -= (st.fh + 1) / 4;
     return r * 2 + 1;
   };
 
   for (int i = 0; i < st.fh; ++i) {
     const int y = st.fy + row_of(i);
+    if (y < st.fy || y >= st.fy + st.fh) return IK_MISC_BAD_DATA;
     const uint8_t* src = idx.data() + static_cast<size_t>(i) * st.fw;
     uint8_t* dst = out + (static_cast<size_t>(y) * st.width + st.fx) * oc;
     for (int x = 0; x < st.fw; ++x) {

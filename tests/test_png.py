@@ -327,6 +327,24 @@ def test_bmp_rle8_rle4_and_low_bpp():
     )
 
 
+@pytest.mark.parametrize("h", [148, 149, 150, 151])  # every mod-4 residue
+def test_gif_interlaced_all_height_residues(h):
+    """Regression: the interlace pass-3 row count was off by one for
+    heights = 2,3 (mod 4), writing one row past the canvas (found by a
+    live soak crash — GPF in libc). PIL writes interlaced GIFs."""
+    misc = _misc()
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (h, 37, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).quantize(64).save(buf, "GIF")
+    data = buf.getvalue()
+    out = misc.decode_gif(data)
+    assert out is not None
+    np.testing.assert_array_equal(
+        out, np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    )
+
+
 def test_gif_first_frame_exact():
     misc = _misc()
     yy, xx = np.mgrid[0:200, 0:300]

@@ -30,7 +30,10 @@ def make_corpus():
     from PIL import Image
 
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    # odd height on purpose: every interlace/bundling pass-count formula
+    # must handle non-multiple-of-8 dims (a mod-4 off-by-one in the GIF
+    # interlacer escaped a multiple-of-8 corpus)
+    img = rng.integers(0, 255, (99, 128, 3), np.uint8)
     corpus = []
     for fmt, kw in (
         ("JPEG", {"quality": 85}),
