@@ -93,8 +93,17 @@ struct BoolEnc {
     for (int b = bits - 1; b >= 0; --b) PutBit((v >> b) & 1, 128);
   }
 
-  // flag+magnitude+sign encoding used by quantiser deltas (all zero here)
+  // flag+magnitude+sign encoding used by quantiser deltas (RFC 6386 §9.6)
   void PutZeroDelta() { PutBit(0, 128); }
+  void PutDelta(int v) {
+    if (v == 0) {
+      PutBit(0, 128);
+      return;
+    }
+    PutBit(1, 128);
+    PutLiteral(static_cast<uint32_t>(v < 0 ? -v : v), 4);
+    PutBit(v < 0 ? 1 : 0, 128);
+  }
 
   void Stop() {
     for (int i = 0; i < 32; ++i) PutBit(0, 128);
@@ -536,7 +545,21 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   uint8_t* RV = vbuf.data() + cs + 1;
 
   const int qindex = QualityToQIndex(quality);
-  const Quantizers Q = SetupQuant(qindex);
+// Chroma quantiser deltas (finer UV quantisation, like libwebp's
+// uv_alpha-driven dq_uv): the measured PSNR gap vs libwebp was almost
+// entirely chroma. Scaled with the quantiser so the byte cost stays
+// proportional (a fixed -8 saturates chroma to qindex 0 at high
+// quality). Signalled in the frame header (RFC 6386 §9.6).
+#ifndef IK_VP8_UV_DC_DELTA
+#define IK_VP8_UV_DC_DELTA (-(qindex >= 24 ? 8 : qindex / 3))
+#endif
+#ifndef IK_VP8_UV_AC_DELTA
+#define IK_VP8_UV_AC_DELTA (-(qindex >= 24 ? 4 : qindex / 6))
+#endif
+  const int uv_dc_delta = IK_VP8_UV_DC_DELTA;
+  const int uv_ac_delta = IK_VP8_UV_AC_DELTA;
+  const Quantizers Q =
+      ikvp8::SetupQuantDeltas(qindex, 0, 0, 0, uv_dc_delta, uv_ac_delta);
 #ifndef IK_VP8_FILTER_SCALE
 #define IK_VP8_FILTER_SCALE 48
 #endif
@@ -865,8 +888,8 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   p1.PutZeroDelta();    // y1 dc delta
   p1.PutZeroDelta();    // y2 dc delta
   p1.PutZeroDelta();    // y2 ac delta
-  p1.PutZeroDelta();    // uv dc delta
-  p1.PutZeroDelta();    // uv ac delta
+  p1.PutDelta(uv_dc_delta);  // uv dc delta
+  p1.PutDelta(uv_ac_delta);  // uv ac delta
   p1.PutBit(0, 128);    // refresh_entropy_probs
   // token probability updates (RFC 6386 §13.4): signal the slots whose
   // adapted value pays for its own 8-bit literal
