@@ -72,3 +72,45 @@ def test_native_jpeg_encoder_rd_parity_across_qualities():
             np.asarray(Image.open(buf).convert("RGB")), img
         )
         assert ours_psnr >= lib_psnr - 1.5, (q, ours_psnr, lib_psnr)
+
+
+def test_jpeg_smaller_than_standard_tables():
+    """Per-image optimal Huffman tables: output must be smaller than the
+    host library's standard-table bitstream at identical quality (with a
+    margin — the claim is 6-15% measured, guard at >=3%)."""
+    from imagekit_tpu.codecs import jpeg as jpeg_native
+
+    if not jpeg_native.available():
+        pytest.skip("native codec unavailable")
+    img = make_test_image(480, 360)
+    for q in (50, 80, 95):
+        ours = jpeg_native.encode_rgb(img, q)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=q)
+        assert len(ours) <= 0.97 * len(buf.getvalue()), (
+            q, len(ours), len(buf.getvalue())
+        )
+
+
+def test_webp_rd_competitive_with_libwebp():
+    """The native VP8 encoder must stay rate-distortion competitive with
+    libwebp: at q50/80 the output is SMALLER with PSNR within 0.25 dB; at
+    q95 size within 10% with PSNR within 0.5 dB (regression guards on the
+    measured probability-adaptation + chroma-delta wins)."""
+    from imagekit_tpu.codecs import vp8
+
+    if not vp8.available():
+        pytest.skip("native codec unavailable")
+    img = make_test_image(400, 300)
+    for q, max_ratio, max_dpsnr in ((50, 1.0, 0.25), (80, 1.0, 0.25),
+                                    (95, 1.10, 0.5)):
+        ours = vp8.encode_rgb(img, q)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "WEBP", quality=q)
+        lw = buf.getvalue()
+        p_ours = psnr(
+            np.asarray(Image.open(io.BytesIO(ours)).convert("RGB")), img
+        )
+        p_lw = psnr(np.asarray(Image.open(io.BytesIO(lw)).convert("RGB")), img)
+        assert len(ours) <= max_ratio * len(lw), (q, len(ours), len(lw))
+        assert p_ours >= p_lw - max_dpsnr, (q, p_ours, p_lw)
