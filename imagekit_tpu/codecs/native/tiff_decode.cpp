@@ -65,6 +65,9 @@ struct TiffInfo {
   std::vector<uint8_t> colormap;  // 3*256 RGB bytes (high byte of u16)
   std::vector<uint32_t> strip_offsets, strip_counts;
   uint32_t rows_per_strip = 0;
+  // tile organisation (tags 322-325); tiled == !tile_offsets.empty()
+  uint32_t tile_w = 0, tile_h = 0;
+  std::vector<uint32_t> tile_offsets, tile_counts;
 };
 
 int TypeSize(uint16_t t) {
@@ -102,7 +105,7 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
   if (ifd + 2 + 12u * n > len) return IK_TIFF_TRUNCATED;
 
   Entry strip_off_e, strip_cnt_e, bps_e, extra_e;
-  bool tiled = false;
+  Entry tile_off_e, tile_cnt_e;
   for (uint16_t i = 0; i < n; ++i) {
     const size_t e = ifd + 2 + 12u * i;
     const uint16_t tag = r.U16(e);
@@ -137,7 +140,10 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
                 EntryValue(r, ent, c * per + j) >> 8);
         break;
       }
-      case 322: case 323: case 324: case 325: tiled = true; break;
+      case 322: info->tile_w = EntryValue(r, ent, 0); break;
+      case 323: info->tile_h = EntryValue(r, ent, 0); break;
+      case 324: tile_off_e = ent; break;
+      case 325: tile_cnt_e = ent; break;
       case 338: extra_e = ent; break;
       default: break;
     }
@@ -145,7 +151,6 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
   if (info->width == 0 || info->height == 0) return IK_TIFF_BAD_DIMS;
   if (info->width > (1u << 24) || info->height > (1u << 24))
     return IK_TIFF_BAD_DIMS;
-  if (tiled) return IK_TIFF_UNSUPPORTED;
   if (info->planar != 1) return IK_TIFF_UNSUPPORTED;
   if (info->compression != 1 && info->compression != 5 &&
       info->compression != 32773)
@@ -165,16 +170,37 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
   }
   if (info->depth == 16 && info->photometric == 3)
     return IK_TIFF_UNSUPPORTED;  // 16-bit palette: fall back
-  if (strip_off_e.count == 0 || strip_cnt_e.count != strip_off_e.count)
-    return IK_TIFF_BAD_DATA;
-  info->strip_offsets.resize(strip_off_e.count);
-  info->strip_counts.resize(strip_cnt_e.count);
-  for (uint32_t i = 0; i < strip_off_e.count; ++i) {
-    info->strip_offsets[i] = EntryValue(r, strip_off_e, i);
-    info->strip_counts[i] = EntryValue(r, strip_cnt_e, i);
-    if (static_cast<size_t>(info->strip_offsets[i]) + info->strip_counts[i] >
-        len)
-      return IK_TIFF_TRUNCATED;
+  if (tile_off_e.count > 0) {  // tiled organisation (tags 322-325)
+    // TIFF 6.0: tile dims must be multiples of 16
+    if (info->tile_w == 0 || info->tile_h == 0 ||
+        (info->tile_w & 15) || (info->tile_h & 15))
+      return IK_TIFF_BAD_DATA;
+    const uint64_t tx = (info->width + info->tile_w - 1) / info->tile_w;
+    const uint64_t ty = (info->height + info->tile_h - 1) / info->tile_h;
+    if (tile_cnt_e.count != tile_off_e.count ||
+        tile_off_e.count != tx * ty)
+      return IK_TIFF_BAD_DATA;
+    info->tile_offsets.resize(tile_off_e.count);
+    info->tile_counts.resize(tile_cnt_e.count);
+    for (uint32_t i = 0; i < tile_off_e.count; ++i) {
+      info->tile_offsets[i] = EntryValue(r, tile_off_e, i);
+      info->tile_counts[i] = EntryValue(r, tile_cnt_e, i);
+      if (static_cast<size_t>(info->tile_offsets[i]) +
+              info->tile_counts[i] > len)
+        return IK_TIFF_TRUNCATED;
+    }
+  } else {
+    if (strip_off_e.count == 0 || strip_cnt_e.count != strip_off_e.count)
+      return IK_TIFF_BAD_DATA;
+    info->strip_offsets.resize(strip_off_e.count);
+    info->strip_counts.resize(strip_cnt_e.count);
+    for (uint32_t i = 0; i < strip_off_e.count; ++i) {
+      info->strip_offsets[i] = EntryValue(r, strip_off_e, i);
+      info->strip_counts[i] = EntryValue(r, strip_cnt_e, i);
+      if (static_cast<size_t>(info->strip_offsets[i]) +
+              info->strip_counts[i] > len)
+        return IK_TIFF_TRUNCATED;
+    }
   }
   if (info->rows_per_strip == 0 ||
       info->rows_per_strip > info->height)
@@ -324,62 +350,84 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
   const int sbytes = info.depth / 8;
   const size_t row = W * spp * sbytes;
   std::vector<uint8_t> pixels(row * H);
-  size_t y0 = 0;
-  for (size_t s = 0; s < info.strip_offsets.size(); ++s) {
-    const size_t rows =
-        y0 + info.rows_per_strip <= H ? info.rows_per_strip : H - y0;
-    if (rows == 0) break;
-    uint8_t* dst = pixels.data() + y0 * row;
-    const uint8_t* src = data + info.strip_offsets[s];
-    const size_t src_n = info.strip_counts[s];
-    const size_t want = rows * row;
+
+  auto decompress = [&](const uint8_t* src, size_t src_n, uint8_t* dst,
+                        size_t want) -> int {
     switch (info.compression) {
       case 1:
         if (src_n < want) return IK_TIFF_TRUNCATED;
         std::memcpy(dst, src, want);
-        break;
+        return IK_TIFF_OK;
       case 5:
-        rc = LzwDecode(src, src_n, dst, want);
-        if (rc != IK_TIFF_OK) return rc;
-        break;
-      case 32773:
-        rc = PackBitsDecode(src, src_n, dst, want);
-        if (rc != IK_TIFF_OK) return rc;
-        break;
+        return LzwDecode(src, src_n, dst, want);
+      default:
+        return PackBitsDecode(src, src_n, dst, want);
     }
-    // horizontal differencing predictor inverts per row, per sample lane
-    // (16-bit lanes add as 16-bit words in file byte order); it is defined
-    // for (and applied by libtiff/PIL only under) LZW-class codecs — the
-    // tag is ignored on uncompressed/PackBits data
-    if (info.predictor == 2 && info.compression == 5) {
-      for (size_t yy = 0; yy < rows; ++yy) {
-        uint8_t* r = dst + yy * row;
-        if (sbytes == 1) {
-          for (size_t i = spp; i < row; ++i) r[i] += r[i - spp];
-        } else {
-          const size_t lane = static_cast<size_t>(spp) * 2;
-          for (size_t i = lane; i < row; i += 2) {
-            uint32_t prev, cur;
-            if (info.le) {
-              prev = r[i - lane] | (r[i - lane + 1] << 8);
-              cur = r[i] | (r[i + 1] << 8);
-              cur = (cur + prev) & 0xffff;
-              r[i] = cur & 0xff;
-              r[i + 1] = (cur >> 8) & 0xff;
-            } else {
-              prev = (r[i - lane] << 8) | r[i - lane + 1];
-              cur = (r[i] << 8) | r[i + 1];
-              cur = (cur + prev) & 0xffff;
-              r[i] = (cur >> 8) & 0xff;
-              r[i + 1] = cur & 0xff;
-            }
+  };
+  // horizontal differencing predictor inverts per row, per sample lane
+  // (16-bit lanes add as 16-bit words in file byte order); it is defined
+  // for (and applied by libtiff/PIL only under) LZW-class codecs — the
+  // tag is ignored on uncompressed/PackBits data
+  auto unfilter = [&](uint8_t* base, size_t rows, size_t rowlen) {
+    if (info.predictor != 2 || info.compression != 5) return;
+    for (size_t yy = 0; yy < rows; ++yy) {
+      uint8_t* r = base + yy * rowlen;
+      if (sbytes == 1) {
+        for (size_t i = spp; i < rowlen; ++i) r[i] += r[i - spp];
+      } else {
+        const size_t lane = static_cast<size_t>(spp) * 2;
+        for (size_t i = lane; i < rowlen; i += 2) {
+          uint32_t prev, cur;
+          if (info.le) {
+            prev = r[i - lane] | (r[i - lane + 1] << 8);
+            cur = (r[i] | (r[i + 1] << 8)) + prev;
+            r[i] = cur & 0xff;
+            r[i + 1] = (cur >> 8) & 0xff;
+          } else {
+            prev = (r[i - lane] << 8) | r[i - lane + 1];
+            cur = (((r[i] << 8) | r[i + 1]) + prev) & 0xffff;
+            r[i] = (cur >> 8) & 0xff;
+            r[i + 1] = cur & 0xff;
           }
         }
       }
     }
-    y0 += rows;
+  };
+
+  if (!info.tile_offsets.empty()) {
+    // tiles decode at full padded tile geometry, then place clipped
+    const size_t tw = info.tile_w, th = info.tile_h;
+    const size_t trow = tw * spp * sbytes;
+    const size_t tx = (W + tw - 1) / tw;
+    std::vector<uint8_t> tbuf(trow * th);
+    for (size_t t = 0; t < info.tile_offsets.size(); ++t) {
+      rc = decompress(data + info.tile_offsets[t], info.tile_counts[t],
+                      tbuf.data(), tbuf.size());
+      if (rc != IK_TIFF_OK) return rc;
+      unfilter(tbuf.data(), th, trow);
+      const size_t ox = (t % tx) * tw, oy = (t / tx) * th;
+      const size_t cols = tw < W - ox ? tw : W - ox;
+      const size_t rows2 = th < H - oy ? th : H - oy;
+      for (size_t yy = 0; yy < rows2; ++yy)
+        std::memcpy(
+            pixels.data() + (oy + yy) * row + ox * spp * sbytes,
+            tbuf.data() + yy * trow, cols * spp * sbytes);
+    }
+  } else {
+    size_t y0 = 0;
+    for (size_t s = 0; s < info.strip_offsets.size(); ++s) {
+      const size_t rows =
+          y0 + info.rows_per_strip <= H ? info.rows_per_strip : H - y0;
+      if (rows == 0) break;
+      uint8_t* dst = pixels.data() + y0 * row;
+      rc = decompress(data + info.strip_offsets[s], info.strip_counts[s],
+                      dst, rows * row);
+      if (rc != IK_TIFF_OK) return rc;
+      unfilter(dst, rows, row);
+      y0 += rows;
+    }
+    if (y0 < H) return IK_TIFF_TRUNCATED;
   }
-  if (y0 < H) return IK_TIFF_TRUNCATED;
 
   // 16-bit -> 8-bit by high byte, in place (row layout shrinks)
   if (sbytes == 2) {

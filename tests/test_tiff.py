@@ -244,21 +244,59 @@ def test_decode_bytes_routes_tiff():
     np.testing.assert_array_equal(arr, img)
 
 
-def test_tiled_falls_back():
-    # synthesize a tiled TIFF header (tag 322 TileWidth): must fall back
-    img = _img()
-    buf = io.BytesIO()
-    Image.fromarray(img).save(buf, "TIFF")
-    data = bytearray(buf.getvalue())
-    # PIL writes II; walk the IFD and rewrite RowsPerStrip (278) -> 322
-    ifd = struct.unpack("<I", data[4:8])[0]
-    n = struct.unpack("<H", data[ifd:ifd + 2])[0]
-    for i in range(n):
-        e = ifd + 2 + 12 * i
-        if struct.unpack("<H", data[e:e + 2])[0] == 278:
-            data[e:e + 2] = struct.pack("<H", 322)
-            break
-    assert tiff_native.decode(bytes(data)) is None  # host fallback
+def _craft_tiled(px, tw, th, compression):
+    h, w = px.shape[:2]
+    tx, ty = (w + tw - 1) // tw, (h + th - 1) // th
+    tiles = []
+    for t in range(tx * ty):
+        ox, oy = (t % tx) * tw, (t // tx) * th
+        tile = np.zeros((th, tw, 3), np.uint8)
+        ch, cw = min(th, h - oy), min(tw, w - ox)
+        tile[:ch, :cw] = px[oy:oy + ch, ox:ox + cw]
+        raw = tile.tobytes()
+        tiles.append(_lzw_encode(raw) if compression == 5 else raw)
+    ents = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None),
+            (259, 3, 1, compression), (262, 3, 1, 2), (277, 3, 1, 3),
+            (322, 3, 1, tw), (323, 3, 1, th),
+            (324, 4, len(tiles), None), (325, 4, len(tiles), None)]
+    n = len(ents)
+    bps_off = 8 + 2 + n * 12 + 4
+    toffs_off = bps_off + 6
+    tcnts_off = toffs_off + 4 * len(tiles)
+    pos = tcnts_off + 4 * len(tiles)
+    offs = []
+    for tdat in tiles:
+        offs.append(pos)
+        pos += len(tdat)
+    ifd = struct.pack("<H", n)
+    for t, ty_, c, v in ents:
+        if t == 258:
+            v = bps_off
+        if t == 324:
+            v = toffs_off
+        if t == 325:
+            v = tcnts_off
+        ifd += struct.pack("<HHII", t, ty_, c, v)
+    ifd += struct.pack("<I", 0)
+    return (b"II\x2a\x00" + struct.pack("<I", 8) + ifd
+            + struct.pack("<HHH", 8, 8, 8)
+            + b"".join(struct.pack("<I", o) for o in offs)
+            + b"".join(struct.pack("<I", len(t)) for t in tiles)
+            + b"".join(tiles))
+
+
+@pytest.mark.parametrize("compression", [1, 5], ids=["raw", "lzw"])
+def test_tiled_decode_exact(compression):
+    """Tiled TIFF (tags 322-325): padded edge tiles place clipped."""
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 255, (37, 53, 3), np.uint8)
+    data = _craft_tiled(px, 16, 16, compression)
+    out = tiff_native.decode(data)
+    assert out is not None
+    np.testing.assert_array_equal(out, px)
+    np.testing.assert_array_equal(
+        out, np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    )
 
 
 def test_corrupt_tiff_raises():
