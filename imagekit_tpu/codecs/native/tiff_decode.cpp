@@ -151,7 +151,8 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
   if (info->width == 0 || info->height == 0) return IK_TIFF_BAD_DIMS;
   if (info->width > (1u << 24) || info->height > (1u << 24))
     return IK_TIFF_BAD_DIMS;
-  if (info->planar != 1) return IK_TIFF_UNSUPPORTED;
+  if (info->planar != 1 && info->planar != 2) return IK_TIFF_UNSUPPORTED;
+  if (info->planar == 2 && info->spp == 1) info->planar = 1;  // same layout
   if (info->compression != 1 && info->compression != 5 &&
       info->compression != 32773)
     return IK_TIFF_UNSUPPORTED;
@@ -170,6 +171,8 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
   }
   if (info->depth == 16 && info->photometric == 3)
     return IK_TIFF_UNSUPPORTED;  // 16-bit palette: fall back
+  if (tile_off_e.count > 0 && info->planar == 2)
+    return IK_TIFF_UNSUPPORTED;  // planar tiles: fall back
   if (tile_off_e.count > 0) {  // tiled organisation (tags 322-325)
     // TIFF 6.0: tile dims must be multiples of 16
     if (info->tile_w == 0 || info->tile_h == 0 ||
@@ -368,14 +371,15 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
   // (16-bit lanes add as 16-bit words in file byte order); it is defined
   // for (and applied by libtiff/PIL only under) LZW-class codecs — the
   // tag is ignored on uncompressed/PackBits data
-  auto unfilter = [&](uint8_t* base, size_t rows, size_t rowlen) {
+  auto unfilter = [&](uint8_t* base, size_t rows, size_t rowlen,
+                      int nlanes) {
     if (info.predictor != 2 || info.compression != 5) return;
     for (size_t yy = 0; yy < rows; ++yy) {
       uint8_t* r = base + yy * rowlen;
       if (sbytes == 1) {
-        for (size_t i = spp; i < rowlen; ++i) r[i] += r[i - spp];
+        for (size_t i = nlanes; i < rowlen; ++i) r[i] += r[i - nlanes];
       } else {
-        const size_t lane = static_cast<size_t>(spp) * 2;
+        const size_t lane = static_cast<size_t>(nlanes) * 2;
         for (size_t i = lane; i < rowlen; i += 2) {
           uint32_t prev, cur;
           if (info.le) {
@@ -404,7 +408,7 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
       rc = decompress(data + info.tile_offsets[t], info.tile_counts[t],
                       tbuf.data(), tbuf.size());
       if (rc != IK_TIFF_OK) return rc;
-      unfilter(tbuf.data(), th, trow);
+      unfilter(tbuf.data(), th, trow, spp);
       const size_t ox = (t % tx) * tw, oy = (t / tx) * th;
       const size_t cols = tw < W - ox ? tw : W - ox;
       const size_t rows2 = th < H - oy ? th : H - oy;
@@ -412,6 +416,33 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
         std::memcpy(
             pixels.data() + (oy + yy) * row + ox * spp * sbytes,
             tbuf.data() + yy * trow, cols * spp * sbytes);
+    }
+  } else if (info.planar == 2) {
+    // planar strips: all of component 0's strips, then component 1's, ...
+    const size_t prow = W * sbytes;
+    const size_t spp_strips =
+        (H + info.rows_per_strip - 1) / info.rows_per_strip;
+    if (info.strip_offsets.size() !=
+        spp_strips * static_cast<size_t>(spp))
+      return IK_TIFF_BAD_DATA;
+    std::vector<uint8_t> plane(prow * H);
+    for (int c = 0; c < spp; ++c) {
+      size_t y0 = 0;
+      for (size_t s = 0; s < spp_strips; ++s) {
+        const size_t rows =
+            y0 + info.rows_per_strip <= H ? info.rows_per_strip : H - y0;
+        const size_t si = static_cast<size_t>(c) * spp_strips + s;
+        uint8_t* dst = plane.data() + y0 * prow;
+        rc = decompress(data + info.strip_offsets[si],
+                        info.strip_counts[si], dst, rows * prow);
+        if (rc != IK_TIFF_OK) return rc;
+        unfilter(dst, rows, prow, 1);
+        y0 += rows;
+      }
+      // interleave this component into the chunky pixel buffer
+      for (size_t i = 0; i < W * H; ++i)
+        for (int b = 0; b < sbytes; ++b)
+          pixels[(i * spp + c) * sbytes + b] = plane[i * sbytes + b];
     }
   } else {
     size_t y0 = 0;
@@ -423,7 +454,7 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
       rc = decompress(data + info.strip_offsets[s], info.strip_counts[s],
                       dst, rows * row);
       if (rc != IK_TIFF_OK) return rc;
-      unfilter(dst, rows, row);
+      unfilter(dst, rows, row, spp);
       y0 += rows;
     }
     if (y0 < H) return IK_TIFF_TRUNCATED;

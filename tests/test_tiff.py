@@ -307,3 +307,54 @@ def test_corrupt_tiff_raises():
     data = data[: len(data) // 3]  # truncate strip data
     with pytest.raises(ValueError):
         tiff_native.decode(bytes(data))
+
+
+def _craft_planar(px, rps, compression):
+    h, w = px.shape[:2]
+    strips = []
+    for c in range(3):
+        for y0 in range(0, h, rps):
+            raw = np.ascontiguousarray(px[y0:y0 + rps, :, c]).tobytes()
+            strips.append(_lzw_encode(raw) if compression == 5 else raw)
+    ents = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None),
+            (259, 3, 1, compression), (262, 3, 1, 2),
+            (273, 4, len(strips), None), (277, 3, 1, 3), (278, 3, 1, rps),
+            (279, 4, len(strips), None), (284, 3, 1, 2)]
+    n = len(ents)
+    bps_off = 8 + 2 + n * 12 + 4
+    soffs_off = bps_off + 6
+    scnts_off = soffs_off + 4 * len(strips)
+    pos = scnts_off + 4 * len(strips)
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd = struct.pack("<H", n)
+    for t, ty, c, v in ents:
+        if t == 258:
+            v = bps_off
+        if t == 273:
+            v = soffs_off
+        if t == 279:
+            v = scnts_off
+        ifd += struct.pack("<HHII", t, ty, c, v)
+    ifd += struct.pack("<I", 0)
+    return (b"II\x2a\x00" + struct.pack("<I", 8) + ifd
+            + struct.pack("<HHH", 8, 8, 8)
+            + b"".join(struct.pack("<I", o) for o in offs)
+            + b"".join(struct.pack("<I", len(s)) for s in strips)
+            + b"".join(strips))
+
+
+@pytest.mark.parametrize("compression", [1, 5], ids=["raw", "lzw"])
+def test_planar_decode_exact(compression):
+    """PlanarConfiguration=2: per-component strip planes interleave."""
+    rng = np.random.default_rng(10)
+    px = rng.integers(0, 255, (29, 41, 3), np.uint8)
+    data = _craft_planar(px, 10, compression)
+    out = tiff_native.decode(data)
+    assert out is not None
+    np.testing.assert_array_equal(out, px)
+    np.testing.assert_array_equal(
+        out, np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    )
