@@ -164,7 +164,15 @@ class ImageKitConfig:
         secret = os.environ.get("IMAGEKIT_SECRET", "local-dev-secret")
         cache_dir = Path(os.environ.get("IMAGEKIT_CACHE_DIR", "./cache"))
         max_gb = float(os.environ.get("IMAGEKIT_CACHE_MAX_SIZE_GB", "10"))
+        batch = BatchConfig()
+        if "IMAGEKIT_MAX_COMPILED_SHAPES" in os.environ:
+            # operational memory knob: each runtime-compiled executable
+            # retains host memory for the process lifetime (see BatchConfig)
+            batch.max_compiled_shapes = int(
+                os.environ["IMAGEKIT_MAX_COMPILED_SHAPES"]
+            )
         return cls(
+            batch=batch,
             secret=secret,
             cache_dir=cache_dir,
             max_input_size=DEFAULT_MAX_INPUT_SIZE,

@@ -668,3 +668,15 @@ def test_stats_pipelines(tmp_path):
         assert "host_entropy_decode" in body["jpeg"]["decode_stages"]
 
     run_with_client(tmp_path, fn)
+
+
+def test_max_compiled_shapes_env_knob(monkeypatch):
+    """IMAGEKIT_MAX_COMPILED_SHAPES caps runtime executable retention
+    (each compiled shape holds ~65 MB of host memory for the process
+    lifetime; verified bounded by an all-miss soak at budget 4)."""
+    from imagekit_tpu.config import ImageKitConfig
+
+    monkeypatch.setenv("IMAGEKIT_MAX_COMPILED_SHAPES", "4")
+    assert ImageKitConfig.from_env().batch.max_compiled_shapes == 4
+    monkeypatch.delenv("IMAGEKIT_MAX_COMPILED_SHAPES")
+    assert ImageKitConfig.from_env().batch.max_compiled_shapes == 32
