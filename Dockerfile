@@ -5,14 +5,19 @@
 # is expected from the base image; only the native codec is compiled here.
 FROM python:3.12-slim AS builder
 
-RUN apt-get update && apt-get install -y --no-install-recommends g++ \
-    && rm -rf /var/lib/apt/lists/*
+RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
+    zlib1g-dev && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /build
-COPY imagekit_tpu/codecs/native/jpeg_entropy.cpp native/
+COPY imagekit_tpu/codecs/native/ native/
 # Pre-build the native codec so the runtime image needs no toolchain.
+# (same source list as native/Makefile: JPEG, VP8 enc/dec, VP8L, PNG,
+# GIF/BMP, TIFF; zlib for PNG inflate)
 RUN g++ -O3 -march=x86-64-v2 -funroll-loops -std=c++17 -shared -fPIC \
-    -fvisibility=hidden native/jpeg_entropy.cpp -o native/libik_native.so
+    -fvisibility=hidden \
+    native/jpeg_entropy.cpp native/vp8_encode.cpp native/vp8_decode.cpp \
+    native/vp8l_decode.cpp native/png_decode.cpp native/misc_decode.cpp \
+    native/tiff_decode.cpp -o native/libik_native.so -lz
 
 FROM python:3.12-slim
 
