@@ -122,8 +122,8 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
             if arr is not None:
                 return arr, fmt
     elif fmt == SourceFormat.tiff:
-        # native baseline TIFF (strips, none/LZW/PackBits); tiled/16-bit
-        # fall back to the host library
+        # native baseline TIFF: strips/tiles/planar, none/LZW/PackBits,
+        # 8/16-bit; exotic layouts fall back to the host library
         from imagekit_tpu.codecs import tiff as tiff_native
 
         if tiff_native.available():

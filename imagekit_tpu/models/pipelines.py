@@ -87,9 +87,10 @@ PIPELINES = {
         input_color="rgb8",  # to_rgb8 + libwebp lossy, src/transform.rs:131-136
         speed_rank=2,
         notes="native both directions: C++ VP8 keyframe decoder (bit-exact "
-        "vs libwebp; VP8L/VP8X fall back to the host library) and encoder "
-        "(I16+B_PRED, RD mode decision); device RGB->YUV 4:2:0 stages; "
-        "JPEG->WebP runs fully fused in YUV space",
+        "vs libwebp) + VP8L lossless + VP8X/ALPH/animation-frame-0; encoder "
+        "I16+B_PRED with RD mode decision, per-frame coefficient-prob "
+        "adaptation and chroma quality deltas; device RGB->YUV 4:2:0 "
+        "stages; JPEG->WebP runs fully fused in YUV space",
     ),
     ImageFormat.avif: Pipeline(
         fmt=ImageFormat.avif,
