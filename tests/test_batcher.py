@@ -534,3 +534,54 @@ def test_webp_to_webp_yuv_direct_path():
     da = np.asarray(Image.open(io.BytesIO(a)).convert("RGB"))
     db = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
     assert psnr(da, db) >= 45.0
+
+
+@pytest.mark.parametrize(
+    "maker",
+    [
+        lambda im: _b(im, "PNG", interlace=True),
+        lambda im: _b(im, "WEBP", lossless=True),
+        lambda im: _b(im, "TIFF", compression="tiff_lzw"),
+        lambda im: _b(im, "BMP"),
+        lambda im: _b(im.quantize(64), "GIF"),
+        lambda im: _b(_rgba(im), "WEBP", quality=80),  # VP8X + ALPH
+    ],
+    ids=["png-adam7", "webp-lossless", "tiff-lzw", "bmp", "gif", "vp8x-alph"],
+)
+def test_engine_transforms_every_native_source(maker):
+    """The full BatchedEngine path (not just decode_bytes) accepts every
+    natively-decoded source container and produces a valid resized webp."""
+    import io as _io
+
+    from PIL import Image as _Image
+
+    engine = make_engine()
+    src = maker(_Image.fromarray(make_test_image(320, 240)))
+
+    async def run():
+        out = await engine.transform(src, 160, None, ImageFormat.webp, 80)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    dec, _ = decode_image(out)
+    assert dec.shape[:2] == (120, 160)
+
+
+def _b(im, fmt, **kw):
+    import io as _io
+
+    buf = _io.BytesIO()
+    im.save(buf, fmt, **kw)
+    return buf.getvalue()
+
+
+def _rgba(im):
+    import numpy as _np
+
+    from PIL import Image as _Image
+
+    arr = _np.asarray(im)
+    a = (_np.arange(arr.shape[0]) % 256).astype(_np.uint8)
+    alpha = _np.tile(a[:, None], (1, arr.shape[1]))
+    return _Image.fromarray(_np.dstack([arr, alpha]), "RGBA")

@@ -59,6 +59,21 @@ def make_corpus():
     buf = io.BytesIO()
     Image.fromarray(img).quantize(64).save(buf, "GIF")
     corpus.append(("gif", buf.getvalue()))
+    # RGBA lossy -> VP8X + ALPH container
+    rgba = np.dstack([img[:64, :64], rng.integers(0, 255, (64, 64), np.uint8)])
+    buf = io.BytesIO()
+    Image.fromarray(rgba, "RGBA").save(buf, "WEBP", quality=75)
+    corpus.append(("webp", buf.getvalue()))
+    # crafted tiled + planar TIFFs (PIL never writes these layouts)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    try:
+        from test_tiff import _craft_planar, _craft_tiled
+
+        corpus.append(("tiff", _craft_tiled(img[:48, :48], 16, 16, 5)))
+        corpus.append(("tiff", _craft_planar(img[:40, :56], 13, 5)))
+    except ImportError:
+        pass
     return corpus
 
 
