@@ -171,8 +171,6 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
   }
   if (info->depth == 16 && info->photometric == 3)
     return IK_TIFF_UNSUPPORTED;  // 16-bit palette: fall back
-  if (tile_off_e.count > 0 && info->planar == 2)
-    return IK_TIFF_UNSUPPORTED;  // planar tiles: fall back
   if (tile_off_e.count > 0) {  // tiled organisation (tags 322-325)
     // TIFF 6.0: tile dims must be multiples of 16
     if (info->tile_w == 0 || info->tile_h == 0 ||
@@ -180,8 +178,10 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
       return IK_TIFF_BAD_DATA;
     const uint64_t tx = (info->width + info->tile_w - 1) / info->tile_w;
     const uint64_t ty = (info->height + info->tile_h - 1) / info->tile_h;
-    if (tile_cnt_e.count != tile_off_e.count ||
-        tile_off_e.count != tx * ty)
+    // planar tiles: one full tile grid per component, grouped by plane
+    const uint64_t ntiles =
+        tx * ty * (info->planar == 2 ? info->spp : 1);
+    if (tile_cnt_e.count != tile_off_e.count || tile_off_e.count != ntiles)
       return IK_TIFF_BAD_DATA;
     info->tile_offsets.resize(tile_off_e.count);
     info->tile_counts.resize(tile_cnt_e.count);
@@ -399,23 +399,40 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
   };
 
   if (!info.tile_offsets.empty()) {
-    // tiles decode at full padded tile geometry, then place clipped
+    // tiles decode at full padded tile geometry, then place clipped;
+    // planar tiles carry one component each (grid repeated per plane)
+    const int tile_spp = info.planar == 2 ? 1 : spp;
     const size_t tw = info.tile_w, th = info.tile_h;
-    const size_t trow = tw * spp * sbytes;
+    const size_t trow = tw * tile_spp * sbytes;
     const size_t tx = (W + tw - 1) / tw;
+    const size_t per_plane = info.tile_offsets.size() /
+                             (info.planar == 2 ? spp : 1);
     std::vector<uint8_t> tbuf(trow * th);
     for (size_t t = 0; t < info.tile_offsets.size(); ++t) {
       rc = decompress(data + info.tile_offsets[t], info.tile_counts[t],
                       tbuf.data(), tbuf.size());
       if (rc != IK_TIFF_OK) return rc;
-      unfilter(tbuf.data(), th, trow, spp);
-      const size_t ox = (t % tx) * tw, oy = (t / tx) * th;
+      unfilter(tbuf.data(), th, trow, tile_spp);
+      const size_t g = t % per_plane;           // position in the grid
+      const int c = static_cast<int>(t / per_plane);  // component (planar)
+      const size_t ox = (g % tx) * tw, oy = (g / tx) * th;
       const size_t cols = tw < W - ox ? tw : W - ox;
       const size_t rows2 = th < H - oy ? th : H - oy;
-      for (size_t yy = 0; yy < rows2; ++yy)
-        std::memcpy(
-            pixels.data() + (oy + yy) * row + ox * spp * sbytes,
-            tbuf.data() + yy * trow, cols * spp * sbytes);
+      if (info.planar == 2) {
+        for (size_t yy = 0; yy < rows2; ++yy) {
+          const uint8_t* srow = tbuf.data() + yy * trow;
+          uint8_t* drow = pixels.data() + (oy + yy) * row;
+          for (size_t x = 0; x < cols; ++x)
+            for (int b = 0; b < sbytes; ++b)
+              drow[((ox + x) * spp + c) * sbytes + b] =
+                  srow[x * sbytes + b];
+        }
+      } else {
+        for (size_t yy = 0; yy < rows2; ++yy)
+          std::memcpy(
+              pixels.data() + (oy + yy) * row + ox * spp * sbytes,
+              tbuf.data() + yy * trow, cols * spp * sbytes);
+      }
     }
   } else if (info.planar == 2) {
     // planar strips: all of component 0's strips, then component 1's, ...

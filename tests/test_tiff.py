@@ -358,3 +358,55 @@ def test_planar_decode_exact(compression):
     np.testing.assert_array_equal(
         out, np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     )
+
+
+@pytest.mark.parametrize("compression", [1, 5], ids=["raw", "lzw"])
+def test_planar_tiled_decode_exact(compression):
+    """Planar + tiled: one tile grid per component, grouped by plane."""
+    rng = np.random.default_rng(12)
+    h, w, tw, th = 37, 53, 16, 16
+    px = rng.integers(0, 255, (h, w, 3), np.uint8)
+    tx, ty = (w + tw - 1) // tw, (h + th - 1) // th
+    tiles = []
+    for c in range(3):
+        for t in range(tx * ty):
+            ox, oy = (t % tx) * tw, (t // tx) * th
+            tile = np.zeros((th, tw), np.uint8)
+            ch_, cw_ = min(th, h - oy), min(tw, w - ox)
+            tile[:ch_, :cw_] = px[oy:oy + ch_, ox:ox + cw_, c]
+            raw = tile.tobytes()
+            tiles.append(_lzw_encode(raw) if compression == 5 else raw)
+    ents = [(256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, None),
+            (259, 3, 1, compression), (262, 3, 1, 2), (277, 3, 1, 3),
+            (284, 3, 1, 2), (322, 3, 1, tw), (323, 3, 1, th),
+            (324, 4, len(tiles), None), (325, 4, len(tiles), None)]
+    n = len(ents)
+    bps_off = 8 + 2 + n * 12 + 4
+    toffs = bps_off + 6
+    tcnts = toffs + 4 * len(tiles)
+    pos = tcnts + 4 * len(tiles)
+    offs = []
+    for td in tiles:
+        offs.append(pos)
+        pos += len(td)
+    ifd = struct.pack("<H", n)
+    for t, ty_, c, v in ents:
+        if t == 258:
+            v = bps_off
+        if t == 324:
+            v = toffs
+        if t == 325:
+            v = tcnts
+        ifd += struct.pack("<HHII", t, ty_, c, v)
+    ifd += struct.pack("<I", 0)
+    data = (b"II\x2a\x00" + struct.pack("<I", 8) + ifd
+            + struct.pack("<HHH", 8, 8, 8)
+            + b"".join(struct.pack("<I", o) for o in offs)
+            + b"".join(struct.pack("<I", len(t)) for t in tiles)
+            + b"".join(tiles))
+    out = tiff_native.decode(data)
+    assert out is not None
+    np.testing.assert_array_equal(out, px)
+    np.testing.assert_array_equal(
+        out, np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    )
