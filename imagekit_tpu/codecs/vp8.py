@@ -327,22 +327,29 @@ def _decode_vp8x(data: bytes) -> Optional[np.ndarray]:
 
 
 def _decode_first_frame(chunks) -> Optional[np.ndarray]:
-    """Animated WebP: decode frame 0 when it is a full-canvas frame.
-    ANMF payload (container spec): 3B x/2, 3B y/2, 3B w-1, 3B h-1,
-    3B duration, 1B flags, then the frame's ALPH?/VP8|VP8L sub-chunks."""
+    """Animated WebP: decode frame 0. Full-canvas frames return directly;
+    partial frames composite onto a transparent-black canvas (the host
+    library's frame-0 semantics — the ANIM background colour is a player
+    hint, not part of decoded frame 0). ANMF payload (container spec):
+    3B x/2, 3B y/2, 3B w-1, 3B h-1, 3B duration, 1B flags, then the
+    frame's ALPH?/VP8|VP8L sub-chunks."""
     canvas_w = canvas_h = None
+    vp8x_alpha = False
     for tag, body in chunks:
         if tag == b"VP8X" and len(body) >= 10:
+            vp8x_alpha = bool(body[0] & 0x10)
             canvas_w = int.from_bytes(body[4:7], "little") + 1
             canvas_h = int.from_bytes(body[7:10], "little") + 1
         if tag != b"ANMF" or len(body) < 16:
             continue
+        if canvas_w is None:
+            return None
         fx = int.from_bytes(body[0:3], "little") * 2
         fy = int.from_bytes(body[3:6], "little") * 2
         fw = int.from_bytes(body[6:9], "little") + 1
         fh = int.from_bytes(body[9:12], "little") + 1
-        if (fx, fy) != (0, 0) or (fw, fh) != (canvas_w, canvas_h):
-            return None  # partial frame: compositing -> host library
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise ValueError("corrupt WebP (frame exceeds canvas)")
         sub = _webp_chunks(
             b"RIFF" + (4 + len(body) - 16).to_bytes(4, "little")
             + b"WEBP" + body[16:]
@@ -351,14 +358,32 @@ def _decode_first_frame(chunks) -> Optional[np.ndarray]:
             raise ValueError("corrupt WebP (bad ANMF)")
         frame = {t: b for t, b in sub}
         if b"VP8L" in frame:
-            return decode_lossless(_riff(b"VP8L", frame[b"VP8L"]))
-        if b"VP8 " not in frame:
+            px = decode_lossless(_riff(b"VP8L", frame[b"VP8L"]))
+        elif b"VP8 " in frame:
+            px = decode_rgb(_riff(b"VP8 ", frame[b"VP8 "]))
+            if px is not None and b"ALPH" in frame:
+                h, w = px.shape[:2]
+                px = np.dstack(
+                    [px, _decode_alpha_plane(frame[b"ALPH"], w, h)]
+                )
+        else:
             return None
-        rgb = decode_rgb(_riff(b"VP8 ", frame[b"VP8 "]))
-        if rgb is None or b"ALPH" not in frame:
-            return rgb
-        h, w = rgb.shape[:2]
-        return np.dstack([rgb, _decode_alpha_plane(frame[b"ALPH"], w, h)])
+        if px is None:
+            return None
+        if px.shape[0] != fh or px.shape[1] != fw:
+            raise ValueError("corrupt WebP (frame geometry mismatch)")
+        if (fx, fy) == (0, 0) and (fw, fh) == (canvas_w, canvas_h):
+            return px
+        # partial frame 0: composite on a transparent-black canvas
+        canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+        if px.shape[2] == 3:
+            canvas[fy:fy + fh, fx:fx + fw, :3] = px
+            canvas[fy:fy + fh, fx:fx + fw, 3] = 255
+        else:
+            canvas[fy:fy + fh, fx:fx + fw] = px
+        return canvas if vp8x_alpha else np.ascontiguousarray(
+            canvas[:, :, :3]
+        )
     return None
 
 

@@ -243,3 +243,45 @@ def test_alph_raw_filters_exact(filt):
     )
     assert rc == 0
     np.testing.assert_array_equal(out, alpha)
+
+
+def test_animation_partial_first_frame_composites():
+    """A frame-0 rectangle smaller than the canvas composites onto a
+    transparent-black canvas (host-library frame-0 semantics; the ANIM
+    background colour is only a player hint)."""
+    rng = np.random.default_rng(3)
+    sub = rng.integers(0, 255, (24, 32, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(sub).save(buf, "WEBP", lossless=True)
+    d = buf.getvalue()
+    pos, chunks = 12, {}
+    while pos + 8 <= len(d):
+        tag = d[pos:pos + 4]
+        sz = int.from_bytes(d[pos + 4:pos + 8], "little")
+        chunks[tag] = d[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    vp8l = chunks[b"VP8L"]
+
+    def le24(v):
+        return v.to_bytes(3, "little")
+
+    cw, ch, fx, fy = 64, 48, 16, 8
+    vp8x = (b"VP8X" + (10).to_bytes(4, "little") + bytes([0x02, 0, 0, 0])
+            + le24(cw - 1) + le24(ch - 1))
+    anim = (b"ANIM" + (6).to_bytes(4, "little")
+            + bytes([0x40, 0x80, 0xC0, 0xFF]) + (0).to_bytes(2, "little"))
+    fp = (le24(fx // 2) + le24(fy // 2) + le24(32 - 1) + le24(24 - 1)
+          + le24(100) + bytes([0])
+          + b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+          + (b"\x00" if len(vp8l) & 1 else b""))
+    anmf = (b"ANMF" + len(fp).to_bytes(4, "little") + fp
+            + (b"\x00" if len(fp) & 1 else b""))
+    body = b"WEBP" + vp8x + anim + anmf
+    riff = b"RIFF" + len(body).to_bytes(4, "little") + body
+    out = vp8.decode_rgb(riff)
+    assert out is not None and out.shape == (48, 64, 3)
+    np.testing.assert_array_equal(
+        out, np.asarray(Image.open(io.BytesIO(riff)).convert("RGB"))
+    )
+    np.testing.assert_array_equal(out[fy:fy + 24, fx:fx + 32], sub)
+    assert (out[0, 0] == 0).all()  # uncovered canvas is black, not bg hint
