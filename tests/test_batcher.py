@@ -102,11 +102,11 @@ def test_batched_engine_mixed_shapes_one_batch():
                 for img in imgs
             )
         )
-        # give the kicked background compile a moment (CPU: fast), then a
-        # second pass should take the device path
-        for _ in range(100):
-            if engine._compiled:
-                break
+        # give the kicked background compile a moment (CPU: fast, but can be
+        # slow under full-suite load on one core), then a second pass should
+        # take the device path
+        deadline = asyncio.get_event_loop().time() + 60.0
+        while not engine._compiled and asyncio.get_event_loop().time() < deadline:
             await asyncio.sleep(0.05)
         outs2 = await asyncio.gather(
             *(
