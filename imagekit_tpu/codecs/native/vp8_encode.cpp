@@ -21,10 +21,10 @@
 // cross-validated between those two independent implementations
 // (tools/extract_vp8_tables.py).
 
-#include <cmath>
 #include <array>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -299,6 +299,225 @@ inline int16_t Quantize(int v, int q, bool is_dc) {
 }
 
 // ---------------------------------------------------------------------------
+// Trellis-lite quantisation (per-coefficient rate/distortion pruning).
+//
+// Plain biased quantisation spends bits on coefficients whose token cost
+// exceeds their distortion value — worst at high quality on text-like
+// content, where libwebp's trellis kept a size edge. This is a small
+// Viterbi pass over the 16 zigzag positions of one block: per position the
+// candidate levels are {nearest, nearest-1, 0}; the DP state is the VP8
+// token context (0 = previous zero, 1 = previous |level| 1, 2 = bigger),
+// which is all the token tree's probability selection depends on beyond
+// the (known) band. Rates are exact token-tree costs under the DEFAULT
+// coefficient tables (the frame-adapted tables of §13.4 are only known
+// after this pass chooses the levels; defaults are close enough to rank
+// candidates). EOB placement falls out of the DP: ending the block at
+// position i is scored as path cost + the EOB bit + the distortion of
+// zeroing the tail.
+//
+// Distortion is measured in the transform domain (squared dequantisation
+// error); the forward/inverse transform pair is uniformly scaled at 2x
+// orthonormal, so transform-domain SSE is 4x pixel-domain SSE for every
+// frequency and the constant folds into lambda. Score units: 256*D +
+// lambda*R with R in 1/256-bit units, making lambda "transform-domain
+// distortion per bit" — calibrated as a percentage of q_ac^2
+// (IMAGEKIT_VP8_TRELLIS_K, percent; 0 disables the trellis).
+// ---------------------------------------------------------------------------
+
+// cost of coding `bit` under probability `p`, in 1/256-bit units
+inline int BitCost(int bit, int p) {
+  static const auto kCost = [] {
+    std::array<int, 256> t{};
+    for (int i = 1; i < 256; ++i)
+      t[i] = static_cast<int>(-std::log2(i / 256.0) * 256.0 + 0.5);
+    t[0] = t[1];
+    return t;
+  }();
+  return kCost[bit ? 255 - p : p];
+}
+
+// Token-tree cost of coding magnitude a (>= 1) under probability set P[11],
+// excluding the not-EOB flag (node 0), including the sign bit. Mirrors
+// CodeBlock's tree walk exactly.
+inline int TokenCostNonzero(const uint8_t* P, int a) {
+  int cost = BitCost(1, P[1]);
+  if (a == 1) return cost + BitCost(0, P[2]) + 256;
+  cost += BitCost(1, P[2]);
+  if (a <= 4) {
+    cost += BitCost(0, P[3]);
+    if (a == 2) {
+      cost += BitCost(0, P[4]);
+    } else {
+      cost += BitCost(1, P[4]) + BitCost(a == 4 ? 1 : 0, P[5]);
+    }
+  } else {
+    cost += BitCost(1, P[3]);
+    int cat;
+    if (a <= 10) {
+      cost += BitCost(0, P[6]);
+      cat = (a <= 6) ? 0 : 1;
+      cost += BitCost(cat, P[7]);
+    } else {
+      cost += BitCost(1, P[6]);
+      if (a <= 34) {
+        cost += BitCost(0, P[8]);
+        cat = (a <= 18) ? 2 : 3;
+        cost += BitCost(cat == 3 ? 1 : 0, P[9]);
+      } else {
+        cost += BitCost(1, P[8]);
+        cat = (a <= 66) ? 4 : 5;
+        cost += BitCost(cat == 5 ? 1 : 0, P[10]);
+      }
+    }
+    const Cat& cc = kCats[cat];
+    const int rem = a - cc.base;
+    for (int b = cc.bits - 1; b >= 0; --b)
+      cost += BitCost((rem >> b) & 1, cc.probs[cc.bits - 1 - b]);
+  }
+  return cost + 256;  // sign (prob 128)
+}
+
+// RD-quantise one block. coef_nat: transform output, natural order.
+// Writes zigzag positions [first, 16) of out_nat (natural order); the
+// caller owns positions < first. Returns true iff any level is nonzero.
+bool TrellisQuantBlock(const int16_t* coef_nat, int plane, int first,
+                       int ctx0, int qdc, int qac, int64_t lambda,
+                       int16_t* out_nat) {
+  int za[16];      // |coefficient| in zigzag order
+  bool zneg[16];
+  int q[16];
+  int64_t sufd[17];  // suffix distortion of zeroing positions [i, 16)
+  sufd[16] = 0;
+  bool reachable = false;
+  for (int i = 15; i >= first; --i) {
+    const int v = coef_nat[kZigzag[i]];
+    za[i] = v < 0 ? -v : v;
+    zneg[i] = v < 0;
+    q[i] = (i == 0) ? qdc : qac;
+    sufd[i] = sufd[i + 1] + static_cast<int64_t>(za[i]) * za[i];
+    if (2 * za[i] >= q[i]) reachable = true;
+  }
+  if (!reachable) {  // nearest level is 0 everywhere: all-zero is forced
+    for (int i = first; i < 16; ++i) out_nat[kZigzag[i]] = 0;
+    return false;
+  }
+
+  const auto& PL = *reinterpret_cast<const uint8_t(*)[8][3][11]>(
+      kCoeffProbs[plane]);
+  constexpr int64_t kInf = INT64_MAX / 4;
+  int64_t dp[3] = {kInf, kInf, kInf};
+  int16_t bt_l[16][3];  // chosen magnitude per (position, out-context)
+  int8_t bt_c[16][3];   // predecessor context
+  int64_t best_end = kInf;
+  int end_i = -1, end_c = 0;
+
+  for (int i = first; i < 16; ++i) {
+    const int band = kBands[i];
+    const int a = za[i];
+    const int qq = q[i];
+    int lh = (2 * a + qq) / (2 * qq);  // nearest level
+    if (lh > 2047) lh = 2047;
+    int cands[3];
+    int nc = 0;
+    cands[nc++] = lh;
+    if (lh > 0) cands[nc++] = lh - 1;
+    if (lh > 1) cands[nc++] = 0;
+    int64_t ndp[3] = {kInf, kInf, kInf};
+    int16_t nl[3] = {0, 0, 0};
+    int8_t npc[3] = {0, 0, 0};
+    for (int s = (i == first ? -1 : 0); s < (i == first ? 0 : 3); ++s) {
+      int64_t base;
+      int cin;
+      bool eobflag;
+      if (s < 0) {  // virtual initial state: outer context, EOB chargeable
+        base = 0;
+        cin = ctx0;
+        eobflag = true;
+      } else {
+        base = dp[s];
+        if (base >= kInf) continue;
+        cin = s;
+        eobflag = (s != 0);  // a zero token is never followed by EOB
+      }
+      const uint8_t* P = PL[band][cin];
+      const int64_t flag_r = eobflag ? BitCost(1, P[0]) : 0;
+      for (int k = 0; k < nc; ++k) {
+        const int l = cands[k];
+        const int64_t e = a - static_cast<int64_t>(l) * qq;
+        const int64_t r =
+            flag_r + (l == 0 ? BitCost(0, P[1]) : TokenCostNonzero(P, l));
+        const int64_t sc = base + 256 * e * e + lambda * r;
+        const int cout = (l == 0) ? 0 : (l > 1 ? 2 : 1);
+        if (sc < ndp[cout]) {
+          ndp[cout] = sc;
+          nl[cout] = static_cast<int16_t>(l);
+          npc[cout] = static_cast<int8_t>(s);
+        }
+      }
+    }
+    for (int c = 0; c < 3; ++c) {
+      dp[c] = ndp[c];
+      bt_l[i][c] = nl[c];
+      bt_c[i][c] = npc[c];
+      if (c > 0 && ndp[c] < kInf) {  // block may end here (last token nonzero)
+        int64_t es = ndp[c] + 256 * sufd[i + 1];
+        if (i < 15) es += lambda * BitCost(0, PL[kBands[i + 1]][c][0]);
+        if (es < best_end) {
+          best_end = es;
+          end_i = i;
+          end_c = c;
+        }
+      }
+    }
+  }
+
+  // all-zero block: a single EOB under the outer context
+  const int64_t zero_score =
+      256 * sufd[first] + lambda * BitCost(0, PL[kBands[first]][ctx0][0]);
+  if (zero_score <= best_end) {
+    for (int i = first; i < 16; ++i) out_nat[kZigzag[i]] = 0;
+    return false;
+  }
+
+  for (int i = 15; i > end_i; --i) out_nat[kZigzag[i]] = 0;
+  int c = end_c;
+  for (int i = end_i; i >= first; --i) {
+    const int l = bt_l[i][c];
+    out_nat[kZigzag[i]] = static_cast<int16_t>(zneg[i] ? -l : l);
+    c = bt_c[i][c];
+  }
+  return true;
+}
+
+// Trellis strength: lambda = K% of q_ac^2 per bit. K=0 disables. The env
+// knob IMAGEKIT_VP8_TRELLIS_K forces one K at every quality; unset/"auto"
+// selects per quantiser (see TrellisKFor). -1 = auto sentinel.
+int TrellisKEnv() {
+  static const int k = [] {
+    const char* e = getenv("IMAGEKIT_VP8_TRELLIS_K");
+    if (!e || !*e || strcmp(e, "auto") == 0) return -1;
+    return atoi(e);
+  }();
+  return k;
+}
+
+// Auto policy, calibrated against libwebp on photo/text/noise corpora
+// (tools/calibrate_trellis.py): at high quality (qindex <= 15, q >= ~85)
+// K=15 closes the round-2 size gap — measured 0.18-0.81x libwebp's bytes
+// at -0.2..-0.8 dB, far above libwebp's RD curve (matching our size costs
+// libwebp several dB). Everywhere else it stays OFF: at low quality the
+// PSNR cost is image-dependent and can exceed 1 dB (distortion scales q²
+// while λ∝q² overweights rate on detailed content), and the serving
+// default q80 is the throughput-critical path where trellis would trade
+// 0.3+ dB and ~27% encode CPU against the "q means libwebp-q quality"
+// contract.
+int TrellisKFor(int qindex) {
+  const int k = TrellisKEnv();
+  if (k >= 0) return k;
+  return qindex <= 15 ? 15 : 0;
+}
+
+// ---------------------------------------------------------------------------
 // Per-macroblock data produced by the analysis/reconstruction pass.
 // ---------------------------------------------------------------------------
 struct MbData {
@@ -438,18 +657,6 @@ void CodeBlock(Sink& sk, const int16_t* coef_nat, int plane, int first,
   }
 }
 
-// cost of coding `bit` under probability `p`, in 1/256-bit units
-inline int BitCost(int bit, int p) {
-  static const auto kCost = [] {
-    std::array<int, 256> t{};
-    for (int i = 1; i < 256; ++i)
-      t[i] = static_cast<int>(-std::log2(i / 256.0) * 256.0 + 0.5);
-    t[0] = t[1];
-    return t;
-  }();
-  return kCost[bit ? 255 - p : p];
-}
-
 // Pick per-slot probability updates that pay for their own signalling
 // (flag bit under kCoeffUpdateProbs + 8-bit literal).
 void AdaptCoeffProbs(const TokenStats& st, CoeffProbs& probs,
@@ -567,6 +774,13 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   if (filter_level > 63) filter_level = 63;
   if (flags & 1) filter_level = 0;
 
+  // trellis lambdas (transform-domain distortion per bit; see TrellisQuantBlock)
+  const int tk = (flags & 2) ? 0 : TrellisKFor(qindex);
+  const int64_t lambda_y =
+      tk > 0 ? (static_cast<int64_t>(tk) * Q.y1.ac * Q.y1.ac) / 100 : -1;
+  const int64_t lambda_uv =
+      tk > 0 ? (static_cast<int64_t>(tk) * Q.uv.ac * Q.uv.ac) / 100 : -1;
+
   // RD lambda for the I16-vs-B_PRED decision, scaled with the quantiser
   // (distortion is SSE in pixel^2; rate proxy is bits-ish)
 #ifndef IK_VP8_LAMBDA_NUM
@@ -613,6 +827,9 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
       int16_t y16[16][16], y2c[16];
       int rate16 = 4;  // ymode bits
       bool nz16 = false;
+      // trellis context: in-MB nonzero neighbours (MB-external ones would
+      // only change the first token's table; approximated as zero)
+      uint8_t tnza[4] = {0, 0, 0, 0}, tnzl[4] = {0, 0, 0, 0};
       for (int sb = 0; sb < 16; ++sb) {
         const int bx = (sb & 3) * 4, by = (sb >> 2) * 4;
         for (int y = 0; y < 4; ++y)
@@ -623,10 +840,18 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
         Fdct4x4(res, coef);
         dcs[sb] = coef[0];
         y16[sb][0] = 0;
-        for (int i = 1; i < 16; ++i) {
-          y16[sb][i] = Quantize(coef[i], Q.y1.ac, false);
-          if (y16[sb][i]) nz16 = true;
+        bool nzb = false;
+        if (lambda_y >= 0) {
+          nzb = TrellisQuantBlock(coef, 0, 1, tnza[sb & 3] + tnzl[sb >> 2],
+                                  Q.y1.dc, Q.y1.ac, lambda_y, y16[sb]);
+        } else {
+          for (int i = 1; i < 16; ++i) {
+            y16[sb][i] = Quantize(coef[i], Q.y1.ac, false);
+            if (y16[sb][i]) nzb = true;
+          }
         }
+        tnza[sb & 3] = tnzl[sb >> 2] = nzb ? 1 : 0;
+        nz16 |= nzb;
         rate16 += RateProxy(y16[sb], 1);
       }
       Wht4x4(dcs, coef);
@@ -668,6 +893,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
         int64_t dist_b = 0;
         int rate_b = 2;  // B_PRED ymode bit + change
         uint8_t predb[16];
+        uint8_t bnza[4] = {0, 0, 0, 0}, bnzl[4] = {0, 0, 0, 0};
         for (int sb = 0; sb < 16; ++sb) {
           const int bx = (sb & 3) * 4, by = (sb >> 2) * 4;
           uint8_t* o = tile + (1 + by) * 21 + 1 + bx;
@@ -699,8 +925,20 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
               res[y * 4 + x] =
                   static_cast<int16_t>(bsrc[y * W + x] - o[y * 21 + x]);
           Fdct4x4(res, coef);
-          for (int i = 0; i < 16; ++i)
-            yb[sb][i] = Quantize(coef[i], i == 0 ? Q.y1.dc : Q.y1.ac, i == 0);
+          if (lambda_y >= 0) {
+            const bool nzb =
+                TrellisQuantBlock(coef, 3, 0, bnza[sb & 3] + bnzl[sb >> 2],
+                                  Q.y1.dc, Q.y1.ac, lambda_y, yb[sb]);
+            bnza[sb & 3] = bnzl[sb >> 2] = nzb ? 1 : 0;
+          } else {
+            bool nzb = false;
+            for (int i = 0; i < 16; ++i) {
+              yb[sb][i] =
+                  Quantize(coef[i], i == 0 ? Q.y1.dc : Q.y1.ac, i == 0);
+              if (yb[sb][i]) nzb = true;
+            }
+            bnza[sb & 3] = bnzl[sb >> 2] = nzb ? 1 : 0;
+          }
           rate_b += RateProxy(yb[sb], 0) + 4;  // + sub-mode bits
           for (int i = 0; i < 16; ++i)
             dq[i] =
@@ -764,6 +1002,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
       uint8_t* rplanes[2] = {RU, RV};
       const uint8_t* preds[2] = {b8u, b8v};
       for (int pl = 0; pl < 2; ++pl) {
+        uint8_t cnza[2] = {0, 0}, cnzl[2] = {0, 0};
         for (int sb = 0; sb < 4; ++sb) {
           const int bx = (sb & 1) * 4, by = (sb >> 1) * 4;
           for (int y = 0; y < 4; ++y)
@@ -774,9 +1013,20 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
                   preds[pl][(by + y) * 8 + bx + x]);
           Fdct4x4(res, coef);
           int16_t* qc = mb.uv[pl * 4 + sb];
-          for (int i = 0; i < 16; ++i) {
-            qc[i] = Quantize(coef[i], i == 0 ? Q.uv.dc : Q.uv.ac, i == 0);
-            if (qc[i]) any_nz = true;
+          if (lambda_uv >= 0) {
+            const bool nzb =
+                TrellisQuantBlock(coef, 2, 0, cnza[sb & 1] + cnzl[sb >> 1],
+                                  Q.uv.dc, Q.uv.ac, lambda_uv, qc);
+            cnza[sb & 1] = cnzl[sb >> 1] = nzb ? 1 : 0;
+            if (nzb) any_nz = true;
+          } else {
+            bool nzb = false;
+            for (int i = 0; i < 16; ++i) {
+              qc[i] = Quantize(coef[i], i == 0 ? Q.uv.dc : Q.uv.ac, i == 0);
+              if (qc[i]) nzb = true;
+            }
+            cnza[sb & 1] = cnzl[sb >> 1] = nzb ? 1 : 0;
+            if (nzb) any_nz = true;
           }
           for (int i = 0; i < 16; ++i)
             dq[i] = static_cast<int16_t>(qc[i] * (i == 0 ? Q.uv.dc : Q.uv.ac));
@@ -1012,8 +1262,9 @@ IK_EXPORT int64_t ik_vp8_encode(const uint8_t* ysrc, const uint8_t* usrc,
                     quality, out, out_cap, 0, nullptr, nullptr, nullptr);
 }
 
-// Extended entry for tests/tools: flags bit0 = loop filter off; recon planes
-// (nullable) sized mbw*16 x mbh*16 and mbw*8 x mbh*8.
+// Extended entry for tests/tools: flags bit0 = loop filter off, bit1 =
+// trellis quantisation off; recon planes (nullable) sized mbw*16 x mbh*16
+// and mbw*8 x mbh*8.
 IK_EXPORT int64_t ik_vp8_encode_ex(const uint8_t* ysrc, const uint8_t* usrc,
                                    const uint8_t* vsrc, int width, int height,
                                    int ystride, int cstride, int quality,

@@ -112,7 +112,9 @@ def test_bit_exact_vs_libwebp_decoder_grayscale():
         np.repeat(np.arange(256, dtype=np.uint8)[None, :], 16, 0)
     )
     flat = np.full((8, 128), 128, np.uint8)
-    data, _, _, _ = _encode_ex(ramp_y, flat, flat, 100, flags=1)
+    # flags: loop filter off + trellis off — the LUT derivation needs the
+    # q100 recon to cover every Y value exactly, which RD pruning may not
+    data, _, _, _ = _encode_ex(ramp_y, flat, flat, 100, flags=1 | 2)
     dy, _, _ = vp8.decode_yuv420(data)
     pil = _pil_rgb(data)[:, :, 1]
     lut = np.full(256, -1, np.int32)
