@@ -28,6 +28,11 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#define IK_VP8_SIMD 1
+#include <immintrin.h>
+#endif
+
 #include "vp8_common.h"
 #include "vp8_tables.h"
 
@@ -63,11 +68,10 @@ struct BoolEnc {
     } else {
       range = split;
     }
-    int shift = 0;
-    while (range < 128) {
-      range <<= 1;
-      ++shift;
-    }
+    // renormalise in one step (range >= 1 always; target range >= 128)
+    int shift =
+        range < 128 ? __builtin_clz(static_cast<uint32_t>(range)) - 24 : 0;
+    range <<= shift;
     count += shift;
     if (count >= 0) {
       const int offset = shift - count;
@@ -211,7 +215,7 @@ void PutUvMode(BoolEnc& e, int mode) {  // uv_mode_tree paths
 // encoder's free choice; these are the standard fixed-point inverses' pairs.
 // ---------------------------------------------------------------------------
 
-void Fdct4x4(const int16_t* in, int16_t* out) {  // in: 4x4 residual, row-major
+void Fdct4x4Scalar(const int16_t* in, int16_t* out) {  // 4x4 residual, row-major
   int tmp[16];
   for (int i = 0; i < 4; ++i) {
     const int16_t* ip = in + i * 4;
@@ -236,6 +240,86 @@ void Fdct4x4(const int16_t* in, int16_t* out) {  // in: 4x4 residual, row-major
     out[12 + i] = static_cast<int16_t>((d1 * 2217 - c1 * 5352 + 51000) >> 16);
   }
 }
+
+#ifdef IK_VP8_SIMD
+// Same integer arithmetic as Fdct4x4Scalar, vectorised across the four
+// rows (4-lane epi32, two 4x4 transposes). Every op is exact: adds, mullo,
+// arithmetic shifts; the scalar casts never overflow int16 so packs'
+// saturation is a no-op. Bitstream-identity is pinned by the roundtrip
+// exactness tests and the byte-identical trellis-off regression.
+inline void Fdct4x4(const int16_t* in, int16_t* out) {
+  const __m128i zero = _mm_setzero_si128();
+  const __m128i ones = _mm_set1_epi32(1);
+  const __m128i k2217 = _mm_set1_epi32(2217);
+  const __m128i k5352 = _mm_set1_epi32(5352);
+  __m128i c0 = _mm_cvtepi16_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(in + 0)));
+  __m128i c1 = _mm_cvtepi16_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(in + 4)));
+  __m128i c2 = _mm_cvtepi16_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(in + 8)));
+  __m128i c3 = _mm_cvtepi16_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(in + 12)));
+  auto transpose = [](__m128i& a, __m128i& b, __m128i& c, __m128i& d) {
+    const __m128i t0 = _mm_unpacklo_epi32(a, b);
+    const __m128i t1 = _mm_unpacklo_epi32(c, d);
+    const __m128i t2 = _mm_unpackhi_epi32(a, b);
+    const __m128i t3 = _mm_unpackhi_epi32(c, d);
+    a = _mm_unpacklo_epi64(t0, t1);
+    b = _mm_unpackhi_epi64(t0, t1);
+    c = _mm_unpacklo_epi64(t2, t3);
+    d = _mm_unpackhi_epi64(t2, t3);
+  };
+  transpose(c0, c1, c2, c3);  // c_k = column k over the four rows
+  // row pass (vector lane = row index)
+  __m128i a1 = _mm_slli_epi32(_mm_add_epi32(c0, c3), 3);
+  __m128i b1 = _mm_slli_epi32(_mm_add_epi32(c1, c2), 3);
+  __m128i cc = _mm_slli_epi32(_mm_sub_epi32(c1, c2), 3);
+  __m128i d1 = _mm_slli_epi32(_mm_sub_epi32(c0, c3), 3);
+  __m128i t0 = _mm_add_epi32(a1, b1);
+  __m128i t2 = _mm_sub_epi32(a1, b1);
+  __m128i t1 = _mm_srai_epi32(
+      _mm_add_epi32(_mm_add_epi32(_mm_mullo_epi32(cc, k2217),
+                                  _mm_mullo_epi32(d1, k5352)),
+                    _mm_set1_epi32(14500)),
+      12);
+  __m128i t3 = _mm_srai_epi32(
+      _mm_add_epi32(_mm_sub_epi32(_mm_mullo_epi32(d1, k2217),
+                                  _mm_mullo_epi32(cc, k5352)),
+                    _mm_set1_epi32(7500)),
+      12);
+  transpose(t0, t1, t2, t3);  // t_r = tmp row r
+  // column pass (vector lane = column index)
+  a1 = _mm_add_epi32(t0, t3);
+  b1 = _mm_add_epi32(t1, t2);
+  cc = _mm_sub_epi32(t1, t2);
+  d1 = _mm_sub_epi32(t0, t3);
+  const __m128i o0 =
+      _mm_srai_epi32(_mm_add_epi32(_mm_add_epi32(a1, b1), _mm_set1_epi32(7)), 4);
+  const __m128i o2 =
+      _mm_srai_epi32(_mm_add_epi32(_mm_sub_epi32(a1, b1), _mm_set1_epi32(7)), 4);
+  const __m128i d_nz = _mm_add_epi32(ones, _mm_cmpeq_epi32(d1, zero));
+  const __m128i o1 = _mm_add_epi32(
+      _mm_srai_epi32(
+          _mm_add_epi32(_mm_add_epi32(_mm_mullo_epi32(cc, k2217),
+                                      _mm_mullo_epi32(d1, k5352)),
+                        _mm_set1_epi32(12000)),
+          16),
+      d_nz);
+  const __m128i o3 = _mm_srai_epi32(
+      _mm_add_epi32(_mm_sub_epi32(_mm_mullo_epi32(d1, k2217),
+                                  _mm_mullo_epi32(cc, k5352)),
+                    _mm_set1_epi32(51000)),
+      16);
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(out), _mm_packs_epi32(o0, o1));
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 8),
+                   _mm_packs_epi32(o2, o3));
+}
+#else
+inline void Fdct4x4(const int16_t* in, int16_t* out) {
+  Fdct4x4Scalar(in, out);
+}
+#endif
 
 // Forward Walsh-Hadamard over the 16 luma DC values.
 void Wht4x4(const int16_t* in, int16_t* out) {
@@ -377,6 +461,28 @@ inline int TokenCostNonzero(const uint8_t* P, int a) {
   return cost + 256;  // sign (prob 128)
 }
 
+// Trellis rates use the constant default tables, so nonzero-token costs
+// memoise into one lookup for the common magnitudes (>= 68 falls back to
+// the tree walk; cat6 extra bits vary per level).
+struct NzCostTable {
+  int32_t c[4][8][3][68];
+  NzCostTable() {
+    for (int p = 0; p < 4; ++p)
+      for (int b = 0; b < 8; ++b)
+        for (int x = 0; x < 3; ++x) {
+          c[p][b][x][0] = 0;
+          for (int l = 1; l < 68; ++l)
+            c[p][b][x][l] = TokenCostNonzero(kCoeffProbs[p][b][x], l);
+        }
+  }
+};
+
+inline int NzCost(int plane, int band, int ctx, int a) {
+  static const NzCostTable t;
+  return a < 68 ? t.c[plane][band][ctx][a]
+                : TokenCostNonzero(kCoeffProbs[plane][band][ctx], a);
+}
+
 // RD-quantise one block. coef_nat: transform output, natural order.
 // Writes zigzag positions [first, 16) of out_nat (natural order); the
 // caller owns positions < first. Returns true iff any level is nonzero.
@@ -388,16 +494,16 @@ bool TrellisQuantBlock(const int16_t* coef_nat, int plane, int first,
   int q[16];
   int64_t sufd[17];  // suffix distortion of zeroing positions [i, 16)
   sufd[16] = 0;
-  bool reachable = false;
+  int nmax = first - 1;  // last position whose nearest level is nonzero
   for (int i = 15; i >= first; --i) {
     const int v = coef_nat[kZigzag[i]];
     za[i] = v < 0 ? -v : v;
     zneg[i] = v < 0;
     q[i] = (i == 0) ? qdc : qac;
     sufd[i] = sufd[i + 1] + static_cast<int64_t>(za[i]) * za[i];
-    if (2 * za[i] >= q[i]) reachable = true;
+    if (nmax < i && 2 * za[i] >= q[i]) nmax = i;
   }
-  if (!reachable) {  // nearest level is 0 everywhere: all-zero is forced
+  if (nmax < first) {  // nearest level is 0 everywhere: all-zero is forced
     for (int i = first; i < 16; ++i) out_nat[kZigzag[i]] = 0;
     return false;
   }
@@ -411,7 +517,9 @@ bool TrellisQuantBlock(const int16_t* coef_nat, int plane, int first,
   int64_t best_end = kInf;
   int end_i = -1, end_c = 0;
 
-  for (int i = first; i < 16; ++i) {
+  // positions past nmax only offer zero candidates, and a path that codes
+  // zeros there can never terminate later — never optimal, so stop at nmax
+  for (int i = first; i <= nmax; ++i) {
     const int band = kBands[i];
     const int a = za[i];
     const int qq = q[i];
@@ -421,7 +529,9 @@ bool TrellisQuantBlock(const int16_t* coef_nat, int plane, int first,
     int nc = 0;
     cands[nc++] = lh;
     if (lh > 0) cands[nc++] = lh - 1;
-    if (lh > 1) cands[nc++] = 0;
+    // zeroing a level >= 3 is never RD-optimal at these lambdas; skipping
+    // the explicit 0 candidate there saves a third of the DP work
+    if (lh == 2) cands[nc++] = 0;
     int64_t ndp[3] = {kInf, kInf, kInf};
     int16_t nl[3] = {0, 0, 0};
     int8_t npc[3] = {0, 0, 0};
@@ -445,7 +555,7 @@ bool TrellisQuantBlock(const int16_t* coef_nat, int plane, int first,
         const int l = cands[k];
         const int64_t e = a - static_cast<int64_t>(l) * qq;
         const int64_t r =
-            flag_r + (l == 0 ? BitCost(0, P[1]) : TokenCostNonzero(P, l));
+            flag_r + (l == 0 ? BitCost(0, P[1]) : NzCost(plane, band, cin, l));
         const int64_t sc = base + 256 * e * e + lambda * r;
         const int cout = (l == 0) ? 0 : (l > 1 ? 2 : 1);
         if (sc < ndp[cout]) {
@@ -525,10 +635,28 @@ struct MbData {
   uint8_t uvmode;  // 0..3
   uint8_t skip;    // every coded block quantised to zero
   uint8_t bmodes[16];  // B_PRED sub-modes (I16: mapped equivalents)
-  int16_t y2[16];      // quantised WHT coefficients (I16 only)
+  // Quantised levels in ZIGZAG order with the last-nonzero index cached:
+  // the token loop walks each block twice (stats + write), so the
+  // natural->zigzag gather and trailing-zero scan happen once, in pass 1.
+  int16_t y2[16];      // WHT coefficients (I16 only)
   int16_t y[16][16];   // I16: AC only (index 0 zero); B_PRED: full
   int16_t uv[8][16];   // 4 U then 4 V blocks
+  int8_t y2_n;         // last nonzero zigzag index, -1 if none
+  int8_t y_n[16];
+  int8_t uv_n[8];
 };
+
+// Gather natural-order levels into zigzag order; returns the last nonzero
+// zigzag index (-1/first-1 if none). Positions < first are zeroed.
+inline int ToZigzag(const int16_t* nat, int first, int16_t* zz) {
+  int n = -1;
+  for (int i = 0; i < first; ++i) zz[i] = 0;
+  for (int i = first; i < 16; ++i) {
+    zz[i] = nat[kZigzag[i]];
+    if (zz[i]) n = i;
+  }
+  return n;
+}
 
 int64_t SseRegion(const uint8_t* a, int as, const uint8_t* b, int bs,
                   int size) {
@@ -539,6 +667,141 @@ int64_t SseRegion(const uint8_t* a, int as, const uint8_t* b, int bs,
       sse += d * d;
     }
   return sse;
+}
+
+// ---------------------------------------------------------------------------
+// SIMD mode-search helpers (ROADMAP #3). The scalar predictors in
+// vp8_common.h remain the single source of truth for RECONSTRUCTION; these
+// only rank candidate modes by SSE, computing each prediction on the fly in
+// registers (exact integer semantics, so the chosen mode is identical to
+// the scalar search). Scalar fallbacks keep non-AVX2 builds working.
+// ---------------------------------------------------------------------------
+#ifdef IK_VP8_SIMD
+inline int HSum256(__m256i v) {  // 8 x int32 -> int
+  __m128i s = _mm_add_epi32(_mm256_castsi256_si128(v),
+                            _mm256_extracti128_si256(v, 1));
+  s = _mm_add_epi32(s, _mm_srli_si128(s, 8));
+  s = _mm_add_epi32(s, _mm_srli_si128(s, 4));
+  return _mm_cvtsi128_si32(s);
+}
+
+inline int HSum128(__m128i s) {  // 4 x int32 -> int
+  s = _mm_add_epi32(s, _mm_srli_si128(s, 8));
+  s = _mm_add_epi32(s, _mm_srli_si128(s, 4));
+  return _mm_cvtsi128_si32(s);
+}
+#endif
+
+// SSE between two contiguous 4x4 blocks (16 bytes each).
+inline int Sse4x4Packed(const uint8_t* a, const uint8_t* b) {
+#ifdef IK_VP8_SIMD
+  const __m256i da =
+      _mm256_cvtepu8_epi16(_mm_loadu_si128(reinterpret_cast<const __m128i*>(a)));
+  const __m256i db =
+      _mm256_cvtepu8_epi16(_mm_loadu_si128(reinterpret_cast<const __m128i*>(b)));
+  const __m256i d = _mm256_sub_epi16(da, db);
+  return HSum256(_mm256_madd_epi16(d, d));
+#else
+  int sse = 0;
+  for (int i = 0; i < 16; ++i) {
+    const int d = a[i] - b[i];
+    sse += d * d;
+  }
+  return sse;
+#endif
+}
+
+// SSE of each of the four whole-block prediction modes (DC/V/H/TM, the
+// PredictI16OrChroma set with identical border semantics) against the
+// source region, without materialising the predictions. `plane` carries the
+// reconstruction borders; its interior at (px,py) is scratch the caller is
+// about to overwrite anyway (the scalar fallback predicts into it).
+void PredSse4Modes(const uint8_t* src, int ss, uint8_t* plane, int stride,
+                   int px, int py, int size, bool have_above, bool have_left,
+                   int64_t sse[4]) {
+  const uint8_t* above = plane + (py - 1) * stride + px;
+  const uint8_t* leftp = plane + py * stride + px - 1;
+  const int al = above[-1];
+  int dc;
+  if (have_above || have_left) {
+    int sum = 0;
+    const int shift =
+        (size == 16 ? 4 : 3) + ((have_above && have_left) ? 1 : 0);
+    if (have_above)
+      for (int i = 0; i < size; ++i) sum += above[i];
+    if (have_left)
+      for (int i = 0; i < size; ++i) sum += leftp[i * stride];
+    dc = (sum + (1 << (shift - 1))) >> shift;
+  } else {
+    dc = 128;
+  }
+#ifdef IK_VP8_SIMD
+  if (size == 16) {
+    const __m256i vA = _mm256_cvtepu8_epi16(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(above)));
+    const __m256i vDC = _mm256_set1_epi16(static_cast<short>(dc));
+    const __m256i vZero = _mm256_setzero_si256();
+    const __m256i v255 = _mm256_set1_epi16(255);
+    __m256i aDC = vZero, aV = vZero, aH = vZero, aTM = vZero;
+    for (int y = 0; y < 16; ++y) {
+      const __m256i s = _mm256_cvtepu8_epi16(
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(src + y * ss)));
+      const int l = leftp[y * stride];
+      const __m256i vL = _mm256_set1_epi16(static_cast<short>(l));
+      __m256i d = _mm256_sub_epi16(s, vDC);
+      aDC = _mm256_add_epi32(aDC, _mm256_madd_epi16(d, d));
+      d = _mm256_sub_epi16(s, vA);
+      aV = _mm256_add_epi32(aV, _mm256_madd_epi16(d, d));
+      d = _mm256_sub_epi16(s, vL);
+      aH = _mm256_add_epi32(aH, _mm256_madd_epi16(d, d));
+      __m256i p = _mm256_add_epi16(vA, _mm256_set1_epi16(static_cast<short>(l - al)));
+      p = _mm256_min_epi16(_mm256_max_epi16(p, vZero), v255);
+      d = _mm256_sub_epi16(s, p);
+      aTM = _mm256_add_epi32(aTM, _mm256_madd_epi16(d, d));
+    }
+    sse[0] = HSum256(aDC);
+    sse[1] = HSum256(aV);
+    sse[2] = HSum256(aH);
+    sse[3] = HSum256(aTM);
+    return;
+  }
+  if (size == 8) {
+    const __m128i vA = _mm_cvtepu8_epi16(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(above)));
+    const __m128i vDC = _mm_set1_epi16(static_cast<short>(dc));
+    const __m128i vZero = _mm_setzero_si128();
+    const __m128i v255 = _mm_set1_epi16(255);
+    __m128i aDC = vZero, aV = vZero, aH = vZero, aTM = vZero;
+    for (int y = 0; y < 8; ++y) {
+      const __m128i s = _mm_cvtepu8_epi16(
+          _mm_loadl_epi64(reinterpret_cast<const __m128i*>(src + y * ss)));
+      const int l = leftp[y * stride];
+      const __m128i vL = _mm_set1_epi16(static_cast<short>(l));
+      __m128i d = _mm_sub_epi16(s, vDC);
+      aDC = _mm_add_epi32(aDC, _mm_madd_epi16(d, d));
+      d = _mm_sub_epi16(s, vA);
+      aV = _mm_add_epi32(aV, _mm_madd_epi16(d, d));
+      d = _mm_sub_epi16(s, vL);
+      aH = _mm_add_epi32(aH, _mm_madd_epi16(d, d));
+      __m128i p = _mm_add_epi16(vA, _mm_set1_epi16(static_cast<short>(l - al)));
+      p = _mm_min_epi16(_mm_max_epi16(p, vZero), v255);
+      d = _mm_sub_epi16(s, p);
+      aTM = _mm_add_epi32(aTM, _mm_madd_epi16(d, d));
+    }
+    sse[0] = HSum128(aDC);
+    sse[1] = HSum128(aV);
+    sse[2] = HSum128(aH);
+    sse[3] = HSum128(aTM);
+    return;
+  }
+#endif
+  // scalar fallback: materialise each mode into the plane interior (the
+  // caller re-predicts the winner immediately, as the pre-SIMD code did)
+  for (int m = 0; m < 4; ++m) {
+    ikvp8::PredictI16OrChroma(plane, stride, px, py, size, m, have_above,
+                              have_left);
+    sse[m] = SseRegion(src, ss, plane + py * stride + px, stride, size);
+  }
 }
 
 // token-rate proxy in bits-ish units over QUANTISED levels (RD decisions)
@@ -583,15 +846,10 @@ struct StatSink {
 };
 
 // plane types: 0 = Y after Y2 (first coeff 1), 1 = Y2, 2 = chroma, 3 = B_PRED Y
+// zz: levels in zigzag order; n: last nonzero zigzag index (< first if none)
 template <class Sink>
-void CodeBlock(Sink& sk, const int16_t* coef_nat, int plane, int first,
+void CodeBlock(Sink& sk, const int16_t* zz, int n, int plane, int first,
                int ctx) {
-  int16_t zz[16];
-  int n = -1;
-  for (int i = first; i < 16; ++i) {
-    zz[i] = coef_nat[kZigzag[i]];
-    if (zz[i]) n = i;
-  }
   int i = first;
   bool prev_zero = false;
   int c = ctx;
@@ -657,6 +915,54 @@ void CodeBlock(Sink& sk, const int16_t* coef_nat, int plane, int first,
   }
 }
 
+// One macroblock's token coding (replicates the decoder's nonzero-context
+// tracking). Shared by the statistics tally (interleaved into pass 1, which
+// visits MBs in the same raster order as the bitstream) and the write pass.
+// ay/au/av/ay2: above-context rows (per MB column); ly/lu/lv/ly2: left
+// contexts, reset by the caller at each MB row start.
+template <class Sink>
+inline void TokenizeMb(Sink& sink, const MbData& mb, int mbx, uint8_t* ay,
+                       uint8_t* au, uint8_t* av, uint8_t* ay2, uint8_t* ly,
+                       uint8_t* lu, uint8_t* lv, uint8_t& ly2) {
+  const bool bpred = mb.ymode == 4;
+  if (mb.skip) {
+    for (int i = 0; i < 4; ++i) ay[mbx * 4 + i] = ly[i] = 0;
+    for (int i = 0; i < 2; ++i) {
+      au[mbx * 2 + i] = lu[i] = 0;
+      av[mbx * 2 + i] = lv[i] = 0;
+    }
+    if (!bpred) ay2[mbx] = ly2 = 0;
+    return;
+  }
+  if (!bpred) {
+    CodeBlock(sink, mb.y2, mb.y2_n, 1, 0, ay2[mbx] + ly2);
+    const uint8_t nz = mb.y2_n >= 0 ? 1 : 0;
+    ay2[mbx] = ly2 = nz;
+  }
+  const int plane = bpred ? 3 : 0;
+  const int first = bpred ? 0 : 1;
+  for (int sb = 0; sb < 16; ++sb) {
+    const int sx = sb & 3, sy_ = sb >> 2;
+    CodeBlock(sink, mb.y[sb], mb.y_n[sb], plane, first,
+              ay[mbx * 4 + sx] + ly[sy_]);
+    const uint8_t nz = mb.y_n[sb] >= first ? 1 : 0;
+    ay[mbx * 4 + sx] = nz;
+    ly[sy_] = nz;
+  }
+  for (int pl = 0; pl < 2; ++pl) {
+    uint8_t* ac = pl ? av : au;
+    uint8_t* lc = pl ? lv : lu;
+    for (int sb = 0; sb < 4; ++sb) {
+      const int sx = sb & 1, sy_ = sb >> 1;
+      CodeBlock(sink, mb.uv[pl * 4 + sb], mb.uv_n[pl * 4 + sb], 2, 0,
+                ac[mbx * 2 + sx] + lc[sy_]);
+      const uint8_t nz = mb.uv_n[pl * 4 + sb] >= 0 ? 1 : 0;
+      ac[mbx * 2 + sx] = nz;
+      lc[sy_] = nz;
+    }
+  }
+}
+
 // Pick per-slot probability updates that pay for their own signalling
 // (flag bit under kCoeffUpdateProbs + 8-bit literal).
 void AdaptCoeffProbs(const TokenStats& st, CoeffProbs& probs,
@@ -687,12 +993,6 @@ void AdaptCoeffProbs(const TokenStats& st, CoeffProbs& probs,
             updated[t][b][c][n] = true;
           }
         }
-}
-
-inline bool HasNz(const int16_t* coef, int first) {
-  for (int i = first; i < 16; ++i)
-    if (coef[i]) return true;
-  return false;
 }
 
 }  // namespace
@@ -793,6 +1093,17 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
 
   std::vector<MbData> mbs(static_cast<size_t>(mbw) * mbh);
 
+  // Token statistics are tallied inline at the end of each MB (pass 1
+  // visits MBs in bitstream raster order, so the nonzero contexts below
+  // are exactly the write pass's) — saves a whole second token walk.
+  TokenStats stats;
+  StatSink stat_sink{stats};
+  std::vector<uint8_t> s_ay(static_cast<size_t>(mbw) * 4, 0);
+  std::vector<uint8_t> s_au(static_cast<size_t>(mbw) * 2, 0);
+  std::vector<uint8_t> s_av(static_cast<size_t>(mbw) * 2, 0);
+  std::vector<uint8_t> s_ay2(mbw, 0);
+  uint8_t s_ly[4], s_lu[2], s_lv[2], s_ly2;
+
   // ---------------- pass 1: analyse / transform / reconstruct ----------------
   int16_t res[16], coef[16], dcs[16];
   int pix[16];
@@ -801,6 +1112,10 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   int16_t dq[16];
 
   for (int mby = 0; mby < mbh; ++mby) {
+    std::memset(s_ly, 0, 4);
+    std::memset(s_lu, 0, 2);
+    std::memset(s_lv, 0, 2);
+    s_ly2 = 0;
     for (int mbx = 0; mbx < mbw; ++mbx) {
       MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
       const int px = mbx * 16, py = mby * 16;
@@ -812,11 +1127,11 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
       // a scratch block ---
       int64_t best = -1;
       int bestmode = 0;
+      int64_t sse4[4];
+      PredSse4Modes(src, W, RY, ls, px, py, 16, mby > 0, mbx > 0, sse4);
       for (int m = 0; m < 4; ++m) {
-        ikvp8::PredictI16OrChroma(RY, ls, px, py, 16, m, mby > 0, mbx > 0);
-        const int64_t sse = SseRegion(src, W, RY + py * ls + px, ls, 16);
-        if (best < 0 || sse < best) {
-          best = sse;
+        if (best < 0 || sse4[m] < best) {
+          best = sse4[m];
           bestmode = m;
         }
       }
@@ -908,11 +1223,14 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           for (int i = 0; i < 4; ++i) L[i] = o[i * 21 - 1];
           const int AL = arow[-1];
           const uint8_t* bsrc = src + static_cast<size_t>(by) * W + bx;
+          uint8_t s16[16];  // source block packed once for the 10-mode rank
+          for (int r = 0; r < 4; ++r)
+            std::memcpy(s16 + r * 4, bsrc + static_cast<size_t>(r) * W, 4);
           int64_t bb = -1;
           int bm = 0;
           for (int m = 0; m < 10; ++m) {
             ikvp8::PredictB(predb, 4, m, A, L, AL);
-            const int64_t sse = SseRegion(bsrc, W, predb, 4, 4);
+            const int64_t sse = Sse4x4Packed(s16, predb);
             if (bb < 0 || sse < bb) {
               bb = sse;
               bm = m;
@@ -955,8 +1273,10 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
             std::memcpy(RY + (py + y) * ls + px, tile + (y + 1) * 21 + 1, 16);
           mb.ymode = 4;
           std::memcpy(mb.bmodes, bmodes, 16);
-          std::memcpy(mb.y, yb, sizeof(yb));
+          for (int sb = 0; sb < 16; ++sb)
+            mb.y_n[sb] = static_cast<int8_t>(ToZigzag(yb[sb], 0, mb.y[sb]));
           std::memset(mb.y2, 0, sizeof(mb.y2));
+          mb.y2_n = -1;
         }
       }
       bool any_nz = false;
@@ -966,28 +1286,30 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
         mb.ymode = static_cast<uint8_t>(bestmode);
         const uint8_t bm = static_cast<uint8_t>(I16ToBMode(bestmode));
         std::memset(mb.bmodes, bm, 16);
-        std::memcpy(mb.y, y16, sizeof(y16));
-        std::memcpy(mb.y2, y2c, sizeof(y2c));
+        for (int sb = 0; sb < 16; ++sb)
+          mb.y_n[sb] = static_cast<int8_t>(ToZigzag(y16[sb], 1, mb.y[sb]));
+        mb.y2_n = static_cast<int8_t>(ToZigzag(y2c, 0, mb.y2));
         any_nz = nz16;
       } else {
         for (int sb = 0; sb < 16 && !any_nz; ++sb)
-          any_nz = HasNz(mb.y[sb], 0);
+          any_nz = mb.y_n[sb] >= 0;
       }
 
       // --- chroma: mode by prediction SSE, transform/recon in place ---
       best = -1;
       bestmode = 0;
-      for (int m = 0; m < 4; ++m) {
-        ikvp8::PredictI16OrChroma(RU, cs, cpx, cpy, 8, m, mby > 0, mbx > 0);
-        ikvp8::PredictI16OrChroma(RV, cs, cpx, cpy, 8, m, mby > 0, mbx > 0);
-        const int64_t sse =
-            SseRegion(su.data() + static_cast<size_t>(cpy) * CW + cpx, CW,
-                      RU + cpy * cs + cpx, cs, 8) +
-            SseRegion(sv.data() + static_cast<size_t>(cpy) * CW + cpx, CW,
-                      RV + cpy * cs + cpx, cs, 8);
-        if (best < 0 || sse < best) {
-          best = sse;
-          bestmode = m;
+      {
+        int64_t sseu[4], ssev[4];
+        PredSse4Modes(su.data() + static_cast<size_t>(cpy) * CW + cpx, CW, RU,
+                      cs, cpx, cpy, 8, mby > 0, mbx > 0, sseu);
+        PredSse4Modes(sv.data() + static_cast<size_t>(cpy) * CW + cpx, CW, RV,
+                      cs, cpx, cpy, 8, mby > 0, mbx > 0, ssev);
+        for (int m = 0; m < 4; ++m) {
+          const int64_t sse = sseu[m] + ssev[m];
+          if (best < 0 || sse < best) {
+            best = sse;
+            bestmode = m;
+          }
         }
       }
       mb.uvmode = static_cast<uint8_t>(bestmode);
@@ -1012,7 +1334,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
                               bx + x] -
                   preds[pl][(by + y) * 8 + bx + x]);
           Fdct4x4(res, coef);
-          int16_t* qc = mb.uv[pl * 4 + sb];
+          int16_t qc[16];
           if (lambda_uv >= 0) {
             const bool nzb =
                 TrellisQuantBlock(coef, 2, 0, cnza[sb & 1] + cnzl[sb >> 1],
@@ -1028,6 +1350,8 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
             cnza[sb & 1] = cnzl[sb >> 1] = nzb ? 1 : 0;
             if (nzb) any_nz = true;
           }
+          mb.uv_n[pl * 4 + sb] =
+              static_cast<int8_t>(ToZigzag(qc, 0, mb.uv[pl * 4 + sb]));
           for (int i = 0; i < 16; ++i)
             dq[i] = static_cast<int16_t>(qc[i] * (i == 0 ? Q.uv.dc : Q.uv.ac));
           Idct4x4(dq, pix);
@@ -1039,6 +1363,8 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
         }
       }
       mb.skip = any_nz ? 0 : 1;
+      TokenizeMb(stat_sink, mb, mbx, s_ay.data(), s_au.data(), s_av.data(),
+                 s_ay2.data(), s_ly, s_lu, s_lv, s_ly2);
     }
     // extend the right luma border for next row's above-right reads
     // (decoder mirror)
@@ -1056,9 +1382,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   if (prob_skip_false < 1) prob_skip_false = 1;
   if (prob_skip_false > 255) prob_skip_false = 255;
 
-  // ---------------- token loop (shared by stats + write passes) --------
-  // replicates the decoder's nonzero-context tracking; the sink either
-  // tallies branch decisions or writes bits with the adapted tables
+  // ---------------- token write loop (stats were tallied in pass 1) ----
   auto for_each_token = [&](auto&& sink) {
     std::vector<uint8_t> ay(static_cast<size_t>(mbw) * 4, 0);
     std::vector<uint8_t> au(static_cast<size_t>(mbw) * 2, 0);
@@ -1070,51 +1394,14 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
       std::memset(lu, 0, 2);
       std::memset(lv, 0, 2);
       ly2 = 0;
-      for (int mbx = 0; mbx < mbw; ++mbx) {
-        const MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
-        const bool bpred = mb.ymode == 4;
-        if (mb.skip) {
-          for (int i = 0; i < 4; ++i) ay[mbx * 4 + i] = ly[i] = 0;
-          for (int i = 0; i < 2; ++i) {
-            au[mbx * 2 + i] = lu[i] = 0;
-            av[mbx * 2 + i] = lv[i] = 0;
-          }
-          if (!bpred) ay2[mbx] = ly2 = 0;
-          continue;
-        }
-        if (!bpred) {
-          CodeBlock(sink, mb.y2, 1, 0, ay2[mbx] + ly2);
-          const uint8_t nz = HasNz(mb.y2, 0) ? 1 : 0;
-          ay2[mbx] = ly2 = nz;
-        }
-        const int plane = bpred ? 3 : 0;
-        const int first = bpred ? 0 : 1;
-        for (int sb = 0; sb < 16; ++sb) {
-          const int sx = sb & 3, sy_ = sb >> 2;
-          CodeBlock(sink, mb.y[sb], plane, first, ay[mbx * 4 + sx] + ly[sy_]);
-          const uint8_t nz = HasNz(mb.y[sb], first) ? 1 : 0;
-          ay[mbx * 4 + sx] = nz;
-          ly[sy_] = nz;
-        }
-        for (int pl = 0; pl < 2; ++pl) {
-          uint8_t* ac = pl ? av.data() : au.data();
-          uint8_t* lc = pl ? lv : lu;
-          for (int sb = 0; sb < 4; ++sb) {
-            const int sx = sb & 1, sy_ = sb >> 1;
-            CodeBlock(sink, mb.uv[pl * 4 + sb], 2, 0, ac[mbx * 2 + sx] + lc[sy_]);
-            const uint8_t nz = HasNz(mb.uv[pl * 4 + sb], 0) ? 1 : 0;
-            ac[mbx * 2 + sx] = nz;
-            lc[sy_] = nz;
-          }
-        }
-      }
+      for (int mbx = 0; mbx < mbw; ++mbx)
+        TokenizeMb(sink, mbs[static_cast<size_t>(mby) * mbw + mbx], mbx,
+                   ay.data(), au.data(), av.data(), ay2.data(), ly, lu, lv,
+                   ly2);
     }
   };
 
-  // ---------------- token statistics -> adapted probability tables -----
-  TokenStats stats;
-  StatSink stat_sink{stats};
-  for_each_token(stat_sink);
+  // ---------------- adapted probability tables ----------
   CoeffProbs frame_probs;
   bool prob_updated[4][8][3][11];
   AdaptCoeffProbs(stats, frame_probs, prob_updated);
