@@ -93,6 +93,7 @@ struct HuffTable {
   // fast path: first 8 bits -> (symbol, length) or miss
   uint8_t fast_sym[256];
   uint8_t fast_len[256];  // 0 = miss
+  uint8_t fast_s[256];    // payload (receive/extend) bits of the symbol
   // slow path (canonical):
   int32_t maxcode[18];    // largest code of length l (-1 if none)
   int32_t valptr[18];
@@ -147,6 +148,10 @@ struct HuffTable {
         for (int j = 0; j < (1 << shift); ++j) {
           fast_sym[start + j] = vals[i];
           fast_len[start + j] = lens[i];
+          // payload size: low nibble, except ZRL (0xF0) which has none.
+          // (For a DC table a 0xF0 symbol is invalid input; the caller
+          // rejects the symbol before the payload matters.)
+          fast_s[start + j] = vals[i] == 0xF0 ? 0 : (vals[i] & 15);
         }
       }
     }
@@ -249,6 +254,46 @@ struct BitReader {
         return t.vals[t.valptr[l] + (c - t.mincode[l])];
       }
     }
+    return -1;
+  }
+
+  // Fused decode: one Huffman symbol AND its extended magnitude payload in
+  // a single refill/shift sequence (libjpeg-turbo's HUFF_DECODE_FAST
+  // shape). The payload length is the symbol's low nibble; for symbols
+  // whose low nibble is not a payload size (e.g. ZRL 0xF0 has none) the
+  // speculative extraction is never consumed by the caller but the skip
+  // amount must still exclude it — hence payload extraction only when the
+  // caller's convention (s = sym & 15, s>0 means payload) holds, which is
+  // true for every baseline DC/AC symbol. Max consumption 8+15 < 33
+  // refilled bits on the fast path; the slow path falls back to Receive.
+  inline int DecodeHuffVal(const HuffTable& t, int* val) {
+    Refill();
+    const int look = Peek(8);
+    const int cl = t.fast_len[look];
+    if (cl) {
+      const int sym = t.fast_sym[look];
+      const int s = t.fast_s[look];
+      // branchless payload extract + extend; s may be 0 (EOB/ZRL), hence
+      // the double shift (63-s then 1) and the (s-1)&31 guard — both
+      // degenerate to v=0 and a zero subtraction
+      int v = static_cast<int>(((bitbuf << cl) >> (63 - s)) >> 1);
+      Skip(cl + s);
+      v -= (1 - ((v >> ((s - 1) & 31)) & 1)) * ((1 << s) - 1);
+      *val = v;
+      return sym;
+    }
+    const int code = Peek(16);
+    for (int l = 9; l <= 16; ++l) {
+      const int c = code >> (16 - l);
+      if (t.maxcode[l] >= 0 && c <= t.maxcode[l]) {
+        Skip(l);
+        const int sym = t.vals[t.valptr[l] + (c - t.mincode[l])];
+        const int s = sym & 15;
+        *val = (s && sym != 0xF0) ? Receive(s) : 0;
+        return sym;
+      }
+    }
+    *val = 0;
     return -1;
   }
 
@@ -692,14 +737,15 @@ struct Decoder {
           for (int v = 0; v < comp[c].v; ++v) {
             for (int h = 0; h < comp[c].h; ++h) {
               std::memset(blk, 0, sizeof(blk));
-              int t = br.DecodeHuff(dct);
+              int diff;
+              int t = br.DecodeHuffVal(dct, &diff);
               if (t < 0 || t > 15) return IK_ERR_BAD_HUFFMAN;
-              int diff = br.Receive(t);
               comp[c].pred += diff;
               blk[0] = static_cast<int16_t>(comp[c].pred);
               int k = 1;
               while (k < 64) {
-                int rs = br.DecodeHuff(act);
+                int v;
+                int rs = br.DecodeHuffVal(act, &v);
                 if (rs < 0) return IK_ERR_BAD_HUFFMAN;
                 int r = rs >> 4, s = rs & 15;
                 if (s == 0) {
@@ -711,7 +757,7 @@ struct Decoder {
                 }
                 k += r;
                 if (k > 63) return IK_ERR_BAD_HUFFMAN;
-                blk[kZigzag[k]] = static_cast<int16_t>(br.Receive(s));
+                blk[kZigzag[k]] = static_cast<int16_t>(v);
                 ++k;
               }
               sink(c, mx * comp[c].h + h, my * comp[c].v + v, blk);
