@@ -556,18 +556,34 @@ struct Decoder {
       int bh = (C.height + 7) / 8;
       int count = 0;
       C.pred = 0;
-      for (int by = 0; by < bh; ++by) {
-        for (int bx = 0; bx < bw; ++bx) {
-          if (restart_interval && count == restart_interval) {
-            br.RestartSync();
-            count = 0;
-            C.pred = 0;
-            eobrun = 0;
-          }
-          int rc = DecodeBlockProgressive(si, br, C, BlockPtr(c, bx, by), eobrun);
-          if (rc != IK_OK) return rc;
-          ++count;
+      const bool ac_first = si.Ss != 0 && si.Ah == 0;
+      const int total = bw * bh;
+      int i = 0;
+      while (i < total) {
+        if (restart_interval && count == restart_interval) {
+          br.RestartSync();
+          count = 0;
+          C.pred = 0;
+          eobrun = 0;
         }
+        if (ac_first && eobrun > 0) {
+          // An EOB run in a first AC scan leaves whole blocks untouched:
+          // consume it wholesale instead of one call per block (early
+          // scans carry runs thousands of blocks long). Bounded by the
+          // restart boundary, which resets the run.
+          int n = eobrun < total - i ? eobrun : total - i;
+          if (restart_interval && n > restart_interval - count)
+            n = restart_interval - count;
+          eobrun -= n;
+          count += n;
+          i += n;
+          continue;
+        }
+        int rc = DecodeBlockProgressive(si, br, C,
+                                        BlockPtr(c, i % bw, i / bw), eobrun);
+        if (rc != IK_OK) return rc;
+        ++count;
+        ++i;
       }
       return IK_OK;
     }
@@ -611,9 +627,9 @@ struct Decoder {
       if (si.Ah == 0) {
         const HuffTable& dct = dc[C.td];
         if (!dct.present) return IK_ERR_BAD_HUFFMAN;
-        int t = br.DecodeHuff(dct);
+        int diff;
+        int t = br.DecodeHuffVal(dct, &diff);
         if (t < 0 || t > 15) return IK_ERR_BAD_HUFFMAN;
-        int diff = br.Receive(t);
         C.pred += diff;
         blk[0] = static_cast<int16_t>(C.pred << si.Al);
       } else {  // DC refinement: one bit
@@ -631,7 +647,8 @@ struct Decoder {
       }
       int k = si.Ss;
       while (k <= si.Se) {
-        int rs = br.DecodeHuff(act);
+        int val;
+        int rs = br.DecodeHuffVal(act, &val);
         if (rs < 0) return IK_ERR_BAD_HUFFMAN;
         int r = rs >> 4, sbits = rs & 15;
         if (sbits == 0) {
@@ -648,8 +665,7 @@ struct Decoder {
         }
         k += r;
         if (k > si.Se) return IK_ERR_BAD_HUFFMAN;
-        blk[kZigzag[k]] =
-            static_cast<int16_t>(br.Receive(sbits) * (1 << si.Al));
+        blk[kZigzag[k]] = static_cast<int16_t>(val * (1 << si.Al));
         ++k;
       }
       return IK_OK;
