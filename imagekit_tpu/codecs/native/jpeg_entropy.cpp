@@ -20,6 +20,10 @@
 #include <cmath>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #define IK_EXPORT extern "C" __attribute__((visibility("default")))
 
 namespace {
@@ -325,6 +329,33 @@ struct BitReader {
     p = end;
   }
 };
+
+// Nonzero mask of a 64-coefficient block: bit k set iff blk[k] != 0.
+#if defined(__AVX2__)
+inline uint64_t NzMask64(const int16_t* blk) {
+  const __m256i zero = _mm256_setzero_si256();
+  uint64_t m = 0;
+  for (int g = 0; g < 2; ++g) {
+    const __m256i a = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(blk + g * 32));
+    const __m256i b = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(blk + g * 32 + 16));
+    __m256i packed = _mm256_packs_epi16(_mm256_cmpeq_epi16(a, zero),
+                                        _mm256_cmpeq_epi16(b, zero));
+    packed = _mm256_permute4x64_epi64(packed, 0xD8);
+    const uint32_t zm = static_cast<uint32_t>(_mm256_movemask_epi8(packed));
+    m |= static_cast<uint64_t>(~zm) << (g * 32);
+  }
+  return m;
+}
+#else
+inline uint64_t NzMask64(const int16_t* blk) {
+  uint64_t m = 0;
+  for (int k = 0; k < 64; ++k)
+    m |= static_cast<uint64_t>(blk[k] != 0) << k;
+  return m;
+}
+#endif
 
 // ---------------------------------------------------------------------------
 // Parsed JPEG structure
@@ -665,7 +696,9 @@ struct Decoder {
         }
         k += r;
         if (k > si.Se) return IK_ERR_BAD_HUFFMAN;
-        blk[kZigzag[k]] = static_cast<int16_t>(val * (1 << si.Al));
+        // progressive blocks stay in ZIGZAG order until FinalizeProgressive
+        // (linear refinement walks; one reorder at the end)
+        blk[k] = static_cast<int16_t>(val * (1 << si.Al));
         ++k;
       }
       return IK_OK;
@@ -696,7 +729,7 @@ struct Decoder {
           newval = br.Get(1) ? p1 : m1;
         }
         while (k <= si.Se) {
-          int16_t* cp = blk + kZigzag[k];
+          int16_t* cp = blk + k;
           if (*cp != 0) {
             br.Refill();
             if (br.Get(1) && (*cp & p1) == 0)
@@ -714,18 +747,41 @@ struct Decoder {
       }
     }
     if (eobrun > 0) {
-      while (k <= si.Se) {
-        int16_t* cp = blk + kZigzag[k];
-        if (*cp != 0) {
-          br.Refill();
-          if (br.Get(1) && (*cp & p1) == 0)
-            *cp = static_cast<int16_t>(*cp + ((*cp >= 0) ? p1 : m1));
-        }
-        ++k;
+      // correction bits only for HISTORY-nonzero positions in [k, Se];
+      // positions >= k are untouched by this call's run loop, so a mask
+      // taken now is exact — iterate set bits instead of all ~55 slots
+      // (most refinement blocks sit inside an EOB run with few nonzeros)
+      const uint64_t range =
+          k > si.Se ? 0
+                    : (si.Se == 63 ? ~0ull : ((1ull << (si.Se + 1)) - 1)) &
+                          ~((1ull << k) - 1);
+      uint64_t m = range ? NzMask64(blk) & range : 0;
+      while (m) {
+        int16_t* cp = blk + __builtin_ctzll(m);
+        m &= m - 1;
+        br.Refill();
+        if (br.Get(1) && (*cp & p1) == 0)
+          *cp = static_cast<int16_t>(*cp + ((*cp >= 0) ? p1 : m1));
       }
       --eobrun;
     }
     return IK_OK;
+  }
+
+  // Progressive scans accumulate blocks in zigzag order (linear spectral
+  // walks, cache-friendly refinement); one scatter to natural order here.
+  void FinalizeProgressive() {
+    int16_t tmp[64];
+    for (int c = 0; c < ncomp; ++c) {
+      if (!store[c]) continue;
+      const size_t nblk =
+          static_cast<size_t>(comp[c].blocks_w) * comp[c].blocks_h;
+      for (size_t b = 0; b < nblk; ++b) {
+        int16_t* blk = store[c] + b * 64;
+        for (int k = 0; k < 64; ++k) tmp[kZigzag[k]] = blk[k];
+        std::memcpy(blk, tmp, sizeof(tmp));
+      }
+    }
   }
 
   // Decode the interleaved scan. For each decoded block, call sink(c, bx, by, blk)
@@ -1181,7 +1237,10 @@ IK_EXPORT int ik_jpeg_decode_coeffs(const uint8_t* data, size_t len,
   if (rc != IK_OK) return rc;
   for (int t = 0; t < 4; ++t)
     std::memcpy(qtabs_out + t * 64, d.qtab[t], 64 * sizeof(uint16_t));
-  if (d.progressive) return IK_OK;  // scans decoded inside Parse
+  if (d.progressive) {  // scans decoded inside Parse, in zigzag order
+    d.FinalizeProgressive();
+    return IK_OK;
+  }
   rc = d.DecodeScan([&](int c, int bx, int by, const int16_t* blk) {
     int16_t* dst = coeffs[c] + (static_cast<size_t>(by) * d.comp[c].blocks_w + bx) * 64;
     std::memcpy(dst, blk, 64 * sizeof(int16_t));
