@@ -7,6 +7,11 @@
 #define IK_VP8_COMMON_H_
 
 #include <cstdint>
+#include <cstring>
+
+#if defined(__SSE4_1__)
+#include <smmintrin.h>
+#endif
 
 #include "vp8_tables.h"
 
@@ -51,6 +56,86 @@ inline void Idct4x4(const int16_t* in, int* out /*16*/) {
     out[i * 4 + 2] = (b1 - c1 + 4) >> 3;
   }
 }
+
+// Fused inverse DCT + add-to-prediction + clip: dst (stride `stride`)
+// holds the prediction and receives the reconstruction in place. The SIMD
+// path reproduces Idct4x4's integer arithmetic exactly (same epi32 adds,
+// mullo and arithmetic shifts; packs+packus saturation equals Clip255 for
+// every int32 input), so decoder bit-exactness is preserved — pinned by
+// the bit-exact-vs-libwebp tests.
+#if defined(__SSE4_1__)
+inline void IdctAdd4x4(const int16_t* in, uint8_t* dst, int stride) {
+  const __m128i kC = _mm_set1_epi32(kCosPi8Sqrt2Minus1);
+  const __m128i kS = _mm_set1_epi32(kSinPi8Sqrt2);
+  auto mulshift = [](__m128i v, __m128i k) {
+    return _mm_srai_epi32(_mm_mullo_epi32(v, k), 16);
+  };
+  auto transpose = [](__m128i& a, __m128i& b, __m128i& c, __m128i& d) {
+    const __m128i t0 = _mm_unpacklo_epi32(a, b);
+    const __m128i t1 = _mm_unpacklo_epi32(c, d);
+    const __m128i t2 = _mm_unpackhi_epi32(a, b);
+    const __m128i t3 = _mm_unpackhi_epi32(c, d);
+    a = _mm_unpacklo_epi64(t0, t1);
+    b = _mm_unpackhi_epi64(t0, t1);
+    c = _mm_unpacklo_epi64(t2, t3);
+    d = _mm_unpackhi_epi64(t2, t3);
+  };
+  __m128i r0 = _mm_cvtepi16_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(in)));
+  __m128i r1 = _mm_cvtepi16_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(in + 4)));
+  __m128i r2 = _mm_cvtepi16_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(in + 8)));
+  __m128i r3 = _mm_cvtepi16_epi32(
+      _mm_loadl_epi64(reinterpret_cast<const __m128i*>(in + 12)));
+  // column pass (lane = column index)
+  __m128i a1 = _mm_add_epi32(r0, r2);
+  __m128i b1 = _mm_sub_epi32(r0, r2);
+  __m128i c1 = _mm_sub_epi32(mulshift(r1, kS),
+                             _mm_add_epi32(r3, mulshift(r3, kC)));
+  __m128i d1 = _mm_add_epi32(_mm_add_epi32(r1, mulshift(r1, kC)),
+                             mulshift(r3, kS));
+  __m128i m0 = _mm_add_epi32(a1, d1);
+  __m128i m3 = _mm_sub_epi32(a1, d1);
+  __m128i m1 = _mm_add_epi32(b1, c1);
+  __m128i m2 = _mm_sub_epi32(b1, c1);
+  transpose(m0, m1, m2, m3);  // lane = row index
+  // row pass
+  a1 = _mm_add_epi32(m0, m2);
+  b1 = _mm_sub_epi32(m0, m2);
+  c1 = _mm_sub_epi32(mulshift(m1, kS),
+                     _mm_add_epi32(m3, mulshift(m3, kC)));
+  d1 = _mm_add_epi32(_mm_add_epi32(m1, mulshift(m1, kC)),
+                     mulshift(m3, kS));
+  const __m128i k4 = _mm_set1_epi32(4);
+  __m128i o0 = _mm_srai_epi32(_mm_add_epi32(_mm_add_epi32(a1, d1), k4), 3);
+  __m128i o3 = _mm_srai_epi32(_mm_add_epi32(_mm_sub_epi32(a1, d1), k4), 3);
+  __m128i o1 = _mm_srai_epi32(_mm_add_epi32(_mm_add_epi32(b1, c1), k4), 3);
+  __m128i o2 = _mm_srai_epi32(_mm_add_epi32(_mm_sub_epi32(b1, c1), k4), 3);
+  transpose(o0, o1, o2, o3);  // lane = column index, ok = output row k
+  const __m128i rows[4] = {o0, o1, o2, o3};
+  for (int r = 0; r < 4; ++r) {
+    uint8_t* d = dst + static_cast<size_t>(r) * stride;
+    uint32_t px;
+    std::memcpy(&px, d, 4);
+    const __m128i p = _mm_cvtepu8_epi32(_mm_cvtsi32_si128(static_cast<int>(px)));
+    __m128i s = _mm_add_epi32(rows[r], p);
+    s = _mm_packus_epi16(_mm_packs_epi32(s, s), s);
+    const int out = _mm_cvtsi128_si32(s);
+    std::memcpy(d, &out, 4);
+  }
+}
+#else
+inline void IdctAdd4x4(const int16_t* in, uint8_t* dst, int stride) {
+  int px[16];
+  Idct4x4(in, px);
+  for (int y = 0; y < 4; ++y)
+    for (int x = 0; x < 4; ++x) {
+      uint8_t* t = dst + static_cast<size_t>(y) * stride + x;
+      *t = Clip255(*t + px[y * 4 + x]);
+    }
+}
+#endif
 
 // Inverse WHT (RFC 6386 §14.3) — scatters the 16 luma DC values.
 inline void InvWht4x4(const int16_t* in, int* out) {

@@ -21,6 +21,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #include "vp8_common.h"
 #include "vp8_tables.h"
 
@@ -49,59 +53,87 @@ constexpr int VD_BUFFER = -7;
 // ---------------------------------------------------------------------------
 // Boolean decoder (RFC 6386 §7.2)
 // ---------------------------------------------------------------------------
+// Boolean (range) decoder, 64-bit formulation: `v` keeps the arithmetic
+// window in its top 8 bits with up to 56 lookahead stream bits below.
+// The bit decision `value >= split<<8` of the byte-at-a-time formulation
+// depends only on the 8-bit window (the lookahead is strictly below the
+// subtrahend), so widening the lookahead is exact; renormalisation becomes
+// one clz shift and refills pull 4 raw bytes at a time (VP8 partitions
+// carry no marker stuffing). Past-end bytes read as zero, as before.
 struct BoolDec {
   const uint8_t* buf = nullptr;
-  size_t len = 0, pos = 0;
-  uint32_t value = 0;
+  size_t len = 0, pos = 0;  // pos = bytes PRELOADED into v (may pass len)
+  uint64_t v = 0;
+  int filled = 0;  // live bits in v, counted from the MSB
   uint32_t range = 255;
-  int bit_count = 0;
 
   void Init(const uint8_t* b, size_t n) {
     buf = b;
     len = n;
-    pos = 2;
-    value = (static_cast<uint32_t>(n > 0 ? b[0] : 0) << 8) |
-            (n > 1 ? b[1] : 0);
+    pos = 0;
+    v = 0;
+    for (int i = 0; i < 8; ++i) {
+      v = (v << 8) | (pos < len ? buf[pos] : 0);
+      ++pos;
+    }
+    filled = 64;
     range = 255;
-    bit_count = 0;
   }
 
-  int GetBit(int prob) {
-    const uint32_t split = 1 + (((range - 1) * static_cast<uint32_t>(prob)) >> 8);
-    const uint32_t SPLIT = split << 8;
+  inline void Refill() {
+    if (pos + 4 <= len && filled <= 32) {
+      uint32_t x;
+      std::memcpy(&x, buf + pos, 4);
+      v |= static_cast<uint64_t>(__builtin_bswap32(x)) << (32 - filled);
+      filled += 32;
+      pos += 4;
+      return;
+    }
+    while (filled <= 56) {
+      v |= static_cast<uint64_t>(pos < len ? buf[pos] : 0) << (56 - filled);
+      ++pos;
+      filled += 8;
+    }
+  }
+
+  inline int GetBit(int prob) {
+    const uint32_t split =
+        1 + (((range - 1) * static_cast<uint32_t>(prob)) >> 8);
+    const uint64_t SPLIT = static_cast<uint64_t>(split) << 56;
     int ret;
-    if (value >= SPLIT) {
+    if (v >= SPLIT) {
       ret = 1;
       range -= split;
-      value -= SPLIT;
+      v -= SPLIT;
     } else {
       ret = 0;
       range = split;
     }
-    while (range < 128) {
-      value <<= 1;
-      range <<= 1;
-      if (++bit_count == 8) {
-        bit_count = 0;
-        value |= pos < len ? buf[pos] : 0;  // past-end reads as zero bits
-        ++pos;
-      }
+    if (range < 128) {
+      const int shift = __builtin_clz(range) - 24;
+      range <<= shift;
+      v <<= shift;
+      filled -= shift;
+      if (filled < 16) Refill();
     }
     return ret;
   }
 
   uint32_t GetLiteral(int bits) {
-    uint32_t v = 0;
-    for (int i = 0; i < bits; ++i) v = (v << 1) | GetBit(128);
-    return v;
+    uint32_t out = 0;
+    for (int i = 0; i < bits; ++i) out = (out << 1) | GetBit(128);
+    return out;
   }
 
   int GetSigned(int bits) {
-    const int v = static_cast<int>(GetLiteral(bits));
-    return GetBit(128) ? -v : v;
+    const int out = static_cast<int>(GetLiteral(bits));
+    return GetBit(128) ? -out : out;
   }
 
-  bool Exhausted() const { return pos > len + 8; }  // gross overread guard
+  // gross overread guard: bytes actually consumed out of the window
+  bool Exhausted() const {
+    return pos - static_cast<size_t>(filled >> 3) > len + 8;
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -251,58 +283,102 @@ int ParseHeader(BoolDec& d, Header* h) {
 int DecodeBlock(BoolDec& d, const uint8_t probs[8][3][11], int16_t* coef,
                 int first, int ctx, const ikvp8::QuantPair& q) {
   std::memset(coef, 0, 16 * sizeof(int16_t));
+  // Enregistered bool-decoder state for the hot token loop: `coef` stores
+  // and the refill's byte loads defeat alias analysis on the BoolDec
+  // fields, forcing reloads per bit; locals keep everything in registers.
+  const uint8_t* const buf = d.buf;
+  const size_t len = d.len;
+  size_t pos = d.pos;
+  uint64_t bv = d.v;
+  int filled = d.filled;
+  uint32_t range = d.range;
+  auto getbit = [&](int prob) -> int {
+    const uint32_t split =
+        1 + (((range - 1) * static_cast<uint32_t>(prob)) >> 8);
+    const uint64_t SPLIT = static_cast<uint64_t>(split) << 56;
+    // branchless decision (the bit value is true entropy — a branch here
+    // mispredicts constantly) + unconditional clz renorm (range >= 128
+    // gives shift 0)
+    const int ret = bv >= SPLIT;
+    bv -= ret ? SPLIT : 0;
+    range = ret ? range - split : split;
+    const int shift = __builtin_clz(range) - 24;
+    range <<= shift;
+    bv <<= shift;
+    filled -= shift;
+    if (filled < 16) {
+      if (pos + 4 <= len && filled <= 32) {
+        uint32_t x;
+        std::memcpy(&x, buf + pos, 4);
+        bv |= static_cast<uint64_t>(__builtin_bswap32(x)) << (32 - filled);
+        filled += 32;
+        pos += 4;
+      } else {
+        while (filled <= 56) {
+          bv |= static_cast<uint64_t>(pos < len ? buf[pos] : 0)
+                << (56 - filled);
+          ++pos;
+          filled += 8;
+        }
+      }
+    }
+    return ret;
+  };
+
   int n = first;
   int c = ctx;
-  bool prev_zero = false;
   int nonzero = 0;
   while (n < 16) {
     const uint8_t* p = probs[kBands[n]][c];
-    if (!prev_zero) {
-      if (!d.GetBit(p[0])) break;  // EOB
-    }
-    if (!d.GetBit(p[1])) {  // DCT_0
-      prev_zero = true;
-      c = 0;
+    if (!getbit(p[0])) break;  // EOB
+  not_eob:
+    if (!getbit(p[1])) {  // DCT_0: no EOB flag follows a zero token
       ++n;
-      continue;
+      if (n >= 16) break;
+      c = 0;
+      p = probs[kBands[n]][0];
+      goto not_eob;
     }
-    prev_zero = false;
     int a;
-    if (!d.GetBit(p[2])) {
+    if (!getbit(p[2])) {
       a = 1;
       c = 1;
     } else {
       c = 2;
-      if (!d.GetBit(p[3])) {
-        if (!d.GetBit(p[4])) {
+      if (!getbit(p[3])) {
+        if (!getbit(p[4])) {
           a = 2;
         } else {
-          a = d.GetBit(p[5]) ? 4 : 3;
+          a = getbit(p[5]) ? 4 : 3;
         }
       } else {
         int cat;
-        if (!d.GetBit(p[6])) {
-          cat = d.GetBit(p[7]) ? 1 : 0;
+        if (!getbit(p[6])) {
+          cat = getbit(p[7]) ? 1 : 0;
         } else {
-          if (!d.GetBit(p[8])) {
-            cat = d.GetBit(p[9]) ? 3 : 2;
+          if (!getbit(p[8])) {
+            cat = getbit(p[9]) ? 3 : 2;
           } else {
-            cat = d.GetBit(p[10]) ? 5 : 4;
+            cat = getbit(p[10]) ? 5 : 4;
           }
         }
         const Cat& cc = kCats[cat];
         int rem = 0;
         for (int b = 0; b < cc.bits; ++b)
-          rem = (rem << 1) | d.GetBit(cc.probs[b]);
+          rem = (rem << 1) | getbit(cc.probs[b]);
         a = cc.base + rem;
       }
     }
-    const int v = d.GetBit(128) ? -a : a;
-    const int pos = kZigzag[n];
-    coef[pos] = static_cast<int16_t>(v * (pos == 0 ? q.dc : q.ac));
+    const int v = getbit(128) ? -a : a;
+    const int pos_n = kZigzag[n];
+    coef[pos_n] = static_cast<int16_t>(v * (pos_n == 0 ? q.dc : q.ac));
     nonzero = n + 1;
     ++n;
   }
+  d.pos = pos;
+  d.v = bv;
+  d.filled = filled;
+  d.range = range;
   return nonzero;
 }
 
@@ -375,6 +451,128 @@ void MbFilter(Px e, int hev_t, int interior, int edge_limit) {
   e.set_q(2, e.q(2) - a);
   e.set_p(2, e.pp(2) + a);
 }
+
+#if defined(__AVX2__)
+// SIMD horizontal-edge filtering: 16 pixel columns at once in epi16 with
+// explicit [-128,127] clamps — the exact integer semantics of the scalar
+// Px path (S/Sclamp/U), pinned by the bit-exact-vs-libwebp tests. One call
+// covers a 16-wide luma edge (two 8-byte halves of one row) or a U+V pair
+// (same geometry and parameters, different planes). Vertical edges stay on
+// the scalar path; the driver preserves the normative edge order.
+inline __m256i LfClamp(__m256i v) {
+  return _mm256_max_epi16(_mm256_min_epi16(v, _mm256_set1_epi16(127)),
+                          _mm256_set1_epi16(-128));
+}
+
+inline __m256i LfLoad(const uint8_t* a, const uint8_t* b) {
+  const __m128i lo = _mm_loadl_epi64(reinterpret_cast<const __m128i*>(a));
+  const __m128i hi = _mm_loadl_epi64(reinterpret_cast<const __m128i*>(b));
+  return _mm256_sub_epi16(_mm256_cvtepu8_epi16(_mm_unpacklo_epi64(lo, hi)),
+                          _mm256_set1_epi16(128));
+}
+
+inline void LfStore(uint8_t* a, uint8_t* b, __m256i v) {
+  v = _mm256_add_epi16(LfClamp(v), _mm256_set1_epi16(128));
+  const __m256i packed = _mm256_packus_epi16(v, v);
+  _mm_storel_epi64(reinterpret_cast<__m128i*>(a),
+                   _mm256_castsi256_si128(packed));
+  _mm_storel_epi64(reinterpret_cast<__m128i*>(b),
+                   _mm256_extracti128_si256(packed, 1));
+}
+
+// pa/pb: the two 8-byte segments of the Q0 row (strides sa/sb).
+// macroblock=true applies MbFilter semantics, false SubblockFilter.
+void FilterEdgeH(uint8_t* pa, int sa, uint8_t* pb, int sb, bool macroblock,
+                 int hev_t, int interior, int edge_limit) {
+  const __m256i zero = _mm256_setzero_si256();
+  __m256i r[8];  // p3 p2 p1 p0 q0 q1 q2 q3
+  for (int i = 0; i < 8; ++i)
+    r[i] = LfLoad(pa + (i - 4) * sa, pb + (i - 4) * sb);
+  const __m256i p3 = r[0], p2 = r[1], p1 = r[2], p0 = r[3];
+  const __m256i q0 = r[4], q1 = r[5], q2 = r[6], q3 = r[7];
+  const __m256i vI = _mm256_set1_epi16(static_cast<short>(interior));
+  auto le = [&](__m256i x, __m256i lim) {  // |x| <= lim, per lane
+    return _mm256_cmpeq_epi16(_mm256_cmpgt_epi16(_mm256_abs_epi16(x), lim),
+                              zero);
+  };
+  const __m256i d0 = _mm256_abs_epi16(_mm256_sub_epi16(p0, q0));
+  const __m256i d1 = _mm256_abs_epi16(_mm256_sub_epi16(p1, q1));
+  const __m256i sum = _mm256_add_epi16(_mm256_slli_epi16(d0, 1),
+                                       _mm256_srli_epi16(d1, 1));
+  __m256i mask = _mm256_cmpeq_epi16(
+      _mm256_cmpgt_epi16(sum, _mm256_set1_epi16(static_cast<short>(edge_limit))),
+      zero);
+  mask = _mm256_and_si256(mask, le(_mm256_sub_epi16(p3, p2), vI));
+  mask = _mm256_and_si256(mask, le(_mm256_sub_epi16(p2, p1), vI));
+  mask = _mm256_and_si256(mask, le(_mm256_sub_epi16(p1, p0), vI));
+  mask = _mm256_and_si256(mask, le(_mm256_sub_epi16(q3, q2), vI));
+  mask = _mm256_and_si256(mask, le(_mm256_sub_epi16(q2, q1), vI));
+  mask = _mm256_and_si256(mask, le(_mm256_sub_epi16(q1, q0), vI));
+  if (_mm256_testz_si256(mask, mask)) return;
+  const __m256i vH = _mm256_set1_epi16(static_cast<short>(hev_t));
+  const __m256i hev = _mm256_or_si256(
+      _mm256_cmpgt_epi16(_mm256_abs_epi16(_mm256_sub_epi16(p1, p0)), vH),
+      _mm256_cmpgt_epi16(_mm256_abs_epi16(_mm256_sub_epi16(q1, q0)), vH));
+  const __m256i outer = LfClamp(_mm256_sub_epi16(p1, q1));
+  const __m256i step3 = _mm256_mullo_epi16(
+      _mm256_sub_epi16(q0, p0), _mm256_set1_epi16(3));
+  if (macroblock) {
+    // w is shared by both branches (MbFilter uses the outer tap always)
+    const __m256i w = LfClamp(_mm256_add_epi16(outer, step3));
+    // hev lanes: common adjust on p0/q0 only
+    const __m256i Fh = _mm256_srai_epi16(
+        LfClamp(_mm256_add_epi16(w, _mm256_set1_epi16(4))), 3);
+    const __m256i Eh = _mm256_srai_epi16(
+        LfClamp(_mm256_add_epi16(w, _mm256_set1_epi16(3))), 3);
+    // !hev lanes: 27/18/9 taps
+    auto tap = [&](int mulc) {
+      return LfClamp(_mm256_srai_epi16(
+          _mm256_add_epi16(
+              _mm256_mullo_epi16(w, _mm256_set1_epi16(static_cast<short>(mulc))),
+              _mm256_set1_epi16(63)),
+          7));
+    };
+    const __m256i a27 = tap(27), a18 = tap(18), a9 = tap(9);
+    auto blend = [&](__m256i orig, __m256i hev_v, __m256i nhev_v) {
+      const __m256i nv = _mm256_blendv_epi8(nhev_v, hev_v, hev);
+      return _mm256_blendv_epi8(orig, nv, mask);
+    };
+    const __m256i q0n = blend(q0, _mm256_sub_epi16(q0, Fh),
+                              _mm256_sub_epi16(q0, a27));
+    const __m256i p0n = blend(p0, _mm256_add_epi16(p0, Eh),
+                              _mm256_add_epi16(p0, a27));
+    const __m256i q1n = blend(q1, q1, _mm256_sub_epi16(q1, a18));
+    const __m256i p1n = blend(p1, p1, _mm256_add_epi16(p1, a18));
+    const __m256i q2n = blend(q2, q2, _mm256_sub_epi16(q2, a9));
+    const __m256i p2n = blend(p2, p2, _mm256_add_epi16(p2, a9));
+    LfStore(pa - 3 * sa, pb - 3 * sb, p2n);
+    LfStore(pa - 2 * sa, pb - 2 * sb, p1n);
+    LfStore(pa - 1 * sa, pb - 1 * sb, p0n);
+    LfStore(pa, pb, q0n);
+    LfStore(pa + 1 * sa, pb + 1 * sb, q1n);
+    LfStore(pa + 2 * sa, pb + 2 * sb, q2n);
+  } else {
+    // subblock: outer tap only on hev lanes
+    const __m256i a = LfClamp(_mm256_add_epi16(
+        _mm256_and_si256(outer, hev), step3));
+    const __m256i F = _mm256_srai_epi16(
+        LfClamp(_mm256_add_epi16(a, _mm256_set1_epi16(4))), 3);
+    const __m256i E = _mm256_srai_epi16(
+        LfClamp(_mm256_add_epi16(a, _mm256_set1_epi16(3))), 3);
+    const __m256i a2 = _mm256_andnot_si256(
+        hev,
+        _mm256_srai_epi16(_mm256_add_epi16(F, _mm256_set1_epi16(1)), 1));
+    auto apply = [&](__m256i orig, __m256i nv) {
+      return _mm256_blendv_epi8(orig, nv, mask);
+    };
+    LfStore(pa - 2 * sa, pb - 2 * sb,
+            apply(p1, _mm256_add_epi16(p1, a2)));
+    LfStore(pa - 1 * sa, pb - 1 * sb, apply(p0, _mm256_add_epi16(p0, E)));
+    LfStore(pa, pb, apply(q0, _mm256_sub_epi16(q0, F)));
+    LfStore(pa + 1 * sa, pb + 1 * sb, apply(q1, _mm256_sub_epi16(q1, a2)));
+  }
+}
+#endif  // __AVX2__
 
 void SimpleSegment(Px e, int edge_limit) {
   auto ab = [](int v) { return v < 0 ? -v : v; };
@@ -662,12 +860,7 @@ IK_EXPORT int ik_webp_decode_yuv(const uint8_t* d, size_t len, uint8_t* yout,
           bool z = true;
           for (int i = 0; i < 16 && z; ++i) z = coef[sb][i] == 0;
           if (z) continue;
-          Idct4x4(coef[sb], px);
-          for (int yy = 0; yy < 4; ++yy)
-            for (int xx = 0; xx < 4; ++xx) {
-              uint8_t* t = Y + (by + yy) * ls + bx + xx;
-              *t = Clip255(*t + px[yy * 4 + xx]);
-            }
+          ikvp8::IdctAdd4x4(coef[sb], Y + by * ls + bx, ls);
         }
       } else {
         // sub-block prediction + residual, sequential
@@ -693,12 +886,7 @@ IK_EXPORT int ik_webp_decode_yuv(const uint8_t* d, size_t len, uint8_t* yout,
           bool z = true;
           for (int i = 0; i < 16 && z; ++i) z = coef[sb][i] == 0;
           if (!z) {
-            Idct4x4(coef[sb], px);
-            for (int yy = 0; yy < 4; ++yy)
-              for (int xx = 0; xx < 4; ++xx) {
-                uint8_t* t = o + yy * ls + xx;
-                *t = Clip255(*t + px[yy * 4 + xx]);
-              }
+            ikvp8::IdctAdd4x4(coef[sb], o, ls);
           }
         }
       }
@@ -714,12 +902,7 @@ IK_EXPORT int ik_webp_decode_yuv(const uint8_t* d, size_t len, uint8_t* yout,
           for (int i = 0; i < 16 && z; ++i) z = cf[i] == 0;
           if (z) continue;
           const int bx = cpx + (sb & 1) * 4, by = cpy + (sb >> 1) * 4;
-          Idct4x4(cf, px);
-          for (int yy = 0; yy < 4; ++yy)
-            for (int xx = 0; xx < 4; ++xx) {
-              uint8_t* t = P + (by + yy) * cs + bx + xx;
-              *t = Clip255(*t + px[yy * 4 + xx]);
-            }
+          ikvp8::IdctAdd4x4(cf, P + by * cs + bx, cs);
         }
       }
     }
@@ -786,6 +969,24 @@ IK_EXPORT int ik_webp_decode_yuv(const uint8_t* d, size_t len, uint8_t* yout,
                              interior, sub_lim);
             }
           }
+#if defined(__AVX2__)
+          if (my > 0) {
+            uint8_t* yr = Y + pyl * ls + pxl;
+            FilterEdgeH(yr, ls, yr + 8, ls, true, hev_t, interior, mb_lim);
+            FilterEdgeH(Ub + cpy * cs + cpx, cs, Vb + cpy * cs + cpx, cs,
+                        true, hev_t, interior, mb_lim);
+          }
+          if (inner) {
+            for (int e = 4; e < 16; e += 4) {
+              uint8_t* yr = Y + (pyl + e) * ls + pxl;
+              FilterEdgeH(yr, ls, yr + 8, ls, false, hev_t, interior,
+                          sub_lim);
+            }
+            FilterEdgeH(Ub + (cpy + 4) * cs + cpx, cs,
+                        Vb + (cpy + 4) * cs + cpx, cs, false, hev_t,
+                        interior, sub_lim);
+          }
+#else
           if (my > 0) {
             for (int xx = 0; xx < 16; ++xx)
               MbFilter({Y + pyl * ls + pxl + xx, ls}, hev_t, interior, mb_lim);
@@ -806,6 +1007,7 @@ IK_EXPORT int ik_webp_decode_yuv(const uint8_t* d, size_t len, uint8_t* yout,
                              interior, sub_lim);
             }
           }
+#endif
         } else {  // simple: luma only
           if (mx > 0)
             for (int yy = 0; yy < 16; ++yy)
