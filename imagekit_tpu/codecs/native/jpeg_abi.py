@@ -73,6 +73,19 @@ def configure(lib: ctypes.CDLL) -> None:
             ctypes.c_void_p,
         ]
         lib.ik_jpeg_decode_coeffs_lowfreq.restype = ctypes.c_int
+    if hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+        lib.ik_jpeg_decode_coeffs_lowfreq_i8.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),  # dc planes (i16*)
+            ctypes.POINTER(ctypes.c_void_p),  # ac planes (i8*)
+            ctypes.c_void_p,                  # esc (i32*, cap x 3)
+            ctypes.c_int32,                   # esc_cap
+            ctypes.c_void_p,                  # esc_count (i32*)
+            ctypes.c_void_p,                  # qtabs_out
+        ]
+        lib.ik_jpeg_decode_coeffs_lowfreq_i8.restype = ctypes.c_int
     lib.ik_jpeg_encode.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),  # coeff planes
         ctypes.c_int,                      # ncomp
@@ -199,6 +212,86 @@ def decode_lowfreq(
     if rc != 0:
         raise NativeJpegError(rc)
     return hdr, coeffs, qtabs
+
+
+#: per-image escape budget for the int8 transport (48 KB of scratch); an
+#: image exceeding it (pathological low-quantiser content) rides the int16
+#: transport instead — exactness is never at stake, only wire bytes.
+ESC_CAP = 4096
+
+
+def decode_lowfreq_i8(
+    lib: ctypes.CDLL,
+    data: bytes,
+    k: int,
+    hdr: JpegHeader = None,
+    esc_cap: int = ESC_CAP,
+):
+    """Entropy decode with the split int8 transport (wire-size lever for
+    bandwidth-limited host<->device links): per plane c,
+
+    - ``dc[c]``: (blocks_h, blocks_w) i16 DC levels
+    - ``ac[c]``: (blocks_h, blocks_w, k*k-1) i8 clamped AC levels in
+      natural KxK order minus (0,0)
+    - ``esc``: (n, 3) i32 rows (comp, flat_ac_index, residual); the device
+      reconstructs exact levels by widening + scatter-adding residuals.
+
+    Returns (hdr, dc, ac, esc, qtabs, overflow); ``overflow`` means the
+    escape list was truncated and the caller must use the int16 transport.
+    """
+    if hdr is None:
+        hdr = parse(lib, data)
+    dc = [
+        np.zeros((hdr.blocks_h[c], hdr.blocks_w[c]), np.int16)
+        for c in range(hdr.ncomp)
+    ]
+    ac = [
+        np.zeros((hdr.blocks_h[c], hdr.blocks_w[c], k * k - 1), np.int8)
+        for c in range(hdr.ncomp)
+    ]
+    esc = np.zeros((esc_cap, 3), np.int32)
+    count = ctypes.c_int32(0)
+    qtabs = np.empty((4, 64), np.uint16)
+    dptrs = (ctypes.c_void_p * 4)(
+        *[p.ctypes.data_as(ctypes.c_void_p).value for p in dc]
+    )
+    aptrs = (ctypes.c_void_p * 4)(
+        *[p.ctypes.data_as(ctypes.c_void_p).value for p in ac]
+    )
+    rc = lib.ik_jpeg_decode_coeffs_lowfreq_i8(
+        data,
+        len(data),
+        k,
+        dptrs,
+        aptrs,
+        esc.ctypes.data_as(ctypes.c_void_p),
+        esc_cap,
+        ctypes.byref(count),
+        qtabs.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise NativeJpegError(rc)
+    n = int(count.value)
+    overflow = n > esc_cap
+    return hdr, dc, ac, esc[: min(n, esc_cap)], qtabs, overflow
+
+
+def reconstruct_lowfreq_levels(dc, ac, esc, k: int):
+    """Rebuild the int16 (blocks_h, blocks_w, k*k) level planes from the
+    split transport — the host-side mirror of the device reconstruction,
+    used by fallback paths and parity tests."""
+    out = []
+    for c in range(len(dc)):
+        bh, bw = dc[c].shape
+        lev = np.empty((bh, bw, k * k), np.int16)
+        lev[:, :, 0] = dc[c]
+        lev[:, :, 1:] = ac[c].astype(np.int16)
+        out.append(lev)
+    for comp, flat, resid in np.asarray(esc, np.int64):
+        bh, bw = dc[comp].shape
+        bi, pos = divmod(flat, k * k - 1)
+        out[comp][bi // bw, bi % bw, 1 + pos] += resid
+    return out
 
 
 def encode(

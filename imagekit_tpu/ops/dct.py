@@ -437,6 +437,48 @@ def _lowfreq_indices(k: int) -> np.ndarray:
     return np.array([u * 8 + v for u in range(k) for v in range(k)], np.int32)
 
 
+def _lowfreq_spatial(lev, by, bx, qt, A, k):
+    """(B, by, bx, k*k) integer levels -> dequant -> k-point scaled IDCT ->
+    clipped spatial (B, by*k, bx*k) plane. Shared by both coefficient
+    transports (int16 flat and split-int8)."""
+    B = lev.shape[0]
+    c = lev.astype(jnp.float32) * qt[:, None, None, :] * (k / 8.0)
+    c = c.reshape(B, by, bx, k, k)
+    p = jnp.einsum(
+        "ux,vy,bijuv->bijxy", A, A, c, precision=jax.lax.Precision.HIGHEST
+    )
+    p = p + 128.0
+    p = p.transpose(0, 1, 3, 2, 4).reshape(B, by * k, bx * k)
+    return jnp.clip(p, 0.0, 255.0)
+
+
+def _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx):
+    """Resize the three planes (per-image weight stacks), remap to studio
+    range, and pack (B, obh*obw + 2*(obh//2*obw//2)) u8 for one bulk D2H."""
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    y = plane_resize(Y, wv_y_u, wh_y_u) * (219.0 / 255.0) + 16.0
+    c_off = 128.0 * (1.0 - 224.0 / 255.0)
+    cb = plane_resize(Cb, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
+    cr = plane_resize(Cr, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
+
+    def q8(p):
+        B = p.shape[0]
+        return (
+            jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0)
+            .astype(jnp.uint8)
+            .reshape(B, -1)
+        )
+
+    return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("by_b", "bx_b", "cy_b", "cx_b", "k")
 )
@@ -464,48 +506,82 @@ def _decode_resize_yuv_lowfreq_kernel(
     bench shape."""
     A = jnp.asarray(idct_basis_k(k))
     idx = jnp.asarray(_lowfreq_indices(k))
-    scale = k / 8.0
 
     def blocks(flat, by, bx, qt):
         B = flat.shape[0]
-        c = flat[:, :, : bx * k * k].reshape(B, by, bx, k * k)
-        c = c.astype(jnp.float32) * qt[:, None, None, :] * scale
-        c = c.reshape(B, by, bx, k, k)
-        p = jnp.einsum(
-            "ux,vy,bijuv->bijxy", A, A, c, precision=jax.lax.Precision.HIGHEST
-        )
-        p = p + 128.0
-        p = p.transpose(0, 1, 3, 2, 4).reshape(B, by * k, bx * k)
-        return jnp.clip(p, 0.0, 255.0)
+        lev = flat[:, :, : bx * k * k].reshape(B, by, bx, k * k)
+        return _lowfreq_spatial(lev, by, bx, qt, A, k)
 
     qt_l = qtabs[:, :64][:, idx]
     qt_c = qtabs[:, 64:][:, idx]
     Y = blocks(y_flat, by_b, bx_b, qt_l)
     Cb = blocks(cb_flat, cy_b, cx_b, qt_c)
     Cr = blocks(cr_flat, cy_b, cx_b, qt_c)
+    return _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx)
 
-    hp = jax.lax.Precision.HIGHEST
 
-    def plane_resize(P, wv_u, wh_u):
-        wv = wv_u[vidx]
-        wh = wh_u[vidx]
-        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
-        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+#: static escape capacities of the split-int8 batch kernel (part of the
+#: compiled shape set: one luma + one per-chroma-plane scatter per batch).
+#: Batches whose escape totals exceed them ride the int16 transport. Each
+#: entry is 16 wire bytes, so these are cheap — sized so that only
+#: pathological content (dense noise at q>=94) overflows.
+LOWFREQ_ESC_Y = 4096
+LOWFREQ_ESC_C = 1024
 
-    y = plane_resize(Y, wv_y_u, wh_y_u) * (219.0 / 255.0) + 16.0
-    c_off = 128.0 * (1.0 - 224.0 / 255.0)
-    cb = plane_resize(Cb, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
-    cr = plane_resize(Cr, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
 
-    def q8(p):
-        B = p.shape[0]
-        return (
-            jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0)
-            .astype(jnp.uint8)
-            .reshape(B, -1)
-        )
+@functools.partial(
+    jax.jit, static_argnames=("by_b", "bx_b", "cy_b", "cx_b", "k")
+)
+def _decode_resize_yuv_lowfreq_i8_kernel(
+    y_dc,       # (B, by_b, pad128(bx_b)) i16
+    y_ac,       # (B, by_b, pad128(bx_b*(k*k-1))) i8, clamped AC levels
+    cb_dc,      # (B, cy_b, pad128(cx_b)) i16
+    cb_ac,      # (B, cy_b, pad128(cx_b*(k*k-1))) i8
+    cr_dc,
+    cr_ac,
+    ey_idx,     # (LOWFREQ_ESC_Y, 3) i32 (img, row, ac-flat col) escape sites
+    ey_val,     # (LOWFREQ_ESC_Y,) i32 residuals (level - clamped)
+    eb_idx,     # (LOWFREQ_ESC_C, 3) i32
+    eb_val,
+    er_idx,
+    er_val,
+    qtabs,      # (B, 128) f32
+    wv_y_u,
+    wh_y_u,
+    wv_c_u,
+    wh_c_u,
+    vidx,
+    by_b: int,
+    bx_b: int,
+    cy_b: int,
+    cx_b: int,
+    k: int,
+):
+    """Split int8-transport variant of the truncated fused decode: AC
+    levels arrive as int8 (halving the dominant host->device upload on
+    bandwidth-limited links) plus a sparse escape list of residuals for
+    the rare |level| > 127. Reconstruction is exact: widen to int32,
+    scatter-add residuals (padding entries add 0 at (0,0,0)), prepend the
+    int16 DC lane — then the identical dequant/IDCT/resize tail."""
+    A = jnp.asarray(idct_basis_k(k))
+    idx = jnp.asarray(_lowfreq_indices(k))
+    na = k * k - 1
 
-    return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
+    def blocks(dc, ac, eidx, evals, by, bx, qt):
+        B = dc.shape[0]
+        a = ac.astype(jnp.int32)
+        a = a.at[eidx[:, 0], eidx[:, 1], eidx[:, 2]].add(evals)
+        a = a[:, :, : bx * na].reshape(B, by, bx, na)
+        d = dc[:, :, :bx].astype(jnp.int32)
+        lev = jnp.concatenate([d[..., None], a], axis=-1)
+        return _lowfreq_spatial(lev, by, bx, qt, A, k)
+
+    qt_l = qtabs[:, :64][:, idx]
+    qt_c = qtabs[:, 64:][:, idx]
+    Y = blocks(y_dc, y_ac, ey_idx, ey_val, by_b, bx_b, qt_l)
+    Cb = blocks(cb_dc, cb_ac, eb_idx, eb_val, cy_b, cx_b, qt_c)
+    Cr = blocks(cr_dc, cr_ac, er_idx, er_val, cy_b, cx_b, qt_c)
+    return _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx)
 
 
 def decode_resize_yuv_lowfreq_batch(
@@ -528,6 +604,60 @@ def decode_resize_yuv_lowfreq_batch(
             jnp.asarray(y_flat),
             jnp.asarray(cb_flat),
             jnp.asarray(cr_flat),
+            jnp.asarray(qtabs),
+            jnp.asarray(wv_y),
+            jnp.asarray(wh_y),
+            jnp.asarray(wv_c),
+            jnp.asarray(wh_c),
+            jnp.asarray(vidx),
+            by_b=by_b,
+            bx_b=bx_b,
+            cy_b=cy_b,
+            cx_b=cx_b,
+            k=k,
+        )
+    )
+    B = flat.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = flat[:, :ny].reshape(B, obh, obw)
+    cb = flat[:, ny:ny + nc].reshape(B, obh // 2, obw // 2)
+    cr = flat[:, ny + nc:].reshape(B, obh // 2, obw // 2)
+    return y, cb, cr
+
+
+def decode_resize_yuv_lowfreq_i8_batch(
+    dc_arrays,   # (y_dc, cb_dc, cr_dc) np i16 batch arrays
+    ac_arrays,   # (y_ac, cb_ac, cr_ac) np i8 batch arrays
+    escapes,     # ((ey_idx, ey_val), (eb_idx, eb_val), (er_idx, er_val))
+    qtabs: np.ndarray,
+    weights,
+    vidx: np.ndarray,
+    block_dims,
+    out_shape,
+    k: int,
+):
+    """Run the split int8-transport truncated kernel; returns (Y, Cb, Cr)
+    u8 planes. Bit-identical to decode_resize_yuv_lowfreq_batch given the
+    same underlying levels — only the wire format differs."""
+    wv_y, wh_y, wv_c, wh_c = weights
+    by_b, bx_b, cy_b, cx_b = block_dims
+    obh, obw = out_shape
+    (ey_idx, ey_val), (eb_idx, eb_val), (er_idx, er_val) = escapes
+    flat = np.asarray(
+        _decode_resize_yuv_lowfreq_i8_kernel(
+            jnp.asarray(dc_arrays[0]),
+            jnp.asarray(ac_arrays[0]),
+            jnp.asarray(dc_arrays[1]),
+            jnp.asarray(ac_arrays[1]),
+            jnp.asarray(dc_arrays[2]),
+            jnp.asarray(ac_arrays[2]),
+            jnp.asarray(ey_idx),
+            jnp.asarray(ey_val),
+            jnp.asarray(eb_idx),
+            jnp.asarray(eb_val),
+            jnp.asarray(er_idx),
+            jnp.asarray(er_val),
             jnp.asarray(qtabs),
             jnp.asarray(wv_y),
             jnp.asarray(wh_y),

@@ -80,7 +80,7 @@ class _GrayAs420:
 @dataclass
 class _JpegItem:
     hdr: object
-    coeffs: list
+    coeffs: list  # int16 (by, bx, k*k) level planes, or None when split set
     qtabs: object
     out_h: int
     out_w: int
@@ -88,7 +88,83 @@ class _JpegItem:
     quality: int
     future: asyncio.Future
     k: int = 8  # coefficients kept per block axis (8 = full)
+    # split int8 transport (truncated path only): (dc_planes, ac_planes,
+    # esc) per jpeg_abi.decode_lowfreq_i8 — halves the host->device upload
+    split: tuple = None
     enqueued: float = field(default_factory=time.perf_counter)
+
+
+def _esc_comp_counts(esc) -> Tuple[int, int, int]:
+    """Escape rows per component of one image's (n, 3) escape array."""
+    if len(esc) == 0:
+        return 0, 0, 0
+    comp = np.asarray(esc)[:, 0]
+    return (
+        int((comp == 0).sum()),
+        int((comp == 1).sum()),
+        int((comp == 2).sum()),
+    )
+
+
+def _esc_within_image_budget(esc) -> bool:
+    """A single image's escapes must fit the BATCH caps of the split-int8
+    kernel, else no batch containing it could ever ride that kernel."""
+    from imagekit_tpu.ops.dct import LOWFREQ_ESC_C, LOWFREQ_ESC_Y
+
+    ny, nb, nr = _esc_comp_counts(esc)
+    return ny <= LOWFREQ_ESC_Y and nb <= LOWFREQ_ESC_C and nr <= LOWFREQ_ESC_C
+
+
+def _esc_within_batch_budget(items) -> bool:
+    from imagekit_tpu.ops.dct import LOWFREQ_ESC_C, LOWFREQ_ESC_Y
+
+    ny = nb = nr = 0
+    for it in items:
+        a, b, c = _esc_comp_counts(it.split[2])
+        ny, nb, nr = ny + a, nb + b, nr + c
+    return ny <= LOWFREQ_ESC_Y and nb <= LOWFREQ_ESC_C and nr <= LOWFREQ_ESC_C
+
+
+def _widen_items(items, k: int) -> None:
+    """Demote split-int8 items back to int16 level planes (rare: combined
+    escape load exceeded the kernel's static caps)."""
+    from imagekit_tpu.codecs.native import jpeg_abi
+
+    for it in items:
+        if it.split is not None:
+            it.coeffs = jpeg_abi.reconstruct_lowfreq_levels(*it.split, k)
+            it.split = None
+
+
+def _esc_batch_rows(esc, img: int, bx: int, cx: int, na: int):
+    """Map one image's escape rows (comp, flat_ac_index, residual) to batch
+    scatter coordinates (img, block_row, ac_col) — the layout the split-int8
+    kernel scatters into. Returns [(idx (m,3) i32, val (m,) i32)] x 3."""
+    out = []
+    esc = np.asarray(esc, np.int64).reshape(-1, 3)
+    for c in range(3):
+        rows = esc[esc[:, 0] == c]
+        bxi = bx if c == 0 else cx
+        bi, n = np.divmod(rows[:, 1], na)
+        r, b = np.divmod(bi, bxi)
+        idx = np.stack(
+            [np.full(len(rows), img, np.int64), r, b * na + n], axis=1
+        )
+        out.append((idx.astype(np.int32), rows[:, 2].astype(np.int32)))
+    return out
+
+
+def _pad_esc(idx_parts, val_parts, cap: int):
+    """Concatenate per-image scatter rows and zero-pad to the kernel's
+    static capacity (padding adds 0 at (0, 0, 0) — a no-op)."""
+    ei = np.zeros((cap, 3), np.int32)
+    ev = np.zeros((cap,), np.int32)
+    if idx_parts:
+        idx = np.concatenate(idx_parts)
+        val = np.concatenate(val_parts)
+        ei[: len(idx)] = idx
+        ev[: len(val)] = val
+    return ei, ev
 
 
 @dataclass
@@ -576,16 +652,30 @@ class BatchedEngine(TransformEngine):
             except ValueError:
                 k = 8  # outside the ladder; later checks handle fallback
 
+        # Split int8 transport (truncated path): AC levels ride as int8 +
+        # a sparse escape list, ~halving the host->device upload on the
+        # bandwidth-limited link. Escape-dense images (pathological noise
+        # at q>=94) exceed the per-image budget and ride int16 instead.
+        use_i8 = k < 8 and hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
+
         def entropy_decode():
             try:
                 if k < 8:
-                    return jpeg_abi.decode_lowfreq(lib, data, k, pre_hdr)
-                return jpeg_abi.decode(lib, data)
+                    if use_i8:
+                        hdr2, dc, ac, esc, qt, ovf = (
+                            jpeg_abi.decode_lowfreq_i8(lib, data, k, pre_hdr)
+                        )
+                        if not ovf and _esc_within_image_budget(esc):
+                            return hdr2, None, (dc, ac, esc), qt
+                    h3, ck, qt = jpeg_abi.decode_lowfreq(lib, data, k, pre_hdr)
+                    return h3, ck, None, qt
+                h3, ck, qt = jpeg_abi.decode(lib, data)
+                return h3, ck, None, qt
             except jpeg_abi.NativeJpegError as e:
                 raise _NativeUnsupported() from e
 
         t0 = time.perf_counter()
-        hdr, coeffs, qtabs = await loop.run_in_executor(
+        hdr, coeffs, split, qtabs = await loop.run_in_executor(
             self._codec_pool, entropy_decode
         )
         self.metrics.add_stage_time("entropy_decode", time.perf_counter() - t0)
@@ -593,9 +683,19 @@ class BatchedEngine(TransformEngine):
             # grayscale: fabricate zero chroma coefficient planes at 4:2:0
             # geometry — zero blocks IDCT to flat 128, so the colour matrix
             # contributes exactly nothing and R=G=B=Y
-            by, bx = coeffs[0].shape[:2]
-            cz = np.zeros(((by + 1) // 2, (bx + 1) // 2, k * k), np.int16)
-            coeffs = [coeffs[0], cz, cz]
+            by, bx = (coeffs[0] if split is None else split[0][0]).shape[:2]
+            if split is not None:
+                dc, ac, esc = split
+                dz = np.zeros(((by + 1) // 2, (bx + 1) // 2), np.int16)
+                az = np.zeros(
+                    ((by + 1) // 2, (bx + 1) // 2, k * k - 1), np.int8
+                )
+                split = ([dc[0], dz, dz], [ac[0], az, az], esc)
+            else:
+                cz = np.zeros(
+                    ((by + 1) // 2, (bx + 1) // 2, k * k), np.int16
+                )
+                coeffs = [coeffs[0], cz, cz]
             # zero chroma coeffs dequantise to zero under any table, so the
             # chroma slot just reuses the luma's selected table
             qtabs = np.stack([qtabs[hdr.comp_tq[0]], qtabs[hdr.comp_tq[0]]])
@@ -615,8 +715,9 @@ class BatchedEngine(TransformEngine):
             qtabs = np.stack([qtabs[hdr.comp_tq[0]], qtabs[hdr.comp_tq[1]]])
 
         out_w, out_h = target_dimensions(hdr.width, hdr.height, w, h)
-        by_y, bx_y = coeffs[0].shape[:2]
-        by_c, bx_c = coeffs[1].shape[:2]
+        planes = coeffs if split is None else split[0]
+        by_y, bx_y = planes[0].shape[:2]
+        by_c, bx_c = planes[1].shape[:2]
         try:
             yb_h, yb_w = bucket_for(by_y * 8), bucket_for(bx_y * 8)
             obh, obw = bucket_for(out_h), bucket_for(out_w)
@@ -627,11 +728,14 @@ class BatchedEngine(TransformEngine):
 
         fut: asyncio.Future = loop.create_future()
         item = _JpegItem(
-            hdr, coeffs, qtabs, out_h, out_w, fmt, quality, fut, k=k
+            hdr, coeffs, qtabs, out_h, out_w, fmt, quality, fut, k=k,
+            split=split,
         )
         # webp output takes the fused coefficients->YUV kernel (no RGB round
-        # trip, half the D2H bytes); other formats the coefficients->RGB one
-        key = (yb_h, yb_w, obh, obw, kind, k)
+        # trip, half the D2H bytes); other formats the coefficients->RGB one.
+        # The transport tag keeps int8- and int16-transport items in
+        # separate queues so every flushed batch is homogeneous.
+        key = (yb_h, yb_w, obh, obw, kind, k, split is not None)
         queue = self._jqueues.setdefault(key, [])
         queue.append(item)
         if len(queue) >= self.max_batch:
@@ -714,11 +818,14 @@ class BatchedEngine(TransformEngine):
 
     async def _flush_jpeg_group(self, key, items) -> None:
         from imagekit_tpu.ops.dct import (
+            LOWFREQ_ESC_C,
+            LOWFREQ_ESC_Y,
             combined_chroma_half_weights,
             combined_chroma_weights,
             decode_resize_rgb_batch,
             decode_resize_yuv_batch,
             decode_resize_yuv_lowfreq_batch,
+            decode_resize_yuv_lowfreq_i8_batch,
             lowfreq_chroma_half_weights,
             lowfreq_luma_weights,
             pad128,
@@ -726,27 +833,50 @@ class BatchedEngine(TransformEngine):
         from imagekit_tpu.utils.bucketing import batch_bucket
 
         loop = asyncio.get_running_loop()
-        yb_h, yb_w, obh, obw, kind, k = key
+        yb_h, yb_w, obh, obw, kind, k, t8 = key
         by_b, bx_b = yb_h // 8, yb_w // 8
         cy_b, cx_b = yb_h // 16, yb_w // 16
         lowfreq = k < 8
         nk = k * k if lowfreq else 64
+        na = nk - 1
         try:
             t0 = time.perf_counter()
+            if t8 and not _esc_within_batch_budget(items):
+                # combined escape load exceeds the split-int8 kernel's
+                # static caps (each image fit alone): widen this batch back
+                # to the int16 transport
+                await loop.run_in_executor(
+                    self._codec_pool, _widen_items, items, k
+                )
+                t8 = False
             nb = batch_bucket(len(items), self.max_batch)
             shard = self._use_mesh(nb)
-            sig = ("jpeg", kind, k, shard, nb, yb_h, yb_w, obh, obw)
+            sig = (
+                "jpeg8" if t8 else "jpeg",
+                kind, k, shard, nb, yb_h, yb_w, obh, obw,
+            )
             if sig not in self._compiled:
                 self._kick_compile_jpeg(sig)
                 await self._host_fallback_jpeg(items)
                 return
             # lowfreq layout: flat (B, by, pad128(bx*k*k)) keeps the minor
-            # transfer dim 128-aligned regardless of k
-            ym = pad128(bx_b * nk) if lowfreq else bx_b * 64
-            cm = pad128(cx_b * nk) if lowfreq else cx_b * 64
-            y = np.zeros((nb, by_b, ym), np.int16)
-            cb = np.zeros((nb, cy_b, cm), np.int16)
-            cr = np.zeros((nb, cy_b, cm), np.int16)
+            # transfer dim 128-aligned regardless of k; the split transport
+            # carries DC (int16) and AC (int8) in separate 128-aligned planes
+            if t8:
+                y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
+                y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+                cb_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
+                cb_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+                cr_dc = np.zeros_like(cb_dc)
+                cr_ac = np.zeros_like(cb_ac)
+                esc_idx: list = [[], [], []]
+                esc_val: list = [[], [], []]
+            else:
+                ym = pad128(bx_b * nk) if lowfreq else bx_b * 64
+                cm = pad128(cx_b * nk) if lowfreq else cx_b * 64
+                y = np.zeros((nb, by_b, ym), np.int16)
+                cb = np.zeros((nb, cy_b, cm), np.int16)
+                cr = np.zeros((nb, cy_b, cm), np.int16)
             qt = np.zeros((nb, 128), np.float32)
             # canonical (sorted) unique-geometry indexing: groups holding the
             # same SET of geometries share one device-resident weight stack
@@ -765,11 +895,28 @@ class BatchedEngine(TransformEngine):
             }
             vidx = np.zeros(nb, np.int32)
             for i, it in enumerate(items):
-                byi, bxi = it.coeffs[0].shape[:2]
-                cyi, cxi = it.coeffs[1].shape[:2]
-                y[i, :byi, : bxi * nk] = it.coeffs[0].reshape(byi, -1)
-                cb[i, :cyi, : cxi * nk] = it.coeffs[1].reshape(cyi, -1)
-                cr[i, :cyi, : cxi * nk] = it.coeffs[2].reshape(cyi, -1)
+                if t8:
+                    dc, ac, esc = it.split
+                    byi, bxi = dc[0].shape
+                    cyi, cxi = dc[1].shape
+                    y_dc[i, :byi, :bxi] = dc[0]
+                    y_ac[i, :byi, : bxi * na] = ac[0].reshape(byi, -1)
+                    cb_dc[i, :cyi, :cxi] = dc[1]
+                    cb_ac[i, :cyi, : cxi * na] = ac[1].reshape(cyi, -1)
+                    cr_dc[i, :cyi, :cxi] = dc[2]
+                    cr_ac[i, :cyi, : cxi * na] = ac[2].reshape(cyi, -1)
+                    if len(esc):
+                        for c, (ei, ev) in enumerate(
+                            _esc_batch_rows(esc, i, bxi, cxi, na)
+                        ):
+                            esc_idx[c].append(ei)
+                            esc_val[c].append(ev)
+                else:
+                    byi, bxi = it.coeffs[0].shape[:2]
+                    cyi, cxi = it.coeffs[1].shape[:2]
+                    y[i, :byi, : bxi * nk] = it.coeffs[0].reshape(byi, -1)
+                    cb[i, :cyi, : cxi * nk] = it.coeffs[1].reshape(cyi, -1)
+                    cr[i, :cyi, : cxi * nk] = it.coeffs[2].reshape(cyi, -1)
                 qt[i, :64] = it.qtabs[0]
                 qt[i, 64:] = it.qtabs[1]
                 vidx[i] = u_keys[(it.hdr.width, it.hdr.height, it.out_w, it.out_h)]
@@ -839,7 +986,35 @@ class BatchedEngine(TransformEngine):
             wv_y, wh_y, wv_c, wh_c = cached
             t1 = time.perf_counter()
 
+            if t8:
+                ey = _pad_esc(esc_idx[0], esc_val[0], LOWFREQ_ESC_Y)
+                eb = _pad_esc(esc_idx[1], esc_val[1], LOWFREQ_ESC_C)
+                er = _pad_esc(esc_idx[2], esc_val[2], LOWFREQ_ESC_C)
+
             def device_step():
+                if t8:
+                    dcs = (y_dc, cb_dc, cr_dc)
+                    acs = (y_ac, cb_ac, cr_ac)
+                    escs, qt_, vidx_ = (ey, eb, er), qt, vidx
+                    if shard:  # DP over the mesh's data axis
+                        dcs = tuple(self._put_sharded(a) for a in dcs)
+                        acs = tuple(self._put_sharded(a) for a in acs)
+                        qt_ = self._put_sharded(qt_)
+                        vidx_ = self._put_sharded(vidx_)
+                        # escape coordinates index the GLOBAL batch axis;
+                        # replicate and let GSPMD partition the scatter
+                        escs = tuple(
+                            (self._put_replicated(i_), self._put_replicated(v_))
+                            for i_, v_ in escs
+                        )
+                    return decode_resize_yuv_lowfreq_i8_batch(
+                        dcs, acs, escs, qt_,
+                        (wv_y, wh_y, wv_c, wh_c),
+                        vidx_,
+                        (by_b, bx_b, cy_b, cx_b),
+                        (obh, obw),
+                        k,
+                    )
                 yb_, cbb_, crb_, qt_, vidx_ = y, cb, cr, qt, vidx
                 if shard:  # DP over the mesh's data axis
                     yb_, cbb_, crb_, qt_, vidx_ = (
@@ -1101,13 +1276,17 @@ class BatchedEngine(TransformEngine):
         """Blocking compile of one jpeg-path signature with zero inputs
         (shared by warmup and the background cold-shape kicker)."""
         from imagekit_tpu.ops.dct import (
+            LOWFREQ_ESC_C,
+            LOWFREQ_ESC_Y,
             decode_resize_rgb_batch,
             decode_resize_yuv_batch,
             decode_resize_yuv_lowfreq_batch,
+            decode_resize_yuv_lowfreq_i8_batch,
             pad128,
         )
 
-        _, kind, k, shard, nb, yb_h, yb_w, obh, obw = sig
+        head, kind, k, shard, nb, yb_h, yb_w, obh, obw = sig
+        t8 = head == "jpeg8"
         by_b, bx_b = yb_h // 8, yb_w // 8
         cy_b, cx_b = yb_h // 16, yb_w // 16
         lowfreq = k < 8
@@ -1130,13 +1309,44 @@ class BatchedEngine(TransformEngine):
                 (c_obh, yb_h // 2),
                 (c_obw, yb_w // 2),
             )
-        y = np.zeros((nb, by_b, ym), np.int16)
-        c = np.zeros((nb, cy_b, cm), np.int16)
         qt = np.zeros((nb, 128), np.float32)
         weights = tuple(
             np.zeros((self.MAX_UNIQUE,) + d, np.float32) for d in wdims
         )
         idx = np.zeros(nb, np.int32)
+        if t8:
+            na = nk - 1
+            y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
+            y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+            c_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
+            c_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+            ey = (
+                np.zeros((LOWFREQ_ESC_Y, 3), np.int32),
+                np.zeros((LOWFREQ_ESC_Y,), np.int32),
+            )
+            ec = (
+                np.zeros((LOWFREQ_ESC_C, 3), np.int32),
+                np.zeros((LOWFREQ_ESC_C,), np.int32),
+            )
+            escs = (ey, ec, ec)
+            if shard:
+                y_dc, y_ac, c_dc, c_ac, qt, idx = (
+                    self._put_sharded(a)
+                    for a in (y_dc, y_ac, c_dc, c_ac, qt, idx)
+                )
+                weights = tuple(self._put_replicated(w) for w in weights)
+                escs = tuple(
+                    (self._put_replicated(i_), self._put_replicated(v_))
+                    for i_, v_ in escs
+                )
+            decode_resize_yuv_lowfreq_i8_batch(
+                (y_dc, c_dc, c_dc), (y_ac, c_ac, c_ac), escs, qt, weights,
+                idx, (by_b, bx_b, cy_b, cx_b), (obh, obw), k,
+            )
+            self._compiled.add(sig)
+            return
+        y = np.zeros((nb, by_b, ym), np.int16)
+        c = np.zeros((nb, cy_b, cm), np.int16)
         if shard:
             y, c, qt, idx = (self._put_sharded(a) for a in (y, c, qt, idx))
             weights = tuple(self._put_replicated(w) for w in weights)
@@ -1207,6 +1417,18 @@ class BatchedEngine(TransformEngine):
         loop = asyncio.get_running_loop()
         self.metrics.inc("host_fallbacks", len(items))
 
+        def _levels(it):
+            """Truncated items on the split int8 transport rebuild their
+            int16 level planes host-side (runs inside the codec pool)."""
+            if it.coeffs is None:
+                from imagekit_tpu.codecs.native import jpeg_abi
+
+                it.coeffs = jpeg_abi.reconstruct_lowfreq_levels(
+                    *it.split, it.k
+                )
+                it.split = None
+            return it.coeffs
+
         async def one(it) -> None:
             try:
                 if it.k < 8:
@@ -1214,16 +1436,17 @@ class BatchedEngine(TransformEngine):
                     # lowfreq kernel -> YUV planes -> native VP8 encode
                     yuv = await loop.run_in_executor(
                         self._codec_pool,
-                        host_decode_resize_yuv_lowfreq_single,
-                        it.coeffs,
-                        it.qtabs,
-                        it.hdr.width,
-                        it.hdr.height,
-                        it.hdr.comp_width[1],
-                        it.hdr.comp_height[1],
-                        it.out_h,
-                        it.out_w,
-                        it.k,
+                        lambda: host_decode_resize_yuv_lowfreq_single(
+                            _levels(it),
+                            it.qtabs,
+                            it.hdr.width,
+                            it.hdr.height,
+                            it.hdr.comp_width[1],
+                            it.hdr.comp_height[1],
+                            it.out_h,
+                            it.out_w,
+                            it.k,
+                        ),
                     )
                     encoded = await self._encode_yuv(
                         loop, yuv[0], yuv[1], yuv[2], it.quality
@@ -1347,7 +1570,9 @@ class BatchedEngine(TransformEngine):
         # use while requests ride the host fallback).
         from imagekit_tpu.codecs.native import loader as _loader
 
-        lowfreq_ok = hasattr(_loader.load() or object(), "ik_jpeg_decode_coeffs_lowfreq")
+        _lib = _loader.load() or object()
+        lowfreq_ok = hasattr(_lib, "ik_jpeg_decode_coeffs_lowfreq")
+        i8_ok = hasattr(_lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
         kinds = []
         if "jpeg" in paths:
             kinds.append("yuv")
@@ -1363,7 +1588,11 @@ class BatchedEngine(TransformEngine):
                     if kind == "yuv" and lowfreq_ok
                     else 8
                 )
-                sig = ("jpeg", kind, k, shard, b, bh, bw, obh, obw)
+                # truncated shapes serve via the split int8 transport when
+                # the native symbol exists; escape-dense outliers ride the
+                # int16 variant, background-compiled on first occurrence
+                head = "jpeg8" if k < 8 and i8_ok else "jpeg"
+                sig = (head, kind, k, shard, b, bh, bw, obh, obw)
                 await loop.run_in_executor(
                     self._device_pool, self._compile_jpeg_sig, sig
                 )

@@ -352,7 +352,7 @@ def test_jpeg_lowfreq_truncated_path():
     out = asyncio.run(run())
     # the truncated device kernel actually ran
     assert any(
-        s[0] == "jpeg" and s[1] == "yuv" and s[2] == 2
+        s[0] in ("jpeg", "jpeg8") and s[1] == "yuv" and s[2] == 2
         for s in engine._compiled
     )
     assert engine.metrics.stage_seconds.get("device_decode_resize", 0) > 0
@@ -585,3 +585,173 @@ def _rgba(im):
     a = (_np.arange(arr.shape[0]) % 256).astype(_np.uint8)
     alpha = _np.tile(a[:, None], (1, arr.shape[1]))
     return _Image.fromarray(_np.dstack([arr, alpha]), "RGBA")
+
+
+def _noisy_jpeg(w, h, q, seed=7):
+    """Escape-dense content for the split int8 transport: hard edges at
+    high quality push AC levels past int8."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) % 256], axis=-1
+    ).astype(np.float32)
+    base = np.clip(base + rng.normal(0, 90, base.shape), 0, 255)
+    base[::7] = 255.0
+    base[:, ::5] = 0.0
+    buf = io.BytesIO()
+    Image.fromarray(base.astype(np.uint8)).save(buf, "JPEG", quality=q)
+    return buf.getvalue()
+
+
+def test_jpeg_lowfreq_i8_transport_end_to_end(monkeypatch):
+    """The split int8 transport serves truncated downscales through the
+    device path and produces BYTE-IDENTICAL output to the int16 transport
+    (the kernels are bit-identical; only the wire format differs)."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.serving import batcher as batcher_mod
+
+    lib = native.load()
+    if not vp8_native.available() or not hasattr(
+        lib, "ik_jpeg_decode_coeffs_lowfreq_i8"
+    ):
+        pytest.skip("native i8 transport unavailable")
+
+    data = _noisy_jpeg(1280, 720, 92)
+    yb_h, yb_w = bucket_for(720), bucket_for(1280)
+    obh, obw = bucket_for(144), bucket_for(256)
+    engine = make_engine()
+    shapes = [(1, yb_h, yb_w, obh, obw, 3)]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg",))
+        # warmup compiled the i8 sig; compile the int16 one too so the
+        # comparison request also rides the device path
+        engine._compile_jpeg_sig(
+            ("jpeg", "yuv", 2, False, 1, yb_h, yb_w, obh, obw)
+        )
+        out8 = await engine.transform(data, 256, None, ImageFormat.webp, 85)
+        # force the int16 transport for the same request
+        monkeypatch.setattr(
+            batcher_mod, "_esc_within_image_budget", lambda esc: False
+        )
+        out16 = await engine.transform(data, 256, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out8, out16
+
+    out8, out16 = asyncio.run(run())
+    assert any(s[0] == "jpeg8" and s[2] == 2 for s in engine._compiled)
+    assert engine.metrics.host_fallbacks == 0
+    assert out8 == out16
+    dec = np.asarray(Image.open(io.BytesIO(out8)).convert("RGB"))
+    assert dec.shape == (144, 256, 3)
+
+
+def test_jpeg_lowfreq_i8_escape_overflow_rides_int16():
+    """Pathological escape density (beyond the per-image budget) silently
+    demotes to the int16 transport — output stays correct."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.codecs.native import jpeg_abi
+
+    lib = native.load()
+    if not vp8_native.available() or not hasattr(
+        lib, "ik_jpeg_decode_coeffs_lowfreq_i8"
+    ):
+        pytest.skip("native i8 transport unavailable")
+
+    # 640x480 -> 240x180 chooses K=4; q100 noise overflows ESC_CAP
+    data = _noisy_jpeg(640, 480, 100)
+    _, _, _, _, _, ovf = jpeg_abi.decode_lowfreq_i8(lib, data, 4)
+    assert ovf, "fixture no longer overflows — raise its entropy"
+
+    engine = make_engine()
+
+    async def run():
+        out = await engine.transform(data, 240, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert out[:4] == b"RIFF"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape == (180, 240, 3)
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (240, 180), Image.LANCZOS
+        )
+    )
+    # noise content + truncated decode: just require sane reconstruction
+    assert psnr(dec, golden) >= 20.0
+
+
+def test_jpeg_lowfreq_i8_batch_budget_demotes_whole_batch(monkeypatch):
+    """Images that each fit the per-image budget can jointly exceed the
+    kernel's static escape caps; the whole batch widens to int16 and every
+    request still completes correctly."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.serving import batcher as batcher_mod
+
+    lib = native.load()
+    if not vp8_native.available() or not hasattr(
+        lib, "ik_jpeg_decode_coeffs_lowfreq_i8"
+    ):
+        pytest.skip("native i8 transport unavailable")
+
+    widened = []
+    real_widen = batcher_mod._widen_items
+
+    def spy(items, k):
+        widened.append(len(items))
+        return real_widen(items, k)
+
+    monkeypatch.setattr(batcher_mod, "_widen_items", spy)
+    from PIL import Image  # noqa: F401 (used below)
+    # force every batch over the cap so the demotion path runs
+    monkeypatch.setattr(
+        batcher_mod, "_esc_within_batch_budget", lambda items: False
+    )
+
+    datas = [_noisy_jpeg(1280, 720, 92, seed=s) for s in range(3)]
+    engine = make_engine(max_batch=3, delay_ms=50)
+    shapes = [
+        (4, bucket_for(720), bucket_for(1280), bucket_for(144),
+         bucket_for(256), 3)
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg",))
+        outs = await asyncio.gather(
+            *(
+                engine.transform(d, 256, None, ImageFormat.webp, 85)
+                for d in datas
+            )
+        )
+        await engine.close()
+        return outs
+
+    outs = asyncio.run(run())
+    assert widened and sum(widened) == 3
+    for out in outs:
+        assert out[:4] == b"RIFF"
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        assert dec.shape == (144, 256, 3)

@@ -212,3 +212,163 @@ def test_lowfreq_device_kernel_matches_host_mirror():
     assert np.abs(
         cbd[0, :ch, :cw].astype(int) - cbh.astype(int)
     ).max() <= 1
+
+
+# -- split int8 coefficient transport (decode_lowfreq_i8) ---------------------
+
+
+def _noisy_image(w, h, seed=7):
+    """High-entropy content with hard edges: at q>=90 some AC levels exceed
+    int8, exercising the escape list."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            xx * 255 / max(w - 1, 1),
+            yy * 255 / max(h - 1, 1),
+            (xx + yy) % 256,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    base = np.clip(base + rng.normal(0, 90, base.shape), 0, 255)
+    base[::7] = 255.0
+    base[:, ::5] = 0.0
+    return base.astype(np.uint8)
+
+
+@pytest.mark.skipif(
+    lib is None or not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"),
+    reason="i8 transport symbol unavailable",
+)
+def test_lowfreq_i8_transport_reconstructs_exact_levels():
+    """dc(int16) + ac(int8) + escape residuals rebuild the int16 levels
+    bit-exactly — baseline, progressive, and escape-dense content."""
+    total_esc = 0
+    for q, noisy, prog in [(85, False, False), (92, True, False), (90, True, True)]:
+        img = _noisy_image(644, 482) if noisy else make_test_image(644, 482)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=q, progressive=prog)
+        data = buf.getvalue()
+        for k in (2, 4):
+            hdr, ck, qk = jpeg_abi.decode_lowfreq(lib, data, k)
+            hdr2, dc, ac, esc, qk2, ovf = jpeg_abi.decode_lowfreq_i8(
+                lib, data, k
+            )
+            assert not ovf
+            np.testing.assert_array_equal(qk, qk2)
+            total_esc += len(esc)
+            lev = jpeg_abi.reconstruct_lowfreq_levels(dc, ac, esc, k)
+            for c in range(3):
+                np.testing.assert_array_equal(lev[c], ck[c])
+    assert total_esc > 0, "escape path never exercised"
+
+
+@pytest.mark.skipif(
+    lib is None or not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"),
+    reason="i8 transport symbol unavailable",
+)
+def test_lowfreq_i8_overflow_flag():
+    """Truncated escape lists are reported, not silently dropped."""
+    data = _jpeg(_noisy_image(324, 242), 96)
+    _, _, _, esc, _, ovf = jpeg_abi.decode_lowfreq_i8(lib, data, 4, esc_cap=2)
+    assert ovf and len(esc) == 2
+
+
+@pytest.mark.skipif(
+    lib is None or not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"),
+    reason="i8 transport symbol unavailable",
+)
+def test_lowfreq_i8_device_kernel_bit_parity():
+    """The split-transport kernel is bit-identical to the int16 lowfreq
+    kernel on a batch mixing escape-free and escape-dense images."""
+    from imagekit_tpu.ops.dct import (
+        LOWFREQ_ESC_C,
+        LOWFREQ_ESC_Y,
+        decode_resize_yuv_lowfreq_batch,
+        decode_resize_yuv_lowfreq_i8_batch,
+        lowfreq_chroma_half_weights,
+        lowfreq_luma_weights,
+        pad128,
+    )
+    from imagekit_tpu.serving.batcher import _esc_batch_rows, _pad_esc
+    from imagekit_tpu.utils.bucketing import bucket_for
+
+    k = 4
+    nk, na = k * k, k * k - 1
+    datas = [
+        _jpeg(make_test_image(640, 480), 85),
+        _jpeg(_noisy_image(640, 480), 92),
+    ]
+    out_h, out_w = 120, 160
+    dec16 = [jpeg_abi.decode_lowfreq(lib, d, k) for d in datas]
+    dec8 = [jpeg_abi.decode_lowfreq_i8(lib, d, k) for d in datas]
+    assert any(len(d[3]) for d in dec8), "no escapes in batch"
+
+    hdr = dec16[0][0]
+    by, bx = dec16[0][1][0].shape[:2]
+    cy, cx = dec16[0][1][1].shape[:2]
+    yb_h, yb_w = bucket_for(by * 8), bucket_for(bx * 8)
+    obh, obw = bucket_for(out_h), bucket_for(out_w)
+    by_b, bx_b, cy_b, cx_b = yb_h // 8, yb_w // 8, yb_h // 16, yb_w // 16
+    nb = 2
+
+    qt = np.zeros((nb, 128), np.float32)
+    y16 = np.zeros((nb, by_b, pad128(bx_b * nk)), np.int16)
+    cb16 = np.zeros((nb, cy_b, pad128(cx_b * nk)), np.int16)
+    cr16 = np.zeros_like(cb16)
+    for i, (h, ck, qk) in enumerate(dec16):
+        y16[i, :by, : bx * nk] = ck[0].reshape(by, -1)
+        cb16[i, :cy, : cx * nk] = ck[1].reshape(cy, -1)
+        cr16[i, :cy, : cx * nk] = ck[2].reshape(cy, -1)
+        qt[i, :64] = qk[h.comp_tq[0]]
+        qt[i, 64:] = qk[h.comp_tq[1]]
+
+    wv = np.zeros((1, obh, yb_h * k // 8), np.float32)
+    wh = np.zeros((1, obw, yb_w * k // 8), np.float32)
+    wvc = np.zeros((1, obh // 2, yb_h * k // 16), np.float32)
+    whc = np.zeros((1, obw // 2, yb_w * k // 16), np.float32)
+    wv[0] = lowfreq_luma_weights(hdr.height, out_h, k, yb_h * k // 8, obh)
+    wh[0] = lowfreq_luma_weights(hdr.width, out_w, k, yb_w * k // 8, obw)
+    wvc[0] = lowfreq_chroma_half_weights(
+        hdr.comp_height[1], hdr.height, out_h, yb_h * k // 16, obh // 2, k
+    )
+    whc[0] = lowfreq_chroma_half_weights(
+        hdr.comp_width[1], hdr.width, out_w, yb_w * k // 16, obw // 2, k
+    )
+    vidx = np.zeros(nb, np.int32)
+    dims = (by_b, bx_b, cy_b, cx_b)
+
+    ref = decode_resize_yuv_lowfreq_batch(
+        y16, cb16, cr16, qt, (wv, wh, wvc, whc), vidx, dims, (obh, obw), k
+    )
+
+    y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
+    y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+    cb_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
+    cb_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+    cr_dc = np.zeros_like(cb_dc)
+    cr_ac = np.zeros_like(cb_ac)
+    eidx = [[], [], []]
+    evals = [[], [], []]
+    for i, (h, dc, ac, esc, qk, ovf) in enumerate(dec8):
+        assert not ovf
+        y_dc[i, :by, :bx] = dc[0]
+        y_ac[i, :by, : bx * na] = ac[0].reshape(by, -1)
+        cb_dc[i, :cy, :cx] = dc[1]
+        cb_ac[i, :cy, : cx * na] = ac[1].reshape(cy, -1)
+        cr_dc[i, :cy, :cx] = dc[2]
+        cr_ac[i, :cy, : cx * na] = ac[2].reshape(cy, -1)
+        for c, (ei, ev) in enumerate(_esc_batch_rows(esc, i, bx, cx, na)):
+            eidx[c].append(ei)
+            evals[c].append(ev)
+    escs = (
+        _pad_esc(eidx[0], evals[0], LOWFREQ_ESC_Y),
+        _pad_esc(eidx[1], evals[1], LOWFREQ_ESC_C),
+        _pad_esc(eidx[2], evals[2], LOWFREQ_ESC_C),
+    )
+    out = decode_resize_yuv_lowfreq_i8_batch(
+        (y_dc, cb_dc, cr_dc), (y_ac, cb_ac, cr_ac), escs, qt,
+        (wv, wh, wvc, whc), vidx, dims, (obh, obw), k,
+    )
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -88,6 +88,9 @@ def feed(kind: str, data: bytes) -> None:
             hdr = jpeg_abi.parse(lib, data)
             jpeg_abi.decode(lib, data)
             jpeg_abi.decode_lowfreq(lib, data, 2)
+            if hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+                # tiny esc_cap stresses the count-past-cap bookkeeping
+                jpeg_abi.decode_lowfreq_i8(lib, data, 3, esc_cap=4)
             jpeg_abi.decode_planes(lib, data)
             del hdr
         elif kind == "png":
