@@ -203,6 +203,54 @@ async def measure_device_only(engine, src: bytes):
     cy_b, cx_b = yb_h // 16, yb_w // 16
     nk = k * k
 
+    # measure the transport the serving path actually uses: split int8
+    # (AC as int8 + sparse escapes) when the native symbol exists
+    t8 = hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
+    if t8:
+        from imagekit_tpu.ops.dct import (
+            LOWFREQ_ESC_C,
+            LOWFREQ_ESC_Y,
+            decode_resize_yuv_lowfreq_i8_batch,
+        )
+        from imagekit_tpu.serving.batcher import _esc_batch_rows, _pad_esc
+
+        na = nk - 1
+        _, dc8, ac8, esc8, _, ovf = jpeg_abi.decode_lowfreq_i8(lib, src, k)
+        t8 = not ovf
+    if t8:
+        y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
+        y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+        cb_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
+        cb_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+        cr_dc = np.zeros_like(cb_dc)
+        cr_ac = np.zeros_like(cb_ac)
+        eidx = [[], [], []]
+        evals = [[], [], []]
+        for i in range(nb):
+            y_dc[i, :by, :bx] = dc8[0]
+            y_ac[i, :by, : bx * na] = ac8[0].reshape(by, -1)
+            cb_dc[i, :cy, :cx] = dc8[1]
+            cb_ac[i, :cy, : cx * na] = ac8[1].reshape(cy, -1)
+            cr_dc[i, :cy, :cx] = dc8[2]
+            cr_ac[i, :cy, : cx * na] = ac8[2].reshape(cy, -1)
+            for c, (ei, ev) in enumerate(
+                _esc_batch_rows(esc8, i, bx, cx, na)
+            ):
+                eidx[c].append(ei)
+                evals[c].append(ev)
+        # batch-cap overflow would demote in serving; mirror that here
+        if (
+            sum(map(len, eidx[0])) > LOWFREQ_ESC_Y
+            or sum(map(len, eidx[1])) > LOWFREQ_ESC_C
+            or sum(map(len, eidx[2])) > LOWFREQ_ESC_C
+        ):
+            t8 = False
+        else:
+            escs = (
+                _pad_esc(eidx[0], evals[0], LOWFREQ_ESC_Y),
+                _pad_esc(eidx[1], evals[1], LOWFREQ_ESC_C),
+                _pad_esc(eidx[2], evals[2], LOWFREQ_ESC_C),
+            )
     y = np.zeros((nb, by_b, pad128(bx_b * nk)), np.int16)
     cb = np.zeros((nb, cy_b, pad128(cx_b * nk)), np.int16)
     cr = np.zeros_like(cb)
@@ -232,6 +280,11 @@ async def measure_device_only(engine, src: bytes):
     dims = (by_b, bx_b, cy_b, cx_b)
 
     def step():
+        if t8:
+            return decode_resize_yuv_lowfreq_i8_batch(
+                (y_dc, cb_dc, cr_dc), (y_ac, cb_ac, cr_ac), escs, qt,
+                dweights, vidx, dims, (obh, obw), k,
+            )
         return decode_resize_yuv_lowfreq_batch(
             y, cb, cr, qt, dweights, vidx, dims, (obh, obw), k
         )

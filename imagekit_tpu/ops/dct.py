@@ -215,7 +215,12 @@ def _decode_resize_kernel(
     Y = _blocks_to_plane(y_flat, by_y, bx_y, qtabs[:, :64], A)
     Cb = _blocks_to_plane(cb_flat, by_c, bx_c, qtabs[:, 64:], A)
     Cr = _blocks_to_plane(cr_flat, by_c, bx_c, qtabs[:, 64:], A)
+    return _rgb_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx)
 
+
+def _rgb_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx):
+    """Resize the three planes and convert BT.601 full-range YCbCr -> RGB;
+    shared by both coefficient transports of the RGB kernel."""
     hp = jax.lax.Precision.HIGHEST
 
     def plane_resize(P, wv_u, wh_u):
@@ -309,28 +314,9 @@ def _decode_resize_yuv_kernel(
     Y = _blocks_to_plane(y_flat, by_y, bx_y, qtabs[:, :64], A)
     Cb = _blocks_to_plane(cb_flat, by_c, bx_c, qtabs[:, 64:], A)
     Cr = _blocks_to_plane(cr_flat, by_c, bx_c, qtabs[:, 64:], A)
-
-    hp = jax.lax.Precision.HIGHEST
-
-    def plane_resize(P, wv_u, wh_u):
-        wv = wv_u[vidx]
-        wh = wh_u[vidx]
-        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
-        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
-
-    # full-range JFIF -> studio-range VP8: Y' = 16 + 219/255 Y,
-    # C' = 128 + 224/255 (C - 128); resize rows sum to 1 so the affine
-    # offsets apply exactly after resampling
-    y = plane_resize(Y, wv_y_u, wh_y_u) * (219.0 / 255.0) + 16.0
-    c_off = 128.0 * (1.0 - 224.0 / 255.0)
-    cb = plane_resize(Cb, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
-    cr = plane_resize(Cr, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
-
-    def q8(p):
-        B = p.shape[0]
-        return jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0).astype(jnp.uint8).reshape(B, -1)
-
-    return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
+    # full-range JFIF -> studio-range VP8 and the fused resize live in
+    # _yuv_tail (shared with the truncated kernels and both transports)
+    return _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx)
 
 
 def decode_resize_yuv_batch(
@@ -670,6 +656,110 @@ def decode_resize_yuv_lowfreq_i8_batch(
             cx_b=cx_b,
             k=k,
         )
+    )
+    B = flat.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = flat[:, :ny].reshape(B, obh, obw)
+    cb = flat[:, ny:ny + nc].reshape(B, obh // 2, obw // 2)
+    cr = flat[:, ny + nc:].reshape(B, obh // 2, obw // 2)
+    return y, cb, cr
+
+
+def _widen_split_levels(dc, ac, eidx, evals, by, bx):
+    """Split int8 transport -> full levels: (B, by, pad128(bx)) i16 DC +
+    (B, by, pad128(bx*63)) i8 AC, widened to i32 with the sparse escape
+    residuals scatter-added (padding rows add 0 at (0,0,0)), DC lane
+    prepended -> (B, by, bx*64) natural-order levels."""
+    B = dc.shape[0]
+    a = ac.astype(jnp.int32)
+    a = a.at[eidx[:, 0], eidx[:, 1], eidx[:, 2]].add(evals)
+    a = a[:, :, : bx * 63].reshape(B, by, bx, 63)
+    d = dc[:, :, :bx].astype(jnp.int32)
+    lev = jnp.concatenate([d[..., None], a], axis=-1)
+    return lev.reshape(B, by, bx * 64)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("by_y", "bx_y", "by_c", "bx_c", "rgb")
+)
+def _decode_resize_i8_kernel(
+    y_dc, y_ac, cb_dc, cb_ac, cr_dc, cr_ac,
+    ey_idx, ey_val, eb_idx, eb_val, er_idx, er_val,
+    qtabs, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx,
+    by_y: int, bx_y: int, by_c: int, bx_c: int, rgb: bool,
+):
+    """Full-resolution (k=8) fused decode+resize on the split int8
+    transport — identical output to _decode_resize_kernel (rgb=True) /
+    _decode_resize_yuv_kernel (rgb=False); only the wire format differs.
+    The upload is ~2x smaller (AC bytes halve; DC plus escapes are small)."""
+    A = jnp.asarray(idct_basis())
+
+    def plane(dc, ac, eidx, evals, by, bx, qt):
+        lev = _widen_split_levels(dc, ac, eidx, evals, by, bx)
+        return _blocks_to_plane(lev, by, bx, qt, A)
+
+    Y = plane(y_dc, y_ac, ey_idx, ey_val, by_y, bx_y, qtabs[:, :64])
+    Cb = plane(cb_dc, cb_ac, eb_idx, eb_val, by_c, bx_c, qtabs[:, 64:])
+    Cr = plane(cr_dc, cr_ac, er_idx, er_val, by_c, bx_c, qtabs[:, 64:])
+    tail = _rgb_tail if rgb else _yuv_tail
+    return tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx)
+
+
+def _run_i8_full(dc_arrays, ac_arrays, escapes, qtabs, weights, vidx,
+                 block_dims, rgb: bool):
+    wv_y, wh_y, wv_c, wh_c = weights
+    by_y, bx_y, by_c, bx_c = block_dims
+    (ey_idx, ey_val), (eb_idx, eb_val), (er_idx, er_val) = escapes
+    return np.asarray(
+        _decode_resize_i8_kernel(
+            jnp.asarray(dc_arrays[0]),
+            jnp.asarray(ac_arrays[0]),
+            jnp.asarray(dc_arrays[1]),
+            jnp.asarray(ac_arrays[1]),
+            jnp.asarray(dc_arrays[2]),
+            jnp.asarray(ac_arrays[2]),
+            jnp.asarray(ey_idx),
+            jnp.asarray(ey_val),
+            jnp.asarray(eb_idx),
+            jnp.asarray(eb_val),
+            jnp.asarray(er_idx),
+            jnp.asarray(er_val),
+            jnp.asarray(qtabs),
+            jnp.asarray(wv_y),
+            jnp.asarray(wh_y),
+            jnp.asarray(wv_c),
+            jnp.asarray(wh_c),
+            jnp.asarray(vidx),
+            by_y=by_y,
+            bx_y=bx_y,
+            by_c=by_c,
+            bx_c=bx_c,
+            rgb=rgb,
+        )
+    )
+
+
+def decode_resize_rgb_i8_batch(dc_arrays, ac_arrays, escapes, qtabs,
+                               weights, vidx, block_dims, out_shape):
+    """Split-transport variant of decode_resize_rgb_batch (bit-identical
+    output): returns (B, OHb, OWb, 3) u8."""
+    obh, obw = out_shape
+    flat = _run_i8_full(
+        dc_arrays, ac_arrays, escapes, qtabs, weights, vidx, block_dims,
+        rgb=True,
+    )
+    return flat.reshape(flat.shape[0], obh, obw, 3)
+
+
+def decode_resize_yuv_i8_batch(dc_arrays, ac_arrays, escapes, qtabs,
+                               weights, vidx, block_dims, out_shape):
+    """Split-transport variant of decode_resize_yuv_batch (bit-identical
+    output): returns (Y, Cb, Cr) u8 planes."""
+    obh, obw = out_shape
+    flat = _run_i8_full(
+        dc_arrays, ac_arrays, escapes, qtabs, weights, vidx, block_dims,
+        rgb=False,
     )
     B = flat.shape[0]
     ny = obh * obw

@@ -652,24 +652,26 @@ class BatchedEngine(TransformEngine):
             except ValueError:
                 k = 8  # outside the ladder; later checks handle fallback
 
-        # Split int8 transport (truncated path): AC levels ride as int8 +
-        # a sparse escape list, ~halving the host->device upload on the
+        # Split int8 transport (all k, both kinds): AC levels ride as int8
+        # + a sparse escape list, ~halving the host->device upload on the
         # bandwidth-limited link. Escape-dense images (pathological noise
         # at q>=94) exceed the per-image budget and ride int16 instead.
-        use_i8 = k < 8 and hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
+        use_i8 = hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
 
         def entropy_decode():
             try:
+                if use_i8:
+                    # k=8 emits the full 63-AC split layout (the "lowfreq"
+                    # entry covers K in [2, 8])
+                    hdr2, dc, ac, esc, qt, ovf = (
+                        jpeg_abi.decode_lowfreq_i8(lib, data, k, pre_hdr)
+                    )
+                    if not ovf and _esc_within_image_budget(esc):
+                        return hdr2, None, (dc, ac, esc), qt
                 if k < 8:
-                    if use_i8:
-                        hdr2, dc, ac, esc, qt, ovf = (
-                            jpeg_abi.decode_lowfreq_i8(lib, data, k, pre_hdr)
-                        )
-                        if not ovf and _esc_within_image_budget(esc):
-                            return hdr2, None, (dc, ac, esc), qt
                     h3, ck, qt = jpeg_abi.decode_lowfreq(lib, data, k, pre_hdr)
-                    return h3, ck, None, qt
-                h3, ck, qt = jpeg_abi.decode(lib, data)
+                else:
+                    h3, ck, qt = jpeg_abi.decode(lib, data)
                 return h3, ck, None, qt
             except jpeg_abi.NativeJpegError as e:
                 raise _NativeUnsupported() from e
@@ -823,7 +825,9 @@ class BatchedEngine(TransformEngine):
             combined_chroma_half_weights,
             combined_chroma_weights,
             decode_resize_rgb_batch,
+            decode_resize_rgb_i8_batch,
             decode_resize_yuv_batch,
+            decode_resize_yuv_i8_batch,
             decode_resize_yuv_lowfreq_batch,
             decode_resize_yuv_lowfreq_i8_batch,
             lowfreq_chroma_half_weights,
@@ -1007,13 +1011,26 @@ class BatchedEngine(TransformEngine):
                             (self._put_replicated(i_), self._put_replicated(v_))
                             for i_, v_ in escs
                         )
-                    return decode_resize_yuv_lowfreq_i8_batch(
+                    if lowfreq:
+                        return decode_resize_yuv_lowfreq_i8_batch(
+                            dcs, acs, escs, qt_,
+                            (wv_y, wh_y, wv_c, wh_c),
+                            vidx_,
+                            (by_b, bx_b, cy_b, cx_b),
+                            (obh, obw),
+                            k,
+                        )
+                    fn8 = (
+                        decode_resize_rgb_i8_batch
+                        if kind == "rgb"
+                        else decode_resize_yuv_i8_batch
+                    )
+                    return fn8(
                         dcs, acs, escs, qt_,
                         (wv_y, wh_y, wv_c, wh_c),
                         vidx_,
                         (by_b, bx_b, cy_b, cx_b),
                         (obh, obw),
-                        k,
                     )
                 yb_, cbb_, crb_, qt_, vidx_ = y, cb, cr, qt, vidx
                 if shard:  # DP over the mesh's data axis
@@ -1279,7 +1296,9 @@ class BatchedEngine(TransformEngine):
             LOWFREQ_ESC_C,
             LOWFREQ_ESC_Y,
             decode_resize_rgb_batch,
+            decode_resize_rgb_i8_batch,
             decode_resize_yuv_batch,
+            decode_resize_yuv_i8_batch,
             decode_resize_yuv_lowfreq_batch,
             decode_resize_yuv_lowfreq_i8_batch,
             pad128,
@@ -1339,10 +1358,21 @@ class BatchedEngine(TransformEngine):
                     (self._put_replicated(i_), self._put_replicated(v_))
                     for i_, v_ in escs
                 )
-            decode_resize_yuv_lowfreq_i8_batch(
-                (y_dc, c_dc, c_dc), (y_ac, c_ac, c_ac), escs, qt, weights,
-                idx, (by_b, bx_b, cy_b, cx_b), (obh, obw), k,
-            )
+            if lowfreq:
+                decode_resize_yuv_lowfreq_i8_batch(
+                    (y_dc, c_dc, c_dc), (y_ac, c_ac, c_ac), escs, qt,
+                    weights, idx, (by_b, bx_b, cy_b, cx_b), (obh, obw), k,
+                )
+            else:
+                fn8 = (
+                    decode_resize_rgb_i8_batch
+                    if kind == "rgb"
+                    else decode_resize_yuv_i8_batch
+                )
+                fn8(
+                    (y_dc, c_dc, c_dc), (y_ac, c_ac, c_ac), escs, qt,
+                    weights, idx, (by_b, bx_b, cy_b, cx_b), (obh, obw),
+                )
             self._compiled.add(sig)
             return
         y = np.zeros((nb, by_b, ym), np.int16)
@@ -1454,15 +1484,16 @@ class BatchedEngine(TransformEngine):
                 else:
                     rgb = await loop.run_in_executor(
                         self._codec_pool,
-                        host_decode_resize_single,
-                        it.coeffs,
-                        it.qtabs,
-                        it.hdr.width,
-                        it.hdr.height,
-                        it.hdr.comp_width[1],
-                        it.hdr.comp_height[1],
-                        it.out_h,
-                        it.out_w,
+                        lambda: host_decode_resize_single(
+                            _levels(it),
+                            it.qtabs,
+                            it.hdr.width,
+                            it.hdr.height,
+                            it.hdr.comp_width[1],
+                            it.hdr.comp_height[1],
+                            it.out_h,
+                            it.out_w,
+                        ),
                     )
                     encoded = await self._encode(loop, rgb, it.fmt, it.quality)
             except Exception as e:  # noqa: BLE001
@@ -1588,10 +1619,10 @@ class BatchedEngine(TransformEngine):
                     if kind == "yuv" and lowfreq_ok
                     else 8
                 )
-                # truncated shapes serve via the split int8 transport when
-                # the native symbol exists; escape-dense outliers ride the
+                # the split int8 transport serves every k and kind when the
+                # native symbol exists; escape-dense outliers ride the
                 # int16 variant, background-compiled on first occurrence
-                head = "jpeg8" if k < 8 and i8_ok else "jpeg"
+                head = "jpeg8" if i8_ok else "jpeg"
                 sig = (head, kind, k, shard, b, bh, bw, obh, obw)
                 await loop.run_in_executor(
                     self._device_pool, self._compile_jpeg_sig, sig

@@ -755,3 +755,59 @@ def test_jpeg_lowfreq_i8_batch_budget_demotes_whole_batch(monkeypatch):
         assert out[:4] == b"RIFF"
         dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
         assert dec.shape == (144, 256, 3)
+
+
+def test_jpeg_fullk_i8_transport_end_to_end(monkeypatch):
+    """k=8 (mild resize / non-webp output): both kinds serve through the
+    split int8 transport with output byte-identical to the int16 one."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.serving import batcher as batcher_mod
+
+    lib = native.load()
+    if not vp8_native.available() or not hasattr(
+        lib, "ik_jpeg_decode_coeffs_lowfreq_i8"
+    ):
+        pytest.skip("native i8 transport unavailable")
+
+    data = _noisy_jpeg(320, 240, 92)
+    yb_h, yb_w = bucket_for(240), bucket_for(320)
+    engine = make_engine()
+
+    async def run():
+        # webp at <2x downscale -> k=8 yuv kind; jpeg output -> rgb kind
+        obh, obw = bucket_for(150), bucket_for(200)
+        for head, kind in (("jpeg8", "yuv"), ("jpeg", "yuv"),
+                           ("jpeg8", "rgb"), ("jpeg", "rgb")):
+            engine._compile_jpeg_sig(
+                (head, kind, 8, False, 1, yb_h, yb_w, obh, obw)
+            )
+        w8 = await engine.transform(data, 200, 150, ImageFormat.webp, 85)
+        j8 = await engine.transform(data, 200, 150, ImageFormat.jpeg, 85)
+        monkeypatch.setattr(
+            batcher_mod, "_esc_within_image_budget", lambda esc: False
+        )
+        w16 = await engine.transform(data, 200, 150, ImageFormat.webp, 85)
+        j16 = await engine.transform(data, 200, 150, ImageFormat.jpeg, 85)
+        await engine.close()
+        return w8, w16, j8, j16
+
+    w8, w16, j8, j16 = asyncio.run(run())
+    assert engine.metrics.host_fallbacks == 0
+    assert any(
+        s[0] == "jpeg8" and s[1] == "yuv" and s[2] == 8
+        for s in engine._compiled
+    )
+    assert any(
+        s[0] == "jpeg8" and s[1] == "rgb" and s[2] == 8
+        for s in engine._compiled
+    )
+    assert w8 == w16 and j8 == j16
+    assert w8[:4] == b"RIFF" and j8[:2] == b"\xff\xd8"
+    dec = np.asarray(Image.open(io.BytesIO(w8)).convert("RGB"))
+    assert dec.shape == (150, 200, 3)

@@ -372,3 +372,126 @@ def test_lowfreq_i8_device_kernel_bit_parity():
     )
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(
+    lib is None or not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"),
+    reason="i8 transport symbol unavailable",
+)
+def test_fullk_i8_device_kernels_bit_parity():
+    """k=8 split transport: the full-resolution YUV and RGB fused kernels
+    are bit-identical to their int16-transport counterparts."""
+    from imagekit_tpu.ops.dct import (
+        LOWFREQ_ESC_C,
+        LOWFREQ_ESC_Y,
+        combined_chroma_half_weights,
+        combined_chroma_weights,
+        decode_resize_rgb_batch,
+        decode_resize_rgb_i8_batch,
+        decode_resize_yuv_batch,
+        decode_resize_yuv_i8_batch,
+        pad128,
+    )
+    from imagekit_tpu.ops.resize import padded_weights
+    from imagekit_tpu.serving.batcher import _esc_batch_rows, _pad_esc
+    from imagekit_tpu.utils.bucketing import bucket_for
+
+    na = 63
+    datas = [
+        _jpeg(make_test_image(320, 240), 85),
+        _jpeg(_noisy_image(320, 240), 92),
+    ]
+    out_h, out_w = 150, 200  # <2x: the full-resolution path
+
+    dec16 = [jpeg_abi.decode(lib, d) for d in datas]
+    dec8 = [jpeg_abi.decode_lowfreq_i8(lib, d, 8) for d in datas]
+    assert any(len(d[3]) for d in dec8), "no escapes in batch"
+
+    hdr = dec16[0][0]
+    by, bx = dec16[0][1][0].shape[:2]
+    cy, cx = dec16[0][1][1].shape[:2]
+    yb_h, yb_w = bucket_for(by * 8), bucket_for(bx * 8)
+    obh, obw = bucket_for(out_h), bucket_for(out_w)
+    by_b, bx_b, cy_b, cx_b = yb_h // 8, yb_w // 8, yb_h // 16, yb_w // 16
+    nb = 2
+
+    qt = np.zeros((nb, 128), np.float32)
+    y16 = np.zeros((nb, by_b, bx_b * 64), np.int16)
+    cb16 = np.zeros((nb, cy_b, cx_b * 64), np.int16)
+    cr16 = np.zeros_like(cb16)
+    for i, (h, ck, qk) in enumerate(dec16):
+        y16[i, :by, : bx * 64] = ck[0].reshape(by, -1)
+        cb16[i, :cy, : cx * 64] = ck[1].reshape(cy, -1)
+        cr16[i, :cy, : cx * 64] = ck[2].reshape(cy, -1)
+        qt[i, :64] = qk[h.comp_tq[0]]
+        qt[i, 64:] = qk[h.comp_tq[1]]
+
+    y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
+    y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+    cb_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
+    cb_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+    cr_dc = np.zeros_like(cb_dc)
+    cr_ac = np.zeros_like(cb_ac)
+    eidx = [[], [], []]
+    evals = [[], [], []]
+    for i, (h, dc, ac, esc, qk, ovf) in enumerate(dec8):
+        assert not ovf
+        y_dc[i, :by, :bx] = dc[0]
+        y_ac[i, :by, : bx * na] = ac[0].reshape(by, -1)
+        cb_dc[i, :cy, :cx] = dc[1]
+        cb_ac[i, :cy, : cx * na] = ac[1].reshape(cy, -1)
+        cr_dc[i, :cy, :cx] = dc[2]
+        cr_ac[i, :cy, : cx * na] = ac[2].reshape(cy, -1)
+        for c, (ei, ev) in enumerate(_esc_batch_rows(esc, i, bx, cx, na)):
+            eidx[c].append(ei)
+            evals[c].append(ev)
+    escs = (
+        _pad_esc(eidx[0], evals[0], LOWFREQ_ESC_Y),
+        _pad_esc(eidx[1], evals[1], LOWFREQ_ESC_C),
+        _pad_esc(eidx[2], evals[2], LOWFREQ_ESC_C),
+    )
+    vidx = np.zeros(nb, np.int32)
+    dims = (by_b, bx_b, cy_b, cx_b)
+
+    # --- YUV (webp) variant
+    wv_y = np.zeros((1, obh, yb_h), np.float32)
+    wh_y = np.zeros((1, obw, yb_w), np.float32)
+    wv_c = np.zeros((1, obh // 2, yb_h // 2), np.float32)
+    wh_c = np.zeros((1, obw // 2, yb_w // 2), np.float32)
+    wv_y[0] = padded_weights(hdr.height, out_h, yb_h, obh)
+    wh_y[0] = padded_weights(hdr.width, out_w, yb_w, obw)
+    wv_c[0] = combined_chroma_half_weights(
+        hdr.comp_height[1], hdr.height, out_h, yb_h // 2, obh // 2
+    )
+    wh_c[0] = combined_chroma_half_weights(
+        hdr.comp_width[1], hdr.width, out_w, yb_w // 2, obw // 2
+    )
+    w_yuv = (wv_y, wh_y, wv_c, wh_c)
+    ref = decode_resize_yuv_batch(
+        y16, cb16, cr16, qt, w_yuv, vidx, dims, (obh, obw)
+    )
+    out = decode_resize_yuv_i8_batch(
+        (y_dc, cb_dc, cr_dc), (y_ac, cb_ac, cr_ac), escs, qt, w_yuv, vidx,
+        dims, (obh, obw),
+    )
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # --- RGB (jpeg/avif output) variant
+    wv_cf = np.zeros((1, obh, yb_h // 2), np.float32)
+    wh_cf = np.zeros((1, obw, yb_w // 2), np.float32)
+    wv_cf[0] = combined_chroma_weights(
+        hdr.comp_height[1], hdr.height, out_h, yb_h // 2, obh
+    )
+    wh_cf[0] = combined_chroma_weights(
+        hdr.comp_width[1], hdr.width, out_w, yb_w // 2, obw
+    )
+    w_rgb = (wv_y, wh_y, wv_cf, wh_cf)
+    ref_rgb = decode_resize_rgb_batch(
+        y16, cb16, cr16, qt, w_rgb, vidx, dims, (obh, obw)
+    )
+    out_rgb = decode_resize_rgb_i8_batch(
+        (y_dc, cb_dc, cr_dc), (y_ac, cb_ac, cr_ac), escs, qt, w_rgb, vidx,
+        dims, (obh, obw),
+    )
+    np.testing.assert_array_equal(np.asarray(ref_rgb), np.asarray(out_rgb))
