@@ -22,6 +22,8 @@
 
 #if defined(__AVX2__)
 #include <immintrin.h>
+#elif defined(__SSE2__) || defined(_M_X64)
+#include <emmintrin.h>
 #endif
 
 #define IK_EXPORT extern "C" __attribute__((visibility("default")))
@@ -1334,22 +1336,61 @@ IK_EXPORT int ik_jpeg_decode_coeffs_lowfreq_i8(const uint8_t* data, size_t len,
   if (K < 2 || K > 8) return IK_ERR_UNSUPPORTED;  // K=1 has no AC lanes
   const int NA = K * K - 1;
   int32_t nesc = 0;
+  auto esc_append = [&](int c, size_t bi, int lane, int val, int clamped) {
+    if (nesc < esc_cap) {
+      esc[nesc * 3 + 0] = c;
+      esc[nesc * 3 + 1] = static_cast<int32_t>(bi) * NA + lane;
+      esc[nesc * 3 + 2] = val - clamped;
+    }
+    ++nesc;
+  };
   auto sink_block = [&](int c, size_t bi, const int16_t* blk /*8x8 natural*/) {
     dc[c][bi] = blk[0];
     int8_t* adst = ac[c] + bi * NA;
+#if defined(__SSE2__) || defined(_M_X64)
+    if (K == 8) {
+      // K=8 keeps all 63 AC lanes: saturating pack IS the clamp; escapes
+      // (widened-back != original) surface via movemask and stay a rare
+      // scalar tail. This path must match the int16 decode's cost — the
+      // scalar loop doubled full-res entropy time.
+      alignas(16) int8_t tmp[64];
+      const __m128i c127 = _mm_set1_epi16(127);
+      const __m128i cm128 = _mm_set1_epi16(-128);
+      __m128i any = _mm_setzero_si128();
+      for (int i = 0; i < 64; i += 16) {
+        __m128i a =
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(blk + i));
+        __m128i b =
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(blk + i + 8));
+        // the DC lane ships int16 and never escapes — a large DC must not
+        // trigger the scalar rescan (it would on most photos)
+        __m128i achk = i == 0 ? _mm_insert_epi16(a, 0, 0) : a;
+        any = _mm_or_si128(
+            any, _mm_or_si128(_mm_cmpgt_epi16(achk, c127),
+                              _mm_cmpgt_epi16(cm128, achk)));
+        any = _mm_or_si128(
+            any, _mm_or_si128(_mm_cmpgt_epi16(b, c127),
+                              _mm_cmpgt_epi16(cm128, b)));
+        _mm_store_si128(reinterpret_cast<__m128i*>(tmp + i),
+                        _mm_packs_epi16(a, b));
+      }
+      std::memcpy(adst, tmp + 1, 63);
+      if (_mm_movemask_epi8(any)) {  // rare: some lane saturated (DC ok)
+        for (int lane = 1; lane < 64; ++lane) {
+          const int val = blk[lane];
+          if (val < -128 || val > 127)
+            esc_append(c, bi, lane - 1, val, tmp[lane]);
+        }
+      }
+      return;
+    }
+#endif
     int n = 0;
     for (int u = 0; u < K; ++u) {
       for (int v = (u ? 0 : 1); v < K; ++v) {
         int val = blk[u * 8 + v];
         int clamped = val < -128 ? -128 : (val > 127 ? 127 : val);
-        if (val != clamped) {
-          if (nesc < esc_cap) {
-            esc[nesc * 3 + 0] = c;
-            esc[nesc * 3 + 1] = static_cast<int32_t>(bi) * NA + n;
-            esc[nesc * 3 + 2] = val - clamped;
-          }
-          ++nesc;
-        }
+        if (val != clamped) esc_append(c, bi, n, val, clamped);
         adst[n++] = static_cast<int8_t>(clamped);
       }
     }
