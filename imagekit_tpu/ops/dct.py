@@ -752,6 +752,142 @@ def decode_resize_rgb_i8_batch(dc_arrays, ac_arrays, escapes, qtabs,
     return flat.reshape(flat.shape[0], obh, obw, 3)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("by_b", "bx_b", "cy_b", "cx_b", "k")
+)
+def _transcode_i8_kernel(
+    y_dc, y_ac, cb_dc, cb_ac, cr_dc, cr_ac,
+    ey_idx, ey_val, eb_idx, eb_val, er_idx, er_val,
+    qt_in,      # (B, 128) f32 source dequant tables
+    qt_out,     # (B, 128) f32 target quant tables (output quality)
+    wv_y_u, wh_y_u, wv_c_u, wh_c_u,  # yuv-kind weight stacks, edge-replicated
+    vidx,
+    by_b: int,
+    bx_b: int,
+    cy_b: int,
+    cx_b: int,
+    k: int,
+):
+    """Fused JPEG->JPEG transcode, one device round trip: split-int8
+    coefficients in -> dequant + (truncated) IDCT -> Lanczos resize of the
+    full-range Y/Cb/Cr planes (chroma stays half-res: subsample-resize-
+    upsample folded into the weights) -> 8x8 fDCT + quantise at the target
+    quality -> int16 level planes out. Replaces the staged path's THREE
+    wire legs (coeffs up, RGB down, RGB up, coeffs down) with two, and
+    batches the encode stage that previously dispatched per image.
+
+    The resized planes are rounded to the u8 grid before the fDCT so the
+    math matches the staged decode->resize->encode pipeline's integer
+    hand-off points (same convention as the webp path)."""
+    hp = jax.lax.Precision.HIGHEST
+    A8 = jnp.asarray(idct_basis())
+    if k == 8:
+        def front(dc, ac, ei, ev, by, bx, qt):
+            lev = _widen_split_levels(dc, ac, ei, ev, by, bx)
+            return _blocks_to_plane(lev, by, bx, qt, A8)
+
+        qt_l, qt_c = qt_in[:, :64], qt_in[:, 64:]
+    else:
+        Ak = jnp.asarray(idct_basis_k(k))
+        idx = jnp.asarray(_lowfreq_indices(k))
+        na = k * k - 1
+
+        def front(dc, ac, ei, ev, by, bx, qt):
+            B = dc.shape[0]
+            a = ac.astype(jnp.int32)
+            a = a.at[ei[:, 0], ei[:, 1], ei[:, 2]].add(ev)
+            a = a[:, :, : bx * na].reshape(B, by, bx, na)
+            d = dc[:, :, :bx].astype(jnp.int32)
+            lev = jnp.concatenate([d[..., None], a], axis=-1)
+            return _lowfreq_spatial(lev, by, bx, qt, Ak, k)
+
+        qt_l = qt_in[:, :64][:, idx]
+        qt_c = qt_in[:, 64:][:, idx]
+    Y = front(y_dc, y_ac, ey_idx, ey_val, by_b, bx_b, qt_l)
+    Cb = front(cb_dc, cb_ac, eb_idx, eb_val, cy_b, cx_b, qt_c)
+    Cr = front(cr_dc, cr_ac, er_idx, er_val, cy_b, cx_b, qt_c)
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    def u8c(p):  # stage hand-off: round to the u8 grid, centre for fDCT
+        return jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0) - 128.0
+
+    y = u8c(plane_resize(Y, wv_y_u, wh_y_u))
+    cb = u8c(plane_resize(Cb, wv_c_u, wh_c_u))
+    cr = u8c(plane_resize(Cr, wv_c_u, wh_c_u))
+
+    def fdct_quant(plane, q):
+        B, ph, pw = plane.shape
+        blocks = plane.reshape(B, ph // 8, 8, pw // 8, 8).transpose(
+            0, 1, 3, 2, 4
+        )
+        c = jnp.einsum("ux,vy,bijxy->bijuv", A8, A8, blocks, precision=hp)
+        c = c.reshape(B, ph // 8, pw // 8, 64) / q[:, None, None, :]
+        # round half away from zero (JPEG quantisation convention)
+        lv = jnp.sign(c) * jnp.floor(jnp.abs(c) + 0.5)
+        return lv.astype(jnp.int16).reshape(B, -1)
+
+    return jnp.concatenate(
+        [
+            fdct_quant(y, qt_out[:, :64]),
+            fdct_quant(cb, qt_out[:, 64:]),
+            fdct_quant(cr, qt_out[:, 64:]),
+        ],
+        axis=1,
+    )
+
+
+def transcode_i8_batch(dc_arrays, ac_arrays, escapes, qt_in, qt_out,
+                       weights, vidx, block_dims, out_shape, k: int):
+    """Run the fused transcode kernel; returns (y, cb, cr) int16 level
+    arrays of shapes (B, OHb/8, OWb/8, 64) and (B, OHb/16, OWb/16, 64) x2
+    in natural order — slice to the true MCU grid and feed the host
+    Huffman encoder."""
+    wv_y, wh_y, wv_c, wh_c = weights
+    by_b, bx_b, cy_b, cx_b = block_dims
+    obh, obw = out_shape
+    (ey_idx, ey_val), (eb_idx, eb_val), (er_idx, er_val) = escapes
+    flat = np.asarray(
+        _transcode_i8_kernel(
+            jnp.asarray(dc_arrays[0]),
+            jnp.asarray(ac_arrays[0]),
+            jnp.asarray(dc_arrays[1]),
+            jnp.asarray(ac_arrays[1]),
+            jnp.asarray(dc_arrays[2]),
+            jnp.asarray(ac_arrays[2]),
+            jnp.asarray(ey_idx),
+            jnp.asarray(ey_val),
+            jnp.asarray(eb_idx),
+            jnp.asarray(eb_val),
+            jnp.asarray(er_idx),
+            jnp.asarray(er_val),
+            jnp.asarray(qt_in),
+            jnp.asarray(qt_out),
+            jnp.asarray(wv_y),
+            jnp.asarray(wh_y),
+            jnp.asarray(wv_c),
+            jnp.asarray(wh_c),
+            jnp.asarray(vidx),
+            by_b=by_b,
+            bx_b=bx_b,
+            cy_b=cy_b,
+            cx_b=cx_b,
+            k=k,
+        )
+    )
+    B = flat.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = flat[:, :ny].reshape(B, obh // 8, obw // 8, 64)
+    cb = flat[:, ny:ny + nc].reshape(B, obh // 16, obw // 16, 64)
+    cr = flat[:, ny + nc:].reshape(B, obh // 16, obw // 16, 64)
+    return y, cb, cr
+
+
 def decode_resize_yuv_i8_batch(dc_arrays, ac_arrays, escapes, qtabs,
                                weights, vidx, block_dims, out_shape):
     """Split-transport variant of decode_resize_yuv_batch (bit-identical
@@ -914,6 +1050,74 @@ def host_decode_resize_yuv_lowfreq_single(
     cb = q8(cv @ Cb @ ch.T * (224.0 / 255.0) + c_off)
     cr = q8(cv @ Cr @ ch.T * (224.0 / 255.0) + c_off)
     return y, cb, cr
+
+
+def host_transcode_single(
+    coeffs, qtabs, width: int, height: int,
+    chroma_w: int, chroma_h: int, out_h: int, out_w: int, k: int,
+    quality: int,
+):
+    """Numpy mirror of the fused transcode kernel for ONE image (host
+    fallback while the shape compiles; same math -> matching results).
+    Returns (coefficient planes, (qy, qc)) for the host Huffman encoder."""
+    A = idct_basis_k(k)
+    idx = _lowfreq_indices(k)
+    scale = k / 8.0
+
+    def plane(cpl, q):
+        by, bx = cpl.shape[:2]
+        c = cpl.astype(np.float32) * q[idx][None, None, :] * scale
+        c = c.reshape(by, bx, k, k)
+        p = np.einsum("ux,vy,ijuv->ijxy", A, A, c) + 128.0
+        p = p.transpose(0, 2, 1, 3).reshape(by * k, bx * k)
+        return np.clip(p, 0.0, 255.0)
+
+    Y = plane(coeffs[0], qtabs[0].astype(np.float32))
+    Cb = plane(coeffs[1], qtabs[1].astype(np.float32))
+    Cr = plane(coeffs[2], qtabs[1].astype(np.float32))
+    wv = lowfreq_luma_weights(height, out_h, k, Y.shape[0], out_h)
+    wh = lowfreq_luma_weights(width, out_w, k, Y.shape[1], out_w)
+    cv = lowfreq_chroma_half_weights(
+        chroma_h, height, out_h, Cb.shape[0], (out_h + 1) // 2, k
+    )
+    ch = lowfreq_chroma_half_weights(
+        chroma_w, width, out_w, Cb.shape[1], (out_w + 1) // 2, k
+    )
+
+    def u8(p):  # stage hand-off: the u8 grid, like the staged pipeline
+        return np.clip(np.floor(p + 0.5), 0, 255)
+
+    y = u8(wv @ Y @ wh.T)
+    cb = u8(cv @ Cb @ ch.T)
+    cr = u8(cv @ Cr @ ch.T)
+    # pad to the MCU grid by edge replication (device: replicated weight
+    # rows; identical values since resize rows beyond the edge copy the
+    # last true row)
+    mh, mw = (out_h + 15) // 16 * 16, (out_w + 15) // 16 * 16
+    y = np.pad(y, ((0, mh - out_h), (0, mw - out_w)), mode="edge")
+    cb = np.pad(
+        cb,
+        ((0, mh // 2 - cb.shape[0]), (0, mw // 2 - cb.shape[1])),
+        mode="edge",
+    )
+    cr = np.pad(
+        cr,
+        ((0, mh // 2 - cr.shape[0]), (0, mw // 2 - cr.shape[1])),
+        mode="edge",
+    )
+    qy, qc = quality_tables(quality)
+    A8 = idct_basis()
+
+    def fq(p, q):
+        ph, pw = p.shape
+        blocks = (p - 128.0).reshape(ph // 8, 8, pw // 8, 8).transpose(
+            0, 2, 1, 3
+        )
+        c = np.einsum("ux,vy,ijxy->ijuv", A8, A8, blocks)
+        c = c.reshape(ph // 8, pw // 8, 64) / q[None, None, :]
+        return (np.sign(c) * np.floor(np.abs(c) + 0.5)).astype(np.int16)
+
+    return [fq(y, qy), fq(cb, qc), fq(cr, qc)], (qy, qc)
 
 
 def decode_resize_rgb_batch(

@@ -630,13 +630,21 @@ class BatchedEngine(TransformEngine):
         pre_out_w, pre_out_h = target_dimensions(
             pre_hdr.width, pre_hdr.height, w, h
         )
-        kind = (
-            "yuv"
-            if fmt == ImageFormat.webp and vp8_native.available()
-            else "rgb"
-        )
+        use_i8 = hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
+        if fmt == ImageFormat.webp and vp8_native.available():
+            kind = "yuv"
+        elif fmt == ImageFormat.jpeg and use_i8:
+            # fused JPEG->JPEG transcode: one batched device round trip
+            # (dequant/IDCT -> YUV-resident resize -> fDCT/quantise), host
+            # does entropy only. Requires the split transport; escape-dense
+            # outliers demote to the staged RGB path after decode.
+            kind = "jxc"
+        else:
+            kind = "rgb"
         k = 8
-        if kind == "yuv" and hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq"):
+        if kind in ("yuv", "jxc") and hasattr(
+            lib, "ik_jpeg_decode_coeffs_lowfreq"
+        ):
             # K is chosen from the BUCKET geometry (not true dims) so the
             # runtime choice always matches what warmup compiled; within a
             # bucket step of an exact 2x boundary the intermediate may be
@@ -652,12 +660,10 @@ class BatchedEngine(TransformEngine):
             except ValueError:
                 k = 8  # outside the ladder; later checks handle fallback
 
-        # Split int8 transport (all k, both kinds): AC levels ride as int8
+        # Split int8 transport (all k, every kind): AC levels ride as int8
         # + a sparse escape list, ~halving the host->device upload on the
         # bandwidth-limited link. Escape-dense images (pathological noise
         # at q>=94) exceed the per-image budget and ride int16 instead.
-        use_i8 = hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
-
         def entropy_decode():
             try:
                 if use_i8:
@@ -668,9 +674,11 @@ class BatchedEngine(TransformEngine):
                     )
                     if not ovf and _esc_within_image_budget(esc):
                         return hdr2, None, (dc, ac, esc), qt
-                if k < 8:
+                if k < 8 and kind != "jxc":
                     h3, ck, qt = jpeg_abi.decode_lowfreq(lib, data, k, pre_hdr)
                 else:
+                    # the transcode kernel is split-only: a demoted jxc item
+                    # needs the full int16 decode for the staged RGB path
                     h3, ck, qt = jpeg_abi.decode(lib, data)
                 return h3, ck, None, qt
             except jpeg_abi.NativeJpegError as e:
@@ -681,6 +689,8 @@ class BatchedEngine(TransformEngine):
             self._codec_pool, entropy_decode
         )
         self.metrics.add_stage_time("entropy_decode", time.perf_counter() - t0)
+        if kind == "jxc" and split is None:
+            kind, k = "rgb", 8
         if hdr.ncomp == 1:
             # grayscale: fabricate zero chroma coefficient planes at 4:2:0
             # geometry — zero blocks IDCT to flat 128, so the colour matrix
@@ -833,6 +843,8 @@ class BatchedEngine(TransformEngine):
             lowfreq_chroma_half_weights,
             lowfreq_luma_weights,
             pad128,
+            quality_tables,
+            transcode_i8_batch,
         )
         from imagekit_tpu.utils.bucketing import batch_bucket
 
@@ -882,6 +894,8 @@ class BatchedEngine(TransformEngine):
                 cb = np.zeros((nb, cy_b, cm), np.int16)
                 cr = np.zeros((nb, cy_b, cm), np.int16)
             qt = np.zeros((nb, 128), np.float32)
+            # transcode batches also carry per-image OUTPUT quant tables
+            qto = np.zeros((nb, 128), np.float32) if kind == "jxc" else None
             # canonical (sorted) unique-geometry indexing: groups holding the
             # same SET of geometries share one device-resident weight stack
             # regardless of arrival order (order-dependent keys thrashed the
@@ -923,6 +937,10 @@ class BatchedEngine(TransformEngine):
                     cr[i, :cyi, : cxi * nk] = it.coeffs[2].reshape(cyi, -1)
                 qt[i, :64] = it.qtabs[0]
                 qt[i, 64:] = it.qtabs[1]
+                if kind == "jxc":
+                    qy_o, qc_o = quality_tables(it.quality)
+                    qto[i, :64] = qy_o
+                    qto[i, 64:] = qc_o
                 vidx[i] = u_keys[(it.hdr.width, it.hdr.height, it.out_w, it.out_h)]
             nu = self.MAX_UNIQUE
             chroma_dims = {}
@@ -982,6 +1000,21 @@ class BatchedEngine(TransformEngine):
                         wh_c[u] = combined_chroma_half_weights(
                             c_w, iw, ow_, yb_w // 2, obw // 2
                         )
+                if kind == "jxc":
+                    # encode-side edge replication: output rows/cols beyond
+                    # the true dims replicate the last true row up to the
+                    # MCU grid — mirroring np.pad(mode="edge") in the staged
+                    # encoder (zero padding would put a hard step inside
+                    # the edge MCU blocks and bloat/ring their encode)
+                    for (iw, ih, ow_, oh_), u in u_keys.items():
+                        m_h = min((oh_ + 15) // 16 * 16, obh)
+                        m_w = min((ow_ + 15) // 16 * 16, obw)
+                        wv_y[u, oh_:m_h] = wv_y[u, oh_ - 1]
+                        wh_y[u, ow_:m_w] = wh_y[u, ow_ - 1]
+                        ch_t = (oh_ + 1) // 2
+                        cw_t = (ow_ + 1) // 2
+                        wv_c[u, ch_t : m_h // 2] = wv_c[u, ch_t - 1]
+                        wh_c[u, cw_t : m_w // 2] = wh_c[u, cw_t - 1]
                 import jax as _jax
 
                 place = self._put_replicated if shard else _jax.device_put
@@ -1010,6 +1043,16 @@ class BatchedEngine(TransformEngine):
                         escs = tuple(
                             (self._put_replicated(i_), self._put_replicated(v_))
                             for i_, v_ in escs
+                        )
+                    if kind == "jxc":
+                        qto_ = self._put_sharded(qto) if shard else qto
+                        return transcode_i8_batch(
+                            dcs, acs, escs, qt_, qto_,
+                            (wv_y, wh_y, wv_c, wh_c),
+                            vidx_,
+                            (by_b, bx_b, cy_b, cx_b),
+                            (obh, obw),
+                            k,
                         )
                     if lowfreq:
                         return decode_resize_yuv_lowfreq_i8_batch(
@@ -1071,7 +1114,45 @@ class BatchedEngine(TransformEngine):
             self.metrics.add_stage_time("device_decode_resize", t2 - t1)
             self.metrics.record_batch(len(items))
 
-            if kind == "rgb":
+            if kind == "jxc":
+                ylv, cblv, crlv = out
+                from imagekit_tpu.codecs.native import loader as _nloader
+
+                async def finish(i: int, it) -> None:
+                    # slice the true MCU grid (luma 2*ceil(h/16) block rows,
+                    # chroma ceil(h/16)) and entropy-encode on host
+                    mby = (it.out_h + 15) // 16 * 2
+                    mbx = (it.out_w + 15) // 16 * 2
+
+                    def run():
+                        planes = [
+                            ylv[i, :mby, :mbx],
+                            cblv[i, : mby // 2, : mbx // 2],
+                            crlv[i, : mby // 2, : mbx // 2],
+                        ]
+                        return _nloader.encode_jpeg(
+                            planes,
+                            quality_tables(it.quality),
+                            it.out_w,
+                            it.out_h,
+                        )
+
+                    t0e = time.perf_counter()
+                    try:
+                        encoded = await loop.run_in_executor(
+                            self._codec_pool, run
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
+                    self.metrics.add_stage_time(
+                        "encode", time.perf_counter() - t0e
+                    )
+                    if not it.future.done():
+                        it.future.set_result(encoded)
+
+            elif kind == "rgb":
 
                 async def finish(i: int, it) -> None:
                     cropped = out[i, : it.out_h, : it.out_w]
@@ -1302,6 +1383,7 @@ class BatchedEngine(TransformEngine):
             decode_resize_yuv_lowfreq_batch,
             decode_resize_yuv_lowfreq_i8_batch,
             pad128,
+            transcode_i8_batch,
         )
 
         head, kind, k, shard, nb, yb_h, yb_w, obh, obw = sig
@@ -1358,7 +1440,15 @@ class BatchedEngine(TransformEngine):
                     (self._put_replicated(i_), self._put_replicated(v_))
                     for i_, v_ in escs
                 )
-            if lowfreq:
+            if kind == "jxc":
+                qto = np.zeros((nb, 128), np.float32)
+                if shard:
+                    qto = self._put_sharded(qto)
+                transcode_i8_batch(
+                    (y_dc, c_dc, c_dc), (y_ac, c_ac, c_ac), escs, qt, qto,
+                    weights, idx, (by_b, bx_b, cy_b, cx_b), (obh, obw), k,
+                )
+            elif lowfreq:
                 decode_resize_yuv_lowfreq_i8_batch(
                     (y_dc, c_dc, c_dc), (y_ac, c_ac, c_ac), escs, qt,
                     weights, idx, (by_b, bx_b, cy_b, cx_b), (obh, obw), k,
@@ -1442,6 +1532,7 @@ class BatchedEngine(TransformEngine):
         from imagekit_tpu.ops.dct import (
             host_decode_resize_single,
             host_decode_resize_yuv_lowfreq_single,
+            host_transcode_single,
         )
 
         loop = asyncio.get_running_loop()
@@ -1461,7 +1552,32 @@ class BatchedEngine(TransformEngine):
 
         async def one(it) -> None:
             try:
-                if it.k < 8:
+                if it.fmt == ImageFormat.jpeg and it.split is not None:
+                    # fused-transcode item on a cold shape: numpy mirror of
+                    # the transcode kernel -> host Huffman encode
+                    from imagekit_tpu.codecs.native import loader as _nl
+
+                    def run_transcode():
+                        planes, qt2 = host_transcode_single(
+                            _levels(it),
+                            it.qtabs,
+                            it.hdr.width,
+                            it.hdr.height,
+                            it.hdr.comp_width[1],
+                            it.hdr.comp_height[1],
+                            it.out_h,
+                            it.out_w,
+                            it.k,
+                            it.quality,
+                        )
+                        return _nl.encode_jpeg(
+                            planes, qt2, it.out_w, it.out_h
+                        )
+
+                    encoded = await loop.run_in_executor(
+                        self._codec_pool, run_transcode
+                    )
+                elif it.k < 8:
                     # truncated items carry KxK blocks: numpy mirror of the
                     # lowfreq kernel -> YUV planes -> native VP8 encode
                     yuv = await loop.run_in_executor(
@@ -1608,6 +1724,11 @@ class BatchedEngine(TransformEngine):
         if "jpeg" in paths:
             kinds.append("yuv")
         if "jpeg_rgb" in paths:
+            # jpeg outputs ride the fused transcode kernel when the split
+            # transport exists; the RGB kernel still serves avif outputs
+            # and escape-demoted jpeg items
+            if i8_ok:
+                kinds.append("jxc")
             kinds.append("rgb")
         for kind in kinds:
             for b, bh, bw, obh, obw, ch in shapes:
@@ -1616,7 +1737,7 @@ class BatchedEngine(TransformEngine):
                 shard = self._use_mesh(b)
                 k = (
                     self._choose_k(bh, bw, obh, obw)
-                    if kind == "yuv" and lowfreq_ok
+                    if kind in ("yuv", "jxc") and lowfreq_ok
                     else 8
                 )
                 # the split int8 transport serves every k and kind when the

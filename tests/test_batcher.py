@@ -758,8 +758,11 @@ def test_jpeg_lowfreq_i8_batch_budget_demotes_whole_batch(monkeypatch):
 
 
 def test_jpeg_fullk_i8_transport_end_to_end(monkeypatch):
-    """k=8 (mild resize / non-webp output): both kinds serve through the
-    split int8 transport with output byte-identical to the int16 one."""
+    """k=8 (mild resize, webp output): the full-resolution split transport
+    serves through the device path with output byte-identical to the int16
+    transport (the RGB kernel's parity is covered at kernel level in
+    test_dct; jpeg outputs ride the fused transcode kind, tested
+    separately)."""
     import io
 
     import pytest
@@ -780,34 +783,165 @@ def test_jpeg_fullk_i8_transport_end_to_end(monkeypatch):
     engine = make_engine()
 
     async def run():
-        # webp at <2x downscale -> k=8 yuv kind; jpeg output -> rgb kind
+        # webp at <2x downscale -> k=8 yuv kind
         obh, obw = bucket_for(150), bucket_for(200)
-        for head, kind in (("jpeg8", "yuv"), ("jpeg", "yuv"),
-                           ("jpeg8", "rgb"), ("jpeg", "rgb")):
+        for head in ("jpeg8", "jpeg"):
             engine._compile_jpeg_sig(
-                (head, kind, 8, False, 1, yb_h, yb_w, obh, obw)
+                (head, "yuv", 8, False, 1, yb_h, yb_w, obh, obw)
             )
         w8 = await engine.transform(data, 200, 150, ImageFormat.webp, 85)
-        j8 = await engine.transform(data, 200, 150, ImageFormat.jpeg, 85)
         monkeypatch.setattr(
             batcher_mod, "_esc_within_image_budget", lambda esc: False
         )
         w16 = await engine.transform(data, 200, 150, ImageFormat.webp, 85)
-        j16 = await engine.transform(data, 200, 150, ImageFormat.jpeg, 85)
         await engine.close()
-        return w8, w16, j8, j16
+        return w8, w16
 
-    w8, w16, j8, j16 = asyncio.run(run())
+    w8, w16 = asyncio.run(run())
     assert engine.metrics.host_fallbacks == 0
     assert any(
         s[0] == "jpeg8" and s[1] == "yuv" and s[2] == 8
         for s in engine._compiled
     )
-    assert any(
-        s[0] == "jpeg8" and s[1] == "rgb" and s[2] == 8
-        for s in engine._compiled
-    )
-    assert w8 == w16 and j8 == j16
-    assert w8[:4] == b"RIFF" and j8[:2] == b"\xff\xd8"
+    assert w8 == w16
+    assert w8[:4] == b"RIFF"
     dec = np.asarray(Image.open(io.BytesIO(w8)).convert("RGB"))
     assert dec.shape == (150, 200, 3)
+
+
+def test_jpeg_transcode_fused_device_path():
+    """jpeg->jpeg requests take the fused transcode kind: ONE batched
+    device round trip (coefficients in, quantised coefficients out), host
+    does entropy only — and quality matches the golden staged pipeline."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+
+    lib = native.load()
+    if not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+        pytest.skip("native i8 transport unavailable")
+
+    img = make_test_image(1280, 720)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=88)
+    data = buf.getvalue()
+
+    engine = make_engine()
+    shapes = [
+        (1, bucket_for(720), bucket_for(1280), bucket_for(144),
+         bucket_for(256), 3)
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg_rgb",))
+        out = await engine.transform(data, 256, None, ImageFormat.jpeg, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    # the transcode kernel compiled and ran; no host fallback, and the
+    # device executed exactly one batch (no second per-image encode trip)
+    assert any(s[1] == "jxc" for s in engine._compiled)
+    assert engine.metrics.host_fallbacks == 0
+    assert engine.metrics.batches == 1
+    assert out[:2] == b"\xff\xd8"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape == (144, 256, 3)
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (256, 144), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 30.0
+
+
+def test_jpeg_transcode_host_mirror_cold_shape():
+    """Cold transcode shapes serve via the numpy mirror of the fused
+    kernel (host fallback) with closely matching output."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+
+    lib = native.load()
+    if not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+        pytest.skip("native i8 transport unavailable")
+
+    img = make_test_image(640, 480)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=88)
+    data = buf.getvalue()
+
+    engine = make_engine()
+
+    async def run():
+        # no warmup: the batch hits the compile gate and falls back
+        out = await engine.transform(data, 200, 150, ImageFormat.jpeg, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert engine.metrics.host_fallbacks == 1
+    assert out[:2] == b"\xff\xd8"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape == (150, 200, 3)
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (200, 150), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 30.0
+
+
+def test_jpeg_transcode_device_matches_host_mirror():
+    """Device transcode vs the numpy mirror: decoded outputs agree to
+    high PSNR (identical math modulo float associativity at quantisation
+    boundaries)."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+
+    lib = native.load()
+    if not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+        pytest.skip("native i8 transport unavailable")
+
+    img = make_test_image(1280, 720)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=88)
+    data = buf.getvalue()
+    shapes = [
+        (1, bucket_for(720), bucket_for(1280), bucket_for(144),
+         bucket_for(256), 3)
+    ]
+
+    engine1 = make_engine()
+
+    async def run_device():
+        await engine1.warmup(shapes=shapes, paths=("jpeg_rgb",))
+        out = await engine1.transform(data, 256, None, ImageFormat.jpeg, 85)
+        await engine1.close()
+        return out
+
+    dev = asyncio.run(run_device())
+    assert engine1.metrics.host_fallbacks == 0
+
+    engine2 = make_engine()
+
+    async def run_host():
+        out = await engine2.transform(data, 256, None, ImageFormat.jpeg, 85)
+        await engine2.close()
+        return out
+
+    host = asyncio.run(run_host())
+    assert engine2.metrics.host_fallbacks == 1
+    a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
+    assert psnr(a, b) >= 40.0
