@@ -148,6 +148,7 @@ async def run_bench():
     mod_elapsed = time.perf_counter() - t0
     mod_lat.sort()
 
+    jxc = await measure_transcode(engine, sources)
     device_only = await measure_device_only(engine, sources[0])
     await engine.close()
 
@@ -168,12 +169,63 @@ async def run_bench():
         "ips_c8": round(64 / mod_elapsed, 2),
         "device_only_ips": device_only["ips"],
         "mfu_pct": device_only["mfu_pct"],
+        "jpeg_transcode_ips": jxc,
         "mean_output_bytes": int(np.mean(sizes)),
         "mean_batch_size": round(mean_batch, 1),
         "warmup_s": round(warmup_s, 1),
         "stage_s": {k: round(v, 2) for k, v in stage.items()},
         "device": _device_name(),
     }
+
+
+async def measure_transcode(engine, sources):
+    """Secondary metric: 1080p JPEG -> 400px -> JPEG q80 through the fused
+    transcode kind (one batched device dispatch, host entropy only).
+    Compiles only the signatures this pass actually hits."""
+    import asyncio as _asyncio
+
+    from imagekit_tpu.codecs.native import loader
+    from imagekit_tpu.config import ImageFormat
+    from imagekit_tpu.ops.resize import target_dimensions
+    from imagekit_tpu.utils.bucketing import BATCH_SIZES, bucket_for
+
+    lib = loader.load()
+    if lib is None or not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+        return None
+    try:
+        from imagekit_tpu.codecs.native import jpeg_abi
+
+        hdr = jpeg_abi.parse(lib, sources[0])
+        out_w, out_h = target_dimensions(hdr.width, hdr.height, 400, None)
+        yb_h = bucket_for(hdr.blocks_h[0] * 8)
+        yb_w = bucket_for(hdr.blocks_w[0] * 8)
+        obh, obw = bucket_for(out_h), bucket_for(out_w)
+        k = engine._choose_k(yb_h, yb_w, obh, obw)
+        loop = _asyncio.get_running_loop()
+        for b in sorted(
+            {x for x in BATCH_SIZES if x < engine.max_batch}
+            | {engine.max_batch}
+        ):
+            await loop.run_in_executor(
+                engine._device_pool,
+                engine._compile_jpeg_sig,
+                ("jpeg8", "jxc", k, False, b, yb_h, yb_w, obh, obw),
+            )
+        n = 64
+        sem = _asyncio.Semaphore(32)
+
+        async def one(i):
+            async with sem:
+                return await engine.transform(
+                    sources[i % len(sources)], 400, None,
+                    ImageFormat.jpeg, 80,
+                )
+
+        t0 = time.perf_counter()
+        await _asyncio.gather(*(one(i) for i in range(n)))
+        return round(n / (time.perf_counter() - t0), 2)
+    except Exception:
+        return None
 
 
 async def measure_device_only(engine, src: bytes):

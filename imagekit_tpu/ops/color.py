@@ -67,6 +67,70 @@ def rgb_to_yuv420(img: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+@jax.jit
+def _resample_rgb_yuv_kernel(imgs_flat, wv_u, wh_u, vidx, hidx):
+    """Bucketed RGB resample FUSED with the studio-range YUV 4:2:0
+    conversion: (B, H, W*3) u8 in -> one flat
+    (B, OH*OW + 2*(OH//2 * OW//2)) u8 out (Y then U then V).
+
+    Serves webp outputs from RGB sources (PNG/GIF/BMP/TIFF decode) in one
+    device dispatch — the staged path shipped resized RGB (3 B/px) to host
+    and converted there; this halves the D2H bytes and removes the host
+    conversion. The resized RGB is rounded to the u8 grid before the
+    affine conversion so the math matches the staged
+    resize -> rgb_to_yuv420_host hand-off points."""
+    hp = jax.lax.Precision.HIGHEST
+    B, H, WC = imgs_flat.shape
+    W = WC // 3
+    x = imgs_flat.reshape(B, H, W, 3).astype(jnp.float32)
+    wv = wv_u[vidx]
+    wh = wh_u[hidx]
+    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=hp)
+    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=hp)
+    x = jnp.floor(jnp.clip(x, 0.0, 255.0) + 0.5)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.25678824 * r + 0.50412941 * g + 0.09790588 * b + 16.0
+    u = -0.14822290 * r - 0.29099279 * g + 0.43921569 * b + 128.0
+    v = 0.43921569 * r - 0.36778831 * g - 0.07142737 * b + 128.0
+    OH = wv_u.shape[1]
+    OW = wh_u.shape[1]
+
+    def q8(p):
+        return (
+            jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0)
+            .astype(jnp.uint8)
+            .reshape(B, -1)
+        )
+
+    def sub(p):  # 2x2 box average (bucket dims are even)
+        return p.reshape(B, OH // 2, 2, OW // 2, 2).mean(axis=(2, 4))
+
+    return jnp.concatenate([q8(y), q8(sub(u)), q8(sub(v))], axis=1)
+
+
+def resample_rgb_yuv_batch(imgs_flat, weights, vidx, hidx, out_shape):
+    """Run the fused resample+convert kernel; returns (Y, U, V) u8 planes
+    of shapes (B, OHb, OWb) and (B, OHb/2, OWb/2) x2 (crop on host)."""
+    wv, wh = weights
+    obh, obw = out_shape
+    flat = np.asarray(
+        _resample_rgb_yuv_kernel(
+            jnp.asarray(imgs_flat),
+            jnp.asarray(wv),
+            jnp.asarray(wh),
+            jnp.asarray(vidx),
+            jnp.asarray(hidx),
+        )
+    )
+    B = flat.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = flat[:, :ny].reshape(B, obh, obw)
+    u = flat[:, ny:ny + nc].reshape(B, obh // 2, obw // 2)
+    v = flat[:, ny + nc:].reshape(B, obh // 2, obw // 2)
+    return y, u, v
+
+
 def rgb_to_yuv420_host(
     img: np.ndarray,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

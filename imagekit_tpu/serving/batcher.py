@@ -305,9 +305,15 @@ class BatchedEngine(TransformEngine):
             # outside the ladder -> exact-shape fallback
             return await self._exact_path(loop, img, out_h, out_w, fmt, quality)
 
+        from imagekit_tpu.codecs import vp8 as vp8_native
+
         fut: asyncio.Future = loop.create_future()
         item = _Item(img, out_h, out_w, fmt, quality, fut)
-        key = (bh, bw, obh, obw, ch)
+        # webp outputs from RGB sources take the fused resample+RGB->YUV
+        # kernel (half the D2H, no host colour conversion); the tag keeps
+        # those batches homogeneous
+        wy = fmt == ImageFormat.webp and ch == 3 and vp8_native.available()
+        key = (bh, bw, obh, obw, ch, wy)
         queue = self._queues.setdefault(key, [])
         queue.append(item)
         self.metrics.queue_depth = self._total_queued()
@@ -1239,17 +1245,18 @@ class BatchedEngine(TransformEngine):
 
     async def _flush_group(self, key: _BucketKey, items: List[_Item]) -> None:
         loop = asyncio.get_running_loop()
-        bh, bw, obh, obw, ch = key
+        bh, bw, obh, obw, ch, wy = key
         try:
             t0 = time.perf_counter()
             # pad the batch axis to a small ladder so each (shape, batch)
             # pair compiles exactly once; zero weights make pad entries free
+            from imagekit_tpu.ops.color import resample_rgb_yuv_batch
             from imagekit_tpu.ops.resize import resample_bucketed_flat
             from imagekit_tpu.utils.bucketing import batch_bucket
 
             nb = batch_bucket(len(items), self.max_batch)
             shard = self._use_mesh(nb)
-            sig = ("rgb", shard, nb, bh, bw, obh, obw, ch)
+            sig = ("rgbyuv" if wy else "rgb", shard, nb, bh, bw, obh, obw, ch)
             if sig not in self._compiled:
                 self._kick_compile_rgb(sig)
                 await self._host_fallback_rgb(items)
@@ -1289,8 +1296,16 @@ class BatchedEngine(TransformEngine):
                 wh = np.zeros((nu_h, obw, bw), dtype=np.float32)
                 for (ti, to), u in v_keys.items():
                     wv[u] = _cached_weights(ti, to, bh, obh)
+                    if wy and to & 1:
+                        # odd output height: the fused kernel's 2x2 chroma
+                        # box pairs the last true row with the next bucket
+                        # row — replicate it (edge semantics, matching
+                        # rgb_to_yuv420_host's pad)
+                        wv[u, to] = wv[u, to - 1]
                 for (ti, to), u in h_keys.items():
                     wh[u] = _cached_weights(ti, to, bw, obw)
+                    if wy and to & 1:
+                        wh[u, to] = wh[u, to - 1]
                 import jax as _jax
 
                 place = self._put_replicated if shard else _jax.device_put
@@ -1299,12 +1314,16 @@ class BatchedEngine(TransformEngine):
             wv, wh = cached
             t1 = time.perf_counter()
 
-            def device_step() -> np.ndarray:
+            def device_step():
                 b_, v_, h_ = batch, vidx, hidx
                 if shard:  # DP over the mesh's data axis (weights cached
                     # with a replicated placement already)
                     b_, v_, h_ = (
                         self._put_sharded(a) for a in (batch, vidx, hidx)
+                    )
+                if wy:
+                    return resample_rgb_yuv_batch(
+                        b_, (wv, wh), v_, h_, (obh, obw)
                     )
                 flat = np.asarray(
                     resample_bucketed_flat(b_, wv, wh, v_, h_, ch)
@@ -1321,6 +1340,32 @@ class BatchedEngine(TransformEngine):
             self.metrics.add_stage_time("batch_build", t1 - t0)
             self.metrics.add_stage_time("device_resize", t2 - t1)
             self.metrics.record_batch(len(items))
+
+            if wy:
+                yb_p, cb_p, cr_p = out
+
+                async def finish(i: int, it: _Item) -> None:
+                    ch2 = (it.out_h + 1) // 2
+                    cw2 = (it.out_w + 1) // 2
+                    try:
+                        encoded = await self._encode_yuv(
+                            loop,
+                            yb_p[i, : it.out_h, : it.out_w],
+                            cb_p[i, :ch2, :cw2],
+                            cr_p[i, :ch2, :cw2],
+                            it.quality,
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
+                    if not it.future.done():
+                        it.future.set_result(encoded)
+
+                await asyncio.gather(
+                    *(finish(i, it) for i, it in enumerate(items))
+                )
+                return
 
             async def finish(i: int, it: _Item) -> None:
                 cropped = out[i, : it.out_h, : it.out_w]
@@ -1348,9 +1393,10 @@ class BatchedEngine(TransformEngine):
         if sig in self._compiling or not self._may_compile(sig):
             return
         self._compiling.add(sig)
+        from imagekit_tpu.ops.color import resample_rgb_yuv_batch
         from imagekit_tpu.ops.resize import resample_bucketed_flat
 
-        _, shard, nb, bh, bw, obh, obw, ch = sig
+        head, shard, nb, bh, bw, obh, obw, ch = sig
 
         def compile_step():
             try:
@@ -1361,7 +1407,14 @@ class BatchedEngine(TransformEngine):
                 if shard:
                     batch, idx = self._put_sharded(batch), self._put_sharded(idx)
                     wv, wh = self._put_replicated(wv), self._put_replicated(wh)
-                np.asarray(resample_bucketed_flat(batch, wv, wh, idx, idx, ch))
+                if head == "rgbyuv":
+                    resample_rgb_yuv_batch(
+                        batch, (wv, wh), idx, idx, (obh, obw)
+                    )
+                else:
+                    np.asarray(
+                        resample_bucketed_flat(batch, wv, wh, idx, idx, ch)
+                    )
                 self._compiled.add(sig)
             except Exception:
                 pass
@@ -1691,6 +1744,9 @@ class BatchedEngine(TransformEngine):
                 | {self.max_batch}
             )
             shapes = [(b, bh, bw, obh, obw, 3) for b in sizes]
+        from imagekit_tpu.codecs import vp8 as _vp8
+        from imagekit_tpu.ops.color import resample_rgb_yuv_batch
+
         loop = asyncio.get_running_loop()
         for b, bh, bw, obh, obw, ch in shapes if "rgb" in paths else []:
             shard = self._use_mesh(b)
@@ -1709,6 +1765,20 @@ class BatchedEngine(TransformEngine):
 
             await loop.run_in_executor(self._device_pool, step)
             self._compiled.add(("rgb", shard, b, bh, bw, obh, obw, ch))
+            if ch == 3 and _vp8.available():
+                # webp outputs from RGB sources ride the fused
+                # resample+RGB->YUV kernel — warm it for the same shapes
+
+                def step_wy(batch=batch, wv=wv, wh=wh, idx=idx,
+                            obh=obh, obw=obw):
+                    return resample_rgb_yuv_batch(
+                        batch, (wv, wh), idx, idx, (obh, obw)
+                    )
+
+                await loop.run_in_executor(self._device_pool, step_wy)
+                self._compiled.add(
+                    ("rgbyuv", shard, b, bh, bw, obh, obw, ch)
+                )
         # jpeg coeffs-path shapes for the same bucket pairs. "jpeg" warms the
         # fused coefficients->YUV kernel (webp is the default output format)
         # with the truncation factor the bucket geometry would choose;

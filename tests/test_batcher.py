@@ -945,3 +945,97 @@ def test_jpeg_transcode_device_matches_host_mirror():
     a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
     b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
     assert psnr(a, b) >= 40.0
+
+
+def test_rgb_source_webp_fused_yuv_kernel():
+    """webp outputs from RGB sources (PNG et al) ride the fused
+    resample+RGB->YUV device kernel: one dispatch, YUV planes off device
+    (half the D2H), no host colour conversion — quality matches golden."""
+    import io
+
+    import pytest
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from PIL import Image
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(640, 480)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    data = buf.getvalue()
+
+    engine = make_engine()
+    # odd output dims (201x151) exercise the chroma edge-replication rows
+    shapes = [
+        (1, bucket_for(480), bucket_for(640), bucket_for(151),
+         bucket_for(201), 3)
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("rgb",))
+        out = await engine.transform(data, None, 151, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert any(s[0] == "rgbyuv" for s in engine._compiled)
+    assert engine.metrics.host_fallbacks == 0
+    assert engine.metrics.batches == 1
+    assert out[:4] == b"RIFF"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape[2] == 3 and dec.shape[0] == 151
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (dec.shape[1], 151), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 32.0
+
+
+def test_rgb_source_webp_device_matches_host_fallback():
+    """The fused kernel's output closely matches the staged host fallback
+    (resize -> host RGB->YUV -> VP8) for the same request."""
+    import io
+
+    import pytest
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from PIL import Image
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(320, 240)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    data = buf.getvalue()
+    shapes = [
+        (1, bucket_for(240), bucket_for(320), bucket_for(120),
+         bucket_for(160), 3)
+    ]
+
+    e1 = make_engine()
+
+    async def run_dev():
+        await e1.warmup(shapes=shapes, paths=("rgb",))
+        out = await e1.transform(data, 160, None, ImageFormat.webp, 85)
+        await e1.close()
+        return out
+
+    dev = asyncio.run(run_dev())
+    assert e1.metrics.host_fallbacks == 0
+
+    e2 = make_engine()
+
+    async def run_host():
+        out = await e2.transform(data, 160, None, ImageFormat.webp, 85)
+        await e2.close()
+        return out
+
+    host = asyncio.run(run_host())
+    assert e2.metrics.host_fallbacks == 1
+    a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
+    assert psnr(a, b) >= 40.0
