@@ -841,6 +841,80 @@ def _transcode_i8_kernel(
     )
 
 
+@jax.jit
+def _resample_rgb_jpeg_kernel(imgs_flat, wv_u, wh_u, vidx, hidx, qt_out):
+    """Bucketed RGB resample FUSED with the JPEG encode front:
+    (B, H, W*3) u8 -> resize -> u8 grid -> YCbCr + 4:2:0 box subsample ->
+    8x8 fDCT -> quantise with the per-image target tables -> flat int16
+    level planes (Y then Cb then Cr). Serves jpeg outputs from RGB
+    sources in ONE batched dispatch (the staged path ran a per-image
+    device fDCT call after shipping resized RGB to host and back)."""
+    hp = jax.lax.Precision.HIGHEST
+    B, H, WC = imgs_flat.shape
+    W = WC // 3
+    x = imgs_flat.reshape(B, H, W, 3).astype(jnp.float32)
+    wv = wv_u[vidx]
+    wh = wh_u[hidx]
+    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=hp)
+    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=hp)
+    x = jnp.floor(jnp.clip(x, 0.0, 255.0) + 0.5)  # staged u8 hand-off
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    # JPEG full-range BT.601 (the staged _encode_kernel's matrix)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    OH = wv_u.shape[1]
+    OW = wh_u.shape[1]
+    cb = cb.reshape(B, OH // 2, 2, OW // 2, 2).mean(axis=(2, 4))
+    cr = cr.reshape(B, OH // 2, 2, OW // 2, 2).mean(axis=(2, 4))
+    A8 = jnp.asarray(idct_basis())
+
+    def fdct_quant(plane, q):
+        _, ph, pw = plane.shape
+        blocks = plane.reshape(B, ph // 8, 8, pw // 8, 8).transpose(
+            0, 1, 3, 2, 4
+        )
+        c = jnp.einsum("ux,vy,bijxy->bijuv", A8, A8, blocks, precision=hp)
+        c = c.reshape(B, ph // 8, pw // 8, 64) / q[:, None, None, :]
+        lv = jnp.sign(c) * jnp.floor(jnp.abs(c) + 0.5)
+        return lv.astype(jnp.int16).reshape(B, -1)
+
+    return jnp.concatenate(
+        [
+            fdct_quant(y, qt_out[:, :64]),
+            fdct_quant(cb, qt_out[:, 64:]),
+            fdct_quant(cr, qt_out[:, 64:]),
+        ],
+        axis=1,
+    )
+
+
+def resample_rgb_jpeg_batch(imgs_flat, weights, vidx, hidx, qt_out,
+                            out_shape):
+    """Run the fused resample+encode kernel; returns (y, cb, cr) int16
+    level arrays shaped (B, OHb/8, OWb/8, 64) / (B, OHb/16, OWb/16, 64) x2
+    in natural order for the host Huffman encoder."""
+    wv, wh = weights
+    obh, obw = out_shape
+    flat = np.asarray(
+        _resample_rgb_jpeg_kernel(
+            jnp.asarray(imgs_flat),
+            jnp.asarray(wv),
+            jnp.asarray(wh),
+            jnp.asarray(vidx),
+            jnp.asarray(hidx),
+            jnp.asarray(qt_out),
+        )
+    )
+    B = flat.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = flat[:, :ny].reshape(B, obh // 8, obw // 8, 64)
+    cb = flat[:, ny:ny + nc].reshape(B, obh // 16, obw // 16, 64)
+    cr = flat[:, ny + nc:].reshape(B, obh // 16, obw // 16, 64)
+    return y, cb, cr
+
+
 def transcode_i8_batch(dc_arrays, ac_arrays, escapes, qt_in, qt_out,
                        weights, vidx, block_dims, out_shape, k: int):
     """Run the fused transcode kernel; returns (y, cb, cr) int16 level

@@ -306,14 +306,24 @@ class BatchedEngine(TransformEngine):
             return await self._exact_path(loop, img, out_h, out_w, fmt, quality)
 
         from imagekit_tpu.codecs import vp8 as vp8_native
+        from imagekit_tpu.codecs.native import loader as _nloader
 
         fut: asyncio.Future = loop.create_future()
         item = _Item(img, out_h, out_w, fmt, quality, fut)
-        # webp outputs from RGB sources take the fused resample+RGB->YUV
-        # kernel (half the D2H, no host colour conversion); the tag keeps
-        # those batches homogeneous
-        wy = fmt == ImageFormat.webp and ch == 3 and vp8_native.available()
-        key = (bh, bw, obh, obw, ch, wy)
+        # fused output kinds keep batches homogeneous: webp outputs ride
+        # resample+RGB->YUV (half the D2H, no host conversion), jpeg
+        # outputs ride resample+YCbCr+fDCT/quant (no per-image device
+        # encode call); avif / 4-channel stay on the plain RGB kernel
+        if fmt == ImageFormat.webp and ch == 3 and vp8_native.available():
+            okind = "yuv"
+        elif (
+            fmt == ImageFormat.jpeg and ch == 3
+            and _nloader.load() is not None
+        ):
+            okind = "jpg"
+        else:
+            okind = ""
+        key = (bh, bw, obh, obw, ch, okind)
         queue = self._queues.setdefault(key, [])
         queue.append(item)
         self.metrics.queue_depth = self._total_queued()
@@ -1245,18 +1255,25 @@ class BatchedEngine(TransformEngine):
 
     async def _flush_group(self, key: _BucketKey, items: List[_Item]) -> None:
         loop = asyncio.get_running_loop()
-        bh, bw, obh, obw, ch, wy = key
+        bh, bw, obh, obw, ch, okind = key
+        wy = okind == "yuv"
+        jq = okind == "jpg"
         try:
             t0 = time.perf_counter()
             # pad the batch axis to a small ladder so each (shape, batch)
             # pair compiles exactly once; zero weights make pad entries free
             from imagekit_tpu.ops.color import resample_rgb_yuv_batch
+            from imagekit_tpu.ops.dct import (
+                quality_tables,
+                resample_rgb_jpeg_batch,
+            )
             from imagekit_tpu.ops.resize import resample_bucketed_flat
             from imagekit_tpu.utils.bucketing import batch_bucket
 
             nb = batch_bucket(len(items), self.max_batch)
             shard = self._use_mesh(nb)
-            sig = ("rgbyuv" if wy else "rgb", shard, nb, bh, bw, obh, obw, ch)
+            head = {"yuv": "rgbyuv", "jpg": "rgbjpg"}.get(okind, "rgb")
+            sig = (head, shard, nb, bh, bw, obh, obw, ch)
             if sig not in self._compiled:
                 self._kick_compile_rgb(sig)
                 await self._host_fallback_rgb(items)
@@ -1280,11 +1297,16 @@ class BatchedEngine(TransformEngine):
             }
             vidx = np.zeros(nb, np.int32)
             hidx = np.zeros(nb, np.int32)
+            qto = np.zeros((nb, 128), np.float32) if jq else None
             for i, it in enumerate(items):
                 h_i, w_i = it.img.shape[:2]
                 batch[i, :h_i, : w_i * ch] = it.img.reshape(h_i, w_i * ch)
                 vidx[i] = v_keys[(h_i, it.out_h)]
                 hidx[i] = h_keys[(w_i, it.out_w)]
+                if jq:
+                    qy_o, qc_o = quality_tables(it.quality)
+                    qto[i, :64] = qy_o
+                    qto[i, 64:] = qc_o
             wkey = (
                 key, shard, tuple(sorted(v_keys)), tuple(sorted(h_keys)),
             )
@@ -1294,18 +1316,22 @@ class BatchedEngine(TransformEngine):
                 nu_h = self.MAX_UNIQUE
                 wv = np.zeros((nu_v, obh, bh), dtype=np.float32)
                 wh = np.zeros((nu_h, obw, bw), dtype=np.float32)
+                # fused-output edge semantics: rows/cols beyond the true
+                # output replicate the last true one (matching the staged
+                # host paths' np.pad mode='edge') — one row for the webp
+                # kernel's 2x2 chroma box, the full MCU grid for the jpeg
+                # encode tail
+                rep_to = (
+                    (lambda to: to + (to & 1)) if wy
+                    else (lambda to: (to + 15) // 16 * 16) if jq
+                    else (lambda to: to)
+                )
                 for (ti, to), u in v_keys.items():
                     wv[u] = _cached_weights(ti, to, bh, obh)
-                    if wy and to & 1:
-                        # odd output height: the fused kernel's 2x2 chroma
-                        # box pairs the last true row with the next bucket
-                        # row — replicate it (edge semantics, matching
-                        # rgb_to_yuv420_host's pad)
-                        wv[u, to] = wv[u, to - 1]
+                    wv[u, to : min(rep_to(to), obh)] = wv[u, to - 1]
                 for (ti, to), u in h_keys.items():
                     wh[u] = _cached_weights(ti, to, bw, obw)
-                    if wy and to & 1:
-                        wh[u, to] = wh[u, to - 1]
+                    wh[u, to : min(rep_to(to), obw)] = wh[u, to - 1]
                 import jax as _jax
 
                 place = self._put_replicated if shard else _jax.device_put
@@ -1324,6 +1350,11 @@ class BatchedEngine(TransformEngine):
                 if wy:
                     return resample_rgb_yuv_batch(
                         b_, (wv, wh), v_, h_, (obh, obw)
+                    )
+                if jq:
+                    qto_ = self._put_sharded(qto) if shard else qto
+                    return resample_rgb_jpeg_batch(
+                        b_, (wv, wh), v_, h_, qto_, (obh, obw)
                     )
                 flat = np.asarray(
                     resample_bucketed_flat(b_, wv, wh, v_, h_, ch)
@@ -1367,6 +1398,47 @@ class BatchedEngine(TransformEngine):
                 )
                 return
 
+            if jq:
+                ylv, cblv, crlv = out
+                from imagekit_tpu.codecs.native import loader as _nloader
+
+                async def finish(i: int, it: _Item) -> None:
+                    mby = (it.out_h + 15) // 16 * 2
+                    mbx = (it.out_w + 15) // 16 * 2
+
+                    def run():
+                        planes = [
+                            ylv[i, :mby, :mbx],
+                            cblv[i, : mby // 2, : mbx // 2],
+                            crlv[i, : mby // 2, : mbx // 2],
+                        ]
+                        return _nloader.encode_jpeg(
+                            planes,
+                            quality_tables(it.quality),
+                            it.out_w,
+                            it.out_h,
+                        )
+
+                    t0e = time.perf_counter()
+                    try:
+                        encoded = await loop.run_in_executor(
+                            self._codec_pool, run
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
+                    self.metrics.add_stage_time(
+                        "encode", time.perf_counter() - t0e
+                    )
+                    if not it.future.done():
+                        it.future.set_result(encoded)
+
+                await asyncio.gather(
+                    *(finish(i, it) for i, it in enumerate(items))
+                )
+                return
+
             async def finish(i: int, it: _Item) -> None:
                 cropped = out[i, : it.out_h, : it.out_w]
                 try:
@@ -1394,6 +1466,7 @@ class BatchedEngine(TransformEngine):
             return
         self._compiling.add(sig)
         from imagekit_tpu.ops.color import resample_rgb_yuv_batch
+        from imagekit_tpu.ops.dct import resample_rgb_jpeg_batch
         from imagekit_tpu.ops.resize import resample_bucketed_flat
 
         head, shard, nb, bh, bw, obh, obw, ch = sig
@@ -1404,12 +1477,21 @@ class BatchedEngine(TransformEngine):
                 wv = np.zeros((self.MAX_UNIQUE, obh, bh), np.float32)
                 wh = np.zeros((self.MAX_UNIQUE, obw, bw), np.float32)
                 idx = np.zeros(nb, np.int32)
+                qto = np.zeros((nb, 128), np.float32)
                 if shard:
-                    batch, idx = self._put_sharded(batch), self._put_sharded(idx)
+                    batch, idx, qto = (
+                        self._put_sharded(batch),
+                        self._put_sharded(idx),
+                        self._put_sharded(qto),
+                    )
                     wv, wh = self._put_replicated(wv), self._put_replicated(wh)
                 if head == "rgbyuv":
                     resample_rgb_yuv_batch(
                         batch, (wv, wh), idx, idx, (obh, obw)
+                    )
+                elif head == "rgbjpg":
+                    resample_rgb_jpeg_batch(
+                        batch, (wv, wh), idx, idx, qto, (obh, obw)
                     )
                 else:
                     np.asarray(
@@ -1778,6 +1860,25 @@ class BatchedEngine(TransformEngine):
                 await loop.run_in_executor(self._device_pool, step_wy)
                 self._compiled.add(
                     ("rgbyuv", shard, b, bh, bw, obh, obw, ch)
+                )
+            if ch == 3 and "rgb_jpeg" in paths:
+                # jpeg outputs from RGB sources (fused resample+fDCT);
+                # opt-in token — this class backgrounds-compiles otherwise
+                from imagekit_tpu.ops.dct import resample_rgb_jpeg_batch
+
+                qto = np.zeros((b, 128), np.float32)
+                if shard:
+                    qto = self._put_sharded(qto)
+
+                def step_jq(batch=batch, wv=wv, wh=wh, idx=idx, qto=qto,
+                            obh=obh, obw=obw):
+                    return resample_rgb_jpeg_batch(
+                        batch, (wv, wh), idx, idx, qto, (obh, obw)
+                    )
+
+                await loop.run_in_executor(self._device_pool, step_jq)
+                self._compiled.add(
+                    ("rgbjpg", shard, b, bh, bw, obh, obw, ch)
                 )
         # jpeg coeffs-path shapes for the same bucket pairs. "jpeg" warms the
         # fused coefficients->YUV kernel (webp is the default output format)

@@ -1039,3 +1039,97 @@ def test_rgb_source_webp_device_matches_host_fallback():
     a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
     b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
     assert psnr(a, b) >= 40.0
+
+
+def test_rgb_source_jpeg_fused_encode_kernel():
+    """jpeg outputs from RGB sources ride the fused resample+fDCT kernel:
+    one batched dispatch, coefficient levels off device, host entropy
+    only (previously a per-image device encode call)."""
+    import io
+
+    import pytest
+
+    from imagekit_tpu.codecs.native import loader
+    from PIL import Image
+
+    if loader.load() is None:
+        pytest.skip("native codec unavailable")
+
+    img = make_test_image(640, 480)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    data = buf.getvalue()
+
+    engine = make_engine()
+    # odd output dims exercise the MCU-grid weight replication
+    shapes = [
+        (1, bucket_for(480), bucket_for(640), bucket_for(151),
+         bucket_for(201), 3)
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("rgb", "rgb_jpeg"))
+        out = await engine.transform(data, None, 151, ImageFormat.jpeg, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert any(s[0] == "rgbjpg" for s in engine._compiled)
+    assert engine.metrics.host_fallbacks == 0
+    assert engine.metrics.batches == 1
+    assert out[:2] == b"\xff\xd8"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape[0] == 151
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (dec.shape[1], 151), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 32.0
+
+
+def test_rgb_source_jpeg_device_matches_staged_fallback():
+    """Fused kernel output closely matches the staged host fallback
+    (resize -> RGB -> staged jpeg encode) for the same request."""
+    import io
+
+    import pytest
+
+    from imagekit_tpu.codecs.native import loader
+    from PIL import Image
+
+    if loader.load() is None:
+        pytest.skip("native codec unavailable")
+
+    img = make_test_image(320, 240)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    data = buf.getvalue()
+    shapes = [
+        (1, bucket_for(240), bucket_for(320), bucket_for(120),
+         bucket_for(160), 3)
+    ]
+
+    e1 = make_engine()
+
+    async def run_dev():
+        await e1.warmup(shapes=shapes, paths=("rgb", "rgb_jpeg"))
+        out = await e1.transform(data, 160, None, ImageFormat.jpeg, 85)
+        await e1.close()
+        return out
+
+    dev = asyncio.run(run_dev())
+    assert e1.metrics.host_fallbacks == 0
+
+    e2 = make_engine()
+
+    async def run_host():
+        out = await e2.transform(data, 160, None, ImageFormat.jpeg, 85)
+        await e2.close()
+        return out
+
+    host = asyncio.run(run_host())
+    assert e2.metrics.host_fallbacks == 1
+    a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
+    assert psnr(a, b) >= 40.0

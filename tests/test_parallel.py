@@ -111,7 +111,9 @@ def test_batched_engine_multichip_dp():
     obh, obw = bucket_for(oh), bucket_for(ow)
 
     async def run():
-        await engine.warmup(shapes=[(8, bh, bw, obh, obw, 3)], paths=("rgb",))
+        await engine.warmup(
+            shapes=[(8, bh, bw, obh, obw, 3)], paths=("rgb", "rgb_jpeg")
+        )
         outs = await asyncio.gather(
             *(
                 engine.resize_encode(img, 100, None, ImageFormat.jpeg, 92)
