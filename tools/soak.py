@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Chaos soak for a live imagekit server.
+
+Drives ``POST /upload`` with a randomized mix drawn from every source
+format the framework decodes (baseline/progressive/grayscale JPEG, all
+PNG shapes, GIF, BMP incl. RLE, TIFF, lossy+lossless WebP) times output
+format / dimensions / quality — plus hostile classes (corrupt bytes,
+truncations, empty files, oversized payloads, junk fields) — and asserts
+every response lands in its expected status class. A sample of OK
+responses is decoded and shape-checked.
+
+    python -m imagekit_tpu.serving --port 18099 &   # server under test
+    python tools/soak.py --base http://127.0.0.1:18099 --n 3000
+
+Exit code 0 = clean; any unexpected status or undecodable OK body = 1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import io
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def make_sources():
+    """(name, bytes, decodable) corpus, odd dims on purpose."""
+    from PIL import Image
+
+    rng = np.random.default_rng(99)
+    out = []
+
+    def img(w, h, gray=False):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = np.stack(
+            [xx * 255 / max(w - 1, 1), yy * 255 / max(h - 1, 1),
+             (xx + yy) % 256], axis=-1
+        )
+        base = np.clip(base + rng.normal(0, 20, base.shape), 0, 255)
+        a = base.astype(np.uint8)
+        return a[:, :, 0] if gray else a
+
+    def enc(arr, fmt, **kw):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, fmt, **kw)
+        return buf.getvalue()
+
+    out.append(("jpeg_base", enc(img(321, 243), "JPEG", quality=85), True))
+    out.append(
+        ("jpeg_prog", enc(img(257, 191), "JPEG", quality=88,
+                          progressive=True), True)
+    )
+    out.append(("jpeg_gray", enc(img(203, 149, gray=True), "JPEG"), True))
+    out.append(("png_rgb", enc(img(199, 151), "PNG"), True))
+    rgba = np.dstack([img(97, 73), np.full((73, 97), 200, np.uint8)])
+    out.append(("png_rgba", enc(rgba, "PNG"), True))
+    pal = Image.fromarray(img(101, 67)).convert(
+        "P", palette=Image.ADAPTIVE, colors=63
+    )
+    buf = io.BytesIO()
+    pal.save(buf, "PNG")
+    out.append(("png_pal", buf.getvalue(), True))
+    out.append(("gif", enc(img(83, 59), "GIF"), True))
+    out.append(("bmp", enc(img(111, 77), "BMP"), True))
+    out.append(("tiff", enc(img(93, 65), "TIFF"), True))
+    out.append(("webp_lossy", enc(img(151, 103), "WEBP", quality=80), True))
+    out.append(("webp_ll", enc(img(75, 49), "WEBP", lossless=True), True))
+
+    # hostile classes
+    base = out[0][1]
+    out.append(("empty", b"", False))
+    out.append(("garbage", bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+                False))
+    out.append(("truncated", base[: len(base) // 3], False))
+    corrupt = bytearray(base)
+    for _ in range(24):
+        corrupt[int(rng.integers(32, len(corrupt)))] = int(
+            rng.integers(0, 256)
+        )
+    out.append(("corrupt", bytes(corrupt), None))  # 200 or 400, never 5xx
+    return out
+
+
+async def run(base: str, n: int, concurrency: int) -> int:
+    import aiohttp
+
+    sources = make_sources()
+    rng = random.Random(7)
+    fmts = ["webp", "jpeg", "avif", "", "bogus"]
+    bad = 0
+    checked = 0
+    statuses: dict = {}
+    sem = asyncio.Semaphore(concurrency)
+
+    async def one(session, i):
+        nonlocal bad, checked
+        name, data, decodable = sources[i % len(sources)]
+        form = aiohttp.FormData()
+        form.add_field("file", data, filename="x", content_type="image/any")
+        w = rng.choice([None, 1, 17, 100, 301, 640, 1200])
+        h = rng.choice([None, None, 51, 150])
+        f = rng.choice(fmts)
+        q = rng.choice([None, 0, 1, 50, 85, 101, 255])
+        if w is not None:
+            form.add_field("w", str(w))
+        if h is not None:
+            form.add_field("h", str(h))
+        if f:
+            form.add_field("f", f)
+        if q is not None:
+            form.add_field("q", str(q))
+        async with sem:
+            try:
+                async with session.post(
+                    base + "/upload", data=form,
+                    timeout=aiohttp.ClientTimeout(total=120),
+                ) as resp:
+                    body = await resp.read()
+                    st = resp.status
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: transport error {e}")
+                bad += 1
+                return
+        key = (name, st)
+        statuses[key] = statuses.get(key, 0) + 1
+        if decodable is True and st != 200:
+            print(f"FAIL {name} w={w} h={h} f={f} q={q}: status {st}")
+            bad += 1
+        elif decodable is False and st != 400:
+            print(f"FAIL {name}: expected 400, got {st}")
+            bad += 1
+        elif decodable is None and st not in (200, 400):
+            print(f"FAIL {name}: expected 200/400, got {st}")
+            bad += 1
+        elif st == 200 and rng.random() < 0.2:
+            from PIL import Image
+
+            try:
+                im = Image.open(io.BytesIO(body))
+                im.load()
+                checked += 1
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: OK body undecodable ({e})")
+                bad += 1
+
+    done = 0
+
+    async def tracked(session, i):
+        nonlocal done
+        await one(session, i)
+        done += 1
+        if done % 250 == 0:
+            print(f"  {done}/{n} ...", flush=True)
+
+    async with __import__("aiohttp").ClientSession() as session:
+        await asyncio.gather(*(tracked(session, i) for i in range(n)))
+    per_status: dict = {}
+    for (_, st), c in statuses.items():
+        per_status[st] = per_status.get(st, 0) + c
+    print(
+        f"soak: {n} requests, statuses {sorted(per_status.items())}, "
+        f"{checked} bodies decoded, {bad} failures"
+    )
+    return 1 if bad else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="http://127.0.0.1:18099")
+    ap.add_argument("--n", type=int, default=3000)
+    ap.add_argument("--concurrency", type=int, default=16)
+    args = ap.parse_args()
+    return asyncio.run(run(args.base, args.n, args.concurrency))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
