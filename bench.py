@@ -6,6 +6,11 @@ resample on TPU, libwebp encode on host), BASELINE.json config #1/#5.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
+NOTE on the statistic: since 2026-08-17 ``value`` is the better of TWO
+measured passes (the tunnelled link's bandwidth swings minute-to-minute);
+both passes appear in ``run_ips``. When comparing against single-pass
+numbers from earlier rounds, use min(run_ips) for a like-for-like read.
+
 ``vs_baseline`` compares against the reference's published expectation for
 the same shape — 20-50 RPS/core cache-miss WebP transform
 (loadtest/README.md:142); we use the midpoint, 35/s.

@@ -554,12 +554,7 @@ def _decode_resize_yuv_lowfreq_i8_kernel(
     na = k * k - 1
 
     def blocks(dc, ac, eidx, evals, by, bx, qt):
-        B = dc.shape[0]
-        a = ac.astype(jnp.int32)
-        a = a.at[eidx[:, 0], eidx[:, 1], eidx[:, 2]].add(evals)
-        a = a[:, :, : bx * na].reshape(B, by, bx, na)
-        d = dc[:, :, :bx].astype(jnp.int32)
-        lev = jnp.concatenate([d[..., None], a], axis=-1)
+        lev = _widen_split_lowfreq(dc, ac, eidx, evals, by, bx, na)
         return _lowfreq_spatial(lev, by, bx, qt, A, k)
 
     qt_l = qtabs[:, :64][:, idx]
@@ -666,18 +661,37 @@ def decode_resize_yuv_lowfreq_i8_batch(
     return y, cb, cr
 
 
-def _widen_split_levels(dc, ac, eidx, evals, by, bx):
-    """Split int8 transport -> full levels: (B, by, pad128(bx)) i16 DC +
-    (B, by, pad128(bx*63)) i8 AC, widened to i32 with the sparse escape
-    residuals scatter-added (padding rows add 0 at (0,0,0)), DC lane
-    prepended -> (B, by, bx*64) natural-order levels."""
+def _fdct_quant_flat(plane, q):
+    """(B, ph, pw) centred samples -> 8x8 fDCT -> quantise (round half away
+    from zero, the JPEG convention) -> flat (B, ph/8 * pw/8 * 64) int16
+    levels. Shared encode tail of the fused transcode kernels."""
+    hp = jax.lax.Precision.HIGHEST
+    A8 = jnp.asarray(idct_basis())
+    B, ph, pw = plane.shape
+    blocks = plane.reshape(B, ph // 8, 8, pw // 8, 8).transpose(0, 1, 3, 2, 4)
+    c = jnp.einsum("ux,vy,bijxy->bijuv", A8, A8, blocks, precision=hp)
+    c = c.reshape(B, ph // 8, pw // 8, 64) / q[:, None, None, :]
+    lv = jnp.sign(c) * jnp.floor(jnp.abs(c) + 0.5)
+    return lv.astype(jnp.int16).reshape(B, -1)
+
+
+def _widen_split_lowfreq(dc, ac, eidx, evals, by, bx, na):
+    """Split int8 transport -> (B, by, bx, na+1) i32 levels: widen the AC
+    planes, scatter-add the escape residuals (padding rows add 0 at
+    (0,0,0)), prepend the int16 DC lane."""
     B = dc.shape[0]
     a = ac.astype(jnp.int32)
     a = a.at[eidx[:, 0], eidx[:, 1], eidx[:, 2]].add(evals)
-    a = a[:, :, : bx * 63].reshape(B, by, bx, 63)
+    a = a[:, :, : bx * na].reshape(B, by, bx, na)
     d = dc[:, :, :bx].astype(jnp.int32)
-    lev = jnp.concatenate([d[..., None], a], axis=-1)
-    return lev.reshape(B, by, bx * 64)
+    return jnp.concatenate([d[..., None], a], axis=-1)
+
+
+def _widen_split_levels(dc, ac, eidx, evals, by, bx):
+    """k=8 variant of :func:`_widen_split_lowfreq`, flattened to the
+    (B, by, bx*64) natural-order layout _blocks_to_plane expects."""
+    lev = _widen_split_lowfreq(dc, ac, eidx, evals, by, bx, 63)
+    return lev.reshape(dc.shape[0], by, bx * 64)
 
 
 @functools.partial(
@@ -793,12 +807,7 @@ def _transcode_i8_kernel(
         na = k * k - 1
 
         def front(dc, ac, ei, ev, by, bx, qt):
-            B = dc.shape[0]
-            a = ac.astype(jnp.int32)
-            a = a.at[ei[:, 0], ei[:, 1], ei[:, 2]].add(ev)
-            a = a[:, :, : bx * na].reshape(B, by, bx, na)
-            d = dc[:, :, :bx].astype(jnp.int32)
-            lev = jnp.concatenate([d[..., None], a], axis=-1)
+            lev = _widen_split_lowfreq(dc, ac, ei, ev, by, bx, na)
             return _lowfreq_spatial(lev, by, bx, qt, Ak, k)
 
         qt_l = qt_in[:, :64][:, idx]
@@ -819,23 +828,11 @@ def _transcode_i8_kernel(
     y = u8c(plane_resize(Y, wv_y_u, wh_y_u))
     cb = u8c(plane_resize(Cb, wv_c_u, wh_c_u))
     cr = u8c(plane_resize(Cr, wv_c_u, wh_c_u))
-
-    def fdct_quant(plane, q):
-        B, ph, pw = plane.shape
-        blocks = plane.reshape(B, ph // 8, 8, pw // 8, 8).transpose(
-            0, 1, 3, 2, 4
-        )
-        c = jnp.einsum("ux,vy,bijxy->bijuv", A8, A8, blocks, precision=hp)
-        c = c.reshape(B, ph // 8, pw // 8, 64) / q[:, None, None, :]
-        # round half away from zero (JPEG quantisation convention)
-        lv = jnp.sign(c) * jnp.floor(jnp.abs(c) + 0.5)
-        return lv.astype(jnp.int16).reshape(B, -1)
-
     return jnp.concatenate(
         [
-            fdct_quant(y, qt_out[:, :64]),
-            fdct_quant(cb, qt_out[:, 64:]),
-            fdct_quant(cr, qt_out[:, 64:]),
+            _fdct_quant_flat(y, qt_out[:, :64]),
+            _fdct_quant_flat(cb, qt_out[:, 64:]),
+            _fdct_quant_flat(cr, qt_out[:, 64:]),
         ],
         axis=1,
     )
@@ -867,23 +864,11 @@ def _resample_rgb_jpeg_kernel(imgs_flat, wv_u, wh_u, vidx, hidx, qt_out):
     OW = wh_u.shape[1]
     cb = cb.reshape(B, OH // 2, 2, OW // 2, 2).mean(axis=(2, 4))
     cr = cr.reshape(B, OH // 2, 2, OW // 2, 2).mean(axis=(2, 4))
-    A8 = jnp.asarray(idct_basis())
-
-    def fdct_quant(plane, q):
-        _, ph, pw = plane.shape
-        blocks = plane.reshape(B, ph // 8, 8, pw // 8, 8).transpose(
-            0, 1, 3, 2, 4
-        )
-        c = jnp.einsum("ux,vy,bijxy->bijuv", A8, A8, blocks, precision=hp)
-        c = c.reshape(B, ph // 8, pw // 8, 64) / q[:, None, None, :]
-        lv = jnp.sign(c) * jnp.floor(jnp.abs(c) + 0.5)
-        return lv.astype(jnp.int16).reshape(B, -1)
-
     return jnp.concatenate(
         [
-            fdct_quant(y, qt_out[:, :64]),
-            fdct_quant(cb, qt_out[:, 64:]),
-            fdct_quant(cr, qt_out[:, 64:]),
+            _fdct_quant_flat(y, qt_out[:, :64]),
+            _fdct_quant_flat(cb, qt_out[:, 64:]),
+            _fdct_quant_flat(cr, qt_out[:, 64:]),
         ],
         axis=1,
     )
@@ -1144,6 +1129,11 @@ def host_transcode_single(
         c = c.reshape(by, bx, k, k)
         p = np.einsum("ux,vy,ijuv->ijxy", A, A, c) + 128.0
         p = p.transpose(0, 2, 1, 3).reshape(by * k, bx * k)
+        if k == 8:
+            # full-resolution front rounds post-IDCT samples to the u8
+            # grid (_blocks_to_plane's decoder-parity convention); the
+            # truncated front keeps the k/8-scale plane unrounded
+            return np.clip(np.floor(p + 0.5), 0.0, 255.0)
         return np.clip(p, 0.0, 255.0)
 
     Y = plane(coeffs[0], qtabs[0].astype(np.float32))

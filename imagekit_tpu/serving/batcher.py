@@ -874,6 +874,20 @@ class BatchedEngine(TransformEngine):
         try:
             t0 = time.perf_counter()
             if t8 and not _esc_within_batch_budget(items):
+                if kind == "jxc":
+                    # NO int16 transcode kernel exists — widening would
+                    # misroute jpeg requests onto the YUV path. Each item
+                    # fits the budget alone (enqueue gate), so split the
+                    # batch until every sub-batch fits.
+                    if len(items) == 1:  # unreachable, defensive
+                        await self._host_fallback_jpeg(items)
+                        return
+                    mid = len(items) // 2
+                    await asyncio.gather(
+                        self._flush_jpeg_group(key, items[:mid]),
+                        self._flush_jpeg_group(key, items[mid:]),
+                    )
+                    return
                 # combined escape load exceeds the split-int8 kernel's
                 # static caps (each image fit alone): widen this batch back
                 # to the int16 transport
@@ -1523,6 +1537,10 @@ class BatchedEngine(TransformEngine):
 
         head, kind, k, shard, nb, yb_h, yb_w, obh, obw = sig
         t8 = head == "jpeg8"
+        if kind == "jxc" and not t8:
+            # the transcode kind is split-transport only; an int16 jxc sig
+            # must never compile (it would bind the wrong kernel)
+            raise ValueError(f"int16 transcode signature is invalid: {sig}")
         by_b, bx_b = yb_h // 8, yb_w // 8
         cy_b, cx_b = yb_h // 16, yb_w // 16
         lowfreq = k < 8
@@ -1830,7 +1848,8 @@ class BatchedEngine(TransformEngine):
         from imagekit_tpu.ops.color import resample_rgb_yuv_batch
 
         loop = asyncio.get_running_loop()
-        for b, bh, bw, obh, obw, ch in shapes if "rgb" in paths else []:
+        rgb_like = bool({"rgb", "rgb_jpeg"} & set(paths))
+        for b, bh, bw, obh, obw, ch in shapes if rgb_like else []:
             shard = self._use_mesh(b)
             batch = np.zeros((b, bh, bw * ch), dtype=np.uint8)
             idx = np.zeros(b, np.int32)
@@ -1845,9 +1864,10 @@ class BatchedEngine(TransformEngine):
                     resample_bucketed_flat(batch, wv, wh, idx, idx, ch)
                 )
 
-            await loop.run_in_executor(self._device_pool, step)
-            self._compiled.add(("rgb", shard, b, bh, bw, obh, obw, ch))
-            if ch == 3 and _vp8.available():
+            if "rgb" in paths:
+                await loop.run_in_executor(self._device_pool, step)
+                self._compiled.add(("rgb", shard, b, bh, bw, obh, obw, ch))
+            if ch == 3 and "rgb" in paths and _vp8.available():
                 # webp outputs from RGB sources ride the fused
                 # resample+RGB->YUV kernel — warm it for the same shapes
 

@@ -105,8 +105,11 @@ def test_batched_engine_mixed_shapes_one_batch():
         # give the kicked background compile a moment (CPU: fast, but can be
         # slow under full-suite load on one core), then a second pass should
         # take the device path
-        deadline = asyncio.get_event_loop().time() + 60.0
-        while not engine._compiled and asyncio.get_event_loop().time() < deadline:
+        deadline = asyncio.get_event_loop().time() + 180.0
+        while (
+            (not engine._compiled or engine._compiling)
+            and asyncio.get_event_loop().time() < deadline
+        ):
             await asyncio.sleep(0.05)
         outs2 = await asyncio.gather(
             *(
@@ -1133,3 +1136,104 @@ def test_rgb_source_jpeg_device_matches_staged_fallback():
     a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
     b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
     assert psnr(a, b) >= 40.0
+
+
+def test_jpeg_transcode_batch_budget_splits_not_widens(monkeypatch):
+    """A jxc batch over the combined escape budget must SPLIT (no int16
+    transcode kernel exists); every request still returns a JPEG.
+    Regression: widening misrouted jpeg requests onto the YUV path."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+    from imagekit_tpu.serving import batcher as batcher_mod
+
+    lib = native.load()
+    if not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+        pytest.skip("native i8 transport unavailable")
+
+    # force every multi-item batch over the cap so the split path runs
+    monkeypatch.setattr(
+        batcher_mod, "_esc_within_batch_budget", lambda items: False
+    )
+
+    datas = [_noisy_jpeg(1280, 720, 92, seed=s) for s in range(3)]
+    engine = make_engine(max_batch=3, delay_ms=50)
+    shapes = [
+        (4, bucket_for(720), bucket_for(1280), bucket_for(144),
+         bucket_for(256), 3),
+        (1, bucket_for(720), bucket_for(1280), bucket_for(144),
+         bucket_for(256), 3),
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg_rgb",))
+        outs = await asyncio.gather(
+            *(
+                engine.transform(d, 256, None, ImageFormat.jpeg, 85)
+                for d in datas
+            )
+        )
+        await engine.close()
+        return outs
+
+    outs = asyncio.run(run())
+    for out in outs:
+        assert out[:2] == b"\xff\xd8", out[:4]
+    # and no int16 jxc signature was ever compiled or kicked
+    assert not any(
+        s[0] == "jpeg" and s[1] == "jxc"
+        for s in engine._compiled | engine._compiling
+    )
+
+
+def test_jpeg_transcode_k8_device_matches_host_mirror():
+    """k=8 transcode (mild resize): the cold-shape numpy mirror matches
+    the device kernel (regression: the mirror skipped the u8-grid
+    rounding after the full-resolution IDCT)."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+
+    lib = native.load()
+    if not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+        pytest.skip("native i8 transport unavailable")
+
+    img = make_test_image(320, 240)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=88)
+    data = buf.getvalue()
+    shapes = [
+        (1, bucket_for(240), bucket_for(320), bucket_for(150),
+         bucket_for(200), 3)
+    ]
+
+    e1 = make_engine()
+
+    async def run_dev():
+        await e1.warmup(shapes=shapes, paths=("jpeg_rgb",))
+        out = await e1.transform(data, 200, 150, ImageFormat.jpeg, 85)
+        await e1.close()
+        return out
+
+    dev = asyncio.run(run_dev())
+    assert e1.metrics.host_fallbacks == 0
+    assert any(s[1] == "jxc" and s[2] == 8 for s in e1._compiled)
+
+    e2 = make_engine()
+
+    async def run_host():
+        out = await e2.transform(data, 200, 150, ImageFormat.jpeg, 85)
+        await e2.close()
+        return out
+
+    host = asyncio.run(run_host())
+    assert e2.metrics.host_fallbacks == 1
+    a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
+    assert psnr(a, b) >= 45.0
