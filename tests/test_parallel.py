@@ -120,11 +120,21 @@ def test_batched_engine_multichip_dp():
                 for img in imgs
             )
         )
+        wouts = await asyncio.gather(
+            *(
+                engine.resize_encode(img, 100, None, ImageFormat.webp, 85)
+                for img in imgs
+            )
+        )
         await engine.close()
-        return outs
+        return outs, wouts
 
-    outs = asyncio.run(run())
-    assert metrics.batches >= 1 and metrics.host_fallbacks == 0
+    outs, wouts = asyncio.run(run())
+    assert metrics.batches >= 2 and metrics.host_fallbacks == 0
+    # both fused heads ran sharded over the mesh
+    assert any(s[0] == "rgbjpg" and s[1] is True for s in engine._compiled)
+    assert any(s[0] == "rgbyuv" and s[1] is True for s in engine._compiled)
+    assert all(w[:4] == b"RIFF" for w in wouts)
     # outputs decode to the right shapes with sane content
     from imagekit_tpu.ops.resize import resample_reference, target_dimensions
     from tests.conftest import psnr
