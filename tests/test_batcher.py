@@ -1237,3 +1237,63 @@ def test_jpeg_transcode_k8_device_matches_host_mirror():
     a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
     b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
     assert psnr(a, b) >= 45.0
+
+
+def test_jpeg_transcode_grayscale_and_progressive_sources():
+    """Edge interactions of the fused transcode kind: grayscale sources
+    (fabricated zero chroma) and progressive sources (scratch decode into
+    the split transport) both produce correct JPEG output."""
+    import io
+
+    import pytest
+
+    native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
+    from PIL import Image
+
+    lib = native.load()
+    if not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
+        pytest.skip("native i8 transport unavailable")
+
+    gray = make_test_image(640, 480)[:, :, 0]
+    gbuf = io.BytesIO()
+    Image.fromarray(gray, "L").save(gbuf, "JPEG", quality=90)
+    pbuf = io.BytesIO()
+    Image.fromarray(make_test_image(640, 480)).save(
+        pbuf, "JPEG", quality=88, progressive=True
+    )
+
+    engine = make_engine()
+    shapes = [
+        (1, bucket_for(480), bucket_for(640), bucket_for(120),
+         bucket_for(160), 3)
+    ]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg_rgb",))
+        g = await engine.transform(
+            gbuf.getvalue(), 160, None, ImageFormat.jpeg, 85
+        )
+        p = await engine.transform(
+            pbuf.getvalue(), 160, None, ImageFormat.jpeg, 85
+        )
+        await engine.close()
+        return g, p
+
+    g, p = asyncio.run(run())
+    assert engine.metrics.host_fallbacks == 0
+    assert any(s[1] == "jxc" for s in engine._compiled)
+    for out, src_buf, src_gray in ((g, gbuf, True), (p, pbuf, False)):
+        assert out[:2] == b"\xff\xd8"
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        assert dec.shape == (120, 160, 3)
+        golden = np.asarray(
+            Image.open(src_buf).convert("RGB").resize(
+                (160, 120), Image.LANCZOS
+            )
+        )
+        assert psnr(dec, golden) >= 30.0
+        if src_gray:
+            # grayscale stays neutral through the zero-chroma transcode
+            d = dec.astype(int)
+            assert np.abs(d[..., 0] - d[..., 1]).max() <= 2
+            assert np.abs(d[..., 1] - d[..., 2]).max() <= 2
