@@ -1848,6 +1848,46 @@ class BatchedEngine(TransformEngine):
         from imagekit_tpu.ops.color import resample_rgb_yuv_batch
 
         loop = asyncio.get_running_loop()
+        # JPEG coefficient-path shapes FIRST: JPEG sources -> webp are the
+        # hot class, so they must warm before the slower rgb-head compiles. "jpeg" warms the
+        # fused coefficients->YUV kernel (webp is the default output format)
+        # with the truncation factor the bucket geometry would choose;
+        # "jpeg_rgb" additionally warms the coefficients->RGB variant used by
+        # jpeg/avif outputs (otherwise it compiles in the background on first
+        # use while requests ride the host fallback).
+        from imagekit_tpu.codecs.native import loader as _loader
+
+        _lib = _loader.load() or object()
+        lowfreq_ok = hasattr(_lib, "ik_jpeg_decode_coeffs_lowfreq")
+        i8_ok = hasattr(_lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
+        kinds = []
+        if "jpeg" in paths:
+            kinds.append("yuv")
+        if "jpeg_rgb" in paths:
+            # jpeg outputs ride the fused transcode kernel when the split
+            # transport exists; the RGB kernel still serves avif outputs
+            # and escape-demoted jpeg items
+            if i8_ok:
+                kinds.append("jxc")
+            kinds.append("rgb")
+        for kind in kinds:
+            for b, bh, bw, obh, obw, ch in shapes:
+                if bh % 16 or bw % 16 or ch != 3:
+                    continue
+                shard = self._use_mesh(b)
+                k = (
+                    self._choose_k(bh, bw, obh, obw)
+                    if kind in ("yuv", "jxc") and lowfreq_ok
+                    else 8
+                )
+                # the split int8 transport serves every k and kind when the
+                # native symbol exists; escape-dense outliers ride the
+                # int16 variant, background-compiled on first occurrence
+                head = "jpeg8" if i8_ok else "jpeg"
+                sig = (head, kind, k, shard, b, bh, bw, obh, obw)
+                await loop.run_in_executor(
+                    self._device_pool, self._compile_jpeg_sig, sig
+                )
         rgb_like = bool({"rgb", "rgb_jpeg"} & set(paths))
         for b, bh, bw, obh, obw, ch in shapes if rgb_like else []:
             shard = self._use_mesh(b)
@@ -1899,45 +1939,6 @@ class BatchedEngine(TransformEngine):
                 await loop.run_in_executor(self._device_pool, step_jq)
                 self._compiled.add(
                     ("rgbjpg", shard, b, bh, bw, obh, obw, ch)
-                )
-        # jpeg coeffs-path shapes for the same bucket pairs. "jpeg" warms the
-        # fused coefficients->YUV kernel (webp is the default output format)
-        # with the truncation factor the bucket geometry would choose;
-        # "jpeg_rgb" additionally warms the coefficients->RGB variant used by
-        # jpeg/avif outputs (otherwise it compiles in the background on first
-        # use while requests ride the host fallback).
-        from imagekit_tpu.codecs.native import loader as _loader
-
-        _lib = _loader.load() or object()
-        lowfreq_ok = hasattr(_lib, "ik_jpeg_decode_coeffs_lowfreq")
-        i8_ok = hasattr(_lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
-        kinds = []
-        if "jpeg" in paths:
-            kinds.append("yuv")
-        if "jpeg_rgb" in paths:
-            # jpeg outputs ride the fused transcode kernel when the split
-            # transport exists; the RGB kernel still serves avif outputs
-            # and escape-demoted jpeg items
-            if i8_ok:
-                kinds.append("jxc")
-            kinds.append("rgb")
-        for kind in kinds:
-            for b, bh, bw, obh, obw, ch in shapes:
-                if bh % 16 or bw % 16 or ch != 3:
-                    continue
-                shard = self._use_mesh(b)
-                k = (
-                    self._choose_k(bh, bw, obh, obw)
-                    if kind in ("yuv", "jxc") and lowfreq_ok
-                    else 8
-                )
-                # the split int8 transport serves every k and kind when the
-                # native symbol exists; escape-dense outliers ride the
-                # int16 variant, background-compiled on first occurrence
-                head = "jpeg8" if i8_ok else "jpeg"
-                sig = (head, kind, k, shard, b, bh, bw, obh, obw)
-                await loop.run_in_executor(
-                    self._device_pool, self._compile_jpeg_sig, sig
                 )
         # jpeg-format OUTPUTS encode via the device fDCT kernel only for
         # warmed bucket shapes (cold shapes host-mirror); warm the target
