@@ -169,12 +169,153 @@ async def run(base: str, n: int, concurrency: int) -> int:
     return 1 if bad else 0
 
 
+async def run_img(base: str, n: int, concurrency: int) -> int:
+    """Soak the reference hot path: local HTTP source server -> /sign ->
+    /img with valid, tampered-sig, expired-t, and undecodable-source
+    classes; verifies 200/400/401/410, ETag-keyed cache HITs, and 304
+    revalidation."""
+    import http.server
+    import socketserver
+    import threading
+    import time as _time
+
+    import aiohttp
+
+    sources = make_sources()
+    blobs = {f"/src{i}": d for i, (_, d, _) in enumerate(sources)}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            d = blobs.get(self.path)
+            if d is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/jpeg")
+            self.send_header("Content-Length", str(len(d)))
+            self.end_headers()
+            self.wfile.write(d)
+
+        def log_message(self, *a):  # noqa: D102
+            pass
+
+    socketserver.ThreadingTCPServer.allow_reuse_address = True
+    httpd = socketserver.ThreadingTCPServer(("127.0.0.1", 0), H)
+    src_port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    rng = random.Random(11)
+    bad = 0
+    hits_checked = 0
+    statuses: dict = {}
+    sem = asyncio.Semaphore(concurrency)
+
+    async def one(session, i):
+        nonlocal bad, hits_checked
+        idx = i % len(sources)
+        name, _, decodable = sources[idx]
+        mode = rng.choice(["ok", "ok", "ok", "tamper", "expired"])
+        params = {"url": f"http://127.0.0.1:{src_port}/src{idx}"}
+        w = rng.choice([64, 100, 150])
+        params["w"] = str(w)
+        f = rng.choice(["webp", "jpeg"])
+        params["f"] = f
+        if mode == "expired":
+            params["t"] = str(int(_time.time()) - 3600)
+        async with sem:
+            try:
+                async with session.get(
+                    base + "/sign", params=params,
+                    timeout=aiohttp.ClientTimeout(total=60),
+                ) as r:
+                    signed = (await r.json())["signed_url"]
+                if mode == "tamper":
+                    # flip the final sig hex digit
+                    last = signed[-1]
+                    signed = signed[:-1] + ("0" if last != "0" else "1")
+                async with session.get(
+                    base + signed, timeout=aiohttp.ClientTimeout(total=150)
+                ) as resp:
+                    body = await resp.read()
+                    st = resp.status
+                    etag = resp.headers.get("ETag")
+                if mode == "ok" and st == 200 and rng.random() < 0.25:
+                    # cache hit + 304 revalidation on the same signed URL
+                    async with session.get(
+                        base + signed,
+                        timeout=aiohttp.ClientTimeout(total=60),
+                    ) as r2:
+                        await r2.read()
+                        if r2.status != 200:
+                            print(f"FAIL {name}: hit status {r2.status}")
+                            bad += 1
+                    if etag:
+                        async with session.get(
+                            base + signed,
+                            headers={"If-None-Match": etag},
+                            timeout=aiohttp.ClientTimeout(total=60),
+                        ) as r3:
+                            await r3.read()
+                            if r3.status != 304:
+                                print(
+                                    f"FAIL {name}: expected 304, "
+                                    f"got {r3.status}"
+                                )
+                                bad += 1
+                    hits_checked += 1
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}/{mode}: transport error {e}")
+                bad += 1
+                return
+        statuses[(name, mode, st)] = statuses.get((name, mode, st), 0) + 1
+        expect = {
+            "tamper": (401,),
+            "expired": (410,),
+            "ok": (200,) if decodable is True
+            else (400,) if decodable is False else (200, 400),
+        }[mode]
+        if st not in expect:
+            print(f"FAIL {name}/{mode}: status {st}, expected {expect}")
+            bad += 1
+        elif mode == "ok" and st == 200 and len(body) == 0:
+            print(f"FAIL {name}: empty 200 body")
+            bad += 1
+
+    done = 0
+
+    async def tracked(session, i):
+        nonlocal done
+        await one(session, i)
+        done += 1
+        if done % 250 == 0:
+            print(f"  {done}/{n} ...", flush=True)
+
+    async with aiohttp.ClientSession() as session:
+        await asyncio.gather(*(tracked(session, i) for i in range(n)))
+    httpd.shutdown()
+    per_status: dict = {}
+    for (_, _, st), c in statuses.items():
+        per_status[st] = per_status.get(st, 0) + c
+    print(
+        f"img soak: {n} requests, statuses {sorted(per_status.items())}, "
+        f"{hits_checked} hit+304 checks, {bad} failures"
+    )
+    return 1 if bad else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="http://127.0.0.1:18099")
     ap.add_argument("--n", type=int, default=3000)
     ap.add_argument("--concurrency", type=int, default=16)
+    ap.add_argument(
+        "--img", action="store_true",
+        help="soak the /sign -> /img hot path instead of /upload",
+    )
     args = ap.parse_args()
+    if args.img:
+        return asyncio.run(run_img(args.base, args.n, args.concurrency))
     return asyncio.run(run(args.base, args.n, args.concurrency))
 
 
