@@ -133,6 +133,18 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
                 raise TransformError(str(e)) from e
             if arr is not None:
                 return arr, fmt
+    elif fmt == SourceFormat.avif:
+        # native ISOBMFF container parse + direct dav1d core (no PIL/
+        # libavif in the loop); alpha/10-bit/ABI-drift fall back
+        from imagekit_tpu.codecs import avif_native
+
+        if avif_native.decode_available():
+            try:
+                arr = avif_native.decode_rgb(data)
+            except ValueError as e:
+                raise TransformError(str(e)) from e
+            if arr is not None:
+                return arr, fmt
     from imagekit_tpu.codecs import pil_backend
 
     arr = pil_backend.decode(data)

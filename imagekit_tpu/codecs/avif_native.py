@@ -1,0 +1,449 @@
+"""AVIF decode: native ISOBMFF container parse + direct dav1d integration.
+
+The reference treats AVIF through its AV1 library ecosystem
+(``src/transform.rs:138-146`` encodes via ravif); sources here decode
+through the same family. The CONTAINER layer (ftyp/meta/pitm/iinf/iloc/
+iprp walking, the analogue of this codebase's native WebP/PNG/TIFF
+container parsers) is implemented natively below, and the AV1 OBU payload
+is handed STRAIGHT to ``libdav1d`` over a minimal ctypes ABI — no PIL/
+libavif in the loop — yielding the decoder's raw YUV planes. Those planes
+feed the batched device resize directly (the webp-source pattern): for
+webp outputs a 4:2:0 BT.601 source never round-trips through RGB at all.
+
+A from-scratch AV1 *entropy* decoder remains blocked in this environment:
+bit-exact AV1 needs the default CDF tables (thousands of context entries)
+and every AV1 library on the box is stripped with no sources and no
+egress to fetch them (docs/ROADMAP.md item 1). Integrating the codec
+core behind a native container/colour layer is the same split the JPEG
+path uses (host entropy ↔ device pixels), with dav1d playing the entropy
+role.
+
+ABI safety: the Dav1dPicture field offsets used here are those of dav1d
+1.x on LP64; every decode cross-checks the picture's (width, height)
+against the container's ``ispe`` property and permanently disables the
+path (callers fall back to the host library) on any mismatch, so an ABI
+drift can never emit wrong pixels.
+
+Chroma upsampling for the RGB path is nearest-neighbour (documented
+tolerance in tests); the serving path consumes half-res chroma directly
+so no upsampling happens there at all.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# Dav1dPicture offsets (dav1d 1.x, LP64): validated per decode against the
+# container's ispe dimensions.
+_PIC_DATA_OFF = 16     # void *data[3]
+_PIC_STRIDE_OFF = 40   # ptrdiff_t stride[2]
+_PIC_P_OFF = 56        # Dav1dPictureParameters {int w, h, layout, bpc}
+
+_I400, _I420, _I422, _I444 = 0, 1, 2, 3
+
+_lock = threading.Lock()
+_state: dict = {"lib": None, "attempted": False, "disabled": False}
+_FREE_CB = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_uint8),
+                            ctypes.c_void_p)
+_NOFREE = _FREE_CB(lambda p, c: None)
+
+
+def _dav1d() -> Optional[ctypes.CDLL]:
+    with _lock:
+        if _state["disabled"]:
+            return None
+        if _state["lib"] is not None:
+            return _state["lib"]
+        if _state["attempted"]:
+            return None
+        _state["attempted"] = True
+        try:
+            lib = ctypes.CDLL("libdav1d.so.6")
+            for sym in ("dav1d_default_settings", "dav1d_open",
+                        "dav1d_data_wrap", "dav1d_send_data",
+                        "dav1d_get_picture", "dav1d_picture_unref",
+                        "dav1d_close"):
+                getattr(lib, sym)
+        except (OSError, AttributeError):
+            return None
+        _state["lib"] = lib
+        return lib
+
+
+def _disable() -> None:
+    with _lock:
+        _state["disabled"] = True
+        _state["lib"] = None
+
+
+# ---------------------------------------------------------------------------
+# ISOBMFF container
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AvifInfo:
+    width: int
+    height: int
+    obu: bytes                    # primary (colour) item's AV1 payload
+    has_alpha: bool = False
+    matrix: int = 2               # nclx matrix_coefficients (2 = unspecified)
+    full_range: bool = True
+    properties: Dict[int, list] = field(default_factory=dict)
+
+
+def _boxes(buf: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        sz = int.from_bytes(buf[i:i + 4], "big")
+        typ = buf[i + 4:i + 8]
+        hdr = 8
+        if sz == 1:
+            if i + 16 > end:
+                raise ValueError("truncated largesize box")
+            sz = int.from_bytes(buf[i + 8:i + 16], "big")
+            hdr = 16
+        elif sz == 0:
+            sz = end - i
+        if sz < hdr or i + sz > end:
+            raise ValueError("bad box size")
+        yield typ, i + hdr, i + sz
+        i += sz
+
+
+def parse_container(data: bytes) -> AvifInfo:
+    """Walk the AVIF/HEIF structure and pull out the primary item's AV1
+    payload plus the properties that matter for colour reconstruction.
+    Raises ValueError on anything unexpected (callers fall back)."""
+    try:
+        return _parse_container(data)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, OverflowError, MemoryError) as e:
+        raise ValueError(f"malformed avif container: {e}") from e
+
+
+def _parse_container(data: bytes) -> AvifInfo:
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISOBMFF file")
+    top = {}
+    for t, a, b in _boxes(data, 0, len(data)):
+        top.setdefault(t, (a, b))
+    if b"meta" not in top:
+        raise ValueError("no meta box")
+    ma, mb = top[b"meta"]
+    ma += 4  # fullbox version/flags
+    meta = {}
+    for t, a, b in _boxes(data, ma, mb):
+        meta.setdefault(t, (a, b))
+    for req in (b"pitm", b"iinf", b"iloc"):
+        if req not in meta:
+            raise ValueError(f"missing {req.decode()}")
+
+    pa, _pb = meta[b"pitm"]
+    pitm = (
+        int.from_bytes(data[pa + 4:pa + 6], "big")
+        if data[pa] == 0
+        else int.from_bytes(data[pa + 4:pa + 8], "big")
+    )
+
+    ia, ib = meta[b"iinf"]
+    off = ia + 4
+    if data[ia] == 0:
+        off += 2
+    else:
+        off += 4
+    item_types: Dict[int, bytes] = {}
+    for t, a, b in _boxes(data, off, ib):
+        if t != b"infe":
+            continue
+        v = data[a]
+        if v < 2:
+            continue
+        iid = (
+            int.from_bytes(data[a + 4:a + 6], "big")
+            if v == 2
+            else int.from_bytes(data[a + 4:a + 8], "big")
+        )
+        o = (a + 6 if v == 2 else a + 8) + 2  # + protection index
+        item_types[iid] = data[o:o + 4]
+    if item_types.get(pitm) != b"av01":
+        raise ValueError("primary item is not av01")
+
+    la, lb = meta[b"iloc"]
+    v = data[la]
+    off = la + 4
+    offset_size = data[off] >> 4
+    length_size = data[off] & 15
+    base_offset_size = data[off + 1] >> 4
+    index_size = (data[off + 1] & 15) if v in (1, 2) else 0
+    off += 2
+    if v < 2:
+        item_count = int.from_bytes(data[off:off + 2], "big")
+        off += 2
+    else:
+        item_count = int.from_bytes(data[off:off + 4], "big")
+        off += 4
+    if item_count > 4096:
+        raise ValueError("implausible iloc item count")
+    locs: Dict[int, Tuple[int, List[Tuple[int, int]]]] = {}
+    for _ in range(item_count):
+        if v < 2:
+            iid = int.from_bytes(data[off:off + 2], "big")
+            off += 2
+        else:
+            iid = int.from_bytes(data[off:off + 4], "big")
+            off += 4
+        cm = 0
+        if v in (1, 2):
+            cm = int.from_bytes(data[off:off + 2], "big") & 15
+            off += 2
+        off += 2  # data reference index
+        base = int.from_bytes(data[off:off + base_offset_size], "big")
+        off += base_offset_size
+        ec = int.from_bytes(data[off:off + 2], "big")
+        off += 2
+        if ec > 1024:
+            raise ValueError("implausible extent count")
+        extents = []
+        for _ in range(ec):
+            off += index_size
+            eo = int.from_bytes(data[off:off + offset_size], "big")
+            off += offset_size
+            el = int.from_bytes(data[off:off + length_size], "big")
+            off += length_size
+            extents.append((base + eo, el))
+        locs[iid] = (cm, extents)
+
+    # properties: ipco (ordered list) + ipma (item -> 1-based indices)
+    width = height = 0
+    matrix, full_range = 2, True
+    has_alpha = False
+    if b"iprp" in meta:
+        pa2, pb2 = meta[b"iprp"]
+        sub = {}
+        for t, a, b in _boxes(data, pa2, pb2):
+            sub.setdefault(t, (a, b))
+        props: List[Tuple[bytes, int, int]] = []
+        if b"ipco" in sub:
+            ca, cb = sub[b"ipco"]
+            props = list(_boxes(data, ca, cb))
+        assoc: Dict[int, List[int]] = {}
+        if b"ipma" in sub:
+            aa, ab = sub[b"ipma"]
+            v2 = data[aa]
+            flags = int.from_bytes(data[aa + 1:aa + 4], "big")
+            o = aa + 4
+            ec2 = int.from_bytes(data[o:o + 4], "big")
+            o += 4
+            if ec2 > 4096:
+                raise ValueError("implausible ipma entry count")
+            for _ in range(ec2):
+                if v2 < 1:
+                    iid = int.from_bytes(data[o:o + 2], "big")
+                    o += 2
+                else:
+                    iid = int.from_bytes(data[o:o + 4], "big")
+                    o += 4
+                ac = data[o]
+                o += 1
+                idxs = []
+                for _ in range(ac):
+                    if flags & 1:
+                        pi = int.from_bytes(data[o:o + 2], "big") & 0x7FFF
+                        o += 2
+                    else:
+                        pi = data[o] & 0x7F
+                        o += 1
+                    idxs.append(pi)
+                assoc[iid] = idxs
+        # alpha: any av01 item whose auxC names the alpha aux type
+        for iid, typ in item_types.items():
+            if iid == pitm or typ != b"av01":
+                continue
+            for pi in assoc.get(iid, []):
+                if 1 <= pi <= len(props):
+                    t, a, b = props[pi - 1]
+                    if t == b"auxC" and b"alpha" in data[a:b]:
+                        has_alpha = True
+        for pi in assoc.get(pitm, range(1, len(props) + 1)):
+            if not (1 <= pi <= len(props)):
+                continue
+            t, a, b = props[pi - 1]
+            if t == b"ispe":
+                width = int.from_bytes(data[a + 4:a + 8], "big")
+                height = int.from_bytes(data[a + 8:a + 12], "big")
+            elif t == b"colr" and data[a:a + 4] == b"nclx":
+                matrix = int.from_bytes(data[a + 8:a + 10], "big")
+                full_range = bool(data[a + 10] & 0x80)
+    if width <= 0 or height <= 0:
+        raise ValueError("missing ispe dimensions")
+
+    cm, extents = locs.get(pitm, (None, []))
+    if cm != 0 or not extents:
+        raise ValueError("unsupported iloc construction")
+    obu = b"".join(data[o:o + l] for o, l in extents)
+    if not obu:
+        raise ValueError("empty av01 payload")
+    return AvifInfo(width, height, obu, has_alpha, matrix, full_range)
+
+
+# ---------------------------------------------------------------------------
+# dav1d decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_obu(obu: bytes, want_w: int, want_h: int):
+    """One still frame through dav1d -> (y, u|None, v|None, layout, bpc).
+    Returns None when dav1d is unavailable; raises ValueError on decode
+    failure. Dimensions are cross-checked against the container; any
+    mismatch disables the path permanently (ABI drift guard)."""
+    lib = _dav1d()
+    if lib is None:
+        return None
+    settings = ctypes.create_string_buffer(256)
+    lib.dav1d_default_settings(settings)
+    ctx = ctypes.c_void_p()
+    if lib.dav1d_open(ctypes.byref(ctx), settings) != 0:
+        raise ValueError("dav1d_open failed")
+    try:
+        dd = ctypes.create_string_buffer(128)
+        buf = (ctypes.c_uint8 * len(obu)).from_buffer_copy(obu)
+        if lib.dav1d_data_wrap(dd, buf, len(obu), _NOFREE, None) != 0:
+            raise ValueError("dav1d_data_wrap failed")
+        rc = lib.dav1d_send_data(ctx, dd)
+        if rc not in (0, -11):  # 0 or EAGAIN
+            raise ValueError(f"dav1d_send_data: {rc}")
+        pic = ctypes.create_string_buffer(512)
+        got = False
+        for _ in range(8):
+            rc = lib.dav1d_get_picture(ctx, pic)
+            if rc == 0:
+                got = True
+                break
+            if rc != -11:
+                raise ValueError(f"dav1d_get_picture: {rc}")
+        if not got:
+            raise ValueError("dav1d produced no picture")
+        try:
+            datap = struct.unpack_from("<3Q", pic, _PIC_DATA_OFF)
+            stride = struct.unpack_from("<2q", pic, _PIC_STRIDE_OFF)
+            w, h, layout, bpc = struct.unpack_from("<4i", pic, _PIC_P_OFF)
+            if (w, h) != (want_w, want_h):
+                _disable()
+                raise ValueError(
+                    f"dav1d picture {w}x{h} != container {want_w}x{want_h}"
+                    " (ABI guard tripped — path disabled)"
+                )
+            if bpc != 8:
+                raise ValueError(f"unsupported bit depth {bpc}")
+            if layout not in (_I400, _I420, _I422, _I444):
+                raise ValueError(f"unsupported layout {layout}")
+
+            def plane(addr, st, ph, pw):
+                arr = np.ctypeslib.as_array(
+                    (ctypes.c_uint8 * (st * ph)).from_address(addr)
+                ).reshape(ph, st)
+                return arr[:, :pw].copy()
+
+            y = plane(datap[0], stride[0], h, w)
+            u = v = None
+            if layout != _I400:
+                cw = (w + 1) // 2 if layout in (_I420, _I422) else w
+                chh = (h + 1) // 2 if layout == _I420 else h
+                u = plane(datap[1], stride[1], chh, cw)
+                v = plane(datap[2], stride[1], chh, cw)
+            return y, u, v, layout, bpc
+        finally:
+            lib.dav1d_picture_unref(pic)
+    finally:
+        lib.dav1d_close(ctypes.byref(ctx))
+
+
+def decode_available() -> bool:
+    return _dav1d() is not None
+
+
+_BT709 = (0.2126, 0.7152, 0.0722)
+_BT601 = (0.299, 0.587, 0.114)
+
+
+def decode_rgb(data: bytes) -> Optional[np.ndarray]:
+    """Container parse + dav1d -> RGB u8. Returns None when the native
+    path cannot serve this file (alpha-bearing sources keep the host
+    library's RGBA behaviour; caller falls back); raises ValueError on
+    malformed input."""
+    info = parse_container(data)
+    if info.has_alpha:
+        return None
+    out = _decode_obu(info.obu, info.width, info.height)
+    if out is None:
+        return None
+    y, u, v, layout, _bpc = out
+    h, w = info.height, info.width
+    yf = y.astype(np.float32)
+    if not info.full_range:
+        yf = (yf - 16.0) * (255.0 / 219.0)
+    if layout == _I400 or u is None:
+        g8 = np.clip(np.floor(yf + 0.5), 0, 255).astype(np.uint8)
+        return np.repeat(g8[:, :, None], 3, axis=2)
+    uf = u.astype(np.float32) - 128.0
+    vf = v.astype(np.float32) - 128.0
+    if not info.full_range:
+        uf *= 255.0 / 224.0
+        vf *= 255.0 / 224.0
+    # nearest-neighbour chroma upsample (documented tolerance)
+    if layout == _I420:
+        uf = np.repeat(np.repeat(uf, 2, 0), 2, 1)[:h, :w]
+        vf = np.repeat(np.repeat(vf, 2, 0), 2, 1)[:h, :w]
+    elif layout == _I422:
+        uf = np.repeat(uf, 2, 1)[:, :w]
+        vf = np.repeat(vf, 2, 1)[:, :w]
+    kr, kg, kb = _BT709 if info.matrix == 1 else _BT601
+    r = yf + 2.0 * (1.0 - kr) * vf
+    b = yf + 2.0 * (1.0 - kb) * uf
+    g = (yf - kr * r - kb * b) / kg
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def decode_yuv420_studio(data: bytes):
+    """Container parse + dav1d -> studio-range BT.601 YUV 4:2:0 planes for
+    the serving engine's YUV-domain batched resize (webp outputs never
+    round-trip through RGB). Returns None when this file can't take the
+    direct path (non-420/709/alpha/10-bit -> RGB or host fallback)."""
+    try:
+        info = parse_container(data)
+    except ValueError:
+        return None
+    if info.has_alpha or info.matrix not in (0, 2, 5, 6):
+        return None
+    out = _decode_obu(info.obu, info.width, info.height)
+    if out is None:
+        return None
+    y, u, v, layout, _bpc = out
+    if layout != _I420 or u is None:
+        return None
+    if info.full_range:
+        # full-range 601 -> studio range (the affine remap commutes with
+        # the linear resize, same argument as the JPEG->WebP path)
+        y = np.clip(
+            np.floor(y.astype(np.float32) * (219.0 / 255.0) + 16.0 + 0.5),
+            0, 255,
+        ).astype(np.uint8)
+        c_off = 128.0 * (1.0 - 224.0 / 255.0)
+        u = np.clip(
+            np.floor(u.astype(np.float32) * (224.0 / 255.0) + c_off + 0.5),
+            0, 255,
+        ).astype(np.uint8)
+        v = np.clip(
+            np.floor(v.astype(np.float32) * (224.0 / 255.0) + c_off + 0.5),
+            0, 255,
+        ).astype(np.uint8)
+    return y, u, v

@@ -371,6 +371,18 @@ class BatchedEngine(TransformEngine):
                 return await self._transform_webp_native(data, w, h, quality)
             except _NativeUnsupported:
                 pass
+        # AVIF -> WebP: native container parse + direct dav1d core feed
+        # the same YUV-domain batched resize (no RGB round trip)
+        if (
+            fmt == ImageFormat.webp
+            and len(data) >= 12
+            and data[4:8] == b"ftyp"
+            and (w is not None or h is not None)
+        ):
+            try:
+                return await self._transform_avif_native(data, w, h, quality)
+            except _NativeUnsupported:
+                pass
         img = await self.decode(data)
         return await self.resize_encode(img, w, h, fmt, quality)
 
@@ -395,6 +407,39 @@ class BatchedEngine(TransformEngine):
         self.metrics.add_stage_time("vp8_decode", time.perf_counter() - t0)
         if planes is None:  # VP8L / VP8X -> host-library path
             raise _NativeUnsupported()
+        return await self._enqueue_yuv(planes, w, h, quality, loop)
+
+    async def _transform_avif_native(
+        self, data: bytes, w, h, quality: int
+    ) -> bytes:
+        """AVIF source -> webp output without an RGB round trip: native
+        container parse + direct dav1d core yield studio-range 4:2:0
+        planes that feed the YUV-domain batched resize (the webp-source
+        pattern)."""
+        from imagekit_tpu.codecs import avif_native
+        from imagekit_tpu.codecs import vp8 as vp8_native
+
+        if not (vp8_native.available() and avif_native.decode_available()):
+            raise _NativeUnsupported()
+        loop = asyncio.get_running_loop()
+        self._ensure_flusher(loop)
+
+        def avif_decode():
+            try:
+                return avif_native.decode_yuv420_studio(data)
+            except ValueError as e:
+                raise _NativeUnsupported() from e
+
+        t0 = time.perf_counter()
+        planes = await loop.run_in_executor(self._codec_pool, avif_decode)
+        self.metrics.add_stage_time("avif_decode", time.perf_counter() - t0)
+        if planes is None:  # alpha / 444 / 709 / 10-bit -> generic path
+            raise _NativeUnsupported()
+        return await self._enqueue_yuv(planes, w, h, quality, loop)
+
+    async def _enqueue_yuv(self, planes, w, h, quality: int, loop) -> bytes:
+        """Queue decoded 4:2:0 studio-range planes on the YUV-domain
+        batched resize (shared by the native WebP and AVIF sources)."""
         y, cb, cr = planes
         ih, iw = y.shape
         out_w, out_h = target_dimensions(iw, ih, w, h)

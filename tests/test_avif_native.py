@@ -1,0 +1,208 @@
+"""Native AVIF path: ISOBMFF container parse + direct dav1d core.
+
+The AV1 entropy core is the one stage still served by a system library
+(docs/ROADMAP.md item 1 records why a from-scratch decoder is blocked in
+this environment); these tests pin the native container layer, the
+ctypes ABI guard, colour reconstruction against the host library, and
+the YUV-direct serving path.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import make_test_image, psnr
+
+avif_native = pytest.importorskip("imagekit_tpu.codecs.avif_native")
+
+
+def _avif(img, q=80, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "AVIF", quality=q, **kw)
+    return buf.getvalue()
+
+
+def _have_encode():
+    try:
+        _avif(np.zeros((16, 16, 3), np.uint8))
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not (avif_native.decode_available() and _have_encode()),
+    reason="dav1d or PIL AVIF encode unavailable",
+)
+
+
+def test_container_parse():
+    img = make_test_image(150, 98)
+    data = _avif(img)
+    info = avif_native.parse_container(data)
+    assert (info.width, info.height) == (150, 98)
+    assert not info.has_alpha
+    assert len(info.obu) > 0
+    # payload starts with an AV1 OBU (temporal delimiter or sequence hdr)
+    assert info.obu[0] & 0x81 == 0  # forbidden bit clear, reserved clear
+
+
+def test_container_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        avif_native.parse_container(b"\x00" * 64)
+    data = _avif(make_test_image(64, 48))
+    with pytest.raises(ValueError):
+        avif_native.parse_container(data[: len(data) // 2])
+    # mutated box sizes must raise ValueError, never IndexError etc.
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        m = bytearray(data)
+        for _ in range(8):
+            m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+        try:
+            avif_native.parse_container(bytes(m))
+        except ValueError:
+            pass
+
+
+def test_decode_rgb_matches_host_library():
+    """dav1d planes + our colour reconstruction vs the host library's
+    decode: same YUV data, different chroma upsampling — high PSNR."""
+    img = make_test_image(320, 240)
+    data = _avif(img, q=85)
+    ours = avif_native.decode_rgb(data)
+    assert ours is not None and ours.shape == (240, 320, 3)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(ours, ref) >= 35.0
+
+
+def test_decode_yuv420_studio_reconstructs():
+    """The serving planes (studio-range BT.601 4:2:0) reconstruct the
+    host library's RGB after the standard studio-range conversion."""
+    img = make_test_image(256, 192)
+    data = _avif(img, q=85)
+    planes = avif_native.decode_yuv420_studio(data)
+    if planes is None:
+        pytest.skip("encoder produced a non-420/601 layout")
+    y, u, v = planes
+    assert y.shape == (192, 256) and u.shape == (96, 128)
+    yf = (y.astype(np.float32) - 16.0) * (255.0 / 219.0)
+    uf = (u.astype(np.float32) - 128.0) * (255.0 / 224.0)
+    vf = (v.astype(np.float32) - 128.0) * (255.0 / 224.0)
+    up = np.repeat(np.repeat(uf, 2, 0), 2, 1)[:192, :256]
+    vp = np.repeat(np.repeat(vf, 2, 0), 2, 1)[:192, :256]
+    r = yf + 1.402 * vp
+    g = yf - 0.344136 * up - 0.714136 * vp
+    b = yf + 1.772 * up
+    rgb = np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(rgb, ref) >= 35.0
+
+
+def test_decode_bytes_uses_native_path(monkeypatch):
+    """codecs.decode_bytes routes AVIF through the native container+dav1d
+    path; the host library is not consulted for clean 420 sources."""
+    from imagekit_tpu import codecs as codecs_mod
+    from imagekit_tpu.codecs import pil_backend
+
+    called = []
+    real = pil_backend.decode
+
+    def spy(data):
+        called.append(1)
+        return real(data)
+
+    monkeypatch.setattr(pil_backend, "decode", spy)
+    data = _avif(make_test_image(96, 64))
+    arr, fmt = codecs_mod.decode_bytes(data)
+    assert fmt == codecs_mod.SourceFormat.avif
+    assert arr.shape == (64, 96, 3)
+    assert not called, "PIL fallback was consulted"
+
+
+def test_alpha_sources_fall_back():
+    """Alpha-bearing AVIF keeps the host library's RGBA behaviour."""
+    rgba = np.dstack(
+        [make_test_image(64, 48), np.full((48, 64), 180, np.uint8)]
+    )
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(rgba).save(buf, "AVIF", quality=80)
+    except Exception:
+        pytest.skip("encoder lacks RGBA support")
+    data = buf.getvalue()
+    info = avif_native.parse_container(data)
+    if not info.has_alpha:
+        pytest.skip("encoder dropped the alpha item")
+    assert avif_native.decode_rgb(data) is None
+
+    from imagekit_tpu import codecs as codecs_mod
+
+    arr, fmt = codecs_mod.decode_bytes(data)
+    assert arr.shape[2] == 4  # PIL fallback preserved RGBA
+
+
+def test_engine_avif_to_webp_yuv_direct():
+    """AVIF source -> webp output rides the YUV-domain batched resize
+    (no RGB round trip): the yuvsrc signature executes, no host fallback
+    after warmup, and the output matches the golden pipeline."""
+    import asyncio
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.config import ImageFormat
+    from imagekit_tpu.utils.bucketing import bucket_for
+    from tests.test_batcher import make_engine
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(640, 480)
+    data = _avif(img, q=85)
+    if avif_native.decode_yuv420_studio(data) is None:
+        pytest.skip("encoder produced a non-420/601 layout")
+
+    engine = make_engine()
+    shapes = [
+        (1, bucket_for(480), bucket_for(640), bucket_for(240),
+         bucket_for(320), 3)
+    ]
+
+    async def run():
+        # compile the yuvsrc signature this request will need
+        from imagekit_tpu.ops.dct import (
+            combined_chroma_half_weights,
+            pad128,
+            resize_yuv420_batch,
+        )
+
+        bh, bw = bucket_for(480), bucket_for(640)
+        obh, obw = bucket_for(240), bucket_for(320)
+        ny, nc = bh * bw, (bh // 2) * (bw // 2)
+        flat = np.zeros((1, pad128(ny + 2 * nc)), np.uint8)
+        wv = np.zeros((engine.MAX_UNIQUE, obh, bh), np.float32)
+        wh = np.zeros((engine.MAX_UNIQUE, obw, bw), np.float32)
+        wvc = np.zeros((engine.MAX_UNIQUE, obh // 2, bh // 2), np.float32)
+        whc = np.zeros((engine.MAX_UNIQUE, obw // 2, bw // 2), np.float32)
+        resize_yuv420_batch(
+            flat, (wv, wh, wvc, whc), np.zeros(1, np.int32),
+            (bh, bw), (obh, obw),
+        )
+        engine._compiled.add(("yuvsrc", False, 1, bh, bw, obh, obw))
+        out = await engine.transform(data, 320, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert engine.metrics.host_fallbacks == 0
+    assert engine.metrics.stage_seconds.get("avif_decode", 0) > 0
+    assert out[:4] == b"RIFF"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape == (240, 320, 3)
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (320, 240), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 30.0

@@ -68,6 +68,14 @@ def make_corpus():
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "tests"))
     try:
+        from PIL import Image as _Image
+
+        b = io.BytesIO()
+        _Image.fromarray(img[:47, :63]).save(b, "AVIF", quality=70)
+        corpus.append(("avif", b.getvalue()))
+    except Exception:
+        pass
+    try:
         from test_tiff import _craft_planar, _craft_tiled
 
         corpus.append(("tiff", _craft_tiled(img[:48, :48], 16, 16, 5)))
@@ -101,6 +109,13 @@ def feed(kind: str, data: bytes) -> None:
             misc.decode_bmp(data)
         elif kind == "tiff":
             tiff.decode(data)
+        elif kind == "avif":
+            from imagekit_tpu.codecs import avif_native
+
+            try:
+                avif_native.decode_rgb(data)
+            except ValueError:
+                pass
         elif kind == "webp":
             vp8.decode_yuv420(data)
             vp8.decode_lossless(data)
