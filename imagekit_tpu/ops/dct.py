@@ -1014,6 +1014,91 @@ def _resize_yuv420_kernel(
     return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("bh", "bw", "obh", "obw")
+)
+def _resize_yuv_jpeg_kernel(
+    flat,       # (B, pad128(bh*bw*3/2)) u8 studio-range YUV 4:2:0
+    wv_y, wh_y, wv_c, wh_c,
+    qt_out,     # (B, 128) f32 target quant tables
+    vidx,
+    bh: int,
+    bw: int,
+    obh: int,
+    obw: int,
+):
+    """YUV-source -> JPEG output in one dispatch: resize the studio-range
+    planes (yuvsrc weights), remap to full-range JFIF, round to the u8
+    grid, 8x8 fDCT + quantise -> int16 level planes for the host Huffman
+    encoder. Serves jpeg outputs from native WebP/AVIF sources without an
+    RGB round trip (the affine range remap commutes with the resize)."""
+    B = flat.shape[0]
+    ny = bh * bw
+    nc = (bh // 2) * (bw // 2)
+    Y = flat[:, :ny].reshape(B, bh, bw).astype(jnp.float32)
+    Cb = flat[:, ny:ny + nc].reshape(B, bh // 2, bw // 2).astype(jnp.float32)
+    Cr = flat[:, ny + nc:ny + 2 * nc].reshape(B, bh // 2, bw // 2).astype(
+        jnp.float32
+    )
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    def u8c(p):  # full-range u8 grid hand-off, centred for the fDCT
+        return jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0) - 128.0
+
+    y = u8c((plane_resize(Y, wv_y, wh_y) - 16.0) * (255.0 / 219.0))
+    cb = u8c(
+        (plane_resize(Cb, wv_c, wh_c) - 128.0) * (255.0 / 224.0) + 128.0
+    )
+    cr = u8c(
+        (plane_resize(Cr, wv_c, wh_c) - 128.0) * (255.0 / 224.0) + 128.0
+    )
+    return jnp.concatenate(
+        [
+            _fdct_quant_flat(y, qt_out[:, :64]),
+            _fdct_quant_flat(cb, qt_out[:, 64:]),
+            _fdct_quant_flat(cr, qt_out[:, 64:]),
+        ],
+        axis=1,
+    )
+
+
+def resize_yuv_jpeg_batch(flat, weights, qt_out, vidx, in_shape, out_shape):
+    """Run the fused YUV->JPEG kernel; returns (y, cb, cr) int16 level
+    arrays ((B, OHb/8, OWb/8, 64) / (B, OHb/16, OWb/16, 64) x2) for the
+    host Huffman encoder."""
+    wv_y, wh_y, wv_c, wh_c = weights
+    bh, bw = in_shape
+    obh, obw = out_shape
+    out = np.asarray(
+        _resize_yuv_jpeg_kernel(
+            jnp.asarray(flat),
+            jnp.asarray(wv_y),
+            jnp.asarray(wh_y),
+            jnp.asarray(wv_c),
+            jnp.asarray(wh_c),
+            jnp.asarray(qt_out),
+            jnp.asarray(vidx),
+            bh=bh,
+            bw=bw,
+            obh=obh,
+            obw=obw,
+        )
+    )
+    B = out.shape[0]
+    ny = obh * obw
+    nc = (obh // 2) * (obw // 2)
+    y = out[:, :ny].reshape(B, obh // 8, obw // 8, 64)
+    cb = out[:, ny:ny + nc].reshape(B, obh // 16, obw // 16, 64)
+    cr = out[:, ny + nc:].reshape(B, obh // 16, obw // 16, 64)
+    return y, cb, cr
+
+
 def resize_yuv420_batch(flat, weights, vidx, in_shape, out_shape):
     """Run the YUV-domain resize; returns (Y, Cb, Cr) u8 planes at bucket
     output shapes (crop on host)."""
@@ -1154,11 +1239,19 @@ def host_transcode_single(
     y = u8(wv @ Y @ wh.T)
     cb = u8(cv @ Cb @ ch.T)
     cr = u8(cv @ Cr @ ch.T)
-    # pad to the MCU grid by edge replication (device: replicated weight
-    # rows; identical values since resize rows beyond the edge copy the
-    # last true row)
+    # MCU-grid edge padding + fDCT live in the shared tail (device:
+    # replicated weight rows produce identical values)
+    return _host_fdct_planes(y, cb, cr, out_h, out_w, quality)
+
+
+def _host_fdct_planes(y, cb, cr, out_h: int, out_w: int, quality: int):
+    """Full-range u8-grid planes (luma at true dims, chroma at ceil-half
+    dims) -> MCU-edge-padded fDCT+quant level planes + quant tables, for
+    the host Huffman encoder (numpy mirror of the fused encode tails)."""
     mh, mw = (out_h + 15) // 16 * 16, (out_w + 15) // 16 * 16
-    y = np.pad(y, ((0, mh - out_h), (0, mw - out_w)), mode="edge")
+    y = np.pad(
+        y, ((0, mh - y.shape[0]), (0, mw - y.shape[1])), mode="edge"
+    )
     cb = np.pad(
         cb,
         ((0, mh // 2 - cb.shape[0]), (0, mw // 2 - cb.shape[1])),
@@ -1182,6 +1275,24 @@ def host_transcode_single(
         return (np.sign(c) * np.floor(np.abs(c) + 0.5)).astype(np.int16)
 
     return [fq(y, qy), fq(cb, qc), fq(cr, qc)], (qy, qc)
+
+
+def host_yuv_jpeg_single(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+    out_h: int, out_w: int, quality: int,
+):
+    """Numpy mirror of the fused YUV->JPEG kernel for ONE image: resize
+    the studio-range 4:2:0 planes, remap to full-range JFIF on the u8
+    grid, fDCT+quantise. Returns (level planes, (qy, qc))."""
+    ys, cbs, crs = host_resize_yuv420_single(y, cb, cr, out_h, out_w)
+
+    def u8(p):
+        return np.clip(np.floor(p + 0.5), 0, 255)
+
+    yf = u8((ys.astype(np.float32) - 16.0) * (255.0 / 219.0))
+    cbf = u8((cbs.astype(np.float32) - 128.0) * (255.0 / 224.0) + 128.0)
+    crf = u8((crs.astype(np.float32) - 128.0) * (255.0 / 224.0) + 128.0)
+    return _host_fdct_planes(yf, cbf, crf, out_h, out_w, quality)
 
 
 def decode_resize_rgb_batch(

@@ -169,8 +169,9 @@ def _pad_esc(idx_parts, val_parts, cap: int):
 
 @dataclass
 class _YuvItem:
-    """A decoded YUV 4:2:0 source (native WebP decode) bound for a webp
-    output — resized entirely in YUV space, no RGB anywhere."""
+    """A decoded YUV 4:2:0 source (native WebP/AVIF decode) bound for a
+    webp or jpeg output — resized entirely in YUV space, no RGB anywhere
+    (jpeg outputs ride the fused resize+remap+fDCT kernel)."""
 
     y: np.ndarray
     cb: np.ndarray
@@ -179,6 +180,7 @@ class _YuvItem:
     out_w: int
     quality: int
     future: asyncio.Future
+    fmt: ImageFormat = ImageFormat.webp
     enqueued: float = field(default_factory=time.perf_counter)
 
 
@@ -358,40 +360,50 @@ class BatchedEngine(TransformEngine):
                 return await self._transform_jpeg_native(data, w, h, fmt, quality)
             except _NativeUnsupported:
                 pass
-        # WebP -> WebP: native VP8 decode feeds the YUV-domain batched
-        # resize directly (no RGB round trip on either side)
+        # WebP source: native VP8 decode feeds the YUV-domain batched path
+        # directly — resize-only for webp outputs, resize+remap+fDCT for
+        # jpeg outputs; no RGB round trip either way
         if (
-            fmt == ImageFormat.webp
+            fmt in (ImageFormat.webp, ImageFormat.jpeg)
             and len(data) >= 12
             and data[:4] == b"RIFF"
             and data[8:12] == b"WEBP"
             and (w is not None or h is not None)
         ):
             try:
-                return await self._transform_webp_native(data, w, h, quality)
+                return await self._transform_webp_native(
+                    data, w, h, fmt, quality
+                )
             except _NativeUnsupported:
                 pass
-        # AVIF -> WebP: native container parse + direct dav1d core feed
-        # the same YUV-domain batched resize (no RGB round trip)
+        # AVIF source: native container parse + direct dav1d core feed the
+        # same YUV-domain batched path (no RGB round trip)
         if (
-            fmt == ImageFormat.webp
+            fmt in (ImageFormat.webp, ImageFormat.jpeg)
             and len(data) >= 12
             and data[4:8] == b"ftyp"
             and (w is not None or h is not None)
         ):
             try:
-                return await self._transform_avif_native(data, w, h, quality)
+                return await self._transform_avif_native(
+                    data, w, h, fmt, quality
+                )
             except _NativeUnsupported:
                 pass
         img = await self.decode(data)
         return await self.resize_encode(img, w, h, fmt, quality)
 
     async def _transform_webp_native(
-        self, data: bytes, w, h, quality: int
+        self, data: bytes, w, h, fmt, quality: int
     ) -> bytes:
         from imagekit_tpu.codecs import vp8 as vp8_native
+        from imagekit_tpu.codecs.native import loader as _nloader
 
-        if not (vp8_native.available() and vp8_native.decode_available()):
+        if not vp8_native.decode_available():
+            raise _NativeUnsupported()
+        if fmt == ImageFormat.webp and not vp8_native.available():
+            raise _NativeUnsupported()
+        if fmt == ImageFormat.jpeg and _nloader.load() is None:
             raise _NativeUnsupported()
         loop = asyncio.get_running_loop()
         self._ensure_flusher(loop)
@@ -407,10 +419,10 @@ class BatchedEngine(TransformEngine):
         self.metrics.add_stage_time("vp8_decode", time.perf_counter() - t0)
         if planes is None:  # VP8L / VP8X -> host-library path
             raise _NativeUnsupported()
-        return await self._enqueue_yuv(planes, w, h, quality, loop)
+        return await self._enqueue_yuv(planes, w, h, quality, loop, fmt=fmt)
 
     async def _transform_avif_native(
-        self, data: bytes, w, h, quality: int
+        self, data: bytes, w, h, fmt, quality: int
     ) -> bytes:
         """AVIF source -> webp output without an RGB round trip: native
         container parse + direct dav1d core yield studio-range 4:2:0
@@ -418,8 +430,13 @@ class BatchedEngine(TransformEngine):
         pattern)."""
         from imagekit_tpu.codecs import avif_native
         from imagekit_tpu.codecs import vp8 as vp8_native
+        from imagekit_tpu.codecs.native import loader as _nloader
 
-        if not (vp8_native.available() and avif_native.decode_available()):
+        if not avif_native.decode_available():
+            raise _NativeUnsupported()
+        if fmt == ImageFormat.webp and not vp8_native.available():
+            raise _NativeUnsupported()
+        if fmt == ImageFormat.jpeg and _nloader.load() is None:
             raise _NativeUnsupported()
         loop = asyncio.get_running_loop()
         self._ensure_flusher(loop)
@@ -435,11 +452,15 @@ class BatchedEngine(TransformEngine):
         self.metrics.add_stage_time("avif_decode", time.perf_counter() - t0)
         if planes is None:  # alpha / 444 / 709 / 10-bit -> generic path
             raise _NativeUnsupported()
-        return await self._enqueue_yuv(planes, w, h, quality, loop)
+        return await self._enqueue_yuv(planes, w, h, quality, loop, fmt=fmt)
 
-    async def _enqueue_yuv(self, planes, w, h, quality: int, loop) -> bytes:
+    async def _enqueue_yuv(
+        self, planes, w, h, quality: int, loop, fmt=ImageFormat.webp
+    ) -> bytes:
         """Queue decoded 4:2:0 studio-range planes on the YUV-domain
-        batched resize (shared by the native WebP and AVIF sources)."""
+        batched path (shared by the native WebP and AVIF sources); the
+        output-format tag keeps resize-only (webp) and resize+fDCT (jpeg)
+        batches homogeneous."""
         y, cb, cr = planes
         ih, iw = y.shape
         out_w, out_h = target_dimensions(iw, ih, w, h)
@@ -452,8 +473,8 @@ class BatchedEngine(TransformEngine):
             raise _NativeUnsupported()
 
         fut: asyncio.Future = loop.create_future()
-        item = _YuvItem(y, cb, cr, out_h, out_w, quality, fut)
-        key = (bh, bw, obh, obw)
+        item = _YuvItem(y, cb, cr, out_h, out_w, quality, fut, fmt=fmt)
+        key = (bh, bw, obh, obw, fmt == ImageFormat.jpeg)
         queue = self._yqueues.setdefault(key, [])
         queue.append(item)
         if len(queue) >= self.max_batch:
@@ -473,17 +494,19 @@ class BatchedEngine(TransformEngine):
         from imagekit_tpu.ops.dct import (
             combined_chroma_half_weights,
             pad128,
+            quality_tables,
             resize_yuv420_batch,
+            resize_yuv_jpeg_batch,
         )
         from imagekit_tpu.utils.bucketing import batch_bucket
 
         loop = asyncio.get_running_loop()
-        bh, bw, obh, obw = key
+        bh, bw, obh, obw, jq = key
         try:
             t0 = time.perf_counter()
             nb = batch_bucket(len(items), self.max_batch)
             shard = self._use_mesh(nb)
-            sig = ("yuvsrc", shard, nb, bh, bw, obh, obw)
+            sig = ("yuvjpg" if jq else "yuvsrc", shard, nb, bh, bw, obh, obw)
             if sig not in self._compiled:
                 self._kick_compile_yuvsrc(sig)
                 await self._host_fallback_yuv(items)
@@ -503,6 +526,7 @@ class BatchedEngine(TransformEngine):
                 )
             }
             vidx = np.zeros(nb, np.int32)
+            qto = np.zeros((nb, 128), np.float32) if jq else None
             for i, it in enumerate(items):
                 ihh, iww = it.y.shape
                 yv = flat[i, :ny].reshape(bh, bw)
@@ -513,6 +537,10 @@ class BatchedEngine(TransformEngine):
                 cbv[:chh, :cww] = it.cb
                 crv[:chh, :cww] = it.cr
                 vidx[i] = u_keys[(iww, ihh, it.out_w, it.out_h)]
+                if jq:
+                    qy_o, qc_o = quality_tables(it.quality)
+                    qto[i, :64] = qy_o
+                    qto[i, 64:] = qc_o
             wkey = (key, shard, tuple(sorted(u_keys)))
             cached = self._dweights.get(wkey)
             if cached is None:
@@ -531,6 +559,17 @@ class BatchedEngine(TransformEngine):
                     wh_c[u] = combined_chroma_half_weights(
                         cw_, iww, ow_, bw // 2, obw // 2
                     )
+                    if jq:
+                        # encode tail: replicate the last true row/col up
+                        # to the MCU grid (np.pad mode='edge' semantics)
+                        m_h = min((oh_ + 15) // 16 * 16, obh)
+                        m_w = min((ow_ + 15) // 16 * 16, obw)
+                        wv_y[u, oh_:m_h] = wv_y[u, oh_ - 1]
+                        wh_y[u, ow_:m_w] = wh_y[u, ow_ - 1]
+                        ch_t = (oh_ + 1) // 2
+                        cw_t = (ow_ + 1) // 2
+                        wv_c[u, ch_t : m_h // 2] = wv_c[u, ch_t - 1]
+                        wh_c[u, cw_t : m_w // 2] = wh_c[u, cw_t - 1]
                 import jax as _jax
 
                 place = self._put_replicated if shard else _jax.device_put
@@ -543,13 +582,18 @@ class BatchedEngine(TransformEngine):
                 f_, v_ = flat, vidx
                 if shard:
                     f_, v_ = self._put_sharded(flat), self._put_sharded(vidx)
+                if jq:
+                    qto_ = self._put_sharded(qto) if shard else qto
+                    return resize_yuv_jpeg_batch(
+                        f_, weights, qto_, v_, (bh, bw), (obh, obw)
+                    )
                 return resize_yuv420_batch(
                     f_, weights, v_, (bh, bw), (obh, obw)
                 )
 
             self._inflight += 1
             try:
-                yb, cbb, crb = await loop.run_in_executor(
+                out = await loop.run_in_executor(
                     self._device_pool, device_step
                 )
             finally:
@@ -560,23 +604,62 @@ class BatchedEngine(TransformEngine):
             self.metrics.add_stage_time("device_resize", t2 - t1)
             self.metrics.record_batch(len(items))
 
-            async def finish(i: int, it) -> None:
-                ch_ = (it.out_h + 1) // 2
-                cw_ = (it.out_w + 1) // 2
-                try:
-                    encoded = await self._encode_yuv(
-                        loop,
-                        yb[i, : it.out_h, : it.out_w],
-                        cbb[i, :ch_, :cw_],
-                        crb[i, :ch_, :cw_],
-                        it.quality,
+            if jq:
+                ylv, cblv, crlv = out
+                from imagekit_tpu.codecs.native import loader as _nloader
+
+                async def finish(i: int, it) -> None:
+                    mby = (it.out_h + 15) // 16 * 2
+                    mbx = (it.out_w + 15) // 16 * 2
+
+                    def run():
+                        planes = [
+                            ylv[i, :mby, :mbx],
+                            cblv[i, : mby // 2, : mbx // 2],
+                            crlv[i, : mby // 2, : mbx // 2],
+                        ]
+                        return _nloader.encode_jpeg(
+                            planes,
+                            quality_tables(it.quality),
+                            it.out_w,
+                            it.out_h,
+                        )
+
+                    t0e = time.perf_counter()
+                    try:
+                        encoded = await loop.run_in_executor(
+                            self._codec_pool, run
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
+                    self.metrics.add_stage_time(
+                        "encode", time.perf_counter() - t0e
                     )
-                except Exception as e:  # noqa: BLE001
                     if not it.future.done():
-                        it.future.set_exception(e)
-                    return
-                if not it.future.done():
-                    it.future.set_result(encoded)
+                        it.future.set_result(encoded)
+
+            else:
+
+                async def finish(i: int, it) -> None:
+                    yb, cbb, crb = out
+                    ch_ = (it.out_h + 1) // 2
+                    cw_ = (it.out_w + 1) // 2
+                    try:
+                        encoded = await self._encode_yuv(
+                            loop,
+                            yb[i, : it.out_h, : it.out_w],
+                            cbb[i, :ch_, :cw_],
+                            crb[i, :ch_, :cw_],
+                            it.quality,
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
+                    if not it.future.done():
+                        it.future.set_result(encoded)
 
             await asyncio.gather(*(finish(i, it) for i, it in enumerate(items)))
         except Exception as e:  # noqa: BLE001
@@ -600,9 +683,13 @@ class BatchedEngine(TransformEngine):
         if sig in self._compiling or not self._may_compile(sig):
             return
         self._compiling.add(sig)
-        from imagekit_tpu.ops.dct import pad128, resize_yuv420_batch
+        from imagekit_tpu.ops.dct import (
+            pad128,
+            resize_yuv420_batch,
+            resize_yuv_jpeg_batch,
+        )
 
-        _, shard, nb, bh, bw, obh, obw = sig
+        head, shard, nb, bh, bw, obh, obw = sig
 
         def compile_step():
             try:
@@ -617,10 +704,22 @@ class BatchedEngine(TransformEngine):
                     np.zeros((nu, obw // 2, bw // 2), np.float32),
                 )
                 idx = np.zeros(nb, np.int32)
+                qto = np.zeros((nb, 128), np.float32)
                 if shard:
-                    flat, idx = self._put_sharded(flat), self._put_sharded(idx)
+                    flat, idx, qto = (
+                        self._put_sharded(flat),
+                        self._put_sharded(idx),
+                        self._put_sharded(qto),
+                    )
                     weights = tuple(self._put_replicated(w) for w in weights)
-                resize_yuv420_batch(flat, weights, idx, (bh, bw), (obh, obw))
+                if head == "yuvjpg":
+                    resize_yuv_jpeg_batch(
+                        flat, weights, qto, idx, (bh, bw), (obh, obw)
+                    )
+                else:
+                    resize_yuv420_batch(
+                        flat, weights, idx, (bh, bw), (obh, obw)
+                    )
                 self._compiled.add(sig)
             except Exception:
                 pass
@@ -630,13 +729,34 @@ class BatchedEngine(TransformEngine):
         self._device_pool.submit(compile_step)
 
     async def _host_fallback_yuv(self, items) -> None:
-        from imagekit_tpu.ops.dct import host_resize_yuv420_single
+        from imagekit_tpu.ops.dct import (
+            host_resize_yuv420_single,
+            host_yuv_jpeg_single,
+        )
 
         loop = asyncio.get_running_loop()
         self.metrics.inc("host_fallbacks", len(items))
 
         async def one(it) -> None:
             try:
+                if it.fmt == ImageFormat.jpeg:
+                    from imagekit_tpu.codecs.native import loader as _nl
+
+                    def run_jpeg():
+                        planes, qt2 = host_yuv_jpeg_single(
+                            it.y, it.cb, it.cr, it.out_h, it.out_w,
+                            it.quality,
+                        )
+                        return _nl.encode_jpeg(
+                            planes, qt2, it.out_w, it.out_h
+                        )
+
+                    encoded = await loop.run_in_executor(
+                        self._codec_pool, run_jpeg
+                    )
+                    if not it.future.done():
+                        it.future.set_result(encoded)
+                    return
                 yo, cbo, cro = await loop.run_in_executor(
                     self._codec_pool,
                     host_resize_yuv420_single,

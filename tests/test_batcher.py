@@ -1297,3 +1297,75 @@ def test_jpeg_transcode_grayscale_and_progressive_sources():
             d = dec.astype(int)
             assert np.abs(d[..., 0] - d[..., 1]).max() <= 2
             assert np.abs(d[..., 1] - d[..., 2]).max() <= 2
+
+
+def test_yuv_source_jpeg_fused_kernel():
+    """jpeg outputs from native YUV sources (WebP here) ride the fused
+    resize+remap+fDCT kernel — no RGB anywhere — and the cold-shape
+    fallback mirror agrees closely."""
+    import io
+
+    import pytest
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.codecs.native import loader
+    from PIL import Image
+
+    if loader.load() is None or not (
+        vp8_native.available() and vp8_native.decode_available()
+    ):
+        pytest.skip("native codecs unavailable")
+
+    img = make_test_image(640, 480)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=90)
+    data = buf.getvalue()
+
+    def run_engine(warm):
+        e = make_engine()
+
+        async def go():
+            if warm:
+                from imagekit_tpu.ops.dct import (
+                    pad128,
+                    resize_yuv_jpeg_batch,
+                )
+
+                bh, bw = bucket_for(480), bucket_for(640)
+                obh, obw = bucket_for(150), bucket_for(200)
+                ny, nc = bh * bw, (bh // 2) * (bw // 2)
+                resize_yuv_jpeg_batch(
+                    np.zeros((1, pad128(ny + 2 * nc)), np.uint8),
+                    (
+                        np.zeros((e.MAX_UNIQUE, obh, bh), np.float32),
+                        np.zeros((e.MAX_UNIQUE, obw, bw), np.float32),
+                        np.zeros((e.MAX_UNIQUE, obh // 2, bh // 2),
+                                 np.float32),
+                        np.zeros((e.MAX_UNIQUE, obw // 2, bw // 2),
+                                 np.float32),
+                    ),
+                    np.zeros((1, 128), np.float32),
+                    np.zeros(1, np.int32),
+                    (bh, bw), (obh, obw),
+                )
+                e._compiled.add(("yuvjpg", False, 1, bh, bw, obh, obw))
+            out = await e.transform(data, 200, 150, ImageFormat.jpeg, 85)
+            await e.close()
+            return out, e.metrics.host_fallbacks
+
+        return asyncio.run(go())
+
+    dev, fb_dev = run_engine(warm=True)
+    host, fb_host = run_engine(warm=False)
+    assert fb_dev == 0 and fb_host == 1
+    assert dev[:2] == b"\xff\xd8" and host[:2] == b"\xff\xd8"
+    a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
+    assert a.shape == (150, 200, 3)
+    assert psnr(a, b) >= 45.0
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (200, 150), Image.LANCZOS
+        )
+    )
+    assert psnr(a, golden) >= 30.0
