@@ -95,6 +95,13 @@ class AvifInfo:
     has_alpha: bool = False
     matrix: int = 2               # nclx matrix_coefficients (2 = unspecified)
     full_range: bool = True
+    has_nclx: bool = False        # colr/nclx present (else colour config is
+    #                               in the AV1 sequence header we don't read)
+    # av1C bits (container-declared, known BEFORE any decode)
+    high_bitdepth: bool = False
+    monochrome: bool = False
+    chroma_sub_x: bool = True
+    chroma_sub_y: bool = True
     properties: Dict[int, list] = field(default_factory=dict)
 
 
@@ -224,7 +231,10 @@ def _parse_container(data: bytes) -> AvifInfo:
     # properties: ipco (ordered list) + ipma (item -> 1-based indices)
     width = height = 0
     matrix, full_range = 2, True
+    has_nclx = False
     has_alpha = False
+    high_bd = mono = False
+    sub_x = sub_y = True
     if b"iprp" in meta:
         pa2, pb2 = meta[b"iprp"]
         sub = {}
@@ -282,6 +292,13 @@ def _parse_container(data: bytes) -> AvifInfo:
             elif t == b"colr" and data[a:a + 4] == b"nclx":
                 matrix = int.from_bytes(data[a + 8:a + 10], "big")
                 full_range = bool(data[a + 10] & 0x80)
+                has_nclx = True
+            elif t == b"av1C" and b - a >= 3:
+                cfg = data[a + 2]
+                high_bd = bool(cfg & 0x40)
+                mono = bool(cfg & 0x10)
+                sub_x = bool(cfg & 0x08)
+                sub_y = bool(cfg & 0x04)
     if width <= 0 or height <= 0:
         raise ValueError("missing ispe dimensions")
 
@@ -291,7 +308,10 @@ def _parse_container(data: bytes) -> AvifInfo:
     obu = b"".join(data[o:o + l] for o, l in extents)
     if not obu:
         raise ValueError("empty av01 payload")
-    return AvifInfo(width, height, obu, has_alpha, matrix, full_range)
+    return AvifInfo(
+        width, height, obu, has_alpha, matrix, full_range, has_nclx,
+        high_bd, mono, sub_x, sub_y,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -300,10 +320,11 @@ def _parse_container(data: bytes) -> AvifInfo:
 
 
 def _decode_obu(obu: bytes, want_w: int, want_h: int):
-    """One still frame through dav1d -> (y, u|None, v|None, layout, bpc).
-    Returns None when dav1d is unavailable; raises ValueError on decode
-    failure. Dimensions are cross-checked against the container; any
-    mismatch disables the path permanently (ABI drift guard)."""
+    """One still frame through dav1d -> (y, u|None, v|None, layout, bpc),
+    or None on ANY failure — the native path never turns a decode problem
+    into an error status; the host-library fallback decides whether the
+    file is actually malformed. A dimension mismatch against the container
+    disables the path permanently (ABI drift guard)."""
     lib = _dav1d()
     if lib is None:
         return None
@@ -311,15 +332,15 @@ def _decode_obu(obu: bytes, want_w: int, want_h: int):
     lib.dav1d_default_settings(settings)
     ctx = ctypes.c_void_p()
     if lib.dav1d_open(ctypes.byref(ctx), settings) != 0:
-        raise ValueError("dav1d_open failed")
+        return None
     try:
         dd = ctypes.create_string_buffer(128)
         buf = (ctypes.c_uint8 * len(obu)).from_buffer_copy(obu)
         if lib.dav1d_data_wrap(dd, buf, len(obu), _NOFREE, None) != 0:
-            raise ValueError("dav1d_data_wrap failed")
+            return None
         rc = lib.dav1d_send_data(ctx, dd)
         if rc not in (0, -11):  # 0 or EAGAIN
-            raise ValueError(f"dav1d_send_data: {rc}")
+            return None
         pic = ctypes.create_string_buffer(512)
         got = False
         for _ in range(8):
@@ -328,23 +349,20 @@ def _decode_obu(obu: bytes, want_w: int, want_h: int):
                 got = True
                 break
             if rc != -11:
-                raise ValueError(f"dav1d_get_picture: {rc}")
+                return None
         if not got:
-            raise ValueError("dav1d produced no picture")
+            return None
         try:
             datap = struct.unpack_from("<3Q", pic, _PIC_DATA_OFF)
             stride = struct.unpack_from("<2q", pic, _PIC_STRIDE_OFF)
             w, h, layout, bpc = struct.unpack_from("<4i", pic, _PIC_P_OFF)
             if (w, h) != (want_w, want_h):
-                _disable()
-                raise ValueError(
-                    f"dav1d picture {w}x{h} != container {want_w}x{want_h}"
-                    " (ABI guard tripped — path disabled)"
-                )
+                _disable()  # ABI guard: never emit wrong pixels
+                return None
             if bpc != 8:
-                raise ValueError(f"unsupported bit depth {bpc}")
+                return None
             if layout not in (_I400, _I420, _I422, _I444):
-                raise ValueError(f"unsupported layout {layout}")
+                return None
 
             def plane(addr, st, ph, pw):
                 arr = np.ctypeslib.as_array(
@@ -374,14 +392,37 @@ _BT709 = (0.2126, 0.7152, 0.0722)
 _BT601 = (0.299, 0.587, 0.114)
 
 
+def _bomb_guard(info: AvifInfo) -> None:
+    """Decompression-bomb ceiling (the native path bypasses PIL's
+    MAX_IMAGE_PIXELS check, like the other native decoders)."""
+    from PIL import Image
+
+    limit = Image.MAX_IMAGE_PIXELS or 89_478_485
+    if info.width * info.height > 2 * limit:
+        raise ValueError(
+            f"image is too large ({info.width}x{info.height} pixels)"
+        )
+
+
 def decode_rgb(data: bytes) -> Optional[np.ndarray]:
-    """Container parse + dav1d -> RGB u8. Returns None when the native
-    path cannot serve this file (alpha-bearing sources keep the host
-    library's RGBA behaviour; caller falls back); raises ValueError on
-    malformed input."""
-    info = parse_container(data)
-    if info.has_alpha:
+    """Container parse + dav1d -> RGB u8. Returns None whenever the
+    native path cannot serve this file (alpha keeps the host library's
+    RGBA behaviour; 10-bit / identity-matrix / missing-nclx / exotic
+    containers / decode failures all fall back — the host library decides
+    whether the file is actually malformed). Raises ValueError only for
+    the decompression-bomb ceiling."""
+    try:
+        info = parse_container(data)
+    except ValueError:
         return None
+    if info.has_alpha or info.high_bitdepth:
+        return None
+    # colour interpretation must be explicit: without nclx it lives in the
+    # AV1 sequence header (which this ctypes layer doesn't read), and
+    # matrix 0 is identity/GBR — both keep the host-library behaviour
+    if not info.has_nclx or info.matrix not in (1, 2, 5, 6):
+        return None
+    _bomb_guard(info)
     out = _decode_obu(info.obu, info.width, info.height)
     if out is None:
         return None
@@ -422,8 +463,16 @@ def decode_yuv420_studio(data: bytes):
         info = parse_container(data)
     except ValueError:
         return None
-    if info.has_alpha or info.matrix not in (0, 2, 5, 6):
+    if (
+        info.has_alpha
+        or info.high_bitdepth
+        or info.monochrome
+        or not (info.chroma_sub_x and info.chroma_sub_y)  # not 4:2:0
+        or not info.has_nclx
+        or info.matrix not in (2, 5, 6)
+    ):
         return None
+    _bomb_guard(info)
     out = _decode_obu(info.obu, info.width, info.height)
     if out is None:
         return None

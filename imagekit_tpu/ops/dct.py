@@ -1282,16 +1282,29 @@ def host_yuv_jpeg_single(
     out_h: int, out_w: int, quality: int,
 ):
     """Numpy mirror of the fused YUV->JPEG kernel for ONE image: resize
-    the studio-range 4:2:0 planes, remap to full-range JFIF on the u8
-    grid, fDCT+quantise. Returns (level planes, (qy, qc))."""
-    ys, cbs, crs = host_resize_yuv420_single(y, cb, cr, out_h, out_w)
+    the studio-range 4:2:0 planes (UNROUNDED float, exactly like the
+    kernel — an intermediate u8 rounding would shift quantised levels by
+    ±1 vs the device path), remap to full-range JFIF, round once on the
+    u8 grid, fDCT+quantise. Returns (level planes, (qy, qc))."""
+    h, w = y.shape
+    wv = resample_weights(h, out_h)
+    wh = resample_weights(w, out_w)
+    cv = combined_chroma_half_weights(
+        cb.shape[0], h, out_h, cb.shape[0], (out_h + 1) // 2
+    )
+    ch = combined_chroma_half_weights(
+        cb.shape[1], w, out_w, cb.shape[1], (out_w + 1) // 2
+    )
+    ys = wv @ y.astype(np.float32) @ wh.T
+    cbs = cv @ cb.astype(np.float32) @ ch.T
+    crs = cv @ cr.astype(np.float32) @ ch.T
 
     def u8(p):
         return np.clip(np.floor(p + 0.5), 0, 255)
 
-    yf = u8((ys.astype(np.float32) - 16.0) * (255.0 / 219.0))
-    cbf = u8((cbs.astype(np.float32) - 128.0) * (255.0 / 224.0) + 128.0)
-    crf = u8((crs.astype(np.float32) - 128.0) * (255.0 / 224.0) + 128.0)
+    yf = u8((ys - 16.0) * (255.0 / 219.0))
+    cbf = u8((cbs - 128.0) * (255.0 / 224.0) + 128.0)
+    crf = u8((crs - 128.0) * (255.0 / 224.0) + 128.0)
     return _host_fdct_planes(yf, cbf, crf, out_h, out_w, quality)
 
 

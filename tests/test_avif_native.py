@@ -206,3 +206,76 @@ def test_engine_avif_to_webp_yuv_direct():
         )
     )
     assert psnr(dec, golden) >= 30.0
+
+
+def test_unsupported_native_classes_fall_back_not_error(monkeypatch):
+    """10-bit / identity-matrix / missing-nclx / decode failures must fall
+    back to the host library, never surface as a decode error for a file
+    the host library handles (review regression)."""
+    from imagekit_tpu import codecs as codecs_mod
+
+    data = _avif(make_test_image(96, 64))
+    real_parse = avif_native.parse_container
+
+    def patched(kind):
+        def f(d):
+            info = real_parse(d)
+            if kind == "hbd":
+                info.high_bitdepth = True
+            elif kind == "identity":
+                info.matrix = 0
+            elif kind == "nonclx":
+                info.has_nclx = False
+            return info
+
+        return f
+
+    for kind in ("hbd", "identity", "nonclx"):
+        monkeypatch.setattr(avif_native, "parse_container", patched(kind))
+        assert avif_native.decode_rgb(data) is None
+        assert avif_native.decode_yuv420_studio(data) is None
+        arr, fmt = codecs_mod.decode_bytes(data)  # host library serves it
+        assert arr.shape[:2] == (64, 96)
+    monkeypatch.setattr(avif_native, "parse_container", real_parse)
+    # decode-level failure (e.g. dav1d error) also falls back
+    monkeypatch.setattr(avif_native, "_decode_obu", lambda *a: None)
+    assert avif_native.decode_rgb(data) is None
+    arr, _ = codecs_mod.decode_bytes(data)
+    assert arr.shape[:2] == (64, 96)
+
+
+def test_decompression_bomb_guard(monkeypatch):
+    """A tiny container declaring huge dimensions must refuse before any
+    allocation (same ceiling as the other native decoders)."""
+    data = _avif(make_test_image(64, 48))
+    real_parse = avif_native.parse_container
+
+    def huge(d):
+        info = real_parse(d)
+        info.width, info.height = 40_000, 40_000
+        return info
+
+    monkeypatch.setattr(avif_native, "parse_container", huge)
+    with pytest.raises(ValueError):
+        avif_native.decode_rgb(data)
+
+
+def test_no_double_decode_for_non420(monkeypatch):
+    """Non-4:2:0 sources are rejected from the YUV-direct path BEFORE the
+    dav1d decode runs (the container's av1C bits say enough)."""
+    data = _avif(make_test_image(96, 64))
+    real_parse = avif_native.parse_container
+
+    def as444(d):
+        info = real_parse(d)
+        info.chroma_sub_x = info.chroma_sub_y = False
+        return info
+
+    calls = []
+    monkeypatch.setattr(avif_native, "parse_container", as444)
+    monkeypatch.setattr(
+        avif_native, "_decode_obu",
+        lambda *a: calls.append(1) or None,
+    )
+    assert avif_native.decode_yuv420_studio(data) is None
+    assert not calls, "dav1d ran for a source the av1C bits already rule out"

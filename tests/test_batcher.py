@@ -1362,7 +1362,8 @@ def test_yuv_source_jpeg_fused_kernel():
     a = np.asarray(Image.open(io.BytesIO(dev)).convert("RGB"))
     b = np.asarray(Image.open(io.BytesIO(host)).convert("RGB"))
     assert a.shape == (150, 200, 3)
-    assert psnr(a, b) >= 45.0
+    # the mirror resizes unrounded float planes exactly like the kernel
+    assert psnr(a, b) >= 50.0
     golden = np.asarray(
         Image.open(io.BytesIO(data)).convert("RGB").resize(
             (200, 150), Image.LANCZOS
