@@ -155,6 +155,27 @@ async def fetch_source(
             raise
         except Exception:
             pass
+    # WebP / AVIF: header-only dimension validation (same pattern) keeps
+    # the bytes, so the engine decodes ONCE on the native YUV-domain path
+    # instead of receiving pre-decoded RGB pixels here
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        try:
+            from imagekit_tpu.codecs import vp8 as _vp8
+
+            dims = _vp8.dimensions(data)
+            if dims is not None and dims[0] > 0 and dims[1] > 0:
+                return data, ct, None
+        except Exception:
+            pass
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        try:
+            from imagekit_tpu.codecs import avif_native as _avif
+
+            info = _avif.parse_container(data)
+            if info.width > 0 and info.height > 0:
+                return data, ct, None
+        except Exception:
+            pass  # exotic container: fall through to the full decode
 
     from imagekit_tpu.codecs import decode_bytes
 

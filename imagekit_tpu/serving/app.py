@@ -296,8 +296,8 @@ async def img_handler(request: web.Request) -> web.Response:
 
     try:
         if img is None:
-            # header-validated JPEG: single decode on the engine's batched
-            # coefficient path (host entropy -> fused device kernel)
+            # header-validated source (JPEG/WebP/AVIF): single decode on
+            # the engine's native batched path (coefficient or YUV domain)
             encoded = await state.engine.transform(
                 data, w, h, target_format, quality
             )
