@@ -105,9 +105,16 @@ class AvifInfo:
     properties: Dict[int, list] = field(default_factory=dict)
 
 
+_MAX_BOXES = 4096  # a legal still AVIF has dozens; bound hostile walks
+
+
 def _boxes(buf: bytes, start: int, end: int):
     i = start
+    n = 0
     while i + 8 <= end:
+        n += 1
+        if n > _MAX_BOXES:
+            raise ValueError("implausible box count")
         sz = int.from_bytes(buf[i:i + 4], "big")
         typ = buf[i + 4:i + 8]
         hdr = 8
@@ -312,6 +319,48 @@ def _parse_container(data: bytes) -> AvifInfo:
         width, height, obu, has_alpha, matrix, full_range, has_nclx,
         high_bd, mono, sub_x, sub_y,
     )
+
+
+def header_dimensions(data: bytes):
+    """Dims-only container probe for fetch-layer validation: walks
+    ftyp/meta/iprp for the ispe property WITHOUT touching iloc or
+    assembling the AV1 payload — microsecond-class and bounded, safe to
+    run on the event loop (the full parse_container runs later, in the
+    engine's codec pool). Returns (w, h) or None."""
+    try:
+        if len(data) < 16 or data[4:8] != b"ftyp":
+            return None
+        meta = None
+        for t, a, b in _boxes(data, 0, len(data)):
+            if t == b"meta":
+                meta = (a + 4, b)
+                break
+        if meta is None:
+            return None
+        iprp = None
+        saw_av01 = False
+        for t, a, b in _boxes(data, meta[0], meta[1]):
+            if t == b"iprp":
+                iprp = (a, b)
+            elif t == b"iinf":
+                off = a + 4 + (2 if data[a] == 0 else 4)
+                for t2, a2, b2 in _boxes(data, off, b):
+                    if t2 == b"infe" and data[a2] >= 2:
+                        o = (a2 + 6 if data[a2] == 2 else a2 + 8) + 2
+                        if data[o:o + 4] == b"av01":
+                            saw_av01 = True
+        if iprp is None or not saw_av01:
+            return None
+        for t, a, b in _boxes(data, iprp[0], iprp[1]):
+            if t == b"ipco":
+                for t2, a2, b2 in _boxes(data, a, b):
+                    if t2 == b"ispe" and b2 - a2 >= 12:
+                        w = int.from_bytes(data[a2 + 4:a2 + 8], "big")
+                        h = int.from_bytes(data[a2 + 8:a2 + 12], "big")
+                        return (w, h) if w > 0 and h > 0 else None
+        return None
+    except (ValueError, IndexError, struct.error):
+        return None
 
 
 # ---------------------------------------------------------------------------

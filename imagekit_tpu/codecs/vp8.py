@@ -126,35 +126,29 @@ def dimensions(data: bytes):
     or None when the container is exotic/truncated. Lets the fetch layer
     validate dimensions without a full decode, so /img requests keep the
     bytes and the engine decodes ONCE on the native YUV path (the same
-    pattern as the JPEG header parse)."""
-    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+    pattern as the JPEG header parse). Shares the RIFF walk with the
+    decoder (one truncation/padding policy for both)."""
+    chunks = _webp_chunks(data)
+    if not chunks:
         return None
-    i = 12
-    end = min(len(data), 8 + int.from_bytes(data[4:8], "little"))
-    while i + 8 <= end:
-        tag = data[i:i + 4]
-        sz = int.from_bytes(data[i + 4:i + 8], "little")
-        p = i + 8
-        if p + min(sz, 10) > len(data):
-            return None
+    for tag, body in chunks:
         if tag == b"VP8X":
-            if sz < 10:
+            if len(body) < 10:
                 return None
-            w = int.from_bytes(data[p + 4:p + 7], "little") + 1
-            h = int.from_bytes(data[p + 7:p + 10], "little") + 1
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
             return w, h
         if tag == b"VP8 ":
-            if sz < 10 or data[p + 3:p + 6] != b"\x9d\x01\x2a":
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
                 return None
-            w = int.from_bytes(data[p + 6:p + 8], "little") & 0x3FFF
-            h = int.from_bytes(data[p + 8:p + 10], "little") & 0x3FFF
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
             return w, h
         if tag == b"VP8L":
-            if sz < 5 or data[p] != 0x2F:
+            if len(body) < 5 or body[0] != 0x2F:
                 return None
-            bits = int.from_bytes(data[p + 1:p + 5], "little")
+            bits = int.from_bytes(body[1:5], "little")
             return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
-        i = p + sz + (sz & 1)
     return None
 
 

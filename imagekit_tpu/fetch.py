@@ -131,12 +131,14 @@ async def fetch_source(
     finally:
         await body.release()
 
-    # 5+6. decode validation + dimension check. For baseline JPEGs with the
-    # native codec available, a header-only parse validates dimensions in
-    # microseconds and the full (single!) decode happens downstream on the
-    # batched coefficient path — ``pixels`` comes back None in that case.
-    # Other formats decode fully here and the pixels are returned so the
-    # handler never decodes twice (fixes SURVEY.md §2.4.11).
+    # 5+6. decode validation + dimension check. JPEG/WebP/AVIF validate by
+    # a microsecond-class header parse and return ``pixels`` = None: the
+    # full (single!) decode happens downstream on the engine's native
+    # batched path (coefficient or YUV domain). The remaining formats
+    # decode fully here and the pixels are returned so the handler never
+    # decodes twice (fixes SURVEY.md §2.4.11); a header-validated source
+    # that turns out to be corrupt past its header still 400s, from the
+    # transform stage instead of here.
     from imagekit_tpu.errors import TransformError
 
     if data[:3] == b"\xff\xd8\xff":
@@ -171,8 +173,11 @@ async def fetch_source(
         try:
             from imagekit_tpu.codecs import avif_native as _avif
 
-            info = _avif.parse_container(data)
-            if info.width > 0 and info.height > 0:
+            # dims-only probe (no iloc walk, no payload assembly) — the
+            # full container parse happens later in the engine's codec
+            # pool, never on the event loop
+            dims = _avif.header_dimensions(data)
+            if dims is not None:
                 return data, ct, None
         except Exception:
             pass  # exotic container: fall through to the full decode

@@ -279,3 +279,18 @@ def test_no_double_decode_for_non420(monkeypatch):
     )
     assert avif_native.decode_yuv420_studio(data) is None
     assert not calls, "dav1d ran for a source the av1C bits already rule out"
+
+
+def test_header_dimensions_probe():
+    """The fetch-layer dims probe reads ispe without touching iloc or the
+    payload, and stays bounded on hostile inputs."""
+    data = _avif(make_test_image(150, 98))
+    assert avif_native.header_dimensions(data) == (150, 98)
+    assert avif_native.header_dimensions(b"\x00" * 64) is None
+    # millions of tiny boxes must hit the box-count bound, not O(n) walk
+    bomb = data[:8] + b"\x00\x00\x00\x08free" * 200_000
+    import time
+
+    t0 = time.perf_counter()
+    assert avif_native.header_dimensions(bomb) is None
+    assert time.perf_counter() - t0 < 0.2

@@ -102,27 +102,28 @@ def test_png_source_accepted():
     np.testing.assert_array_equal(pixels, img)
 
 
-def test_webp_avif_header_only_validation():
+@pytest.mark.parametrize(
+    "fmt,kw",
+    [("WEBP", {"quality": 80}), ("WEBP", {"lossless": True}),
+     ("AVIF", {"quality": 80})],
+)
+def test_webp_avif_header_only_validation(fmt, kw):
     """WebP and AVIF sources validate by header parse and return
     pixels=None, so the /img handler's engine.transform(bytes) path
     decodes once on the native YUV-domain route (the JPEG pattern)."""
     import io
 
-    import numpy as np
-    import pytest
     from PIL import Image
 
     img = np.zeros((48, 96, 3), np.uint8)
     img[:, :, 1] = 190
-    for fmt, kw in (("WEBP", {"quality": 80}), ("WEBP", {"lossless": True}),
-                    ("AVIF", {"quality": 80})):
-        buf = io.BytesIO()
-        try:
-            Image.fromarray(img).save(buf, fmt, **kw)
-        except Exception:
-            pytest.skip(f"{fmt} encode unavailable")
-        out_bytes, ct, pixels = fetch(
-            "u", {"u": (200, "image/webp", buf.getvalue())}
-        )
-        assert out_bytes == buf.getvalue()
-        assert pixels is None, (fmt, kw)
+    buf = io.BytesIO()
+    try:
+        Image.fromarray(img).save(buf, fmt, **kw)
+    except Exception:
+        pytest.skip(f"{fmt} encode unavailable")
+    out_bytes, ct, pixels = fetch(
+        "u", {"u": (200, "image/webp", buf.getvalue())}
+    )
+    assert out_bytes == buf.getvalue()
+    assert pixels is None, (fmt, kw)

@@ -70,6 +70,10 @@ def make_sources():
     out.append(("tiff", enc(img(93, 65), "TIFF"), True))
     out.append(("webp_lossy", enc(img(151, 103), "WEBP", quality=80), True))
     out.append(("webp_ll", enc(img(75, 49), "WEBP", lossless=True), True))
+    try:
+        out.append(("avif", enc(img(105, 71), "AVIF", quality=75), True))
+    except Exception:
+        pass
 
     # hostile classes
     base = out[0][1]
