@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Headline benchmark: 1080p JPEG -> 400px Lanczos3 resize -> WebP q80,
-end-to-end through the batched engine (decode on host codec pool, batched
-resample on TPU, libwebp encode on host), BASELINE.json config #1/#5.
+end-to-end through the batched engine (host C++ entropy decode via the
+split int8 transport, fused truncated decode+resize on TPU, native VP8
+encode on host), BASELINE.json config #1/#5.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
