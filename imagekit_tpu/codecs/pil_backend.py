@@ -23,10 +23,13 @@ from imagekit_tpu.errors import TransformError
 
 import os
 
-# ravif speed=4 in the reference; libavif's comparable speed knob.
-# Operators can trade encode quality for throughput (reference AVIF target
-# is 10-25 RPS/core; speed 8 roughly doubles encode rate vs 6).
-AVIF_SPEED = int(os.environ.get("IMAGEKIT_AVIF_SPEED", "6"))
+# ravif speed=4 in the reference; libavif/aom's speed knob uses a
+# different scale. Default 8: measured 14 enc/s at 400px q80 on the
+# 1-core dev host — inside the reference's published 10-25 RPS/core AVIF
+# band — at a negligible quality cost vs 6 (<=0.07 dB, sizes within
+# +-6%); speed 6 was 5.9 enc/s, below the band. Operators can trade
+# further with IMAGEKIT_AVIF_SPEED (10 ~= 46 enc/s).
+AVIF_SPEED = int(os.environ.get("IMAGEKIT_AVIF_SPEED", "8"))
 
 
 def decode(data: bytes) -> np.ndarray:
