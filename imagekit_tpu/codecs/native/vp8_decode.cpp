@@ -8,8 +8,10 @@
 // + quant/filter features), loop-filter deltas, up to 8 token partitions,
 // coefficient probability updates, all intra modes including B_PRED 4x4
 // sub-modes, and the normative normal/simple loop filters. Lossless (VP8L)
-// and extended (VP8X/alpha/animation) WebP containers report unsupported
-// and callers fall back to the host library.
+// streams are handled by the companion native decoder (vp8l_decode.cpp);
+// extended containers (VP8X/alpha/animation frame 0) are composed by the
+// Python container layer (codecs/vp8.py) — NO WebP class falls back to
+// the host library.
 //
 // Exactness: decoding our own encoder's output with the loop filter off
 // reproduces the encoder's reconstruction bit-for-bit (shared normative

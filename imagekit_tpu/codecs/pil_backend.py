@@ -8,7 +8,11 @@ The reference's encoders (``src/transform.rs:113-150``):
   via PIL, so the quality->quantiser mapping matches the reference's
   ``webp::Encoder::from_rgb(...).encode(q)`` (``src/transform.rs:134-136``).
 - AVIF: RGBA input, AV1 at speed 4 / quality q (``src/transform.rs:143-145``)
-  — here libavif via PIL with the matching speed setting.
+  — here the direct libavif ctypes path (codecs/avif_encode.py) with PIL
+  as its fallback. The serving default speed is 8 on libavif's scale
+  (see AVIF_SPEED below); the reference's ravif speed-4 operating point
+  is covered by the parity table in docs/PARITY_REPORT.md, not by the
+  serving default.
 """
 
 from __future__ import annotations
@@ -82,7 +86,19 @@ def encode(img: np.ndarray, fmt: ImageFormat, quality: int) -> bytes:
                 pil = Image.fromarray(rgb, "RGB")
                 pil.save(buf, "WEBP", quality=q, lossless=False)
         elif fmt == ImageFormat.avif:
-            # to_rgba8 (src/transform.rs:140): AVIF keeps alpha
+            # to_rgba8 (src/transform.rs:140): AVIF keeps (real) alpha.
+            # Primary: direct libavif ABI (codecs/avif_encode.py) — same
+            # bitstream path the fused serving pipeline uses, so staged/
+            # fallback outputs match the batched ones. PIL only if the
+            # ABI self-check disabled the native path.
+            from imagekit_tpu.codecs import avif_encode
+
+            if avif_encode.available():
+                try:
+                    return avif_encode.encode_rgb(img, q)
+                except ValueError:
+                    pass  # let the host library decide
+
             if not has_alpha:
                 rgba = np.concatenate(
                     [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2

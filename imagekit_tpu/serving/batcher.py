@@ -54,6 +54,12 @@ class _NativeUnsupported(Exception):
     """JPEG can't take the native coeffs path; use the generic one."""
 
 
+def _avif_encode_available() -> bool:
+    from imagekit_tpu.codecs import avif_encode
+
+    return avif_encode.available()
+
+
 class _GrayAs420:
     """Header view presenting a grayscale JPEG as 4:2:0 with synthetic
     (zero) chroma, for the shared batch path."""
@@ -312,11 +318,18 @@ class BatchedEngine(TransformEngine):
 
         fut: asyncio.Future = loop.create_future()
         item = _Item(img, out_h, out_w, fmt, quality, fut)
-        # fused output kinds keep batches homogeneous: webp outputs ride
-        # resample+RGB->YUV (half the D2H, no host conversion), jpeg
-        # outputs ride resample+YCbCr+fDCT/quant (no per-image device
-        # encode call); avif / 4-channel stay on the plain RGB kernel
+        # fused output kinds keep batches homogeneous: webp AND avif
+        # outputs ride resample+RGB->YUV (half the D2H, no host
+        # conversion — the YUV planes are libavif's native input type),
+        # jpeg outputs ride resample+YCbCr+fDCT/quant (no per-image
+        # device encode call); 4-channel stays on the plain RGB kernel
+        from imagekit_tpu.codecs import avif_encode as _avif_enc
+
         if fmt == ImageFormat.webp and ch == 3 and vp8_native.available():
+            okind = "yuv"
+        elif (
+            fmt == ImageFormat.avif and ch == 3 and _avif_enc.available()
+        ):
             okind = "yuv"
         elif (
             fmt == ImageFormat.jpeg and ch == 3
@@ -361,10 +374,10 @@ class BatchedEngine(TransformEngine):
             except _NativeUnsupported:
                 pass
         # WebP source: native VP8 decode feeds the YUV-domain batched path
-        # directly — resize-only for webp outputs, resize+remap+fDCT for
-        # jpeg outputs; no RGB round trip either way
+        # directly — resize-only for webp/avif outputs, resize+remap+fDCT
+        # for jpeg outputs; no RGB round trip anywhere
         if (
-            fmt in (ImageFormat.webp, ImageFormat.jpeg)
+            fmt in (ImageFormat.webp, ImageFormat.jpeg, ImageFormat.avif)
             and len(data) >= 12
             and data[:4] == b"RIFF"
             and data[8:12] == b"WEBP"
@@ -377,9 +390,10 @@ class BatchedEngine(TransformEngine):
             except _NativeUnsupported:
                 pass
         # AVIF source: native container parse + direct dav1d core feed the
-        # same YUV-domain batched path (no RGB round trip)
+        # same YUV-domain batched path (no RGB round trip; avif->avif
+        # re-encodes through the direct libavif ABI from the same planes)
         if (
-            fmt in (ImageFormat.webp, ImageFormat.jpeg)
+            fmt in (ImageFormat.webp, ImageFormat.jpeg, ImageFormat.avif)
             and len(data) >= 12
             and data[4:8] == b"ftyp"
             and (w is not None or h is not None)
@@ -404,6 +418,8 @@ class BatchedEngine(TransformEngine):
         if fmt == ImageFormat.webp and not vp8_native.available():
             raise _NativeUnsupported()
         if fmt == ImageFormat.jpeg and _nloader.load() is None:
+            raise _NativeUnsupported()
+        if fmt == ImageFormat.avif and not _avif_encode_available():
             raise _NativeUnsupported()
         loop = asyncio.get_running_loop()
         self._ensure_flusher(loop)
@@ -437,6 +453,8 @@ class BatchedEngine(TransformEngine):
         if fmt == ImageFormat.webp and not vp8_native.available():
             raise _NativeUnsupported()
         if fmt == ImageFormat.jpeg and _nloader.load() is None:
+            raise _NativeUnsupported()
+        if fmt == ImageFormat.avif and not _avif_encode_available():
             raise _NativeUnsupported()
         loop = asyncio.get_running_loop()
         self._ensure_flusher(loop)
@@ -653,6 +671,7 @@ class BatchedEngine(TransformEngine):
                             cbb[i, :ch_, :cw_],
                             crb[i, :ch_, :cw_],
                             it.quality,
+                            fmt=it.fmt,
                         )
                     except Exception as e:  # noqa: BLE001
                         if not it.future.done():
@@ -767,7 +786,7 @@ class BatchedEngine(TransformEngine):
                     it.out_w,
                 )
                 encoded = await self._encode_yuv(
-                    loop, yo, cbo, cro, it.quality
+                    loop, yo, cbo, cro, it.quality, fmt=it.fmt
                 )
             except Exception as e:  # noqa: BLE001
                 if not it.future.done():
@@ -813,6 +832,8 @@ class BatchedEngine(TransformEngine):
         )
         use_i8 = hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8")
         if fmt == ImageFormat.webp and vp8_native.available():
+            kind = "yuv"
+        elif fmt == ImageFormat.avif and _avif_encode_available():
             kind = "yuv"
         elif fmt == ImageFormat.jpeg and use_i8:
             # fused JPEG->JPEG transcode: one batched device round trip
@@ -1375,6 +1396,7 @@ class BatchedEngine(TransformEngine):
                             cbb[i, :ch, :cw],
                             crb[i, :ch, :cw],
                             it.quality,
+                            fmt=it.fmt,
                         )
                     except Exception as e:  # noqa: BLE001
                         if not it.future.done():
@@ -1564,6 +1586,7 @@ class BatchedEngine(TransformEngine):
                             cb_p[i, :ch2, :cw2],
                             cr_p[i, :ch2, :cw2],
                             it.quality,
+                            fmt=it.fmt,
                         )
                     except Exception as e:  # noqa: BLE001
                         if not it.future.done():
@@ -1913,7 +1936,8 @@ class BatchedEngine(TransformEngine):
                         ),
                     )
                     encoded = await self._encode_yuv(
-                        loop, yuv[0], yuv[1], yuv[2], it.quality
+                        loop, yuv[0], yuv[1], yuv[2], it.quality,
+                        fmt=it.fmt,
                     )
                 else:
                     rgb = await loop.run_in_executor(
@@ -1956,9 +1980,21 @@ class BatchedEngine(TransformEngine):
         cb: np.ndarray,
         cr: np.ndarray,
         q: int,
+        fmt: ImageFormat = ImageFormat.webp,
     ) -> bytes:
-        """WebP encode from device-produced studio-range YUV planes (the
-        fused JPEG->WebP path): only the VP8 bitstream runs on host."""
+        """WebP or AVIF encode from device-produced studio-range YUV
+        planes (the fused no-RGB-round-trip tail shared by every YUV-
+        domain path): only the VP8 / AV1 bitstream runs on host."""
+        if fmt == ImageFormat.avif:
+            from imagekit_tpu.codecs import avif_encode
+
+            t0 = time.perf_counter()
+            data = await loop.run_in_executor(
+                self._codec_pool,
+                avif_encode.encode_yuv420_studio, y, cb, cr, q,
+            )
+            self.metrics.add_stage_time("encode", time.perf_counter() - t0)
+            return data
         from imagekit_tpu.codecs import vp8 as vp8_native
 
         t0 = time.perf_counter()
@@ -2030,8 +2066,9 @@ class BatchedEngine(TransformEngine):
             kinds.append("yuv")
         if "jpeg_rgb" in paths:
             # jpeg outputs ride the fused transcode kernel when the split
-            # transport exists; the RGB kernel still serves avif outputs
-            # and escape-demoted jpeg items
+            # transport exists; the RGB kernel still serves 4-channel
+            # sources and escape-demoted jpeg items (avif outputs ride
+            # the YUV heads since the direct libavif ABI landed)
             if i8_ok:
                 kinds.append("jxc")
             kinds.append("rgb")
@@ -2072,8 +2109,10 @@ class BatchedEngine(TransformEngine):
             if "rgb" in paths:
                 await loop.run_in_executor(self._device_pool, step)
                 self._compiled.add(("rgb", shard, b, bh, bw, obh, obw, ch))
-            if ch == 3 and "rgb" in paths and _vp8.available():
-                # webp outputs from RGB sources ride the fused
+            if ch == 3 and "rgb" in paths and (
+                _vp8.available() or _avif_encode_available()
+            ):
+                # webp AND avif outputs from RGB sources ride the fused
                 # resample+RGB->YUV kernel — warm it for the same shapes
 
                 def step_wy(batch=batch, wv=wv, wh=wh, idx=idx,
