@@ -102,6 +102,13 @@ class BatchConfig:
     # small — each (src, dst) pair is one compiled executable.
     source_buckets: Sequence[int] = (256, 512, 1024, 2048, 4096)
     target_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)
+    # Admission control: ceiling on the ESTIMATED queue-drain latency
+    # (in-system requests / recent completion rate). Arrivals beyond it
+    # shed with 429 + Retry-After instead of queueing unboundedly — the
+    # engine-layer analogue of the reference's per-IP governor
+    # (src/lib.rs:450-467), which bounds latency only per client. 0
+    # disables shedding.
+    max_queue_latency_s: float = 2.0
 
 
 @dataclass
@@ -170,6 +177,10 @@ class ImageKitConfig:
             # retains host memory for the process lifetime (see BatchConfig)
             batch.max_compiled_shapes = int(
                 os.environ["IMAGEKIT_MAX_COMPILED_SHAPES"]
+            )
+        if "IMAGEKIT_MAX_QUEUE_LATENCY_S" in os.environ:
+            batch.max_queue_latency_s = float(
+                os.environ["IMAGEKIT_MAX_QUEUE_LATENCY_S"]
             )
         return cls(
             batch=batch,

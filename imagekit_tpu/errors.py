@@ -66,3 +66,17 @@ class InternalError(ImageKitError):
 
 class ConfigError(ValueError):
     """Configuration validation failure (reference ``src/config.rs:98-105``)."""
+
+
+class EngineOverloaded(Exception):
+    """Admission control: the engine's estimated queue-drain latency
+    exceeds its budget; shed instead of queueing. NOT an ImageKitError —
+    the HTTP layer maps it to 429 + ``Retry-After`` (the engine-layer
+    analogue of the reference's per-IP governor, ``src/lib.rs:450-467``,
+    which bounds latency only per client, not per server)."""
+
+    def __init__(self, retry_after: float):
+        super().__init__(
+            f"engine overloaded; retry after ~{retry_after:.0f}s"
+        )
+        self.retry_after = retry_after

@@ -48,7 +48,7 @@ from imagekit_tpu.config import (
     ImageFormat,
     ImageKitConfig,
 )
-from imagekit_tpu.errors import ImageKitError
+from imagekit_tpu.errors import EngineOverloaded, ImageKitError
 from imagekit_tpu.fetch import Fetcher, fetch_source
 from imagekit_tpu.serving.engine import TransformEngine
 from imagekit_tpu.serving.metrics import METRICS, Metrics
@@ -63,6 +63,18 @@ _I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
 
 class QueryError(Exception):
     """Deserialization failure -> 400 (axum serde parity)."""
+
+
+def _overloaded_response(e: EngineOverloaded) -> web.Response:
+    """Engine admission control -> 429 + Retry-After (the shed counter
+    lives in the engine; this is deliberately not counted as an error —
+    the reference's governor 429s aren't either)."""
+    after = str(max(1, int(e.retry_after + 0.999)))
+    return web.Response(
+        status=429,
+        text="Server overloaded, retry later",
+        headers={"retry-after": after},
+    )
 
 
 # Python's int() accepts '+5', ' 5 ', '1_0' — serde's u32/u8/i64 parsers do
@@ -305,6 +317,8 @@ async def img_handler(request: web.Request) -> web.Response:
             encoded = await state.engine.resize_encode(
                 img, w, h, target_format, quality
             )
+    except EngineOverloaded as e:
+        return _overloaded_response(e)
     except ImageKitError as e:
         state.metrics.inc("errors")
         return web.Response(status=400, text=f"Transform error: {e}")
@@ -411,6 +425,8 @@ async def upload_handler(request: web.Request) -> web.Response:
         encoded = await state.engine.transform(
             file_bytes, w, h, target_format, quality
         )
+    except EngineOverloaded as e:
+        return _overloaded_response(e)
     except ImageKitError as e:
         state.metrics.inc("errors")
         # classify for reference-parity error text (src/lib.rs:281-297):

@@ -29,6 +29,7 @@ class Metrics:
         self.batches = 0
         self.batched_images = 0
         self.host_fallbacks = 0
+        self.shed = 0  # requests refused by admission control (429)
         self.queue_depth = 0
         self.last_device_ok = 0.0  # wall time of last successful device step
         self.stage_seconds: Dict[str, float] = defaultdict(float)
@@ -59,6 +60,7 @@ class Metrics:
                 "batches": self.batches,
                 "batched_images": self.batched_images,
                 "host_fallbacks": self.host_fallbacks,
+                "shed": self.shed,
                 "queue_depth": self.queue_depth,
             }
             snap.update(
@@ -71,7 +73,7 @@ class Metrics:
             self.cache_hits = self.cache_misses = 0
             self.transforms = self.errors = 0
             self.batches = self.batched_images = self.queue_depth = 0
-            self.host_fallbacks = 0
+            self.host_fallbacks = self.shed = 0
             self.stage_seconds.clear()
 
     def prometheus_text(self) -> str:
@@ -100,6 +102,9 @@ class Metrics:
             "# HELP imagekit_host_fallbacks_total Images served by the host fallback (cold shapes)",
             "# TYPE imagekit_host_fallbacks_total counter",
             f"imagekit_host_fallbacks_total {int(s['host_fallbacks'])}",
+            "# HELP imagekit_shed_total Requests shed by admission control (429)",
+            "# TYPE imagekit_shed_total counter",
+            f"imagekit_shed_total {int(s['shed'])}",
             "# HELP imagekit_queue_depth Current transform queue depth",
             "# TYPE imagekit_queue_depth gauge",
             f"imagekit_queue_depth {int(s['queue_depth'])}",
