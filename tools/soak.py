@@ -98,6 +98,7 @@ async def run(base: str, n: int, concurrency: int) -> int:
     fmts = ["webp", "jpeg", "avif", "", "bogus"]
     bad = 0
     checked = 0
+    shed = 0
     statuses: dict = {}
     sem = asyncio.Semaphore(concurrency)
 
@@ -126,13 +127,22 @@ async def run(base: str, n: int, concurrency: int) -> int:
                 ) as resp:
                     body = await resp.read()
                     st = resp.status
+                    retry_after = resp.headers.get("retry-after")
             except Exception as e:  # noqa: BLE001
                 print(f"FAIL {name}: transport error {e}")
                 bad += 1
                 return
         key = (name, st)
         statuses[key] = statuses.get(key, 0) + 1
-        if decodable is True and st != 200:
+        if st == 429:
+            # admission control shed (or rate limit): a legitimate
+            # overload response — but it MUST carry Retry-After
+            nonlocal shed
+            shed += 1
+            if not retry_after or int(retry_after) < 1:
+                print(f"FAIL {name}: 429 without a sane Retry-After")
+                bad += 1
+        elif decodable is True and st != 200:
             print(f"FAIL {name} w={w} h={h} f={f} q={q}: status {st}")
             bad += 1
         elif decodable is False and st != 400:
@@ -168,7 +178,7 @@ async def run(base: str, n: int, concurrency: int) -> int:
         per_status[st] = per_status.get(st, 0) + c
     print(
         f"soak: {n} requests, statuses {sorted(per_status.items())}, "
-        f"{checked} bodies decoded, {bad} failures"
+        f"{checked} bodies decoded, {shed} shed (429), {bad} failures"
     )
     return 1 if bad else 0
 
