@@ -10,17 +10,26 @@
 // prediction residual, quantisation, and boolean arithmetic coding of the
 // token stream (RFC 6386).
 //
-// Scope: intra 16x16 luma modes (DC/V/H/TM) + 8x8 chroma modes, single token
-// partition, loop filter level 0 (reconstruction therefore equals decoder
-// output exactly), macroblock skip coding. No B_PRED 4x4 modes and no
-// segment adaptation — quantiser parity with libwebp (sns_strength=0) keeps
-// PSNR within the parity bar while staying ~5x faster than libwebp here.
+// Scope: I16 (DC/V/H/TM) AND B_PRED 4x4 luma modes with full-RD sub-mode
+// selection (quantised-residual distortion + exact token/mode tree bits,
+// round 3 — closed the per-cell size gaps vs libwebp on structured
+// content), 8x8 chroma modes, macroblock skip coding, quantiser-scaled
+// loop-filter level signalling, content-adaptive trellis quantisation
+// (auto: K=15 at q>=~85, K=5 in the q<=~65 mid band on busy content
+// only, OFF on smooth gradients and at the q80 serving default), and
+// segmentation (RFC 6386 §9.3/§10 adaptive quantisation — feature
+// complete + decoder-validated; the auto amplitude is 0 because the
+// parity corpora measured no per-MB-map win, env IMAGEKIT_VP8_SEG_AMP
+// enables it). Single token partition. Measured vs libwebp:
+// docs/PARITY_REPORT.md — every cell <= 1.0x size at >= -0.03 dB except
+// noise q95 (+4% at -0.004 dB, documented), ~1.5x faster at q80.
 //
 // Standard constant tables (token probs, update probs, quantiser lookups)
 // are in vp8_tables.h, extracted from the system libvpx/libwebp binaries and
 // cross-validated between those two independent implementations
 // (tools/extract_vp8_tables.py).
 
+#include <algorithm>
 #include <array>
 #include <cmath>
 #include <cstdint>
@@ -190,6 +199,42 @@ void PutBMode(BoolEnc& e, const uint8_t* p, int m) {
       e.PutBit(1, p[3]); e.PutBit(1, p[6]); e.PutBit(1, p[7]);
       e.PutBit(1, p[8]);
       break;
+  }
+}
+
+inline int BitCost(int bit, int p);  // defined with the token-cost tables
+
+// Exact tree cost (1/256-bit units) of coding sub-mode m under the
+// context probability set p — mirrors PutBMode's paths. Used by the
+// B_PRED sub-mode RD decision: on structured content several modes
+// often predict near-equally and the context-coded mode bits (cheap
+// when agreeing with neighbours) decide, exactly the term an SSE-only
+// rank ignores.
+int CostBMode(const uint8_t* p, int m) {
+  int c;  // forward declaration keeps each case a plain expression
+  switch (m) {
+    case 0: return BitCost(0, p[0]);
+    case 1: return BitCost(1, p[0]) + BitCost(0, p[1]);
+    case 2: return BitCost(1, p[0]) + BitCost(1, p[1]) + BitCost(0, p[2]);
+    default:
+      c = BitCost(1, p[0]) + BitCost(1, p[1]) + BitCost(1, p[2]);
+      break;
+  }
+  switch (m) {
+    case 3: return c + BitCost(0, p[3]) + BitCost(0, p[4]);
+    case 5:
+      return c + BitCost(0, p[3]) + BitCost(1, p[4]) + BitCost(0, p[5]);
+    case 6:
+      return c + BitCost(0, p[3]) + BitCost(1, p[4]) + BitCost(1, p[5]);
+    case 4: return c + BitCost(1, p[3]) + BitCost(0, p[6]);
+    case 7:
+      return c + BitCost(1, p[3]) + BitCost(1, p[6]) + BitCost(0, p[7]);
+    case 8:
+      return c + BitCost(1, p[3]) + BitCost(1, p[6]) + BitCost(1, p[7]) +
+             BitCost(0, p[8]);
+    default:
+      return c + BitCost(1, p[3]) + BitCost(1, p[6]) + BitCost(1, p[7]) +
+             BitCost(1, p[8]);
   }
 }
 
@@ -483,6 +528,52 @@ inline int NzCost(int plane, int band, int ctx, int a) {
                 : TokenCostNonzero(kCoeffProbs[plane][band][ctx], a);
 }
 
+// RD score of an already-quantised block under the default tables:
+// 256 * transform-domain distortion + lambda * token bits (1/256 units).
+// The B_PRED sub-mode search ranks candidate modes with this — the full
+// rate/distortion of the residual each mode actually leaves, instead of
+// the prediction-SSE proxy that ignores how the residual CODES.
+// Exact token-tree bits (1/256-bit units) of an already-quantised block
+// under the default tables, entry context ctx0. The real cost the
+// magnitude-bucket RateProxy only approximated.
+int TokenBits256(const int16_t* lvl_nat, int first, int plane, int ctx0) {
+  const auto& PL =
+      *reinterpret_cast<const uint8_t(*)[8][3][11]>(kCoeffProbs[plane]);
+  int last = -1;
+  for (int i = first; i < 16; ++i)
+    if (lvl_nat[kZigzag[i]]) last = i;
+  if (last < first)  // all-zero: one EOB under the outer context
+    return BitCost(0, PL[kBands[first]][ctx0][0]);
+  int r = 0;
+  int c = ctx0;
+  bool eobflag = true;  // EOB is chargeable except right after a zero token
+  for (int i = first; i <= last; ++i) {
+    const int band = kBands[i];
+    const int l = std::abs(lvl_nat[kZigzag[i]]);
+    const uint8_t* P = PL[band][c];
+    if (eobflag) r += BitCost(1, P[0]);
+    r += l == 0 ? BitCost(0, P[1]) : NzCost(plane, band, c, l);
+    eobflag = l != 0;
+    c = l == 0 ? 0 : (l > 1 ? 2 : 1);
+  }
+  if (last < 15) r += BitCost(0, PL[kBands[last + 1]][c][0]);
+  return r;
+}
+
+int64_t QuantizedBlockScore(const int16_t* coef_nat, const int16_t* lvl_nat,
+                            int plane, int first, int ctx0, int qdc, int qac,
+                            int64_t lambda) {
+  int64_t d = 0;
+  for (int i = first; i < 16; ++i) {
+    const int zi = kZigzag[i];
+    const int64_t e =
+        coef_nat[zi] -
+        static_cast<int64_t>(lvl_nat[zi]) * (i == 0 ? qdc : qac);
+    d += e * e;
+  }
+  return 256 * d + lambda * TokenBits256(lvl_nat, first, plane, ctx0);
+}
+
 // RD-quantise one block. coef_nat: transform output, natural order.
 // Writes zigzag positions [first, 16) of out_nat (natural order); the
 // caller owns positions < first. Returns true iff any level is nonzero.
@@ -621,10 +712,202 @@ int TrellisKEnv() {
 // default q80 is the throughput-critical path where trellis would trade
 // 0.3+ dB and ~27% encode CPU against the "q means libwebp-q quality"
 // contract.
-int TrellisKFor(int qindex) {
+int TrellisKFor(int qindex, double mean_alpha) {
   const int k = TrellisKEnv();
   if (k >= 0) return k;
-  return qindex <= 15 ? 15 : 0;
+  if (qindex <= 15) return 15;  // high-quality band (round-2 policy)
+  // Mid-band (q <= ~65): K=5 on BUSY content only — measured 0.86-0.99x
+  // libwebp at <=0.03 dB cost on detail/text/noise, while smooth
+  // gradients (mean alpha < ~15) lose 0.5-1.8 dB to any mid-q trellis
+  // and stay on the deadzone quantiser. q80 (qindex ~20-29), the
+  // throughput-critical serving default, keeps the non-trellis path.
+  if (qindex >= 30 && mean_alpha >= 15.5) return 5;
+  return 0;
+}
+
+// Loop-filter strength: level = qindex * scale >> 6. The default tracks
+// libwebp's strength heuristic on the parity corpora
+// (tools/calibrate_segments.py sweep); IMAGEKIT_VP8_FILTER_SCALE
+// overrides for calibration runs. Deblocking is decoder-side only for a
+// still (in-frame intra prediction reads UNFILTERED reconstruction), so
+// the level costs the encoder nothing.
+int FilterScaleEnv() {
+  static const int s = [] {
+    const char* e = getenv("IMAGEKIT_VP8_FILTER_SCALE");
+    if (!e || !*e) return 48;
+    return atoi(e);
+  }();
+  return s;
+}
+
+// ---------------------------------------------------------------------------
+// Segmentation (adaptive quantisation) — RFC 6386 §9.3/§10. The analogue
+// of libwebp's SNS segments: per-MB activity drives up to 4 segments with
+// ABSOLUTE per-segment quantisers spread around the frame quantiser, so
+// bits migrate between flat and busy regions instead of one q fitting
+// nobody (libwebp enables this by default; round-2 parity cells that
+// trailed it — text/detail — were exactly the bimodal-content ones).
+// ---------------------------------------------------------------------------
+struct SegPlan {
+  int count = 1;  // 1 = segmentation off
+  uint8_t tree_probs[3] = {255, 255, 255};
+  int qi[4] = {0, 0, 0, 0};  // absolute qindex per segment
+  std::vector<uint8_t> map;  // per-MB segment id (raster), empty when off
+  double mean_alpha = 0.0;   // mean per-MB log2 activity (content class
+                             // for the adaptive trellis policy)
+};
+
+// Amplitude in percent of qindex across the activity spread; sign picks
+// the direction (positive = busier MBs coarser, the masking direction).
+// INT32_MIN = auto policy (calibrated, tools/calibrate_segments.py).
+int SegAmpEnv() {
+  static const int a = [] {
+    const char* e = getenv("IMAGEKIT_VP8_SEG_AMP");
+    if (!e || !*e || strcmp(e, "auto") == 0) return INT32_MIN;
+    return atoi(e);
+  }();
+  return a;
+}
+
+#ifndef IK_VP8_LAMBDA_NUM_DEFAULT
+#define IK_VP8_LAMBDA_NUM_DEFAULT 4
+#endif
+// Mode-decision calibration knobs (defaults = the shipped policy; env
+// overrides exist for tools/calibrate_segments.py sweeps only).
+int LambdaNumEnv() {
+  static const int v = [] {
+    const char* e = getenv("IMAGEKIT_VP8_LAMBDA_NUM");
+    return e && *e ? atoi(e) : IK_VP8_LAMBDA_NUM_DEFAULT;
+  }();
+  return v;
+}
+int I4GateEnv() {
+  static const int v = [] {
+    const char* e = getenv("IMAGEKIT_VP8_I4_GATE");
+    return e && *e ? atoi(e) : 20;
+  }();
+  return v;
+}
+int ModeRdMultEnv() {  // sub-mode RD lambda in 1/16ths of the frame lambda
+  static const int v = [] {
+    const char* e = getenv("IMAGEKIT_VP8_MODE_RD_MULT");
+    return e && *e ? atoi(e) : 4;
+  }();
+  return v;
+}
+
+SegPlan AnalyzeSegments(const uint8_t* sy, int W, int mbw, int mbh,
+                        int qindex) {
+  SegPlan plan;
+  for (int i = 0; i < 4; ++i) plan.qi[i] = qindex;
+  const int env = SegAmpEnv();
+  // Auto policy: OFF. Calibration on the parity corpora
+  // (tools/calibrate_segments.py / docs/PARITY_REPORT.md) found no
+  // PSNR-at-size win from the segment MAP on any content class — the
+  // bimodal images that motivate segmentation (text) are bimodal
+  // WITHIN macroblocks, where a per-MB map cannot help. The feature is
+  // complete and decoder-validated (tests force it on via
+  // IMAGEKIT_VP8_SEG_AMP) and the per-MB activity analysis below feeds
+  // the content-adaptive trellis policy either way.
+  const int amp = env == INT32_MIN ? 0 : env;
+
+  const int n = mbw * mbh;
+  std::vector<float> alpha(static_cast<size_t>(n));
+  float amin = 1e30f, amax = -1e30f;
+  double asum = 0.0;
+  for (int my = 0; my < mbh; ++my)
+    for (int mx = 0; mx < mbw; ++mx) {
+      // activity = sum of 4x4 luma variances (x16): cheap, monotone in
+      // the AC energy the quantiser actually meets
+      int64_t act = 0;
+      const uint8_t* mb = sy + static_cast<size_t>(my) * 16 * W + mx * 16;
+      for (int sb = 0; sb < 16; ++sb) {
+        const uint8_t* p = mb + (sb >> 2) * 4 * W + (sb & 3) * 4;
+        int s = 0, s2 = 0;
+        for (int y = 0; y < 4; ++y)
+          for (int x = 0; x < 4; ++x) {
+            const int v = p[y * W + x];
+            s += v;
+            s2 += v * v;
+          }
+        act += 16 * s2 - s * s;
+      }
+      const float a = std::log2f(1.0f + static_cast<float>(act));
+      alpha[static_cast<size_t>(my) * mbw + mx] = a;
+      asum += a;
+      amin = a < amin ? a : amin;
+      amax = a > amax ? a : amax;
+    }
+  plan.mean_alpha = asum / n;
+  if (amp == 0) return plan;
+  if (amax - amin < 3.0f) return plan;  // unimodal: uniform q fits
+
+  // 1-D k-means, 4 centers seeded evenly across the observed range
+  float c[4];
+  for (int i = 0; i < 4; ++i)
+    c[i] = amin + (amax - amin) * (2 * i + 1) / 8.0f;
+  std::vector<uint8_t> assign(static_cast<size_t>(n));
+  for (int it = 0; it < 8; ++it) {
+    double sum[4] = {0, 0, 0, 0};
+    int cnt[4] = {0, 0, 0, 0};
+    for (int i = 0; i < n; ++i) {
+      int best = 0;
+      float bd = 1e30f;
+      for (int s = 0; s < 4; ++s) {
+        const float d = alpha[i] - c[s];
+        const float dd = d * d;
+        if (dd < bd) {
+          bd = dd;
+          best = s;
+        }
+      }
+      assign[i] = static_cast<uint8_t>(best);
+      sum[best] += alpha[i];
+      ++cnt[best];
+    }
+    for (int s = 0; s < 4; ++s)
+      if (cnt[s]) c[s] = static_cast<float>(sum[s] / cnt[s]);
+  }
+
+  // per-segment qindex: spread around the BIT-weighted centre (weight =
+  // alpha, a proxy for each segment's share of the bitstream) so the
+  // total rate stays roughly constant as q shifts between segments
+  double wsum = 0, wtot = 0;
+  int cnt[4] = {0, 0, 0, 0};
+  for (int i = 0; i < n; ++i) {
+    wsum += static_cast<double>(alpha[i]) * alpha[i];
+    wtot += alpha[i];
+    ++cnt[assign[i]];
+  }
+  const double centre = wtot > 0 ? wsum / wtot : 0.5 * (amin + amax);
+  const double halfspan =
+      std::max(centre - amin, static_cast<double>(amax) - centre) + 1e-6;
+  bool distinct = false;
+  for (int s = 0; s < 4; ++s) {
+    const double t = (c[s] - centre) / halfspan;  // [-1, 1]
+    int qi = qindex +
+             static_cast<int>(std::lround(amp / 100.0 * qindex * t));
+    if (qi < 1) qi = 1;
+    plan.qi[s] = ClampQ(qi);
+    if (plan.qi[s] != qindex) distinct = true;
+  }
+  if (!distinct) return plan;
+
+  // segment-map tree probabilities from the histogram (GetBit(p) takes
+  // the 0-branch with probability p/256; clamp to the coder's 1..255)
+  auto prob = [](int zero, int total) {
+    if (total == 0) return 255;
+    int p = (255 * zero + total / 2) / total;
+    return p < 1 ? 1 : (p > 255 ? 255 : p);
+  };
+  plan.tree_probs[0] = static_cast<uint8_t>(prob(cnt[0] + cnt[1], n));
+  plan.tree_probs[1] =
+      static_cast<uint8_t>(prob(cnt[0], cnt[0] + cnt[1]));
+  plan.tree_probs[2] =
+      static_cast<uint8_t>(prob(cnt[2], cnt[2] + cnt[3]));
+  plan.count = 4;
+  plan.map = std::move(assign);
+  return plan;
 }
 
 // ---------------------------------------------------------------------------
@@ -634,6 +917,7 @@ struct MbData {
   uint8_t ymode;   // 0=DC 1=V 2=H 3=TM, 4=B_PRED
   uint8_t uvmode;  // 0..3
   uint8_t skip;    // every coded block quantised to zero
+  uint8_t segment; // adaptive-quantisation segment id (0 when seg off)
   uint8_t bmodes[16];  // B_PRED sub-modes (I16: mapped equivalents)
   // Quantised levels in ZIGZAG order with the last-nonzero index cached:
   // the token loop walks each block twice (stats + write), so the
@@ -1065,31 +1349,45 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
 #endif
   const int uv_dc_delta = IK_VP8_UV_DC_DELTA;
   const int uv_ac_delta = IK_VP8_UV_AC_DELTA;
-  const Quantizers Q =
-      ikvp8::SetupQuantDeltas(qindex, 0, 0, 0, uv_dc_delta, uv_ac_delta);
-#ifndef IK_VP8_FILTER_SCALE
-#define IK_VP8_FILTER_SCALE 48
-#endif
-  int filter_level = (qindex * IK_VP8_FILTER_SCALE) >> 6;
+  int filter_level = (qindex * FilterScaleEnv()) >> 6;
   if (filter_level > 63) filter_level = 63;
   if (flags & 1) filter_level = 0;
 
-  // trellis lambdas (transform-domain distortion per bit; see TrellisQuantBlock)
-  const int tk = (flags & 2) ? 0 : TrellisKFor(qindex);
-  const int64_t lambda_y =
-      tk > 0 ? (static_cast<int64_t>(tk) * Q.y1.ac * Q.y1.ac) / 100 : -1;
-  const int64_t lambda_uv =
-      tk > 0 ? (static_cast<int64_t>(tk) * Q.uv.ac * Q.uv.ac) / 100 : -1;
-
-  // RD lambda for the I16-vs-B_PRED decision, scaled with the quantiser
-  // (distortion is SSE in pixel^2; rate proxy is bits-ish)
-#ifndef IK_VP8_LAMBDA_NUM
-#define IK_VP8_LAMBDA_NUM 4
-#endif
-  const double lambda =
-      IK_VP8_LAMBDA_NUM * static_cast<double>(Q.y1.ac) * Q.y1.ac / 16.0;
-  // only try B_PRED when I16 leaves real energy on the table
-  const int64_t i4_gate = 20LL * Q.y1.ac * Q.y1.ac;
+  // --- segmentation (adaptive quantisation): per-MB activity -> up to 4
+  // segments with absolute qindexes; per-segment quantisers/lambdas below
+  const SegPlan seg = AnalyzeSegments(sy.data(), W, mbw, mbh, qindex);
+  const int tk = (flags & 2) ? 0 : TrellisKFor(qindex, seg.mean_alpha);
+  Quantizers segQ[4];
+  int64_t seg_lambda_y[4], seg_lambda_uv[4], seg_i4_gate[4];
+  double seg_lambda_rd[4];
+  int seg_lf[4];
+  for (int s = 0; s < 4; ++s) {
+    segQ[s] = ikvp8::SetupQuantDeltas(seg.qi[s], 0, 0, 0, uv_dc_delta,
+                                      uv_ac_delta);
+    // trellis lambdas (transform-domain distortion per bit; see
+    // TrellisQuantBlock)
+    seg_lambda_y[s] =
+        tk > 0
+            ? (static_cast<int64_t>(tk) * segQ[s].y1.ac * segQ[s].y1.ac) / 100
+            : -1;
+    seg_lambda_uv[s] =
+        tk > 0
+            ? (static_cast<int64_t>(tk) * segQ[s].uv.ac * segQ[s].uv.ac) / 100
+            : -1;
+    // RD lambda for the I16-vs-B_PRED decision, scaled with the quantiser
+    // (distortion is SSE in pixel^2; rate proxy is bits-ish)
+    seg_lambda_rd[s] = LambdaNumEnv() *
+                       static_cast<double>(segQ[s].y1.ac) * segQ[s].y1.ac /
+                       16.0;
+    // only try B_PRED when I16 leaves real energy on the table
+    seg_i4_gate[s] =
+        static_cast<int64_t>(I4GateEnv()) * segQ[s].y1.ac * segQ[s].y1.ac;
+    // with segmentation + abs feature data the decoder takes the per-MB
+    // filter level FROM THE SEGMENT (vp8_decode.cpp:925), so each
+    // segment must carry its own quantiser-scaled level
+    seg_lf[s] = flags & 1 ? 0 : (seg.qi[s] * FilterScaleEnv()) >> 6;
+    if (seg_lf[s] > 63) seg_lf[s] = 63;
+  }
 
   std::vector<MbData> mbs(static_cast<size_t>(mbw) * mbh);
 
@@ -1118,6 +1416,14 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
     s_ly2 = 0;
     for (int mbx = 0; mbx < mbw; ++mbx) {
       MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
+      mb.segment = seg.map.empty()
+                       ? 0
+                       : seg.map[static_cast<size_t>(mby) * mbw + mbx];
+      const Quantizers& Q = segQ[mb.segment];
+      const int64_t lambda_y = seg_lambda_y[mb.segment];
+      const int64_t lambda_uv = seg_lambda_uv[mb.segment];
+      const double lambda = seg_lambda_rd[mb.segment];
+      const int64_t i4_gate = seg_i4_gate[mb.segment];
       const int px = mbx * 16, py = mby * 16;
       const int cpx = mbx * 8, cpy = mby * 8;
       const uint8_t* src = sy.data() + static_cast<size_t>(py) * W + px;
@@ -1226,14 +1532,53 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           uint8_t s16[16];  // source block packed once for the 10-mode rank
           for (int r = 0; r < 4; ++r)
             std::memcpy(s16 + r * 4, bsrc + static_cast<size_t>(r) * W, 4);
+          // context modes for the RD mode-bit term: the true neighbour
+          // sub-modes (this MB's already-chosen blocks; adjacent MBs'
+          // final modes, I16 ones mapped — identical to the write pass)
+          const int sx_ = sb & 3, sy_ = sb >> 2;
+          int am = 0, lm = 0;
+          if (sy_ > 0) {
+            am = bmodes[sb - 4];
+          } else if (mby > 0) {
+            am = mbs[static_cast<size_t>(mby - 1) * mbw + mbx]
+                     .bmodes[12 + sx_];
+          }
+          if (sx_ > 0) {
+            lm = bmodes[sb - 1];
+          } else if (mbx > 0) {
+            lm = mbs[static_cast<size_t>(mby) * mbw + mbx - 1]
+                     .bmodes[sy_ * 4 + 3];
+          }
+          const uint8_t* mp = kKfBModeProbs[am][lm];
+          // Full RD per candidate mode: quantise each mode's residual and
+          // score 256*transform-domain distortion + lambda*(token bits +
+          // context mode bits) — the terms the old prediction-SSE rank
+          // ignored (how the residual CODES, and that neighbour-agreeing
+          // modes are near-free). The transform-vs-pixel domain gain is
+          // folded into the calibrated selection lambda.
+          const int64_t sel_lambda =
+              static_cast<int64_t>(Q.y1.ac) * Q.y1.ac * ModeRdMultEnv() / 64;
+          const int bctx = bnza[sb & 3] + bnzl[sb >> 2];
+          int16_t mres[16], mcoef[16], mlvl[16];
           int64_t bb = -1;
-          int bm = 0;
+          int bm = 0, bmcost = 0;
           for (int m = 0; m < 10; ++m) {
             ikvp8::PredictB(predb, 4, m, A, L, AL);
-            const int64_t sse = Sse4x4Packed(s16, predb);
-            if (bb < 0 || sse < bb) {
-              bb = sse;
+            for (int i = 0; i < 16; ++i)
+              mres[i] = static_cast<int16_t>(s16[i] - predb[i]);
+            Fdct4x4(mres, mcoef);
+            for (int i = 0; i < 16; ++i)
+              mlvl[i] =
+                  Quantize(mcoef[i], i == 0 ? Q.y1.dc : Q.y1.ac, i == 0);
+            const int mc = CostBMode(mp, m);
+            const int64_t score =
+                QuantizedBlockScore(mcoef, mlvl, 3, 0, bctx, Q.y1.dc,
+                                    Q.y1.ac, sel_lambda) +
+                sel_lambda * mc;
+            if (bb < 0 || score < bb) {
+              bb = score;
               bm = m;
+              bmcost = mc;
             }
           }
           bmodes[sb] = static_cast<uint8_t>(bm);
@@ -1257,7 +1602,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
             }
             bnza[sb & 3] = bnzl[sb >> 2] = nzb ? 1 : 0;
           }
-          rate_b += RateProxy(yb[sb], 0) + 4;  // + sub-mode bits
+          rate_b += RateProxy(yb[sb], 0) + (bmcost >> 8);  // + sub-mode bits
           for (int i = 0; i < 16; ++i)
             dq[i] =
                 static_cast<int16_t>(yb[sb][i] * (i == 0 ? Q.y1.dc : Q.y1.ac));
@@ -1411,7 +1756,28 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   // frame header (RFC 6386 §9.2-9.11, keyframe)
   p1.PutLiteral(0, 1);  // color_space
   p1.PutLiteral(0, 1);  // clamping_type
-  p1.PutBit(0, 128);    // segmentation_enabled
+  if (seg.count > 1) {  // segmentation (RFC 6386 §9.3): abs quantiser +
+    p1.PutBit(1, 128);  //   abs filter level per segment, map updated
+    p1.PutBit(1, 128);  // update_mb_segmentation_map
+    p1.PutBit(1, 128);  // update_segment_feature_data
+    p1.PutBit(1, 128);  // abs values
+    for (int s = 0; s < 4; ++s) {  // quantizer feature
+      p1.PutBit(1, 128);
+      p1.PutLiteral(static_cast<uint32_t>(seg.qi[s]), 7);
+      p1.PutBit(0, 128);  // sign (qindex >= 0)
+    }
+    for (int s = 0; s < 4; ++s) {  // loop-filter feature (abs: the
+      p1.PutBit(1, 128);           // decoder takes level from the segment)
+      p1.PutLiteral(static_cast<uint32_t>(seg_lf[s]), 6);
+      p1.PutBit(0, 128);
+    }
+    for (int i = 0; i < 3; ++i) {  // segment-map tree probabilities
+      p1.PutBit(1, 128);
+      p1.PutLiteral(seg.tree_probs[i], 8);
+    }
+  } else {
+    p1.PutBit(0, 128);  // segmentation_enabled
+  }
   p1.PutBit(0, 128);    // filter_type: normal (full) loop filter
   // In-frame intra prediction reads UNFILTERED reconstruction, so the loop
   // filter level only changes what the decoder displays — enabling
@@ -1453,6 +1819,17 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
     for (int mbx = 0; mbx < mbw; ++mbx) {
       const MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
       const bool bpred = mb.ymode == 4;
+      if (seg.count > 1) {
+        // mb_segment_tree (RFC §10): id precedes the skip flag
+        const int s = mb.segment;
+        if (s < 2) {
+          p1.PutBit(0, seg.tree_probs[0]);
+          p1.PutBit(s & 1, seg.tree_probs[1]);
+        } else {
+          p1.PutBit(1, seg.tree_probs[0]);
+          p1.PutBit(s & 1, seg.tree_probs[2]);
+        }
+      }
       p1.PutBit(mb.skip, prob_skip_false);
       PutYMode(p1, mb.ymode);
       if (bpred) {

@@ -132,17 +132,22 @@ def test_webp_trellis_shrinks_high_quality():
     u = np.ascontiguousarray(u[::2, ::2])
     v = np.ascontiguousarray(v[::2, ::2])
     out = np.empty(1 << 20, np.uint8)
-    for q in (30, 80):  # auto policy leaves trellis off below q~85
-        sizes = []
-        for flags in (0, 2):  # default (auto policy) vs trellis force-off
-            n = lib.ik_vp8_encode_ex(
-                y.ctypes.data, u.ctypes.data, v.ctypes.data, 400, 300,
-                y.strides[0], u.strides[0], q, out.ctypes.data, out.nbytes,
-                flags, None, None, None,
-            )
-            assert n > 0
-            sizes.append(out[:n].tobytes())
-        assert sizes[0] == sizes[1], q
+
+    def enc(q, flags):
+        n = lib.ik_vp8_encode_ex(
+            y.ctypes.data, u.ctypes.data, v.ctypes.data, 400, 300,
+            y.strides[0], u.strides[0], q, out.ctypes.data, out.nbytes,
+            flags, None, None, None,
+        )
+        assert n > 0
+        return out[:n].tobytes()
+
+    # q80 (the throughput-critical serving default) stays byte-identical
+    # to the non-trellis path; q30 on BUSY content takes the round-3
+    # content-adaptive mid-band trellis (K=5) and must differ + shrink
+    assert enc(80, 0) == enc(80, 2)
+    q30_auto, q30_off = enc(30, 0), enc(30, 2)
+    assert q30_auto != q30_off and len(q30_auto) < len(q30_off)
 
 
 def test_webp_rd_competitive_with_libwebp():

@@ -142,3 +142,108 @@ def test_jpeg_range_remap_exact():
     assert yv.tolist() == [[16, 126, 235]]
     assert cbv[0][1] == 128  # neutral chroma stays neutral
     assert crv[0][0] == 16 and crv[0][2] == 240
+
+
+def test_segmentation_bitstream_roundtrip():
+    """Adaptive-quantisation segments (RFC 6386 §9.3/§10): forced on via
+    env in a subprocess (the knob is cached per process), the stream must
+    signal segmentation, decode EXACTLY the same in our native decoder
+    and the host library, and change the bytes vs the uniform-q stream."""
+    import base64
+    import subprocess
+    import sys
+
+    from imagekit_tpu.codecs import vp8
+
+    if not (vp8.available() and vp8.decode_available()):
+        pytest.skip("native codec unavailable")
+
+    script = r"""
+import base64, sys
+sys.path.insert(0, %r)
+import numpy as np
+from imagekit_tpu.codecs import vp8
+rng = np.random.default_rng(4)
+# bimodal ACROSS MBs so the analyzer actually builds a map: flat half,
+# busy half
+img = np.full((96, 128, 3), 200, np.uint8)
+img[:, 64:] = rng.integers(0, 255, (96, 64, 3), np.uint8)
+sys.stdout.write(base64.b64encode(vp8.encode_rgb(img, 75)).decode())
+"""
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(amp):
+        env = dict(os.environ, IMAGEKIT_VP8_SEG_AMP=amp)
+        out = subprocess.run(
+            [sys.executable, "-c", script % here],
+            capture_output=True, env=env, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr.decode()[-500:]
+        return base64.b64decode(out.stdout)
+
+    seg = run("-40")
+    uni = run("0")
+    assert seg != uni
+    # both the host library and our decoder accept the stream; pixels
+    # agree within the documented RGB-conversion tolerance (YUV->RGB
+    # paths differ; the grayscale bit-exactness oracle lives in
+    # test_vp8_decode), and quality holds against the source
+    for stream in (seg, uni):
+        ours = vp8.decode_rgb(stream)
+        lib = np.asarray(Image.open(io.BytesIO(stream)).convert("RGB"))
+        assert ours is not None
+        assert np.abs(ours.astype(int) - lib.astype(int)).max() <= 4
+    rng2 = np.random.default_rng(4)
+    img = np.full((96, 128, 3), 200, np.uint8)
+    img[:, 64:] = rng2.integers(0, 255, (96, 64, 3), np.uint8)
+    lib_seg = np.asarray(Image.open(io.BytesIO(seg)).convert("RGB"))
+    lib_uni = np.asarray(Image.open(io.BytesIO(uni)).convert("RGB"))
+    # the adaptive-q stream must not cost meaningful quality vs uniform
+    assert psnr(lib_seg, img) >= psnr(lib_uni, img) - 1.0
+
+
+def test_content_adaptive_trellis_policy():
+    """Round-3 mid-band policy: q30 on busy content differs from the
+    trellis-off path and is smaller; SMOOTH content (mean activity below
+    the gate) stays byte-identical — the trellis never taxes gradients."""
+    import ctypes
+
+    from imagekit_tpu.codecs import vp8
+    from imagekit_tpu.codecs.native import loader
+
+    if not vp8.available():
+        pytest.skip("native codec unavailable")
+    lib = loader.load()
+    lib.ik_vp8_encode_ex.restype = ctypes.c_int64
+    lib.ik_vp8_encode_ex.argtypes = (
+        [ctypes.c_void_p] * 3
+        + [ctypes.c_int] * 5
+        + [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int]
+        + [ctypes.c_void_p] * 3
+    )
+    out = np.empty(1 << 20, np.uint8)
+
+    def enc(img, q, flags):
+        pil = Image.fromarray(img).convert("YCbCr")
+        y, u, v = [np.asarray(c) for c in pil.split()]
+        y = np.ascontiguousarray(y)
+        u = np.ascontiguousarray(u[::2, ::2])
+        v = np.ascontiguousarray(v[::2, ::2])
+        n = lib.ik_vp8_encode_ex(
+            y.ctypes.data, u.ctypes.data, v.ctypes.data,
+            img.shape[1], img.shape[0],
+            y.strides[0], u.strides[0], q, out.ctypes.data, out.nbytes,
+            flags, None, None, None,
+        )
+        assert n > 0
+        return out[:n].tobytes()
+
+    # smooth gradient: low per-MB activity -> K stays 0 at every mid q
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+    smooth = np.stack(
+        [128 + 80 * np.sin(yy / 40), 128 + 60 * np.cos(xx / 50),
+         np.full_like(yy, 128)], -1
+    ).clip(0, 255).astype(np.uint8)
+    assert enc(smooth, 30, 0) == enc(smooth, 30, 2)

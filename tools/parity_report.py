@@ -109,6 +109,49 @@ def encode_rows(suite):
     return rows
 
 
+def avif_rows():
+    """AVIF: direct libavif ABI (YUV-direct, the serving path) vs the
+    host library's RGBA path at the reference's speed-4 operating point
+    and the serving default speed 8 (see tools/avif_parity.py)."""
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from avif_parity import enc_host, enc_native, make_image
+
+        from imagekit_tpu.codecs import avif_encode
+
+        if not avif_encode.available():
+            return []
+    except Exception:  # noqa: BLE001 - environment without libavif
+        return []
+    img = make_image(400, 225)
+    out = [
+        "## AVIF encode (direct libavif ABI, YUV-direct) vs host RGBA path",
+        "",
+        "Reference operating point: ravif speed 4 (src/transform.rs:143-145);",
+        "serving default speed 8. Cells: bytes / PSNR / encode ms.",
+        "",
+        "| q | native YUV-direct s4 | host RGBA s4 "
+        "| native YUV-direct s8 | host RGBA s8 |",
+        "|---|---|---|---|---|",
+    ]
+    for q in (10, 30, 50, 70, 80, 90, 100):
+        cells = []
+        for fn, s in ((enc_native, 4), (enc_host, 4),
+                      (enc_native, 8), (enc_host, 8)):
+            n, p, ms = fn(img, q, s)
+            ps = "inf" if p == float("inf") else f"{p:.1f}"
+            cells.append(f"{n} B / {ps} dB / {ms:.0f} ms")
+        out.append(f"| {q} | " + " | ".join(cells) + " |")
+    out += [
+        "",
+        "Native wins size at every q (2.5x at the q80 serving default",
+        "within 0.2 dB — tighter quantizer mapping + no opaque alpha",
+        "plane) and is faster at the reference's speed-4 point.",
+        "",
+    ]
+    return out
+
+
 def main():
     suite = make_suite()
     dec = decode_rows(suite)
@@ -154,7 +197,13 @@ def main():
         f"{np.mean([r[3] / r[4] for r in wq80]):.3f}, mean dPSNR "
         f"{np.mean([r[5] - r[6] for r in wq80]):+.2f} dB.",
         "",
+        "WebP noise q95 is the one remaining cell above 1.0x (+2-4%):",
+        "its dPSNR is -0.004 dB (measurement epsilon) and the overhead",
+        "persists even with B_PRED disabled, i.e. it is not a mode- or",
+        "trellis-policy artefact; documented rather than tuned away.",
+        "",
     ]
+    out += avif_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "PARITY_REPORT.md")
     with open(path, "w") as f:
