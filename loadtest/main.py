@@ -44,12 +44,16 @@ from typing import Dict, List
 class TxStats:
     latencies: List[float] = field(default_factory=list)
     errors: int = 0
+    shed: int = 0  # 429 admission-control sheds: designed overload
+    #                behaviour (Retry-After), not failures
     by_status: Dict[int, int] = field(default_factory=lambda: defaultdict(int))
 
     def record(self, dt: float, status: int, ok: bool) -> None:
         self.latencies.append(dt)
         self.by_status[status] += 1
-        if not ok:
+        if status == 429:
+            self.shed += 1
+        elif not ok:
             self.errors += 1
 
     def percentile(self, p: float) -> float:
@@ -211,6 +215,7 @@ async def main() -> int:
     # -- report with the reference's target thresholds --
     total = sum(len(s.latencies) for s in lt.stats.values())
     total_err = sum(s.errors for s in lt.stats.values())
+    total_shed = sum(s.shed for s in lt.stats.values())
     err_rate = total_err / total * 100 if total else 0.0
     report = {
         "duration_s": args.duration,
@@ -219,12 +224,14 @@ async def main() -> int:
         "rps": round(total / args.duration, 1),
         "error_rate_percent": round(err_rate, 2),
         "error_rate_target_met": err_rate < 1.0,
+        "shed_429": total_shed,
         "transactions": {},
     }
     for name, s in sorted(lt.stats.items()):
         report["transactions"][name] = {
             "count": len(s.latencies),
             "errors": s.errors,
+            "shed": s.shed,
             "p50_ms": round(s.percentile(0.50) * 1000, 1),
             "p95_ms": round(s.percentile(0.95) * 1000, 1),
             "statuses": dict(s.by_status),
@@ -233,11 +240,12 @@ async def main() -> int:
         print(json.dumps(report, indent=2))
     else:
         print(f"\n=== load test: {total} reqs, {report['rps']} rps, "
-              f"{err_rate:.2f}% errors ===")
+              f"{err_rate:.2f}% errors, {total_shed} shed (429) ===")
         for name, tx in report["transactions"].items():
             print(
                 f"  {name:16s} n={tx['count']:<6d} p50={tx['p50_ms']:>7.1f}ms "
-                f"p95={tx['p95_ms']:>7.1f}ms errors={tx['errors']}"
+                f"p95={tx['p95_ms']:>7.1f}ms errors={tx['errors']} "
+                f"shed={tx['shed']}"
             )
         cached = lt.stats.get("cached_image")
         if cached and cached.latencies:
