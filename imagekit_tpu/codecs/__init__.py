@@ -135,7 +135,8 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
                 return arr, fmt
     elif fmt == SourceFormat.avif:
         # native ISOBMFF container parse + direct dav1d core (no PIL/
-        # libavif in the loop); alpha/10-bit/ABI-drift fall back
+        # libavif in the loop), incl. alpha aux items since round 3;
+        # 10-bit/premultiplied-alpha/ABI-drift fall back
         from imagekit_tpu.codecs import avif_native
 
         if avif_native.decode_available():

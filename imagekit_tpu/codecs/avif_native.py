@@ -48,7 +48,17 @@ _PIC_P_OFF = 56        # Dav1dPictureParameters {int w, h, layout, bpc}
 _I400, _I420, _I422, _I444 = 0, 1, 2, 3
 
 _lock = threading.Lock()
-_state: dict = {"lib": None, "attempted": False, "disabled": False}
+_state: dict = {
+    "lib": None,
+    "attempted": False,
+    "disabled": False,
+    # set after the first decode whose picture dims MATCHED the
+    # container: from then on a mismatch means the CONTAINER lied (a
+    # hostile ispe must reject that file, not poison the path — a
+    # permanent disable here would be a fast-path DoS), while a mismatch
+    # before any validation still reads as ABI drift and disables
+    "validated": False,
+}
 _FREE_CB = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_uint8),
                             ctypes.c_void_p)
 _NOFREE = _FREE_CB(lambda p, c: None)
@@ -93,6 +103,10 @@ class AvifInfo:
     height: int
     obu: bytes                    # primary (colour) item's AV1 payload
     has_alpha: bool = False
+    alpha_obu: bytes = b""        # alpha aux item's AV1 payload (when
+    #                               extractable and 8-bit, non-premul)
+    alpha_size: Tuple[int, int] = (0, 0)  # alpha item's own ispe
+    #                               ((0,0) = assume primary dims)
     matrix: int = 2               # nclx matrix_coefficients (2 = unspecified)
     full_range: bool = True
     has_nclx: bool = False        # colr/nclx present (else colour config is
@@ -242,6 +256,8 @@ def _parse_container(data: bytes) -> AvifInfo:
     has_alpha = False
     high_bd = mono = False
     sub_x = sub_y = True
+    alpha_ids: List[int] = []
+    alpha_size = (0, 0)
     if b"iprp" in meta:
         pa2, pb2 = meta[b"iprp"]
         sub = {}
@@ -284,11 +300,23 @@ def _parse_container(data: bytes) -> AvifInfo:
         for iid, typ in item_types.items():
             if iid == pitm or typ != b"av01":
                 continue
+            is_alpha = False
             for pi in assoc.get(iid, []):
                 if 1 <= pi <= len(props):
                     t, a, b = props[pi - 1]
                     if t == b"auxC" and b"alpha" in data[a:b]:
-                        has_alpha = True
+                        is_alpha = True
+            if is_alpha:
+                has_alpha = True
+                alpha_ids.append(iid)
+                for pi in assoc.get(iid, []):
+                    if 1 <= pi <= len(props):
+                        t, a, b = props[pi - 1]
+                        if t == b"ispe":
+                            alpha_size = (
+                                int.from_bytes(data[a + 4:a + 8], "big"),
+                                int.from_bytes(data[a + 8:a + 12], "big"),
+                            )
         for pi in assoc.get(pitm, range(1, len(props) + 1)):
             if not (1 <= pi <= len(props)):
                 continue
@@ -315,9 +343,23 @@ def _parse_container(data: bytes) -> AvifInfo:
     obu = b"".join(data[o:o + l] for o, l in extents)
     if not obu:
         raise ValueError("empty av01 payload")
+    # alpha payload, when it can take the native path: exactly one
+    # 8-bit alpha aux item and NO premultiply reference (a `prem` iref
+    # needs un-multiplication the host library handles)
+    alpha_obu = b""
+    if len(alpha_ids) == 1 and b"iref" not in meta:
+        acm, aextents = locs.get(alpha_ids[0], (None, []))
+        if acm == 0 and aextents:
+            alpha_obu = b"".join(data[o:o + l] for o, l in aextents)
+    elif alpha_ids and b"iref" in meta:
+        ra, rb = meta[b"iref"]
+        if b"prem" not in data[ra:rb] and len(alpha_ids) == 1:
+            acm, aextents = locs.get(alpha_ids[0], (None, []))
+            if acm == 0 and aextents:
+                alpha_obu = b"".join(data[o:o + l] for o, l in aextents)
     return AvifInfo(
-        width, height, obu, has_alpha, matrix, full_range, has_nclx,
-        high_bd, mono, sub_x, sub_y,
+        width, height, obu, has_alpha, alpha_obu, alpha_size, matrix,
+        full_range, has_nclx, high_bd, mono, sub_x, sub_y,
     )
 
 
@@ -406,8 +448,11 @@ def _decode_obu(obu: bytes, want_w: int, want_h: int):
             stride = struct.unpack_from("<2q", pic, _PIC_STRIDE_OFF)
             w, h, layout, bpc = struct.unpack_from("<4i", pic, _PIC_P_OFF)
             if (w, h) != (want_w, want_h):
-                _disable()  # ABI guard: never emit wrong pixels
-                return None
+                if not _state["validated"]:
+                    _disable()  # ABI guard: never emit wrong pixels
+                return None  # validated ABI: the container lied; reject
+                #              the FILE, don't poison the path
+            _state["validated"] = True
             if bpc != 8:
                 return None
             if layout not in (_I400, _I420, _I422, _I444):
@@ -454,18 +499,22 @@ def _bomb_guard(info: AvifInfo) -> None:
 
 
 def decode_rgb(data: bytes) -> Optional[np.ndarray]:
-    """Container parse + dav1d -> RGB u8. Returns None whenever the
-    native path cannot serve this file (alpha keeps the host library's
-    RGBA behaviour; 10-bit / identity-matrix / missing-nclx / exotic
-    containers / decode failures all fall back — the host library decides
-    whether the file is actually malformed). Raises ValueError only for
-    the decompression-bomb ceiling."""
+    """Container parse + dav1d -> RGB(A) u8. Alpha sources decode
+    natively too since round 3 (the aux item's OBU goes through the same
+    dav1d core; 8-bit, non-premultiplied — `prem` references keep the
+    host library's un-multiply behaviour). Returns None whenever the
+    native path cannot serve this file (10-bit / identity-matrix /
+    missing-nclx / exotic containers / decode failures all fall back —
+    the host library decides whether the file is actually malformed).
+    Raises ValueError only for the decompression-bomb ceiling."""
     try:
         info = parse_container(data)
     except ValueError:
         return None
-    if info.has_alpha or info.high_bitdepth:
+    if info.high_bitdepth:
         return None
+    if info.has_alpha and not info.alpha_obu:
+        return None  # premultiplied / multi-aux / unextractable
     # colour interpretation must be explicit: without nclx it lives in the
     # AV1 sequence header (which this ctypes layer doesn't read), and
     # matrix 0 is identity/GBR — both keep the host-library behaviour
@@ -482,7 +531,7 @@ def decode_rgb(data: bytes) -> Optional[np.ndarray]:
         yf = (yf - 16.0) * (255.0 / 219.0)
     if layout == _I400 or u is None:
         g8 = np.clip(np.floor(yf + 0.5), 0, 255).astype(np.uint8)
-        return np.repeat(g8[:, :, None], 3, axis=2)
+        return _maybe_alpha(np.repeat(g8[:, :, None], 3, axis=2), info)
     uf = u.astype(np.float32) - 128.0
     vf = v.astype(np.float32) - 128.0
     if not info.full_range:
@@ -500,7 +549,28 @@ def decode_rgb(data: bytes) -> Optional[np.ndarray]:
     b = yf + 2.0 * (1.0 - kb) * uf
     g = (yf - kr * r - kb * b) / kg
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    rgb8 = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return _maybe_alpha(rgb8, info)
+
+
+def _maybe_alpha(rgb8: np.ndarray, info: AvifInfo) -> Optional[np.ndarray]:
+    """Attach the alpha aux item's plane (decoded through the same dav1d
+    core) when present; None propagates the whole file to the host
+    library rather than emitting RGB for an image that has alpha."""
+    if not info.has_alpha:
+        return rgb8
+    aw, ah = info.alpha_size
+    if (aw, ah) == (0, 0):
+        aw, ah = info.width, info.height
+    out = _decode_obu(info.alpha_obu, aw, ah)
+    if out is None:
+        return None
+    ay, _au, _av, _layout, bpc = out
+    if bpc != 8 or ay.shape != rgb8.shape[:2]:
+        return None
+    # alpha is monochrome sample data; by convention (libavif writer)
+    # full-range — used verbatim
+    return np.dstack([rgb8, ay])
 
 
 def decode_yuv420_studio(data: bytes):

@@ -55,16 +55,31 @@ def test_container_parse_rejects_garbage():
     data = _avif(make_test_image(64, 48))
     with pytest.raises(ValueError):
         avif_native.parse_container(data[: len(data) // 2])
-    # mutated box sizes must raise ValueError, never IndexError etc.
+    # mutated box sizes must raise ValueError, never IndexError etc. —
+    # seeds include an ALPHA container so the aux-item/iref extraction
+    # branches (round 3) face hostile bytes too
+    seeds = [data]
+    try:
+        rgba = np.dstack(
+            [make_test_image(64, 48), np.full((48, 64), 128, np.uint8)]
+        )
+        buf = io.BytesIO()
+        Image.fromarray(rgba).save(buf, "AVIF", quality=80)
+        seeds.append(buf.getvalue())
+    except Exception:
+        pass
     rng = np.random.default_rng(3)
-    for _ in range(200):
-        m = bytearray(data)
-        for _ in range(8):
-            m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
-        try:
-            avif_native.parse_container(bytes(m))
-        except ValueError:
-            pass
+    for seed in seeds:
+        for _ in range(200):
+            m = bytearray(seed)
+            for _ in range(8):
+                m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            try:
+                info = avif_native.parse_container(bytes(m))
+                # survivors must also survive the decode attempt
+                avif_native.decode_rgb(bytes(m))
+            except ValueError:
+                pass
 
 
 def test_decode_rgb_matches_host_library():
@@ -122,26 +137,53 @@ def test_decode_bytes_uses_native_path(monkeypatch):
     assert not called, "PIL fallback was consulted"
 
 
-def test_alpha_sources_fall_back():
-    """Alpha-bearing AVIF keeps the host library's RGBA behaviour."""
-    rgba = np.dstack(
-        [make_test_image(64, 48), np.full((48, 64), 180, np.uint8)]
+def test_alpha_sources_decode_natively():
+    """Alpha-bearing AVIF decodes natively since round 3: the aux item's
+    OBU rides the same dav1d core; the alpha plane matches the host
+    library EXACTLY (no chroma/colour conversion on a mono plane) and
+    the RGB channels match within the documented upsample tolerance."""
+    alpha = np.tile(
+        np.linspace(10, 250, 64, dtype=np.uint8)[None, :], (48, 1)
     )
+    rgba = np.dstack([make_test_image(64, 48), alpha])
     try:
         buf = io.BytesIO()
-        Image.fromarray(rgba).save(buf, "AVIF", quality=80)
+        Image.fromarray(rgba).save(buf, "AVIF", quality=85)
     except Exception:
         pytest.skip("encoder lacks RGBA support")
     data = buf.getvalue()
     info = avif_native.parse_container(data)
     if not info.has_alpha:
         pytest.skip("encoder dropped the alpha item")
-    assert avif_native.decode_rgb(data) is None
+    assert len(info.alpha_obu) > 0
+    ours = avif_native.decode_rgb(data)
+    assert ours is not None and ours.shape == (48, 64, 4)
+    lib = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+    np.testing.assert_array_equal(ours[:, :, 3], lib[:, :, 3])
+    assert psnr(ours[:, :, :3], lib[:, :, :3]) >= 30.0
 
     from imagekit_tpu import codecs as codecs_mod
 
     arr, fmt = codecs_mod.decode_bytes(data)
-    assert arr.shape[2] == 4  # PIL fallback preserved RGBA
+    assert arr.shape[2] == 4
+    np.testing.assert_array_equal(arr, ours)  # native path served it
+
+
+def test_alpha_through_own_encoder_roundtrip():
+    """Our encoder's alpha plane (near-lossless) -> native decode: the
+    serving loop never touches PIL for alpha AVIF in either direction."""
+    from imagekit_tpu.codecs import avif_encode
+
+    if not avif_encode.available():
+        pytest.skip("native avif encode unavailable")
+    rng = np.random.default_rng(11)
+    img = make_test_image(80, 60)
+    alpha = rng.integers(0, 255, (60, 80), dtype=np.uint8)
+    data = avif_encode.encode_rgb(np.dstack([img, alpha]), 85)
+    ours = avif_native.decode_rgb(data)
+    assert ours is not None and ours.shape == (60, 80, 4)
+    # alpha quantiser is capped near-lossless in the encoder
+    assert psnr(ours[:, :, 3], alpha) >= 40.0
 
 
 def test_engine_avif_to_webp_yuv_direct():
@@ -294,3 +336,25 @@ def test_header_dimensions_probe():
     t0 = time.perf_counter()
     assert avif_native.header_dimensions(bomb) is None
     assert time.perf_counter() - t0 < 0.2
+
+
+def test_hostile_ispe_rejects_file_without_poisoning_path():
+    """A container whose ispe lies about dimensions must reject THAT
+    file (None -> host fallback) without permanently disabling the
+    native path — a permanent disable would let one hostile upload
+    degrade every later AVIF to the slow path (round-3 fix)."""
+    good = _avif(make_test_image(64, 48), q=85)
+    # validate the ABI first (the guard only forgives mismatches after
+    # one successful decode)
+    assert avif_native.decode_rgb(good) is not None
+
+    i = good.find(b"ispe")
+    assert i > 0
+    bad = bytearray(good)
+    # lie about the width (ispe payload: fullbox(4) + w(4) + h(4))
+    bad[i + 8:i + 12] = (128).to_bytes(4, "big")
+    out = avif_native.decode_rgb(bytes(bad))
+    assert out is None  # the file is rejected...
+    assert avif_native.decode_available()  # ...the path is NOT disabled
+    again = avif_native.decode_rgb(good)
+    assert again is not None and again.shape == (48, 64, 3)
