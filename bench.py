@@ -174,6 +174,7 @@ async def run_bench():
     mod_lat.sort()
 
     bounded = await measure_bounded_latency(engine, sources)
+    avif_ips = await measure_avif(engine, sources)
     jxc = await measure_transcode(engine, sources)
     device_only = await measure_device_only(engine, sources[0])
     await engine.close()
@@ -207,6 +208,7 @@ async def run_bench():
         "device_resident_ips": device_only["resident_ips"],
         "mfu_pct": device_only["mfu_pct"],
         "jpeg_transcode_ips": jxc,
+        "avif_ips": avif_ips,
         "mean_output_bytes": int(np.mean(sizes)),
         "mean_batch_size": round(mean_batch, 1),
         "warmup_s": round(warmup_s, 1),
@@ -305,6 +307,36 @@ def _env_snapshot():
     except Exception:
         pass
     return snap
+
+
+async def measure_avif(engine, sources):
+    """Secondary metric (VERDICT r2 item 1): 1080p JPEG -> 400px -> AVIF
+    q80 end-to-end — the fused coefficients->YUV head (same signatures
+    the webp pass warmed) feeding the direct libavif bitstream encode.
+    None when the native avif path is unavailable."""
+    from imagekit_tpu.codecs import avif_encode
+    from imagekit_tpu.config import ImageFormat
+
+    if not avif_encode.available():
+        return None
+    try:
+        n = 48
+        sem = asyncio.Semaphore(24)
+
+        async def one(i):
+            async with sem:
+                out = await engine.transform(
+                    sources[i % len(sources)], 400, None,
+                    ImageFormat.avif, 80,
+                )
+                assert out[4:12] == b"ftypavif"
+                return len(out)
+
+        t0 = time.perf_counter()
+        await asyncio.gather(*(one(i) for i in range(n)))
+        return round(n / (time.perf_counter() - t0), 2)
+    except Exception:
+        return None
 
 
 async def measure_transcode(engine, sources):
