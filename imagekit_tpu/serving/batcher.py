@@ -2123,6 +2123,12 @@ class BatchedEngine(TransformEngine):
             if i8_ok:
                 kinds.append("jxc")
             kinds.append("rgb")
+        # submit every signature to the device pool CONCURRENTLY: compiles
+        # hit the persistent cache and what remains is the tunnelled
+        # execute round trip per signature, which overlaps across the
+        # pool's threads (a serial await here measured 200-270 s of
+        # server cold start; overlap cuts it ~in half)
+        jpeg_futs = []
         for kind in kinds:
             for b, bh, bw, obh, obw, ch in shapes:
                 if bh % 16 or bw % 16 or ch != 3:
@@ -2138,10 +2144,16 @@ class BatchedEngine(TransformEngine):
                 # int16 variant, background-compiled on first occurrence
                 head = "jpeg8" if i8_ok else "jpeg"
                 sig = (head, kind, k, shard, b, bh, bw, obh, obw)
-                await loop.run_in_executor(
-                    self._device_pool, self._compile_jpeg_sig, sig
+                jpeg_futs.append(
+                    loop.run_in_executor(
+                        self._device_pool, self._compile_jpeg_sig, sig
+                    )
                 )
+        if jpeg_futs:
+            await asyncio.gather(*jpeg_futs)
         rgb_like = bool({"rgb", "rgb_jpeg"} & set(paths))
+        rgb_futs: list = []
+        rgb_sigs: list = []
         for b, bh, bw, obh, obw, ch in shapes if rgb_like else []:
             shard = self._use_mesh(b)
             batch = np.zeros((b, bh, bw * ch), dtype=np.uint8)
@@ -2158,8 +2170,10 @@ class BatchedEngine(TransformEngine):
                 )
 
             if "rgb" in paths:
-                await loop.run_in_executor(self._device_pool, step)
-                self._compiled.add(("rgb", shard, b, bh, bw, obh, obw, ch))
+                rgb_futs.append(loop.run_in_executor(
+                    self._device_pool, step
+                ))
+                rgb_sigs.append(("rgb", shard, b, bh, bw, obh, obw, ch))
             if ch == 3 and "rgb" in paths and (
                 _vp8.available() or _avif_encode_available()
             ):
@@ -2172,10 +2186,10 @@ class BatchedEngine(TransformEngine):
                         batch, (wv, wh), idx, idx, (obh, obw)
                     )
 
-                await loop.run_in_executor(self._device_pool, step_wy)
-                self._compiled.add(
-                    ("rgbyuv", shard, b, bh, bw, obh, obw, ch)
-                )
+                rgb_futs.append(loop.run_in_executor(
+                    self._device_pool, step_wy
+                ))
+                rgb_sigs.append(("rgbyuv", shard, b, bh, bw, obh, obw, ch))
             if ch == 3 and "rgb_jpeg" in paths:
                 # jpeg outputs from RGB sources (fused resample+fDCT);
                 # opt-in token — this class backgrounds-compiles otherwise
@@ -2191,10 +2205,14 @@ class BatchedEngine(TransformEngine):
                         batch, (wv, wh), idx, idx, qto, (obh, obw)
                     )
 
-                await loop.run_in_executor(self._device_pool, step_jq)
-                self._compiled.add(
-                    ("rgbjpg", shard, b, bh, bw, obh, obw, ch)
-                )
+                rgb_futs.append(loop.run_in_executor(
+                    self._device_pool, step_jq
+                ))
+                rgb_sigs.append(("rgbjpg", shard, b, bh, bw, obh, obw, ch))
+        if rgb_futs:
+            await asyncio.gather(*rgb_futs)
+            for sig in rgb_sigs:
+                self._compiled.add(sig)
         # jpeg-format OUTPUTS encode via the device fDCT kernel only for
         # warmed bucket shapes (cold shapes host-mirror); warm the target
         # buckets these shapes produce
