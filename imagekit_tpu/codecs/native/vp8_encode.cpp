@@ -712,10 +712,18 @@ int TrellisKEnv() {
 // default q80 is the throughput-critical path where trellis would trade
 // 0.3+ dB and ~27% encode CPU against the "q means libwebp-q quality"
 // contract.
-int TrellisKFor(int qindex, double mean_alpha) {
+int TrellisKFor(int qindex, double mean_alpha, double flat_frac) {
   const int k = TrellisKEnv();
   if (k >= 0) return k;
-  if (qindex <= 15) return 15;  // high-quality band (round-2 policy)
+  if (qindex <= 15) {
+    // High-quality band: K=15 (the round-2 policy) EXCEPT on bimodal
+    // busy+flat content (text class: mean activity high AND >=15% flat
+    // 4x4 blocks) where near-lossless trellis misallocates across the
+    // hard edges — measured 0.942x/+0.18 dB at K=0 vs 0.958x/-0.73 dB
+    // at K=15 on the text corpus (tools/calibrate_segments.py).
+    if (mean_alpha >= 15.5 && flat_frac >= 0.15) return 0;
+    return 15;
+  }
   // Mid-band (q <= ~65): K=5 on BUSY content only — measured 0.86-0.99x
   // libwebp at <=0.03 dB cost on detail/text/noise, while smooth
   // gradients (mean alpha < ~15) lose 0.5-1.8 dB to any mid-q trellis
@@ -755,6 +763,9 @@ struct SegPlan {
   std::vector<uint8_t> map;  // per-MB segment id (raster), empty when off
   double mean_alpha = 0.0;   // mean per-MB log2 activity (content class
                              // for the adaptive trellis policy)
+  double flat_frac = 0.0;    // fraction of essentially-flat 4x4 luma
+                             // blocks (bimodal-content detector: text has
+                             // BOTH flat gaps and busy strokes)
 };
 
 // Amplitude in percent of qindex across the activity spread; sign picks
@@ -815,6 +826,7 @@ SegPlan AnalyzeSegments(const uint8_t* sy, int W, int mbw, int mbh,
   std::vector<float> alpha(static_cast<size_t>(n));
   float amin = 1e30f, amax = -1e30f;
   double asum = 0.0;
+  int64_t flat_subblocks = 0;
   for (int my = 0; my < mbh; ++my)
     for (int mx = 0; mx < mbw; ++mx) {
       // activity = sum of 4x4 luma variances (x16): cheap, monotone in
@@ -830,7 +842,9 @@ SegPlan AnalyzeSegments(const uint8_t* sy, int W, int mbw, int mbh,
             s += v;
             s2 += v * v;
           }
-        act += 16 * s2 - s * s;
+        const int var16 = 16 * s2 - s * s;
+        act += var16;
+        if (var16 < 16 * 16) flat_subblocks += 1;
       }
       const float a = std::log2f(1.0f + static_cast<float>(act));
       alpha[static_cast<size_t>(my) * mbw + mx] = a;
@@ -839,6 +853,7 @@ SegPlan AnalyzeSegments(const uint8_t* sy, int W, int mbw, int mbh,
       amax = a > amax ? a : amax;
     }
   plan.mean_alpha = asum / n;
+  plan.flat_frac = static_cast<double>(flat_subblocks) / (16.0 * n);
   if (amp == 0) return plan;
   if (amax - amin < 3.0f) return plan;  // unimodal: uniform q fits
 
@@ -1341,14 +1356,17 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
 // entirely chroma. Scaled with the quantiser so the byte cost stays
 // proportional (a fixed -8 saturates chroma to qindex 0 at high
 // quality). Signalled in the frame header (RFC 6386 §9.6).
-#ifndef IK_VP8_UV_DC_DELTA
-#define IK_VP8_UV_DC_DELTA (-(qindex >= 24 ? 8 : qindex / 3))
-#endif
-#ifndef IK_VP8_UV_AC_DELTA
-#define IK_VP8_UV_AC_DELTA (-(qindex >= 24 ? 4 : qindex / 6))
-#endif
-  const int uv_dc_delta = IK_VP8_UV_DC_DELTA;
-  const int uv_ac_delta = IK_VP8_UV_AC_DELTA;
+  // Chroma quantiser deltas scale to 0 via IMAGEKIT_VP8_UV_DELTA_PCT
+  // (calibration knob; 100 = shipped policy, 0 = no deltas)
+  const int uvp = [] {
+    static const int v = [] {
+      const char* e = getenv("IMAGEKIT_VP8_UV_DELTA_PCT");
+      return e && *e ? atoi(e) : 100;
+    }();
+    return v;
+  }();
+  const int uv_dc_delta = -(qindex >= 24 ? 8 : qindex / 3) * uvp / 100;
+  const int uv_ac_delta = -(qindex >= 24 ? 4 : qindex / 6) * uvp / 100;
   int filter_level = (qindex * FilterScaleEnv()) >> 6;
   if (filter_level > 63) filter_level = 63;
   if (flags & 1) filter_level = 0;
@@ -1356,7 +1374,9 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   // --- segmentation (adaptive quantisation): per-MB activity -> up to 4
   // segments with absolute qindexes; per-segment quantisers/lambdas below
   const SegPlan seg = AnalyzeSegments(sy.data(), W, mbw, mbh, qindex);
-  const int tk = (flags & 2) ? 0 : TrellisKFor(qindex, seg.mean_alpha);
+  const int tk =
+      (flags & 2) ? 0
+                  : TrellisKFor(qindex, seg.mean_alpha, seg.flat_frac);
   Quantizers segQ[4];
   int64_t seg_lambda_y[4], seg_lambda_uv[4], seg_i4_gate[4];
   double seg_lambda_rd[4];
