@@ -453,16 +453,28 @@ def _decode_obu(obu: bytes, want_w: int, want_h: int):
                 return None  # validated ABI: the container lied; reject
                 #              the FILE, don't poison the path
             _state["validated"] = True
-            if bpc != 8:
+            if bpc not in (8, 10, 12):
                 return None
             if layout not in (_I400, _I420, _I422, _I444):
                 return None
 
             def plane(addr, st, ph, pw):
+                # stride is in BYTES; >8-bit samples are uint16 and are
+                # rounded down to 8 bits (the reference's image crate
+                # reduces high-bit-depth AVIF to RGB8 the same way)
+                if bpc == 8:
+                    arr = np.ctypeslib.as_array(
+                        (ctypes.c_uint8 * (st * ph)).from_address(addr)
+                    ).reshape(ph, st)
+                    return arr[:, :pw].copy()
                 arr = np.ctypeslib.as_array(
-                    (ctypes.c_uint8 * (st * ph)).from_address(addr)
-                ).reshape(ph, st)
-                return arr[:, :pw].copy()
+                    (ctypes.c_uint16 * ((st // 2) * ph)).from_address(addr)
+                ).reshape(ph, st // 2)[:, :pw]
+                shift = bpc - 8
+                half = 1 << (shift - 1)
+                return (
+                    (arr.astype(np.uint16) + half) >> shift
+                ).clip(0, 255).astype(np.uint8)
 
             y = plane(datap[0], stride[0], h, w)
             u = v = None
@@ -471,7 +483,7 @@ def _decode_obu(obu: bytes, want_w: int, want_h: int):
                 chh = (h + 1) // 2 if layout == _I420 else h
                 u = plane(datap[1], stride[1], chh, cw)
                 v = plane(datap[2], stride[1], chh, cw)
-            return y, u, v, layout, bpc
+            return y, u, v, layout, 8
         finally:
             lib.dav1d_picture_unref(pic)
     finally:
@@ -510,8 +522,6 @@ def decode_rgb(data: bytes) -> Optional[np.ndarray]:
     try:
         info = parse_container(data)
     except ValueError:
-        return None
-    if info.high_bitdepth:
         return None
     if info.has_alpha and not info.alpha_obu:
         return None  # premultiplied / multi-aux / unextractable
@@ -577,14 +587,15 @@ def decode_yuv420_studio(data: bytes):
     """Container parse + dav1d -> studio-range BT.601 YUV 4:2:0 planes for
     the serving engine's YUV-domain batched resize (webp outputs never
     round-trip through RGB). Returns None when this file can't take the
-    direct path (non-420/709/alpha/10-bit -> RGB or host fallback)."""
+    direct path (non-420/709/alpha -> RGB or host fallback; 10/12-bit
+    sources round to 8 bits inside the dav1d layer, like the reference's
+    to_rgb8)."""
     try:
         info = parse_container(data)
     except ValueError:
         return None
     if (
         info.has_alpha
-        or info.high_bitdepth
         or info.monochrome
         or not (info.chroma_sub_x and info.chroma_sub_y)  # not 4:2:0
         or not info.has_nclx

@@ -262,9 +262,7 @@ def test_unsupported_native_classes_fall_back_not_error(monkeypatch):
     def patched(kind):
         def f(d):
             info = real_parse(d)
-            if kind == "hbd":
-                info.high_bitdepth = True
-            elif kind == "identity":
+            if kind == "identity":
                 info.matrix = 0
             elif kind == "nonclx":
                 info.has_nclx = False
@@ -272,7 +270,9 @@ def test_unsupported_native_classes_fall_back_not_error(monkeypatch):
 
         return f
 
-    for kind in ("hbd", "identity", "nonclx"):
+    # (high_bitdepth was an unsupported class until round 3; it now
+    # decodes natively — see test_10bit_sources_decode_natively)
+    for kind in ("identity", "nonclx"):
         monkeypatch.setattr(avif_native, "parse_container", patched(kind))
         assert avif_native.decode_rgb(data) is None
         assert avif_native.decode_yuv420_studio(data) is None
@@ -358,3 +358,75 @@ def test_hostile_ispe_rejects_file_without_poisoning_path():
     assert avif_native.decode_available()  # ...the path is NOT disabled
     again = avif_native.decode_rgb(good)
     assert again is not None and again.shape == (48, 64, 3)
+
+
+def _encode_avif_10bit(y10, cb10, cr10):
+    """Test-only 10-bit AVIF writer over the pinned libavif ABI (the
+    production encoder is 8-bit; this exists to exercise the decoder's
+    high-bit-depth path)."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libavif.so.15")
+    except OSError:
+        return None
+    lib.avifImageCreate.restype = ctypes.c_void_p
+    lib.avifImageAllocatePlanes.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.avifEncoderCreate.restype = ctypes.c_void_p
+    lib.avifEncoderWrite.restype = ctypes.c_int
+    lib.avifEncoderWrite.argtypes = [ctypes.c_void_p] * 2 + [ctypes.c_void_p]
+
+    class RW(ctypes.Structure):
+        _fields_ = [("data", ctypes.c_void_p), ("size", ctypes.c_size_t)]
+
+    h, w = y10.shape
+    img = lib.avifImageCreate(w, h, 10, 3)
+    ctypes.c_int32.from_address(img + 16).value = 0  # limited range
+    for off, v in ((104, 1), (106, 13), (108, 6)):
+        ctypes.c_uint16.from_address(img + off).value = v
+    assert lib.avifImageAllocatePlanes(img, 1) == 0
+    planes = (ctypes.c_void_p * 3).from_address(img + 24)
+    rb = (ctypes.c_uint32 * 3).from_address(img + 48)
+    for i, arr in ((0, y10), (1, cb10), (2, cr10)):
+        ph, pw = arr.shape
+        src = np.ascontiguousarray(arr)
+        for r in range(ph):
+            ctypes.memmove(
+                planes[i] + r * rb[i], src.ctypes.data + r * pw * 2, pw * 2
+            )
+    enc = lib.avifEncoderCreate()
+    for off, v in ((4, 1), (8, 8), (24, 10), (28, 10)):
+        ctypes.c_int32.from_address(enc + off).value = v
+    out = RW()
+    if lib.avifEncoderWrite(enc, img, ctypes.byref(out)) != 0:
+        return None
+    data = ctypes.string_at(out.data, out.size)
+    lib.avifRWDataFree(ctypes.byref(out))
+    lib.avifEncoderDestroy(ctypes.c_void_p(enc))
+    lib.avifImageDestroy(ctypes.c_void_p(img))
+    return data
+
+
+def test_10bit_sources_decode_natively():
+    """10-bit AVIF rounds to 8 bits inside the dav1d layer (like the
+    reference's to_rgb8 reduction) on BOTH the RGB path and the
+    YUV-direct serving path — no host-library fallback."""
+    rng = np.random.default_rng(9)
+    w, h = 120, 88
+    y10 = (
+        np.linspace(64, 940, w)[None, :] + rng.normal(0, 10, (h, w))
+    ).clip(64, 940).astype(np.uint16)
+    cb10 = np.full((h // 2, w // 2), 440, np.uint16)
+    cr10 = np.full((h // 2, w // 2), 560, np.uint16)
+    data = _encode_avif_10bit(y10, cb10, cr10)
+    if data is None:
+        pytest.skip("libavif unavailable for 10-bit generation")
+    info = avif_native.parse_container(data)
+    assert info.high_bitdepth
+    ours = avif_native.decode_rgb(data)
+    assert ours is not None and ours.shape == (h, w, 3)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 4
+    planes = avif_native.decode_yuv420_studio(data)
+    assert planes is not None
+    assert planes[0].shape == (h, w) and planes[0].dtype == np.uint8
