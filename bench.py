@@ -521,13 +521,19 @@ async def measure_device_only(engine, src: bytes):
     ips = reps * nb / dt
 
     # Device-RESIDENT loop (VERDICT r2 weak #2): every input staged on
-    # device once, the jitted kernel iterated with no np.asarray and no
-    # H2D inside the loop, blocking only on the final result — the rate
-    # the chip itself sustains, with the tunnelled link out of the
-    # picture. Calls the underlying jitted kernel directly because the
-    # public wrapper round-trips through numpy by design.
+    # device once, the jitted kernel iterated with no H2D inside the
+    # loop. Two honesty mechanisms, both required on the tunnelled
+    # runtime: (1) each step's quant table carries a buffer dependency
+    # on the previous step's output, so executions cannot be elided or
+    # overlapped by the client; (2) the loop ends with a HOST READBACK
+    # of one output element — block_until_ready alone measured up to
+    # 40x optimistic here (it resolves client-side futures without a
+    # device round trip). The readback RTT is amortized over the reps
+    # and NOT subtracted: the figure is conservative.
     resident_ips = None
     if t8:
+        import jax.numpy as jnp
+
         from imagekit_tpu.ops.dct import (
             _decode_resize_yuv_lowfreq_i8_kernel as _kern,
         )
@@ -536,21 +542,32 @@ async def measure_device_only(engine, src: bytes):
         args = [
             d(y_dc), d(y_ac), d(cb_dc), d(cb_ac), d(cr_dc), d(cr_ac),
             d(escs[0][0]), d(escs[0][1]), d(escs[1][0]), d(escs[1][1]),
-            d(escs[2][0]), d(escs[2][1]), d(qt),
+            d(escs[2][0]), d(escs[2][1]),
         ] + list(dweights) + [d(vidx)]
 
-        def dstep():
-            return _kern(
-                *args, by_b=by_b, bx_b=bx_b, cy_b=cy_b, cx_b=cx_b, k=k
+        @jax.jit
+        def dstep(qt_dep, a0, a1, a2, a3, a4, a5, e0, e1, e2, e3, e4, e5,
+                  wv, wh, wvc, whc, vi):
+            out = _kern(
+                a0, a1, a2, a3, a4, a5, e0, e1, e2, e3, e4, e5, qt_dep,
+                wv, wh, wvc, whc, vi,
+                by_b=by_b, bx_b=bx_b, cy_b=cy_b, cx_b=cx_b, k=k,
             )
+            y0 = out[0] if isinstance(out, tuple) else out
+            dep = qt_dep + jnp.float32(0) * y0.flatten()[0].astype(
+                jnp.float32
+            )
+            return dep, out
 
-        jax.block_until_ready(dstep())  # same executable, now staged
+        qdep = d(qt)
+        qdep, out = dstep(qdep, *args)
+        np.asarray(out[0] if isinstance(out, tuple) else out)  # full sync
         reps2 = 64
         t0 = time.perf_counter()
-        out = None
         for _ in range(reps2):
-            out = dstep()
-        jax.block_until_ready(out)
+            qdep, out = dstep(qdep, *args)
+        y_last = out[0] if isinstance(out, tuple) else out
+        _ = np.asarray(y_last[:1, :1])  # 1-element readback sync
         dt2 = time.perf_counter() - t0
         resident_ips = reps2 * nb / dt2
 
