@@ -806,6 +806,13 @@ int ModeRdMultEnv() {  // sub-mode RD lambda in 1/16ths of the frame lambda
   }();
   return v;
 }
+int I4BiasPctEnv() {  // near-lossless I16-rate inflation, percent
+  static const int v = [] {
+    const char* e = getenv("IMAGEKIT_VP8_I4_BIAS_PCT");
+    return e && *e ? atoi(e) : -1;  // -1 = auto policy
+  }();
+  return v;
+}
 
 SegPlan AnalyzeSegments(const uint8_t* sy, int W, int mbw, int mbh,
                         int qindex) {
@@ -1632,7 +1639,18 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
               o[y * 21 + x] = Clip255(pix[y * 4 + x] + o[y * 21 + x]);
           dist_b += SseRegion(bsrc, W, o, 21, 4);
         }
-        use_b = dist_b + lambda * rate_b < dist16 + lambda * rate16;
+        // Mode-plane uniformity experiments (stream dissection vs
+        // libwebp, noise q95): libwebp codes that corpus 100% B_PRED at
+        // 74.0 KB; our best uniform choice (all-I16, 74.9 KB) and our
+        // per-MB-optimal mix (76.8 KB) both trail it, and neither a
+        // rate bias nor forced uniformity (77.1 KB all-B_PRED) closes
+        // the residual ~1.3% — it lives in per-level coding efficiency,
+        // not the mode mix. The knob stays for calibration; the auto
+        // policy applies NO bias.
+        const int i4b = I4BiasPctEnv();
+        const double r16_bias = 1.0 + (i4b >= 0 ? i4b : 0) / 100.0;
+        use_b =
+            dist_b + lambda * rate_b < dist16 + lambda * rate16 * r16_bias;
         if (use_b) {
           for (int y = 0; y < 16; ++y)
             std::memcpy(RY + (py + y) * ls + px, tile + (y + 1) * 21 + 1, 16);
