@@ -197,10 +197,15 @@ def main():
         f"{np.mean([r[3] / r[4] for r in wq80]):.3f}, mean dPSNR "
         f"{np.mean([r[5] - r[6] for r in wq80]):+.2f} dB.",
         "",
-        "WebP noise q95 is the one remaining cell above 1.0x (+2-4%):",
-        "its dPSNR is -0.004 dB (measurement epsilon) and the overhead",
-        "persists even with B_PRED disabled, i.e. it is not a mode- or",
-        "trellis-policy artefact; documented rather than tuned away.",
+        "WebP noise q95 is the one remaining cell above 1.0x (+3.7%): its",
+        "dPSNR is -0.004 dB (measurement epsilon). Stream dissection against",
+        "libwebp located it precisely: libwebp codes that corpus 100% B_PRED",
+        "at 74.0 KB with 315 probability-table updates; our per-MB-optimal",
+        "mode mix (168 B_PRED / 132 I16) lands at 76.8 KB with 567 updates,",
+        "our best uniform choice (all-I16) at 74.9 KB, and FORCED all-B_PRED",
+        "at 77.1 KB - so neither the mode mix nor any uniformity bias closes",
+        "the residual ~1.3%; it lives in per-level token-coding efficiency on",
+        "near-random coefficients. Documented rather than tuned away.",
         "",
     ]
     out += avif_rows()
