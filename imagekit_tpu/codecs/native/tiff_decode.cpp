@@ -5,7 +5,7 @@
 // `image` crate, which bundles a baseline TIFF decoder).
 //
 // Scope: 8-bit samples, chunky (PlanarConfiguration=1), strip-organised,
-// Compression 1 (none) / 5 (LZW) / 32773 (PackBits), Photometric 0/1
+// Compression 1 (none) / 5 (LZW) / 8+32946 (Deflate) / 32773 (PackBits), Photometric 0/1
 // (grayscale) / 2 (RGB[A]) / 3 (palette). Tiled, planar, 16-bit or other
 // compressions return IK_TIFF_UNSUPPORTED and callers fall back to the
 // host library decoder.
@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#include <zlib.h>
 
 #ifndef IK_EXPORT
 #define IK_EXPORT extern "C" __attribute__((visibility("default")))
@@ -154,6 +156,7 @@ int ParseTiff(const uint8_t* data, size_t len, TiffInfo* info) {
   if (info->planar != 1 && info->planar != 2) return IK_TIFF_UNSUPPORTED;
   if (info->planar == 2 && info->spp == 1) info->planar = 1;  // same layout
   if (info->compression != 1 && info->compression != 5 &&
+      info->compression != 8 && info->compression != 32946 &&
       info->compression != 32773)
     return IK_TIFF_UNSUPPORTED;
   if (info->photometric > 3) return IK_TIFF_UNSUPPORTED;
@@ -302,6 +305,25 @@ int LzwDecode(const uint8_t* src, size_t n, uint8_t* dst, size_t want) {
   return out == want ? IK_TIFF_OK : IK_TIFF_TRUNCATED;
 }
 
+// Deflate (compression 8 "Adobe" / 32946 legacy): a plain zlib stream
+// per strip/tile, inflated to exactly `want` bytes.
+int ZipDecode(const uint8_t* src, size_t n, uint8_t* dst, size_t want) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return IK_TIFF_BAD_DATA;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = static_cast<uInt>(n);
+  zs.next_out = dst;
+  zs.avail_out = static_cast<uInt>(want);
+  const int rc = inflate(&zs, Z_FINISH);
+  const size_t got = want - zs.avail_out;
+  inflateEnd(&zs);
+  if (got != want) return IK_TIFF_TRUNCATED;
+  if (rc != Z_STREAM_END && rc != Z_OK && rc != Z_BUF_ERROR)
+    return IK_TIFF_BAD_DATA;
+  return IK_TIFF_OK;
+}
+
 int PackBitsDecode(const uint8_t* src, size_t n, uint8_t* dst, size_t want) {
   size_t pos = 0, out = 0;
   while (out < want) {
@@ -363,6 +385,9 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
         return IK_TIFF_OK;
       case 5:
         return LzwDecode(src, src_n, dst, want);
+      case 8:
+      case 32946:
+        return ZipDecode(src, src_n, dst, want);
       default:
         return PackBitsDecode(src, src_n, dst, want);
     }
@@ -373,7 +398,10 @@ IK_EXPORT int ik_tiff_decode(const uint8_t* data, size_t len, uint8_t* out,
   // tag is ignored on uncompressed/PackBits data
   auto unfilter = [&](uint8_t* base, size_t rows, size_t rowlen,
                       int nlanes) {
-    if (info.predictor != 2 || info.compression != 5) return;
+    if (info.predictor != 2 ||
+        (info.compression != 5 && info.compression != 8 &&
+         info.compression != 32946))
+      return;
     for (size_t yy = 0; yy < rows; ++yy) {
       uint8_t* r = base + yy * rowlen;
       if (sbytes == 1) {

@@ -410,3 +410,34 @@ def test_planar_tiled_decode_exact(compression):
     np.testing.assert_array_equal(
         out, np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     )
+
+
+def test_deflate_strips_exact():
+    from tests.conftest import make_test_image
+    """Deflate-compressed TIFF (compression 8) decodes natively and
+    bit-exactly — round-3 addition (zlib per strip, predictor honoured
+    like the LZW class)."""
+    for mode in ("RGB", "L", "RGBA"):
+        img = make_test_image(201, 143)
+        pil = Image.fromarray(img).convert(mode)
+        buf = io.BytesIO()
+        pil.save(buf, "TIFF", compression="tiff_deflate")
+        data = buf.getvalue()
+        out = tiff_native.decode(data)
+        assert out is not None, f"native path declined deflate ({mode})"
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert(
+            "RGBA" if out.shape[-1] == 4 else "RGB"))
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_deflate_garbage_strips_reject():
+    from tests.conftest import make_test_image
+
+    img = make_test_image(64, 48)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "TIFF", compression="tiff_deflate")
+    data = bytearray(buf.getvalue())
+    # corrupt the strip payload (past the 8-byte header + IFD head)
+    data[len(data) // 2:len(data) // 2 + 16] = b"\xff" * 16
+    with pytest.raises(ValueError):  # malformed -> 400, like the
+        tiff_native.decode(bytes(data))  # reference's decode error

@@ -43,6 +43,7 @@ def make_corpus():
         ("BMP", {}),
         ("TIFF", {"compression": "tiff_lzw"}),
         ("TIFF", {"compression": "packbits"}),
+        ("TIFF", {"compression": "tiff_deflate"}),
         ("WEBP", {"quality": 80}),
         ("WEBP", {"lossless": True, "method": 2}),
         ("WEBP", {"quality": 80, "alpha": True}),  # VP8X + ALPH container

@@ -62,6 +62,8 @@ def decode_rows(suite):
         "BMP": lambda im: _save(im, "BMP"),
         "TIFF LZW": lambda im: _save(im, "TIFF", compression="tiff_lzw"),
         "TIFF PackBits": lambda im: _save(im, "TIFF", compression="packbits"),
+        "TIFF Deflate": lambda im: _save(
+            im, "TIFF", compression="tiff_deflate"),
     }
     rows = []
     for enc_name, enc in encoders.items():
