@@ -99,3 +99,42 @@ def test_jpeg_dims(w, h):
     # differences are legitimate; geometry and near-exactness are not
     assert arr.shape == ref.shape
     assert np.abs(arr.astype(int) - ref.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("w,h", DIMS)
+def test_avif_encode_decode_dims(w, h):
+    """Round-3: the direct libavif encode + native dav1d decode loop at
+    every awkward size (odd chroma geometry is where 4:2:0 plane-size
+    formulas break)."""
+    from imagekit_tpu.codecs import avif_encode, avif_native
+
+    if not (avif_encode.available() and avif_native.decode_available()):
+        pytest.skip("native avif unavailable")
+    img = _src(w, h, seed=3)
+    data = avif_encode.encode_rgb(img, 90)
+    out = avif_native.decode_rgb(data)
+    assert out is not None and out.shape == (h, w, 3)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    # the chroma upsamplers legitimately differ on random 4:2:0 chroma
+    # (nearest vs bilinear), so don't pin decoder-vs-decoder pixels;
+    # require our reconstruction to be AS CLOSE to the source as the
+    # host library's (correctness without pinning conversion detail)
+    ours_err = np.abs(out.astype(float) - img.astype(float)).mean()
+    pil_err = np.abs(ref.astype(float) - img.astype(float)).mean()
+    assert ours_err <= pil_err + 3.0, (ours_err, pil_err)
+
+
+@pytest.mark.parametrize("w,h", DIMS)
+def test_vp8_encode_decode_dims(w, h):
+    """Native VP8 encode -> native decode at every awkward size (the
+    round-3 mode-RD/segmentation changes touch per-MB context edges)."""
+    from imagekit_tpu.codecs import vp8
+
+    if not (vp8.available() and vp8.decode_available()):
+        pytest.skip("native vp8 unavailable")
+    img = _src(w, h, seed=4)
+    data = vp8.encode_rgb(img, 90)
+    ours = vp8.decode_rgb(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours is not None and ours.shape == (h, w, 3)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 4
