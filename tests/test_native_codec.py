@@ -198,3 +198,43 @@ def test_distinct_chroma_quant_tables_rejected_by_device_path():
     assert decoded[0].comp_tq == (0, 1, 0)
     with pytest.raises(ValueError):
         dct_ops.decode_components_to_rgb(decoded)
+
+
+def test_native_calls_release_the_gil():
+    """ROADMAP item 6 (multi-core host scaling) rests on every native
+    entropy call releasing the GIL. Provable even on a 1-core host: a
+    pure-Python counter thread must make progress WHILE a native encode
+    runs — if the call held the GIL, the counter would freeze for the
+    entire call."""
+    import threading
+    import time as _time
+
+    from imagekit_tpu.codecs import vp8
+    from tests.conftest import make_test_image
+
+    if not vp8.available():
+        pytest.skip("native codec unavailable")
+    img = make_test_image(400, 304)
+
+    progress = []
+    stop = threading.Event()
+
+    def counter():
+        while not stop.is_set():
+            progress.append(_time.perf_counter())
+            _time.sleep(0.001)
+
+    t = threading.Thread(target=counter)
+    t.start()
+    try:
+        t0 = _time.perf_counter()
+        for _ in range(6):
+            vp8.encode_rgb(img, 95)  # ~40 ms/frame of native work each
+        dt = _time.perf_counter() - t0
+    finally:
+        stop.set()
+        t.join()
+    during = [p for p in progress if t0 <= p <= t0 + dt]
+    # with the GIL released the counter ticks throughout the native
+    # work; demand at least a tick per ~25 ms of encode wall time
+    assert len(during) >= dt / 0.025, (len(during), dt)
