@@ -8,8 +8,11 @@ runtime and reads up to 40x optimistic.
     python tools/device_resident_bench.py [--nb 32] [--reps 48]
 
 Geometry: the e2e bench shape (1080p source buckets -> 400px target
-buckets). First run per head pays a remote compile of the chained
-wrapper (cached thereafter). Numbers are conservative (readback RTT is
+buckets), hitting the SAME compiled executables production uses (cache
+hits, no fresh compiles). Dispatches serialize FIFO on the single
+device stream, so the final readback bounds all of them; a chained
+variant was measured equivalent but costs a fresh multi-minute compile
+per head on the tunnel. Numbers are conservative (readback RTT is
 amortized over reps, not subtracted) and link-noise bounded — compare
 bands, not points (BASELINE.md correction note).
 """
@@ -28,19 +31,14 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def chain(dep, y):
-    """Float carrier that waits on y's buffer without using its value."""
-    return dep + jnp.float32(0) * y.flatten()[0].astype(jnp.float32)
-
-
-def measure(name, step, dep0, reps, nb):
-    """step(dep) -> (dep', out_y). Warm (compile) then timed loop with a
-    final 1-element readback."""
-    dep, y = step(dep0)
-    np.asarray(y[:1])  # full sync after compile
+def measure(name, step, reps, nb):
+    """step() -> out_y (device array). Warm then timed loop with a
+    final 1-element readback that bounds the FIFO dispatch queue."""
+    y = step()
+    np.asarray(y[:1])  # full sync after warm-up dispatch
     t0 = time.perf_counter()
     for _ in range(reps):
-        dep, y = step(dep)
+        y = step()
     _ = np.asarray(y[:1, :1] if y.ndim >= 2 else y[:1])
     dt = time.perf_counter() - t0
     print(f"{name:8s}: {reps * nb / dt:9.0f} img/s resident "
@@ -84,42 +82,29 @@ def main():
     vidx = d(np.zeros(nb, np.int32))
     qto = d((r.random((nb, 128)) + 1).astype(np.float32))
 
-    @jax.jit
-    def step_yuvsrc(dep):
-        y = _resize_yuv420_kernel(
-            flat, yw[0] + 0 * dep[0], yw[1], yw[2], yw[3], vidx,
+    def step_yuvsrc():
+        return _resize_yuv420_kernel(
+            flat, yw[0], yw[1], yw[2], yw[3], vidx,
             bh=bh, bw=bw, obh=obh, obw=obw,
         )
-        return chain(dep, y), y
 
-    @jax.jit
-    def step_yuvjpg(dep):
-        y = _resize_yuv_jpeg_kernel(
-            flat, yw[0], yw[1], yw[2], yw[3], qto * (1 + 0 * dep[0]),
-            vidx, bh=bh, bw=bw, obh=obh, obw=obw,
+    def step_yuvjpg():
+        return _resize_yuv_jpeg_kernel(
+            flat, yw[0], yw[1], yw[2], yw[3], qto, vidx,
+            bh=bh, bw=bw, obh=obh, obw=obw,
         )
-        return chain(dep, y), y
 
     # --- RGB-source heads ---
     rgb = d(r.integers(0, 255, (nb, bh, bw * 3)).astype(np.uint8))
     wv = d(r.random((nu, obh, bh)).astype(np.float32))
     wh = d(r.random((nu, obw, bw)).astype(np.float32))
 
-    @jax.jit
-    def step_rgbyuv(dep):
-        y = _resample_rgb_yuv_kernel(
-            rgb, wv + 0 * dep[0], wh, vidx, vidx
-        )
-        return chain(dep, y), y
+    def step_rgbyuv():
+        return _resample_rgb_yuv_kernel(rgb, wv, wh, vidx, vidx)
 
-    @jax.jit
-    def step_rgbjpg(dep):
-        y = _resample_rgb_jpeg_kernel(
-            rgb, wv, wh, vidx, vidx, qto * (1 + 0 * dep[0])
-        )
-        return chain(dep, y), y
+    def step_rgbjpg():
+        return _resample_rgb_jpeg_kernel(rgb, wv, wh, vidx, vidx, qto)
 
-    dep0 = d(np.zeros(1, np.float32))
     for name, step in (
         ("yuvsrc", step_yuvsrc),
         ("yuvjpg", step_yuvjpg),
@@ -127,7 +112,7 @@ def main():
         ("rgbjpg", step_rgbjpg),
     ):
         try:
-            measure(name, step, dep0, reps, nb)
+            measure(name, step, reps, nb)
         except Exception as e:  # noqa: BLE001 - print and continue
             print(f"{name:8s}: failed ({type(e).__name__}: {e})", flush=True)
 
