@@ -430,3 +430,56 @@ def test_10bit_sources_decode_natively():
     planes = avif_native.decode_yuv420_studio(data)
     assert planes is not None
     assert planes[0].shape == (h, w) and planes[0].dtype == np.uint8
+
+
+def test_animated_avif_decodes_first_frame_natively():
+    """Animation sequences (brand avis): the primary still item decodes
+    natively as frame 0, matching the host library's behaviour (the
+    reference's image crate also decodes stills only)."""
+    frames = [
+        Image.fromarray(np.roll(make_test_image(64, 48), i * 8, axis=1))
+        for i in range(3)
+    ]
+    buf = io.BytesIO()
+    try:
+        frames[0].save(buf, "AVIF", save_all=True,
+                       append_images=frames[1:], duration=100, quality=80)
+    except Exception:
+        pytest.skip("encoder lacks animated AVIF support")
+    data = buf.getvalue()
+    assert data[8:12] == b"avis"
+    ours = avif_native.decode_rgb(data)
+    assert ours is not None and ours.shape == (48, 64, 3)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(ours.astype(float) - ref.astype(float)).mean() <= 8.0
+
+
+def test_premultiplied_alpha_falls_back():
+    """An iref box containing a `prem` reference forces the host-library
+    path (un-multiplication semantics stay with the host): alpha_obu is
+    withheld and decode_rgb declines."""
+    alpha = np.full((48, 64), 128, np.uint8)
+    rgba = np.dstack([make_test_image(64, 48), alpha])
+    buf = io.BytesIO()
+    try:
+        Image.fromarray(rgba).save(buf, "AVIF", quality=80)
+    except Exception:
+        pytest.skip("encoder lacks RGBA support")
+    data = buf.getvalue()
+    info = avif_native.parse_container(data)
+    if not info.has_alpha or not info.alpha_obu:
+        pytest.skip("no extractable alpha item to re-reference")
+    # box surgery: rename the existing auxl iref (alpha -> colour
+    # reference libavif writes) to prem; sizes unchanged
+    i = data.find(b"auxl")
+    if i < 0:
+        pytest.skip("no auxl iref to rename")
+    mutated = data[:i] + b"prem" + data[i + 4:]
+    info2 = avif_native.parse_container(mutated)
+    assert info2.has_alpha and not info2.alpha_obu
+    assert avif_native.decode_rgb(mutated) is None
+    # the serving layer still serves the image via the host library
+    from imagekit_tpu import codecs as codecs_mod
+
+    arr, _ = codecs_mod.decode_bytes(mutated)
+    assert arr.shape[:2] == (48, 64)

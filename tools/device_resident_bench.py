@@ -57,9 +57,12 @@ def main():
     # resident loop calls the underlying jitted kernels directly
     from imagekit_tpu.ops.color import _resample_rgb_yuv_kernel
     from imagekit_tpu.ops.dct import (
+        LOWFREQ_ESC_C,
+        LOWFREQ_ESC_Y,
         _resample_rgb_jpeg_kernel,
         _resize_yuv420_kernel,
         _resize_yuv_jpeg_kernel,
+        _transcode_i8_kernel,
         pad128,
     )
     from imagekit_tpu.utils.bucketing import bucket_for
@@ -105,11 +108,45 @@ def main():
     def step_rgbjpg():
         return _resample_rgb_jpeg_kernel(rgb, wv, wh, vidx, vidx, qto)
 
+    # --- fused JPEG->JPEG transcode (jxc), split-int8 transport, K=2 ---
+    from imagekit_tpu.utils.bucketing import bucket_for as _bf
+
+    k = 2
+    yb_h, yb_w = _bf(1080), _bf(1920)
+    by_b, bx_b = yb_h // 8, yb_w // 8
+    cy_b, cx_b = yb_h // 16, yb_w // 16
+    na = k * k - 1
+    y_dc = d(r.integers(-500, 500, (nb, by_b, pad128(bx_b))).astype(np.int16))
+    y_ac = d(r.integers(-100, 100, (nb, by_b, pad128(bx_b * na))).astype(np.int8))
+    c_dc = d(r.integers(-500, 500, (nb, cy_b, pad128(cx_b))).astype(np.int16))
+    c_ac = d(r.integers(-100, 100, (nb, cy_b, pad128(cx_b * na))).astype(np.int8))
+    ey = (d(np.zeros((LOWFREQ_ESC_Y, 3), np.int32)),
+          d(np.zeros((LOWFREQ_ESC_Y,), np.int32)))
+    ec = (d(np.zeros((LOWFREQ_ESC_C, 3), np.int32)),
+          d(np.zeros((LOWFREQ_ESC_C,), np.int32)))
+    qt_in = d((r.random((nb, 128)) + 1).astype(np.float32))
+    ly, lx = yb_h * k // 8, yb_w * k // 8
+    tw = (
+        d(r.random((nu, obh, ly)).astype(np.float32)),
+        d(r.random((nu, obw, lx)).astype(np.float32)),
+        d(r.random((nu, obh // 2, ly // 2)).astype(np.float32)),
+        d(r.random((nu, obw // 2, lx // 2)).astype(np.float32)),
+    )
+
+    def step_jxc():
+        return _transcode_i8_kernel(
+            y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
+            ey[0], ey[1], ec[0], ec[1], ec[0], ec[1],
+            qt_in, qto, tw[0], tw[1], tw[2], tw[3], vidx,
+            by_b=by_b, bx_b=bx_b, cy_b=cy_b, cx_b=cx_b, k=k,
+        )
+
     for name, step in (
         ("yuvsrc", step_yuvsrc),
         ("yuvjpg", step_yuvjpg),
         ("rgbyuv", step_rgbyuv),
         ("rgbjpg", step_rgbjpg),
+        ("jxc", step_jxc),
     ):
         try:
             measure(name, step, reps, nb)
