@@ -2085,6 +2085,12 @@ class BatchedEngine(TransformEngine):
         from imagekit_tpu.ops.resize import resample_bucketed_flat
         from imagekit_tpu.utils.bucketing import BATCH_SIZES
 
+        loop0 = asyncio.get_running_loop()
+        # the avif ABI self-check (~100 ms encode+decode round trip) runs
+        # on first use; do it in the codec pool now so no request's event
+        # loop ever pays it
+        await loop0.run_in_executor(self._codec_pool, _avif_encode_available)
+
         if shapes is None:
             bh, bw = bucket_for(1080), bucket_for(1920)
             obh, obw = bucket_for(225), bucket_for(400)
