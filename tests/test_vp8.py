@@ -164,11 +164,15 @@ sys.path.insert(0, %r)
 import numpy as np
 from imagekit_tpu.codecs import vp8
 rng = np.random.default_rng(4)
+out = []
 # bimodal ACROSS MBs so the analyzer actually builds a map: flat half,
-# busy half
-img = np.full((96, 128, 3), 200, np.uint8)
-img[:, 64:] = rng.integers(0, 255, (96, 64, 3), np.uint8)
-sys.stdout.write(base64.b64encode(vp8.encode_rgb(img, 75)).decode())
+# busy half — plus odd/tiny MB grids (1xN, odd dims) where per-MB
+# context and map coding edges live
+for w, h in ((128, 96), (48, 18), (17, 33), (64, 16)):
+    img = np.full((h, w, 3), 200, np.uint8)
+    img[:, w // 2:] = rng.integers(0, 255, (h, w - w // 2, 3), np.uint8)
+    out.append(base64.b64encode(vp8.encode_rgb(img, 75)).decode())
+sys.stdout.write(",".join(out))
 """
     import os
 
@@ -178,19 +182,21 @@ sys.stdout.write(base64.b64encode(vp8.encode_rgb(img, 75)).decode())
         env = dict(os.environ, IMAGEKIT_VP8_SEG_AMP=amp)
         out = subprocess.run(
             [sys.executable, "-c", script % here],
-            capture_output=True, env=env, timeout=120,
+            capture_output=True, env=env, timeout=180,
         )
         assert out.returncode == 0, out.stderr.decode()[-500:]
-        return base64.b64decode(out.stdout)
+        return out.stdout  # comma-joined base64 streams
 
-    seg = run("-40")
-    uni = run("0")
+    segs = run("-40").split(b",")
+    unis = run("0").split(b",")
+    seg, uni = segs[0], unis[0]
     assert seg != uni
-    # both the host library and our decoder accept the stream; pixels
-    # agree within the documented RGB-conversion tolerance (YUV->RGB
-    # paths differ; the grayscale bit-exactness oracle lives in
-    # test_vp8_decode), and quality holds against the source
-    for stream in (seg, uni):
+    # both the host library and our decoder accept every stream (all
+    # shapes, seg on AND off); pixels agree within the documented
+    # RGB-conversion tolerance (YUV->RGB paths differ; the grayscale
+    # bit-exactness oracle lives in test_vp8_decode)
+    for blob in segs + unis:
+        stream = base64.b64decode(blob)
         ours = vp8.decode_rgb(stream)
         lib = np.asarray(Image.open(io.BytesIO(stream)).convert("RGB"))
         assert ours is not None
@@ -198,8 +204,10 @@ sys.stdout.write(base64.b64encode(vp8.encode_rgb(img, 75)).decode())
     rng2 = np.random.default_rng(4)
     img = np.full((96, 128, 3), 200, np.uint8)
     img[:, 64:] = rng2.integers(0, 255, (96, 64, 3), np.uint8)
-    lib_seg = np.asarray(Image.open(io.BytesIO(seg)).convert("RGB"))
-    lib_uni = np.asarray(Image.open(io.BytesIO(uni)).convert("RGB"))
+    lib_seg = np.asarray(
+        Image.open(io.BytesIO(base64.b64decode(seg))).convert("RGB"))
+    lib_uni = np.asarray(
+        Image.open(io.BytesIO(base64.b64decode(uni))).convert("RGB"))
     # the adaptive-q stream must not cost meaningful quality vs uniform
     assert psnr(lib_seg, img) >= psnr(lib_uni, img) - 1.0
 
