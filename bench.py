@@ -257,6 +257,35 @@ async def measure_bounded_latency(engine, sources):
             best = {**point, "slo_met": True}
         if not fallback or p95 < fallback["p95_ms"]:
             fallback = {**point, "slo_met": False}
+    if best:
+        # confirm the winning point with a second pass (a single sample
+        # makes slo_met a link-state coin flip); report the WORSE of the
+        # two and demote slo_met if the confirmation misses
+        conc = best["concurrency"]
+        lats = []
+        sem = asyncio.Semaphore(conc)
+        n = 16 * conc
+
+        async def one2(i):
+            async with sem:
+                t0 = time.perf_counter()
+                await engine.transform(
+                    sources[i % len(sources)], 400, None,
+                    ImageFormat.webp, 80,
+                )
+                lats.append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        await asyncio.gather(*(one2(i) for i in range(n)))
+        elapsed = time.perf_counter() - t0
+        lats.sort()
+        p95b = lats[int(len(lats) * 0.95)] * 1000
+        best = {
+            "ips": round(min(best["ips"], n / elapsed), 2),
+            "p95_ms": round(max(best["p95_ms"], p95b), 1),
+            "concurrency": conc,
+            "slo_met": p95b < 200.0,
+        }
     # when no point meets the reference's <200 ms p95 (on the dev tunnel
     # a single 1 MB transfer leg can exceed the whole budget — see
     # env.link_roundtrip_1mb_ms), report the best-latency point so the
