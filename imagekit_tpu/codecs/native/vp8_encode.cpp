@@ -716,12 +716,18 @@ int TrellisKFor(int qindex, double mean_alpha, double flat_frac) {
   const int k = TrellisKEnv();
   if (k >= 0) return k;
   if (qindex <= 15) {
-    // High-quality band: K=15 (the round-2 policy) EXCEPT on bimodal
-    // busy+flat content (text class: mean activity high AND >=15% flat
-    // 4x4 blocks) where near-lossless trellis misallocates across the
-    // hard edges — measured 0.942x/+0.18 dB at K=0 vs 0.958x/-0.73 dB
-    // at K=15 on the text corpus (tools/calibrate_segments.py).
+    // High-quality band, content-graded (tools/calibrate_segments.py):
+    // - bimodal busy+flat content (text class: mean activity high AND
+    //   >=15% flat 4x4 blocks): K=0 — near-lossless trellis
+    //   misallocates across hard edges (0.942x/+0.18 dB vs
+    //   0.958x/-0.73 dB at K=15);
+    // - smooth gradients (mean < 15.5): K=7 — K=15 lands BELOW
+    //   libwebp's RD curve there (0.726x at -1.72 dB ~= -0.17 dB at
+    //   equal size) while K=7 sits above it (0.806x at -0.73 dB ~=
+    //   +0.4 dB at equal size);
+    // - busy unimodal content (detail/noise): K=15, the round-2 value.
     if (mean_alpha >= 15.5 && flat_frac >= 0.15) return 0;
+    if (mean_alpha < 15.5) return 7;
     return 15;
   }
   // Mid-band (q <= ~65): K=5 on BUSY content only — measured 0.86-0.99x
