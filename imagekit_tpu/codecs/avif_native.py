@@ -563,6 +563,142 @@ def decode_rgb(data: bytes) -> Optional[np.ndarray]:
     return _maybe_alpha(rgb8, info)
 
 
+class _Bits:
+    """MSB-first bit reader for the AV1 sequence-header parse below."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0  # bit position
+
+    def f(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]  # IndexError -> caller's None
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def uvlc(self) -> int:
+        zeros = 0
+        while self.f(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("uvlc overrun")
+        if zeros == 0:
+            return 0
+        return (1 << zeros) - 1 + self.f(zeros)
+
+
+def _seq_header_color_range(obu_stream: bytes) -> Optional[bool]:
+    """Walk the OBU stream for the sequence header and parse it (AV1 spec
+    §5.5) just far enough to reach color_config's color_range bit.
+    Returns True (full range), False (limited), or None when the stream
+    can't be parsed — callers treat None as "unprovable" and fall back,
+    consistent with the nclx/identity-matrix gating above (ADVICE r3)."""
+    try:
+        i = 0
+        payload = None
+        for _ in range(64):  # bound hostile OBU walks
+            if i >= len(obu_stream):
+                break
+            hdr = obu_stream[i]
+            if hdr & 0x80:  # forbidden bit
+                return None
+            obu_type = (hdr >> 3) & 0xF
+            ext = bool(hdr & 0x04)
+            has_size = bool(hdr & 0x02)
+            i += 1 + (1 if ext else 0)
+            if has_size:
+                size, shift = 0, 0
+                for _ in range(8):  # leb128
+                    b = obu_stream[i]
+                    i += 1
+                    size |= (b & 0x7F) << shift
+                    shift += 7
+                    if not (b & 0x80):
+                        break
+                else:
+                    return None
+                body = obu_stream[i:i + size]
+                i += size
+            else:
+                body = obu_stream[i:]
+                i = len(obu_stream)
+            if obu_type == 1:  # OBU_SEQUENCE_HEADER
+                payload = body
+                break
+        if payload is None:
+            return None
+
+        r = _Bits(payload)
+        seq_profile = r.f(3)
+        r.f(1)  # still_picture
+        reduced = r.f(1)
+        if reduced:
+            r.f(5)  # seq_level_idx[0]
+            decoder_model_info = False
+        else:
+            if r.f(1):  # timing_info_present_flag
+                r.f(32)  # num_units_in_display_tick
+                r.f(32)  # time_scale
+                if r.f(1):  # equal_picture_interval
+                    r.uvlc()  # num_ticks_per_picture_minus_1
+                decoder_model_info = bool(r.f(1))
+                if decoder_model_info:
+                    buffer_delay_bits = r.f(5) + 1
+                    r.f(32)  # num_units_in_decoding_tick
+                    r.f(5)   # buffer_removal_time_length_minus_1
+                    r.f(5)   # frame_presentation_time_length_minus_1
+            else:
+                decoder_model_info = False
+            initial_display_delay = bool(r.f(1))
+            op_cnt = r.f(5) + 1
+            for _ in range(op_cnt):
+                r.f(12)  # operating_point_idc
+                lvl = r.f(5)
+                if lvl > 7:
+                    r.f(1)  # seq_tier
+                if decoder_model_info and r.f(1):
+                    r.f(buffer_delay_bits)  # decoder_buffer_delay
+                    r.f(buffer_delay_bits)  # encoder_buffer_delay
+                    r.f(1)                  # low_delay_mode_flag
+                if initial_display_delay and r.f(1):
+                    r.f(4)  # initial_display_delay_minus_1
+        wbits = r.f(4) + 1
+        hbits = r.f(4) + 1
+        r.f(wbits)  # max_frame_width_minus_1
+        r.f(hbits)  # max_frame_height_minus_1
+        if not reduced and r.f(1):  # frame_id_numbers_present_flag
+            r.f(4)  # delta_frame_id_length_minus_2
+            r.f(3)  # additional_frame_id_length_minus_1
+        r.f(3)  # use_128x128_superblock, enable_filter_intra,
+        #         enable_intra_edge_filter
+        if not reduced:
+            r.f(4)  # interintra/masked compound, warped motion, dual filter
+            order_hint = bool(r.f(1))
+            if order_hint:
+                r.f(2)  # enable_jnt_comp, enable_ref_frame_mvs
+            force_sct = 2 if r.f(1) else r.f(1)  # seq_choose/force sct
+            if force_sct > 0:
+                if not r.f(1):  # seq_choose_integer_mv
+                    r.f(1)      # seq_force_integer_mv
+            if order_hint:
+                r.f(3)  # order_hint_bits_minus_1
+        r.f(3)  # enable_superres, enable_cdef, enable_restoration
+        # color_config()
+        high_bd = r.f(1)
+        if seq_profile == 2 and high_bd:
+            r.f(1)  # twelve_bit
+        mono = r.f(1) if seq_profile != 1 else 0
+        if r.f(1):  # color_description_present_flag
+            r.f(24)  # primaries, transfer, matrix
+        if mono:
+            return bool(r.f(1))  # color_range — the alpha-plane case
+        return None  # non-mono alpha OBU: malformed for our purposes
+    except (IndexError, ValueError):
+        return None
+
+
 def _maybe_alpha(rgb8: np.ndarray, info: AvifInfo) -> Optional[np.ndarray]:
     """Attach the alpha aux item's plane (decoded through the same dav1d
     core) when present; None propagates the whole file to the host
@@ -578,8 +714,19 @@ def _maybe_alpha(rgb8: np.ndarray, info: AvifInfo) -> Optional[np.ndarray]:
     ay, _au, _av, _layout, bpc = out
     if bpc != 8 or ay.shape != rgb8.shape[:2]:
         return None
-    # alpha is monochrome sample data; by convention (libavif writer)
-    # full-range — used verbatim
+    # The alpha OBU's own sequence header signals its sample range
+    # (libavif writes full range, but a legal limited-range alpha OBU
+    # from another encoder would arrive squeezed into 16..235). Scale
+    # limited-range planes; bail to the host library when the header
+    # can't be parsed — never guess pixel values (ADVICE r3).
+    rng = _seq_header_color_range(info.alpha_obu)
+    if rng is None:
+        return None
+    if not rng:  # limited -> full, same remap as the luma path above
+        ay = np.clip(
+            np.floor((ay.astype(np.float32) - 16.0) * (255.0 / 219.0) + 0.5),
+            0, 255,
+        ).astype(np.uint8)
     return np.dstack([rgb8, ay])
 
 

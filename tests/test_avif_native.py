@@ -169,6 +169,116 @@ def test_alpha_sources_decode_natively():
     np.testing.assert_array_equal(arr, ours)  # native path served it
 
 
+class _BitW:
+    def __init__(self):
+        self.bits = []
+
+    def f(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i:i + 8]):
+                b |= bit << (7 - j)
+            out.append(b)
+        return bytes(out)
+
+
+def _synthetic_alpha_seq_obu(color_range: int) -> bytes:
+    """Minimal reduced-still-picture monochrome sequence header OBU with
+    the given color_range bit — the shape a limited-range alpha stream
+    from a non-libavif encoder would carry."""
+    w = _BitW()
+    w.f(0, 3)   # seq_profile
+    w.f(1, 1)   # still_picture
+    w.f(1, 1)   # reduced_still_picture_header
+    w.f(0, 5)   # seq_level_idx
+    w.f(5, 4)   # frame_width_bits_minus_1
+    w.f(5, 4)   # frame_height_bits_minus_1
+    w.f(63, 6)  # max_frame_width_minus_1
+    w.f(47, 6)  # max_frame_height_minus_1
+    w.f(1, 1)   # use_128x128_superblock
+    w.f(0, 2)   # enable_filter_intra, enable_intra_edge_filter
+    w.f(0, 3)   # enable_superres, enable_cdef, enable_restoration
+    w.f(0, 1)   # high_bitdepth
+    w.f(1, 1)   # mono_chrome
+    w.f(0, 1)   # color_description_present_flag
+    w.f(color_range, 1)
+    w.f(0, 7)   # padding tail (parser stops at color_range)
+    payload = w.bytes()
+    return bytes([0x0A, len(payload)]) + payload  # OBU_SEQUENCE_HEADER
+
+
+def test_alpha_seq_header_range_parse():
+    """ADVICE r3 (low): the alpha OBU's own sequence header decides the
+    sample range — full-range libavif output parses True, a synthetic
+    limited-range mono header parses False, garbage parses None."""
+    # real libavif alpha OBU -> full range
+    alpha = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :], (48, 1))
+    rgba = np.dstack([make_test_image(64, 48), alpha])
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(rgba).save(buf, "AVIF", quality=85)
+        info = avif_native.parse_container(buf.getvalue())
+    except Exception:
+        info = None
+    if info is not None and info.has_alpha and info.alpha_obu:
+        assert avif_native._seq_header_color_range(info.alpha_obu) is True
+        # and the primary (colour) OBU must also be parseable
+        assert avif_native._seq_header_color_range(info.obu) in (
+            None, True, False,
+        )
+    assert avif_native._seq_header_color_range(
+        _synthetic_alpha_seq_obu(1)
+    ) is True
+    assert avif_native._seq_header_color_range(
+        _synthetic_alpha_seq_obu(0)
+    ) is False
+    assert avif_native._seq_header_color_range(b"") is None
+    assert avif_native._seq_header_color_range(b"\x80garbage") is None
+
+
+def test_limited_range_alpha_is_rescaled(monkeypatch):
+    """A limited-range alpha plane must be expanded 16..235 -> 0..255
+    before attachment, matching what the host library would emit."""
+    alpha = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :], (48, 1))
+    rgba = np.dstack([make_test_image(64, 48), alpha])
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(rgba).save(buf, "AVIF", quality=85)
+    except Exception:
+        pytest.skip("encoder lacks RGBA support")
+    data = buf.getvalue()
+    info = avif_native.parse_container(data)
+    if not info.has_alpha or not info.alpha_obu:
+        pytest.skip("encoder dropped the alpha item")
+    full = avif_native.decode_rgb(data)
+    assert full is not None and full.shape[2] == 4
+
+    # Same file, range gate forced to "limited": plane must be remapped
+    monkeypatch.setattr(
+        avif_native, "_seq_header_color_range", lambda obu: False
+    )
+    limited = avif_native.decode_rgb(data)
+    assert limited is not None
+    expect = np.clip(
+        np.floor((full[:, :, 3].astype(np.float32) - 16.0)
+                 * (255.0 / 219.0) + 0.5),
+        0, 255,
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(limited[:, :, 3], expect)
+
+    # unprovable range -> host-library fallback (None from native)
+    monkeypatch.setattr(
+        avif_native, "_seq_header_color_range", lambda obu: None
+    )
+    assert avif_native.decode_rgb(data) is None
+
+
 def test_alpha_through_own_encoder_roundtrip():
     """Our encoder's alpha plane (near-lossless) -> native decode: the
     serving loop never touches PIL for alpha AVIF in either direction."""
