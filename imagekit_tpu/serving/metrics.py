@@ -30,6 +30,7 @@ class Metrics:
         self.batched_images = 0
         self.host_fallbacks = 0
         self.shed = 0  # requests refused by admission control (429)
+        self.flush_holds = 0  # soft flushes deferred to deepen a batch
         self.queue_depth = 0
         self.last_device_ok = 0.0  # wall time of last successful device step
         # per-stage ON-CPU time (codec-pool stages: time inside the native
@@ -72,6 +73,7 @@ class Metrics:
                 "batched_images": self.batched_images,
                 "host_fallbacks": self.host_fallbacks,
                 "shed": self.shed,
+                "flush_holds": self.flush_holds,
                 "queue_depth": self.queue_depth,
             }
             snap.update(
@@ -90,7 +92,7 @@ class Metrics:
             self.cache_hits = self.cache_misses = 0
             self.transforms = self.errors = 0
             self.batches = self.batched_images = self.queue_depth = 0
-            self.host_fallbacks = self.shed = 0
+            self.host_fallbacks = self.shed = self.flush_holds = 0
             self.stage_seconds.clear()
             self.stage_wait_seconds.clear()
 
@@ -123,6 +125,9 @@ class Metrics:
             "# HELP imagekit_shed_total Requests shed by admission control (429)",
             "# TYPE imagekit_shed_total counter",
             f"imagekit_shed_total {int(s['shed'])}",
+            "# HELP imagekit_flush_holds_total Soft flushes deferred to deepen a batch",
+            "# TYPE imagekit_flush_holds_total counter",
+            f"imagekit_flush_holds_total {int(s['flush_holds'])}",
             "# HELP imagekit_queue_depth Current transform queue depth",
             "# TYPE imagekit_queue_depth gauge",
             f"imagekit_queue_depth {int(s['queue_depth'])}",

@@ -76,6 +76,40 @@ def test_stale_history_always_admits():
     assert engine.metrics.shed == 0
 
 
+def test_burst_then_lull_does_not_shed(monkeypatch):
+    """ADVICE r3 (medium): 8 completions in 1 s followed by a 20 s lull
+    used to read as 8/21 ~= 0.4/s (idle time inside the 30 s window
+    deflated the rate), so the first arrivals of the next burst were
+    spuriously shed on an idle engine. The rate must be measured over
+    the busy span — and a non-fresh newest completion must skip
+    shedding entirely."""
+    engine = make_engine(budget=2.0)
+    now = time.monotonic()
+    # 8 completions packed into 1 s, ending 20 s ago
+    for i in range(8):
+        engine._done_times.append(now - 21.0 + i / 7.0)
+    engine._insystem = 50  # at true 7/s this is ~7s wait, but the
+    # engine has been idle 20 s — it must admit, not shed
+    engine._admission_check()
+    assert engine.metrics.shed == 0
+
+
+def test_busy_span_rate_not_deflated_by_recent_idle():
+    """Even inside the 5 s freshness window, idle time after the burst
+    must not count toward the span: 16 completions over 1 s ending 3 s
+    ago is a 15/s engine, not a 4/s one."""
+    engine = make_engine(budget=2.0)
+    now = time.monotonic()
+    for i in range(16):
+        engine._done_times.append(now - 4.0 + i / 15.0)
+    # true busy rate = 15/s; wait for 20 in-system = ~1.3s < 2s budget.
+    # The old now-anchored estimator would read 16/4 = 4/s -> 5s wait
+    # and shed.
+    engine._insystem = 20
+    engine._admission_check()
+    assert engine.metrics.shed == 0
+
+
 def test_disabled_budget_never_sheds():
     engine = make_engine(budget=0.0)
     _prime_rate(engine, rate_per_s=1.0)

@@ -197,6 +197,114 @@ def test_batch_flush_on_deadline():
     assert decode_image(out)[0].shape[:2] == (64, 64)
 
 
+def _fake_queue(times):
+    import types
+
+    return [types.SimpleNamespace(enqueued=t) for t in times]
+
+
+def test_hold_for_depth_projects_to_next_ladder_step():
+    """VERDICT r3 #3: with the device idle, a queue whose arrival rate
+    projects it to the next batch-ladder step before the hard deadline
+    is HELD rather than soft-flushed — deeper batches amortize the
+    fixed dispatch RTT."""
+    engine = make_engine(max_batch=32)
+    engine.hard_delay = 0.25
+    now = 100.0
+    # 8 items over 40 ms = ~175/s; next step is 16, needs 8 more in the
+    # remaining ~210 ms -> easily projected: hold
+    q = _fake_queue([now - 0.040 + i * (0.040 / 7) for i in range(8)])
+    assert engine._hold_for_depth(q, now) is True
+
+
+def test_hold_for_depth_flushes_when_stream_paused():
+    """No fresh arrival within ~2 interarrival times: the burst ended,
+    holding would only add latency — flush."""
+    engine = make_engine(max_batch=32)
+    engine.hard_delay = 0.25
+    now = 100.0
+    # same rate, but the newest item is 60 ms old (interarrival ~5.7ms)
+    q = _fake_queue([now - 0.100 + i * (0.040 / 7) for i in range(8)])
+    assert engine._hold_for_depth(q, now) is False
+
+
+def test_hold_for_depth_respects_hard_deadline():
+    engine = make_engine(max_batch=32)
+    engine.hard_delay = 0.25
+    now = 100.0
+    # oldest item is already past the hard deadline: never hold
+    q = _fake_queue([now - 0.26 + i * 0.001 for i in range(8)])
+    assert engine._hold_for_depth(q, now) is False
+
+
+def test_hold_for_depth_slow_arrivals_flush():
+    engine = make_engine(max_batch=32)
+    engine.hard_delay = 0.25
+    now = 100.0
+    # 3 items at ~20/s: needs 1 more for step 4 within ~230ms -> that
+    # projects fine; but 5 items at 5/s can't reach 16 in time
+    q = _fake_queue([now - 0.8 + i * 0.2 for i in range(5)])
+    # newest is at now-0.0: fresh; rate=5/s; remaining<0 (oldest 0.8s old
+    # > hard 0.25) -> False via deadline
+    assert engine._hold_for_depth(q, now) is False
+    # fresh slow stream under the deadline: 2 items 150ms apart, oldest
+    # 160ms old; rate ~6.7/s, remaining 90ms -> projects 2.6 < 4: flush
+    q = _fake_queue([now - 0.160, now - 0.010])
+    assert engine._hold_for_depth(q, now) is False
+
+
+def test_hold_for_depth_full_ladder_never_holds():
+    engine = make_engine(max_batch=4)
+    engine.hard_delay = 0.25
+    now = 100.0
+    q = _fake_queue([now - 0.010 + i * 0.002 for i in range(4)])
+    assert engine._hold_for_depth(q, now) is False  # already at max step
+    assert engine._hold_for_depth(q[:1], now) is False  # single item
+
+
+def test_held_flush_counts_metric_and_still_completes():
+    """End-to-end through the real flush loop: a steady arrival stream
+    on an idle engine gets at least one hold (counted), every request
+    still completes, and the held queue dispatches as a deeper batch.
+    Dispatch is artificially slowed so the test doesn't depend on how
+    warm the compile caches are (in-suite they make real dispatch
+    faster than the arrival stream and the hold never engages)."""
+    img = make_test_image(128, 128)
+    engine = make_engine(max_batch=32, delay_ms=8)
+    engine.hard_delay = 0.5
+    real_flush = engine._flush
+
+    async def slow_flush(key, items):
+        await asyncio.sleep(0.05)
+        await real_flush(key, items)
+
+    engine._flush = slow_flush
+
+    async def run():
+        async def one(i):
+            return await engine.resize_encode(
+                img, 64, None, ImageFormat.jpeg, 80
+            )
+
+        async def staggered():
+            tasks = []
+            for i in range(12):
+                tasks.append(asyncio.ensure_future(one(i)))
+                await asyncio.sleep(0.010)  # ~100/s: projects to deepen
+            return await asyncio.gather(*tasks)
+
+        outs = await asyncio.wait_for(staggered(), timeout=60)
+        await engine.close()
+        return outs
+
+    outs = asyncio.run(run())
+    assert len(outs) == 12
+    for out in outs:
+        assert decode_image(out)[0].shape[:2] == (64, 64)
+    # the metric proves the policy engaged at least once on this stream
+    assert engine.metrics.flush_holds >= 1
+
+
 def test_grayscale_jpeg_native_path():
     """Grayscale JPEGs ride the native coefficient path with synthetic
     zero chroma; output is neutral (R=G=B) and matches the generic path."""
