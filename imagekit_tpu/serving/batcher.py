@@ -553,22 +553,33 @@ class BatchedEngine(TransformEngine):
 
         def avif_decode():
             try:
-                return avif_native.decode_yuv420_studio(data)
+                return avif_native.decode_yuv_studio(data)
             except ValueError as e:
                 raise _NativeUnsupported() from e
 
-        planes = await self._pool_run("avif_decode", avif_decode)
-        if planes is None:  # alpha / 444 / 709 / 10-bit -> generic path
+        out = await self._pool_run("avif_decode", avif_decode)
+        if out is None:  # alpha / mono / 709 -> generic path
             raise _NativeUnsupported()
-        return await self._enqueue_yuv(planes, w, h, quality, loop, fmt=fmt)
+        y, u, v, csy, csx = out
+        if (csy, csx) != (2, 2) and fmt == ImageFormat.jpeg:
+            # the fDCT head is 4:2:0-geometry only; 444/422 jpeg output
+            # stays on the generic path (rare combination)
+            raise _NativeUnsupported()
+        return await self._enqueue_yuv(
+            (y, u, v), w, h, quality, loop, fmt=fmt, cs=(csy, csx)
+        )
 
     async def _enqueue_yuv(
-        self, planes, w, h, quality: int, loop, fmt=ImageFormat.webp
+        self, planes, w, h, quality: int, loop, fmt=ImageFormat.webp,
+        cs=(2, 2),
     ) -> bytes:
-        """Queue decoded 4:2:0 studio-range planes on the YUV-domain
-        batched path (shared by the native WebP and AVIF sources); the
+        """Queue decoded studio-range planes on the YUV-domain batched
+        path (shared by the native WebP and AVIF sources); the
         output-format tag keeps resize-only (webp) and resize+fDCT (jpeg)
-        batches homogeneous."""
+        batches homogeneous, and ``cs`` (source chroma subsample factors,
+        (2,2)=4:2:0 / (1,2)=4:2:2 / (1,1)=4:4:4) keys batches by chroma
+        geometry so 444/422 AVIF sources ride the same fused head with
+        folded weights (VERDICT r3 #7)."""
         y, cb, cr = planes
         ih, iw = y.shape
         out_w, out_h = target_dimensions(iw, ih, w, h)
@@ -582,7 +593,7 @@ class BatchedEngine(TransformEngine):
 
         fut: asyncio.Future = loop.create_future()
         item = _YuvItem(y, cb, cr, out_h, out_w, quality, fut, fmt=fmt)
-        key = (bh, bw, obh, obw, fmt == ImageFormat.jpeg)
+        key = (bh, bw, obh, obw, fmt == ImageFormat.jpeg, cs[0], cs[1])
         queue = self._yqueues.setdefault(key, [])
         queue.append(item)
         if len(queue) >= self.max_batch:
@@ -609,18 +620,22 @@ class BatchedEngine(TransformEngine):
         from imagekit_tpu.utils.bucketing import batch_bucket
 
         loop = asyncio.get_running_loop()
-        bh, bw, obh, obw, jq = key
+        bh, bw, obh, obw, jq, csy, csx = key
+        ch_b, cw_b = bh // csy, bw // csx  # source chroma bucket dims
         try:
             t0 = time.perf_counter()
             nb = batch_bucket(len(items), self.max_batch)
             shard = self._use_mesh(nb)
-            sig = ("yuvjpg" if jq else "yuvsrc", shard, nb, bh, bw, obh, obw)
+            sig = (
+                "yuvjpg" if jq else "yuvsrc", shard, nb, bh, bw, obh, obw,
+                csy, csx,
+            )
             if sig not in self._compiled:
                 self._kick_compile_yuvsrc(sig)
                 await self._host_fallback_yuv(items)
                 return
             ny = bh * bw
-            nc = (bh // 2) * (bw // 2)
+            nc = ch_b * cw_b
             flat = np.zeros((nb, pad128(ny + 2 * nc)), np.uint8)
             u_keys: Dict[Tuple[int, int, int, int], int] = {
                 k: i
@@ -640,8 +655,8 @@ class BatchedEngine(TransformEngine):
                 yv = flat[i, :ny].reshape(bh, bw)
                 yv[:ihh, :iww] = it.y
                 chh, cww = it.cb.shape
-                cbv = flat[i, ny:ny + nc].reshape(bh // 2, bw // 2)
-                crv = flat[i, ny + nc:ny + 2 * nc].reshape(bh // 2, bw // 2)
+                cbv = flat[i, ny:ny + nc].reshape(ch_b, cw_b)
+                crv = flat[i, ny + nc:ny + 2 * nc].reshape(ch_b, cw_b)
                 cbv[:chh, :cww] = it.cb
                 crv[:chh, :cww] = it.cr
                 vidx[i] = u_keys[(iww, ihh, it.out_w, it.out_h)]
@@ -655,17 +670,21 @@ class BatchedEngine(TransformEngine):
                 nu = self.MAX_UNIQUE
                 wv_y = np.zeros((nu, obh, bh), np.float32)
                 wh_y = np.zeros((nu, obw, bw), np.float32)
-                wv_c = np.zeros((nu, obh // 2, bh // 2), np.float32)
-                wh_c = np.zeros((nu, obw // 2, bw // 2), np.float32)
+                wv_c = np.zeros((nu, obh // 2, ch_b), np.float32)
+                wh_c = np.zeros((nu, obw // 2, cw_b), np.float32)
                 for (iww, ihh, ow_, oh_), u in u_keys.items():
-                    ch_, cw_ = (ihh + 1) // 2, (iww + 1) // 2
+                    # true source chroma dims follow the source geometry
+                    # (csy/csx = 1 means no subsampling on that axis;
+                    # upsample_weights is the identity there)
+                    ch_ = (ihh + csy - 1) // csy
+                    cw_ = (iww + csx - 1) // csx
                     wv_y[u] = _cached_weights(ihh, oh_, bh, obh)
                     wh_y[u] = _cached_weights(iww, ow_, bw, obw)
                     wv_c[u] = combined_chroma_half_weights(
-                        ch_, ihh, oh_, bh // 2, obh // 2
+                        ch_, ihh, oh_, ch_b, obh // 2
                     )
                     wh_c[u] = combined_chroma_half_weights(
-                        cw_, iww, ow_, bw // 2, obw // 2
+                        cw_, iww, ow_, cw_b, obw // 2
                     )
                     if jq:
                         # encode tail: replicate the last true row/col up
@@ -696,7 +715,8 @@ class BatchedEngine(TransformEngine):
                         f_, weights, qto_, v_, (bh, bw), (obh, obw)
                     )
                 return resize_yuv420_batch(
-                    f_, weights, v_, (bh, bw), (obh, obw)
+                    f_, weights, v_, (bh, bw), (obh, obw),
+                    chroma_sub=(csy, csx),
                 )
 
             self._inflight += 1
@@ -792,19 +812,19 @@ class BatchedEngine(TransformEngine):
             resize_yuv_jpeg_batch,
         )
 
-        head, shard, nb, bh, bw, obh, obw = sig
+        head, shard, nb, bh, bw, obh, obw, csy, csx = sig
 
         def compile_step():
             try:
                 ny = bh * bw
-                nc = (bh // 2) * (bw // 2)
+                nc = (bh // csy) * (bw // csx)
                 flat = np.zeros((nb, pad128(ny + 2 * nc)), np.uint8)
                 nu = self.MAX_UNIQUE
                 weights = (
                     np.zeros((nu, obh, bh), np.float32),
                     np.zeros((nu, obw, bw), np.float32),
-                    np.zeros((nu, obh // 2, bh // 2), np.float32),
-                    np.zeros((nu, obw // 2, bw // 2), np.float32),
+                    np.zeros((nu, obh // 2, bh // csy), np.float32),
+                    np.zeros((nu, obw // 2, bw // csx), np.float32),
                 )
                 idx = np.zeros(nb, np.int32)
                 qto = np.zeros((nb, 128), np.float32)
@@ -821,7 +841,8 @@ class BatchedEngine(TransformEngine):
                     )
                 else:
                     resize_yuv420_batch(
-                        flat, weights, idx, (bh, bw), (obh, obw)
+                        flat, weights, idx, (bh, bw), (obh, obw),
+                        chroma_sub=(csy, csx),
                     )
                 self._compiled.add(sig)
             except Exception:
