@@ -23,13 +23,26 @@ the same shape — 20-50 RPS/core cache-miss WebP transform
 (loadtest/README.md:142); we use the midpoint, 35/s.
 
 Also reported:
-- ``device_resident_ips`` / ``mfu_pct``: the fused kernel iterated with
-  ALL inputs staged on device (zero H2D/D2H inside the loop) — the
-  chip's own sustained rate, readable against BASELINE.md's
-  >=5,000 img/s/chip north star without the tunnel in the way.
+- ``device_resident_ips``: the fused kernel iterated with ALL inputs
+  staged on device (zero H2D/D2H inside the loop) — the chip's own
+  sustained rate, readable against BASELINE.md's >=5,000 img/s/chip
+  north star without the tunnel in the way. Since round 4 this is the
+  MEDIAN of >=5 adaptive windows (each sized so the readback RTT is <2%
+  of the window); per-window readings ride in
+  ``device_resident_stats``. The sync methodology (chained deps + host
+  readback; block_until_ready is non-synchronizing on this tunnel) lives
+  in ``imagekit_tpu/utils/residency.py`` and is PINNED by
+  ``tests/test_residency.py`` — do not time device loops any other way.
+- ``hbm_gbs`` / ``membw_util_pct``: achieved HBM bandwidth in the
+  resident loop (lower bound: resident inputs read + outputs written
+  per step, fused intermediates excluded) against the v5e's 819 GB/s —
+  the honest utilisation lens for these transfer-shaped u8 kernels
+  (``mfu_pct`` stays for continuity but is structurally tiny).
 - ``bounded_*``: the highest-throughput concurrency whose p95 meets the
-  reference's <200 ms target (admission control bounds the tail under
-  overload; this records the operating point that honours it).
+  reference's <200 ms target, confirmed over >=3 windows (median
+  reported, per-window points in ``bounded_windows``; admission control
+  bounds the tail under overload; this records the operating point that
+  honours it).
 
 Env knobs: IK_BENCH_N (total images), IK_BENCH_SOURCES, IK_BENCH_CONCURRENCY.
 """
@@ -204,14 +217,23 @@ async def run_bench():
         "bounded_p95_ms": bounded.get("p95_ms"),
         "bounded_concurrency": bounded.get("concurrency"),
         "bounded_slo_met": bounded.get("slo_met"),
+        "bounded_windows": bounded.get("windows"),
         "device_only_ips": device_only["ips"],
         "device_resident_ips": device_only["resident_ips"],
+        "device_resident_stats": device_only.get("resident_stats"),
         "mfu_pct": device_only["mfu_pct"],
+        "hbm_gbs": device_only.get("hbm_gbs"),
+        "membw_util_pct": device_only.get("membw_util_pct"),
+        "flush_holds": metrics.flush_holds,
         "jpeg_transcode_ips": jxc,
         "avif_ips": avif_ips,
         "mean_output_bytes": int(np.mean(sizes)),
         "mean_batch_size": round(mean_batch, 1),
         "warmup_s": round(warmup_s, 1),
+        "hot_shape_ready_s": (
+            round(engine.hot_shape_ready_s, 1)
+            if engine.hot_shape_ready_s is not None else None
+        ),
         "shed": metrics.shed,
         "stage_s": stage,
         "env": _env_snapshot(),
@@ -219,78 +241,79 @@ async def run_bench():
     }
 
 
-async def measure_bounded_latency(engine, sources):
-    """Find the highest-throughput concurrency whose p95 meets the
-    reference's <200 ms latency target (BASELINE.md). The saturated pass
-    above measures capacity, where p95 is queueing by construction; this
-    records the operating point that honours the latency SLO (admission
-    control enforces the same bound under overload via 429s)."""
+async def _slo_window(engine, sources, conc):
+    """One closed-loop window at fixed concurrency -> (ips, p95_ms)."""
     from imagekit_tpu.config import ImageFormat
 
-    best, fallback = {}, {}
+    lats = []
+    sem = asyncio.Semaphore(conc)
+    n = 16 * conc
+
+    async def one(i):
+        async with sem:
+            t0 = time.perf_counter()
+            await engine.transform(
+                sources[i % len(sources)], 400, None, ImageFormat.webp, 80,
+            )
+            lats.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*(one(i) for i in range(n)))
+    elapsed = time.perf_counter() - t0
+    lats.sort()
+    return n / elapsed, lats[int(len(lats) * 0.95)] * 1000
+
+
+async def measure_bounded_latency(engine, sources):
+    """Self-optimizing SLO sweep (VERDICT r3 #4): search the concurrency
+    ladder for the highest-throughput point whose p95 meets the
+    reference's <200 ms target, then CONFIRM the winner over >=3
+    independent windows and report the MEDIAN — a single window made
+    slo_met a link-state coin flip (round 3's canonical run passed by
+    2 ms). If a winner fails confirmation, the next-best candidate is
+    confirmed instead (past the queueing knee p95 explodes, so walking
+    down the ladder converges). The saturated pass above measures
+    capacity, where p95 is queueing by construction; this records the
+    operating point that honours the latency SLO (admission control
+    enforces the same bound under overload via 429s)."""
+    scout = []
     for conc in (2, 3, 4, 6, 8):
-        lats = []
-        sem = asyncio.Semaphore(conc)
-        n = 16 * conc
-
-        async def one(i):
-            async with sem:
-                t0 = time.perf_counter()
-                await engine.transform(
-                    sources[i % len(sources)], 400, None,
-                    ImageFormat.webp, 80,
-                )
-                lats.append(time.perf_counter() - t0)
-
-        t0 = time.perf_counter()
-        await asyncio.gather(*(one(i) for i in range(n)))
-        elapsed = time.perf_counter() - t0
-        lats.sort()
-        p95 = lats[int(len(lats) * 0.95)] * 1000
-        ips = n / elapsed
-        point = {
-            "ips": round(ips, 2),
-            "p95_ms": round(p95, 1),
-            "concurrency": conc,
-        }
-        if p95 < 200.0 and ips > best.get("ips", 0.0):
-            best = {**point, "slo_met": True}
-        if not fallback or p95 < fallback["p95_ms"]:
-            fallback = {**point, "slo_met": False}
-    if best:
-        # confirm the winning point with a second pass (a single sample
-        # makes slo_met a link-state coin flip); report the WORSE of the
-        # two and demote slo_met if the confirmation misses
-        conc = best["concurrency"]
-        lats = []
-        sem = asyncio.Semaphore(conc)
-        n = 16 * conc
-
-        async def one2(i):
-            async with sem:
-                t0 = time.perf_counter()
-                await engine.transform(
-                    sources[i % len(sources)], 400, None,
-                    ImageFormat.webp, 80,
-                )
-                lats.append(time.perf_counter() - t0)
-
-        t0 = time.perf_counter()
-        await asyncio.gather(*(one2(i) for i in range(n)))
-        elapsed = time.perf_counter() - t0
-        lats.sort()
-        p95b = lats[int(len(lats) * 0.95)] * 1000
-        best = {
-            "ips": round(min(best["ips"], n / elapsed), 2),
-            "p95_ms": round(max(best["p95_ms"], p95b), 1),
-            "concurrency": conc,
-            "slo_met": p95b < 200.0,
-        }
+        ips, p95 = await _slo_window(engine, sources, conc)
+        scout.append(
+            {"ips": round(ips, 2), "p95_ms": round(p95, 1),
+             "concurrency": conc}
+        )
+    # candidates: SLO-passing scout points, best throughput first
+    candidates = sorted(
+        (p for p in scout if p["p95_ms"] < 200.0),
+        key=lambda p: -p["ips"],
+    )
+    for cand in candidates[:2]:
+        wins = []
+        for _ in range(3):
+            ips, p95 = await _slo_window(
+                engine, sources, cand["concurrency"]
+            )
+            wins.append((ips, p95))
+        med_ips = float(np.median([w[0] for w in wins]))
+        med_p95 = float(np.median([w[1] for w in wins]))
+        if med_p95 < 200.0:
+            return {
+                "ips": round(med_ips, 2),
+                "p95_ms": round(med_p95, 1),
+                "concurrency": cand["concurrency"],
+                "slo_met": True,
+                "windows": [
+                    {"ips": round(i, 2), "p95_ms": round(p, 1)}
+                    for i, p in wins
+                ],
+            }
     # when no point meets the reference's <200 ms p95 (on the dev tunnel
     # a single 1 MB transfer leg can exceed the whole budget — see
-    # env.link_roundtrip_1mb_ms), report the best-latency point so the
-    # record shows what the link allowed rather than a silent null
-    return best or fallback
+    # env.link_roundtrip_1mb_ms), report the best-latency scout point so
+    # the record shows what the link allowed rather than a silent null
+    fallback = min(scout, key=lambda p: p["p95_ms"])
+    return {**fallback, "slo_met": False}
 
 
 def _env_snapshot():
@@ -588,17 +611,51 @@ async def measure_device_only(engine, src: bytes):
             )
             return dep, out
 
-        qdep = d(qt)
-        qdep, out = dstep(qdep, *args)
-        np.asarray(out[0] if isinstance(out, tuple) else out)  # full sync
-        reps2 = 64
-        t0 = time.perf_counter()
-        for _ in range(reps2):
-            qdep, out = dstep(qdep, *args)
-        y_last = out[0] if isinstance(out, tuple) else out
-        _ = np.asarray(y_last[:1, :1])  # 1-element readback sync
-        dt2 = time.perf_counter() - t0
-        resident_ips = reps2 * nb / dt2
+        from imagekit_tpu.utils.residency import chained_readback_rate
+
+        def _readback(out):
+            y_last = out[0] if isinstance(out, tuple) else out
+            return np.asarray(y_last[:1, :1])
+
+        # Adaptive multi-window estimator (VERDICT r3 #1): the window
+        # grows until the readback RTT is <2% of it, then 5 independent
+        # windows are taken; the HEADLINE is the MEDIAN (min/max and the
+        # per-window readings ride along so the spread is visible).
+        # Sync methodology (chained deps + readback, NOT
+        # block_until_ready) lives in utils/residency.py and is pinned
+        # by tests/test_residency.py.
+        stats = chained_readback_rate(
+            dstep, d(qt), args, items_per_step=nb, readback=_readback,
+        )
+        resident_ips = stats["ips_median"]
+        resident_stats = {
+            k: stats[k]
+            for k in (
+                "ips_min", "ips_max", "ips_windows", "window_s", "reps",
+                "rtt_ms", "overhead_pct",
+            )
+        }
+        # Roofline lens (VERDICT r3 #5): these kernels are u8/int8-in,
+        # u8-out transfer-shaped ops — FLOP-MFU is structurally tiny and
+        # says nothing. The honest utilisation axis is HBM bandwidth:
+        # bytes that MUST cross HBM per step (resident inputs read +
+        # outputs written; XLA-fused intermediates excluded, so this is
+        # a LOWER bound) against the v5e's 819 GB/s.
+        host_args = [
+            y_dc, y_ac, cb_dc, cb_ac, cr_dc, cr_ac,
+            escs[0][0], escs[0][1], escs[1][0], escs[1][1],
+            escs[2][0], escs[2][1], qt,
+            wv_y, wh_y, wv_c, wh_c, vidx,
+        ]
+        outs = out if isinstance(out, tuple) else (out,)
+        bytes_per_step = float(
+            sum(a.nbytes for a in host_args)
+            + sum(
+                int(np.prod(o.shape)) * o.dtype.itemsize for o in outs
+            )
+        )
+        hbm_gbs = bytes_per_step * (resident_ips / nb) / 1e9
+        membw_util_pct = 100.0 * hbm_gbs / 819.0
 
     # Analytic FLOPs per image (einsum MACs x2); the truncated kernel does
     # a k-point IDCT per block and resizes the k/8-scale planes
@@ -613,11 +670,16 @@ async def measure_device_only(engine, src: bytes):
     # honest MFU: computed from the device-resident rate when available
     # (the host-fed probe measures the link, not the silicon)
     mfu = 100.0 * (resident_ips or ips) * flops / peak
-    return {
+    res = {
         "ips": round(ips, 1),
         "resident_ips": round(resident_ips, 1) if resident_ips else None,
         "mfu_pct": round(mfu, 3),
     }
+    if resident_ips:
+        res["resident_stats"] = resident_stats
+        res["hbm_gbs"] = round(hbm_gbs, 1)
+        res["membw_util_pct"] = round(membw_util_pct, 2)
+    return res
 
 
 def _device_name():

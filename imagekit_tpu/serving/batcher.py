@@ -278,6 +278,9 @@ class BatchedEngine(TransformEngine):
         self._compiled: set = set()
         self._compiling: set = set()
         self._inflight = 0  # device calls dispatched but not finished
+        # time from warmup start until the hottest signature serves on
+        # device (set by warmup(); None before then)
+        self.hot_shape_ready_s: Optional[float] = None
         self._flusher: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._closed = False
@@ -2208,10 +2211,20 @@ class BatchedEngine(TransformEngine):
         # hit the persistent cache and what remains is the tunnelled
         # execute round trip per signature, which overlaps across the
         # pool's threads (a serial await here measured 200-270 s of
-        # server cold start; overlap cuts it ~in half)
-        jpeg_futs = []
-        for kind in kinds:
-            for b, bh, bw, obh, obw, ch in shapes:
+        # server cold start; overlap cuts it ~in half).
+        # PRIORITY ORDER (VERDICT r3 #2): the hottest signature — the
+        # yuv head at the saturated batch size — is submitted FIRST, so
+        # on a cold compile cache the flagship (1080p JPEG -> webp)
+        # traffic class starts serving on device after ONE compile
+        # instead of after the whole shape set (841 s in the round-3
+        # driver run). hot_shape_ready_s records that moment.
+        t_w0 = time.perf_counter()
+        self.hot_shape_ready_s: Optional[float] = None
+        ordered = []
+        for kind in kinds:  # "yuv" (the hot webp-output head) is first
+            for b, bh, bw, obh, obw, ch in sorted(
+                shapes, key=lambda s: -s[0]  # saturated batch size first
+            ):
                 if bh % 16 or bw % 16 or ch != 3:
                     continue
                 shard = self._use_mesh(b)
@@ -2224,12 +2237,19 @@ class BatchedEngine(TransformEngine):
                 # native symbol exists; escape-dense outliers ride the
                 # int16 variant, background-compiled on first occurrence
                 head = "jpeg8" if i8_ok else "jpeg"
-                sig = (head, kind, k, shard, b, bh, bw, obh, obw)
-                jpeg_futs.append(
-                    loop.run_in_executor(
-                        self._device_pool, self._compile_jpeg_sig, sig
-                    )
-                )
+                ordered.append((head, kind, k, shard, b, bh, bw, obh, obw))
+
+        def compile_one(sig, hot: bool):
+            self._compile_jpeg_sig(sig)
+            if hot and self.hot_shape_ready_s is None:
+                self.hot_shape_ready_s = time.perf_counter() - t_w0
+
+        jpeg_futs = [
+            loop.run_in_executor(
+                self._device_pool, compile_one, sig, i == 0
+            )
+            for i, sig in enumerate(ordered)
+        ]
         if jpeg_futs:
             await asyncio.gather(*jpeg_futs)
         rgb_like = bool({"rgb", "rgb_jpeg"} & set(paths))

@@ -17,10 +17,7 @@ def enable_persistent_compile_cache() -> None:
     _cache_enabled = True
     import jax
 
-    cache_dir = os.environ.get(
-        "IMAGEKIT_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/imagekit_tpu/jax"),
-    )
+    cache_dir = compile_cache_path()
     if cache_dir.lower() == "off":
         return
     os.makedirs(cache_dir, exist_ok=True)
@@ -29,6 +26,15 @@ def enable_persistent_compile_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # older jax without these knobs
+
+
+def compile_cache_path() -> str:
+    """The persistent compile cache directory (the deployment artifact
+    bakes this at image build time — tools/bake_compile_cache.py)."""
+    return os.environ.get(
+        "IMAGEKIT_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/imagekit_tpu/jax"),
+    )
 
 
 def limit_malloc_arenas(n: int = 2) -> bool:

@@ -197,6 +197,39 @@ def test_batch_flush_on_deadline():
     assert decode_image(out)[0].shape[:2] == (64, 64)
 
 
+def test_warmup_hot_first_ordering_and_ready_timestamp():
+    """VERDICT r3 #2: warmup must submit the hottest signature (yuv head,
+    saturated batch size) FIRST and stamp hot_shape_ready_s when it
+    lands, so a cold-cache deploy serves the flagship class on device
+    after one compile instead of after the whole shape set."""
+    from imagekit_tpu.utils.bucketing import bucket_for
+
+    engine = make_engine(max_batch=8)
+    order = []
+    real = engine._compile_jpeg_sig
+
+    def spy(sig):
+        order.append(sig)
+        return real(sig)
+
+    engine._compile_jpeg_sig = spy
+    bh, bw = bucket_for(240), bucket_for(320)
+    obh, obw = bucket_for(120), bucket_for(160)
+    shapes = [(b, bh, bw, obh, obw, 3) for b in (1, 4, 8)]
+
+    async def run():
+        await engine.warmup(shapes=shapes, paths=("jpeg",))
+        await engine.close()
+
+    asyncio.run(run())
+    assert order, "no signatures compiled"
+    head, kind, _k, _sh, b, *_ = order[0]
+    assert kind == "yuv" and b == 8  # hottest first
+    assert [s[4] for s in order] == [8, 4, 1]  # descending batch size
+    assert engine.hot_shape_ready_s is not None
+    assert engine.hot_shape_ready_s > 0
+
+
 def _fake_queue(times):
     import types
 

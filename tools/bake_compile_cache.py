@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Bake the persistent XLA compile cache for the deployment artifact.
+
+VERDICT r3 #2: a fresh deploy with a cold compile cache spent 841 s in
+warmup (every hot signature is a 30 s - 7 min remote compile on the
+tunnelled dev TPU; real TPU-VM hosts compile locally in tens of
+seconds each, still minutes for the full set). Running this tool at
+image BUILD time — on a host where the target TPU generation is visible
+(TPU-VM builder, or any machine with the matching PJRT plugin) —
+populates ``~/.cache/imagekit_tpu/jax`` with every warmup signature, so
+the shipped image's first warmup is pure cache hits plus execute round
+trips (~seconds per signature).
+
+Usage:
+    python tools/bake_compile_cache.py [--paths rgb,jpeg,jpeg_rgb]
+    # then ship the cache dir into the image (see Dockerfile BAKE_CACHE)
+
+Prints a JSON manifest: signatures compiled, wall time, cache dir size.
+"""
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cache_dir() -> str:
+    from imagekit_tpu.utils import compile_cache_path
+
+    return compile_cache_path()
+
+
+async def main(paths) -> dict:
+    from imagekit_tpu.config import BatchConfig, ImageKitConfig
+    from imagekit_tpu.serving.batcher import BatchedEngine
+    from imagekit_tpu.serving.metrics import Metrics
+
+    cfg = ImageKitConfig(secret="bake", batch=BatchConfig(max_batch=32))
+    engine = BatchedEngine(cfg, metrics=Metrics())
+    t0 = time.perf_counter()
+    await engine.warmup(paths=tuple(paths))
+    dt = time.perf_counter() - t0
+    n = len(engine._compiled)
+    hot = engine.hot_shape_ready_s
+    await engine.close()
+    d = cache_dir()
+    size = 0
+    files = 0
+    for root, _dirs, names in os.walk(d):
+        for name in names:
+            try:
+                size += os.path.getsize(os.path.join(root, name))
+                files += 1
+            except OSError:
+                pass
+    return {
+        "paths": list(paths),
+        "signatures": n,
+        "warmup_s": round(dt, 1),
+        "hot_shape_ready_s": round(hot, 1) if hot is not None else None,
+        "cache_dir": d,
+        "cache_files": files,
+        "cache_bytes": size,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--paths", default="rgb,jpeg,jpeg_rgb",
+        help="comma-separated warmup path tokens (see BatchedEngine.warmup)",
+    )
+    args = ap.parse_args()
+    out = asyncio.run(main([p for p in args.paths.split(",") if p]))
+    print(json.dumps(out))
