@@ -825,11 +825,18 @@ SegPlan AnalyzeSegments(const uint8_t* sy, int W, int mbw, int mbh,
   SegPlan plan;
   for (int i = 0; i < 4; ++i) plan.qi[i] = qindex;
   const int env = SegAmpEnv();
-  // Auto policy: OFF. Calibration on the parity corpora
-  // (tools/calibrate_segments.py / docs/PARITY_REPORT.md) found no
-  // PSNR-at-size win from the segment MAP on any content class — the
-  // bimodal images that motivate segmentation (text) are bimodal
-  // WITHIN macroblocks, where a per-MB map cannot help. The feature is
+  // Auto policy: OFF — a calibrated negative, closed in two rounds.
+  // Round 3: no PSNR-at-size win on the parity corpora, whose "text"
+  // is bimodal WITHIN macroblocks (a per-MB map cannot help). Round 4
+  // (VERDICT r3 #6): an MB-SCALE bimodal corpus (page/magazine/chart/
+  // screenshot mixes of whole-region flat vs busy) swept amp -60..60
+  // at q30-50 against the encoder's own amp=0 RD ladder — chart, the
+  // textbook case, is NEGATIVE at every amplitude (map bits with no
+  // quality to buy: flat regions are already near-free) and the only
+  // large positive cells appear at BOTH amp signs, i.e. RD-curve
+  // interpolation artifacts, not segmentation wins
+  // (tools/calibrate_segments.py --sweep seg_mixed,
+  // docs/PARITY_REPORT.md "VP8 segmentation" section). The feature is
   // complete and decoder-validated (tests force it on via
   // IMAGEKIT_VP8_SEG_AMP) and the per-MB activity analysis below feeds
   // the content-adaptive trellis policy either way.
