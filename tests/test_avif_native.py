@@ -488,6 +488,45 @@ def test_engine_avif_444_rides_yuvsrc():
     assert psnr(dec, golden) >= 30.0
 
 
+def test_engine_avif_444_422_odd_dims_host_mirror():
+    """Odd source dims exercise the ceil-divide chroma geometry on both
+    non-420 layouts through the engine's host mirror (cold sig)."""
+    import asyncio
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.config import ImageFormat
+    from tests.test_batcher import make_engine
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(97, 63)
+    for sub, cs in (("4:4:4", (1, 1)), ("4:2:2", (1, 2))):
+        data = _avif(img, q=85, subsampling=sub)
+        probe = avif_native.decode_yuv_studio(data)
+        if probe is None or probe[3:] != cs:
+            continue
+        engine = make_engine()
+
+        async def run():
+            out = await engine.transform(
+                data, 48, None, ImageFormat.webp, 85
+            )
+            await engine.close()
+            return out
+
+        out = asyncio.run(run())
+        assert out[:4] == b"RIFF"
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        golden = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB").resize(
+                (48, 31), Image.LANCZOS
+            )
+        )
+        assert dec.shape == golden.shape
+        assert psnr(dec, golden) >= 28.0, sub
+
+
 def test_engine_avif_422_host_fallback_correct():
     """A 4:2:2 source on a COLD chroma-geometry signature is served by
     the host mirror (identity vertical upsample) with correct output —

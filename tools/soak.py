@@ -72,6 +72,11 @@ def make_sources():
     out.append(("webp_ll", enc(img(75, 49), "WEBP", lossless=True), True))
     try:
         out.append(("avif", enc(img(105, 71), "AVIF", quality=75), True))
+        # non-420 chroma geometries ride the fused head since round 4
+        out.append(("avif_444", enc(img(98, 66), "AVIF", quality=75,
+                                    subsampling="4:4:4"), True))
+        out.append(("avif_422", enc(img(87, 61), "AVIF", quality=75,
+                                    subsampling="4:2:2"), True))
     except Exception:
         pass
 
