@@ -647,7 +647,8 @@ async def measure_device_only(engine, src: bytes):
             escs[2][0], escs[2][1], qt,
             wv_y, wh_y, wv_c, wh_c, vidx,
         ]
-        outs = out if isinstance(out, tuple) else (out,)
+        fo = stats["final_out"]
+        outs = fo if isinstance(fo, tuple) else (fo,)
         bytes_per_step = float(
             sum(a.nbytes for a in host_args)
             + sum(

@@ -67,12 +67,15 @@ def chained_readback_rate(
         readback(out)
         rtt_s = time.perf_counter() - t0
 
+    last_out = out
+
     def window(reps: int) -> float:
-        nonlocal dep
+        nonlocal dep, last_out
         t0 = time.perf_counter()
         for _ in range(reps):
             dep, out = dstep(dep, *args)
         readback(out)
+        last_out = out
         return time.perf_counter() - t0
 
     t_start = time.perf_counter()
@@ -107,4 +110,5 @@ def chained_readback_rate(
         "rtt_ms": round(rtt_s * 1e3, 2),
         "overhead_pct": round(100.0 * rtt_s / (sum(dts) / len(dts)), 2),
         "final_dep": dep,
+        "final_out": last_out,  # device refs of the last step's output
     }
