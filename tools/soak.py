@@ -227,11 +227,12 @@ async def run_img(base: str, n: int, concurrency: int) -> int:
     rng = random.Random(11)
     bad = 0
     hits_checked = 0
+    shed = 0
     statuses: dict = {}
     sem = asyncio.Semaphore(concurrency)
 
     async def one(session, i):
-        nonlocal bad, hits_checked
+        nonlocal bad, hits_checked, shed
         idx = i % len(sources)
         name, _, decodable = sources[idx]
         mode = rng.choice(["ok", "ok", "ok", "tamper", "expired"])
@@ -288,6 +289,16 @@ async def run_img(base: str, n: int, concurrency: int) -> int:
                 bad += 1
                 return
         statuses[(name, mode, st)] = statuses.get((name, mode, st), 0) + 1
+        if st == 429:
+            # engine-level admission control (round 3): a shed with a
+            # sane Retry-After is a valid serving outcome under load on
+            # any transform route, counted separately like upload mode
+            shed += 1
+            ra = resp.headers.get("Retry-After")
+            if not ra or not ra.isdigit() or int(ra) < 1:
+                print(f"FAIL {name}: 429 without a sane Retry-After")
+                bad += 1
+            return
         expect = {
             "tamper": (401,),
             "expired": (410,),
@@ -318,7 +329,7 @@ async def run_img(base: str, n: int, concurrency: int) -> int:
         per_status[st] = per_status.get(st, 0) + c
     print(
         f"img soak: {n} requests, statuses {sorted(per_status.items())}, "
-        f"{hits_checked} hit+304 checks, {bad} failures"
+        f"{hits_checked} hit+304 checks, {shed} shed (429), {bad} failures"
     )
     return 1 if bad else 0
 
