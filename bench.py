@@ -229,6 +229,7 @@ async def run_bench():
         "device_only_ips": device_only["ips"],
         "device_resident_ips": device_only["resident_ips"],
         "device_resident_stats": device_only.get("resident_stats"),
+        "device_resident_nb64": device_only.get("resident_nb64"),
         "mfu_pct": device_only["mfu_pct"],
         "hbm_gbs": device_only.get("hbm_gbs"),
         "membw_util_pct": device_only.get("membw_util_pct"),
@@ -675,6 +676,37 @@ async def measure_device_only(engine, src: bytes):
         hbm_gbs = bytes_per_step * (resident_ips / nb) / 1e9
         membw_util_pct = 100.0 * hbm_gbs / 819.0
 
+        # Batch-depth headroom probe: the resident loop is LAUNCH-bound
+        # (~1.2 ms/step vs ~0.1-0.2 ms analytic compute floor at nb=32,
+        # docs/ARCHITECTURE.md "Roofline"), so doubling the batch should
+        # approach 2x img/s. Same chained+readback methodology at nb=64
+        # (3 windows; inputs tiled 2x, the fixed-size escape scatter is
+        # batch-size-independent work so images 32-63 carrying no
+        # escapes does not change the measured cost). Non-fatal: a
+        # failed compile or link stall reports null, never breaks the
+        # headline.
+        resident_nb64 = None
+        try:
+            tile2 = lambda a: np.concatenate([a, a], axis=0)  # noqa: E731
+            args64 = [
+                d(tile2(y_dc)), d(tile2(y_ac)), d(tile2(cb_dc)),
+                d(tile2(cb_ac)), d(tile2(cr_dc)), d(tile2(cr_ac)),
+                d(escs[0][0]), d(escs[0][1]), d(escs[1][0]),
+                d(escs[1][1]), d(escs[2][0]), d(escs[2][1]),
+            ] + list(dweights) + [d(np.zeros(2 * nb, np.int32))]
+            s64 = chained_readback_rate(
+                dstep, d(tile2(qt)), args64, items_per_step=2 * nb,
+                readback=_readback, windows=3,
+            )
+            resident_nb64 = {
+                "ips_median": round(s64["ips_median"], 1),
+                "ips_windows": s64["ips_windows"],
+                "reps": s64["reps"],
+                "rtt_ms": s64["rtt_ms"],
+            }
+        except Exception:
+            pass
+
     # Analytic FLOPs per image (einsum MACs x2); the truncated kernel does
     # a k-point IDCT per block and resizes the k/8-scale planes
     flops = 0.0
@@ -695,6 +727,7 @@ async def measure_device_only(engine, src: bytes):
     }
     if resident_ips:
         res["resident_stats"] = resident_stats
+        res["resident_nb64"] = resident_nb64
         res["hbm_gbs"] = round(hbm_gbs, 1)
         res["membw_util_pct"] = round(membw_util_pct, 2)
     return res

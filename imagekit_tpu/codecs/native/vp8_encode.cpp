@@ -437,10 +437,12 @@ inline int16_t Quantize(int v, int q, bool is_dc) {
 // candidate levels are {nearest, nearest-1, 0}; the DP state is the VP8
 // token context (0 = previous zero, 1 = previous |level| 1, 2 = bigger),
 // which is all the token tree's probability selection depends on beyond
-// the (known) band. Rates are exact token-tree costs under the DEFAULT
-// coefficient tables (the frame-adapted tables of §13.4 are only known
-// after this pass chooses the levels; defaults are close enough to rank
-// candidates). EOB placement falls out of the DP: ending the block at
+// the (known) band. Rates are exact token-tree costs under the pass's
+// CostModel: the spec defaults on the first analysis pass (the
+// frame-adapted tables of §13.4 are only known after levels are chosen),
+// and the pass-1-fitted tables on the optional second pass (TwoPassEnv),
+// which makes level choices agree with the probabilities the header
+// actually signals. EOB placement falls out of the DP: ending the block at
 // position i is scored as path cost + the EOB bit + the distortion of
 // zeroing the tail.
 //
@@ -506,26 +508,43 @@ inline int TokenCostNonzero(const uint8_t* P, int a) {
   return cost + 256;  // sign (prob 128)
 }
 
-// Trellis rates use the constant default tables, so nonzero-token costs
-// memoise into one lookup for the common magnitudes (>= 68 falls back to
-// the tree walk; cat6 extra bits vary per level).
+using CoeffProbs = uint8_t[4][8][3][11];
+
+// Memoised nonzero-token costs under one probability table set (magnitudes
+// >= 68 fall back to the tree walk; cat6 extra bits vary per level).
 struct NzCostTable {
   int32_t c[4][8][3][68];
-  NzCostTable() {
+  explicit NzCostTable(const CoeffProbs& P) {
     for (int p = 0; p < 4; ++p)
       for (int b = 0; b < 8; ++b)
         for (int x = 0; x < 3; ++x) {
           c[p][b][x][0] = 0;
           for (int l = 1; l < 68; ++l)
-            c[p][b][x][l] = TokenCostNonzero(kCoeffProbs[p][b][x], l);
+            c[p][b][x][l] = TokenCostNonzero(P[p][b][x], l);
         }
   }
 };
 
-inline int NzCost(int plane, int band, int ctx, int a) {
-  static const NzCostTable t;
-  return a < 68 ? t.c[plane][band][ctx][a]
-                : TokenCostNonzero(kCoeffProbs[plane][band][ctx], a);
+// Probability tables the RATE ESTIMATES run under (the bitstream's tables
+// are chosen separately, by AdaptCoeffProbs). Pass 1 estimates under the
+// spec defaults; the optional second analysis pass re-estimates under the
+// pass-1-fitted tables so level and mode choices agree with the
+// probabilities the frame header will actually signal (libwebp couples
+// its level costs to its recorded stats the same way).
+struct CostModel {
+  const CoeffProbs* probs;
+  const NzCostTable* nzc;
+};
+
+inline const CostModel& DefaultCostModel() {
+  static const NzCostTable t(kCoeffProbs);
+  static const CostModel m{&kCoeffProbs, &t};
+  return m;
+}
+
+inline int NzCost(const CostModel& cm, int plane, int band, int ctx, int a) {
+  return a < 68 ? cm.nzc->c[plane][band][ctx][a]
+                : TokenCostNonzero((*cm.probs)[plane][band][ctx], a);
 }
 
 // RD score of an already-quantised block under the default tables:
@@ -536,9 +555,9 @@ inline int NzCost(int plane, int band, int ctx, int a) {
 // Exact token-tree bits (1/256-bit units) of an already-quantised block
 // under the default tables, entry context ctx0. The real cost the
 // magnitude-bucket RateProxy only approximated.
-int TokenBits256(const int16_t* lvl_nat, int first, int plane, int ctx0) {
-  const auto& PL =
-      *reinterpret_cast<const uint8_t(*)[8][3][11]>(kCoeffProbs[plane]);
+int TokenBits256(const CostModel& cm, const int16_t* lvl_nat, int first,
+                 int plane, int ctx0) {
+  const auto& PL = (*cm.probs)[plane];
   int last = -1;
   for (int i = first; i < 16; ++i)
     if (lvl_nat[kZigzag[i]]) last = i;
@@ -552,7 +571,7 @@ int TokenBits256(const int16_t* lvl_nat, int first, int plane, int ctx0) {
     const int l = std::abs(lvl_nat[kZigzag[i]]);
     const uint8_t* P = PL[band][c];
     if (eobflag) r += BitCost(1, P[0]);
-    r += l == 0 ? BitCost(0, P[1]) : NzCost(plane, band, c, l);
+    r += l == 0 ? BitCost(0, P[1]) : NzCost(cm, plane, band, c, l);
     eobflag = l != 0;
     c = l == 0 ? 0 : (l > 1 ? 2 : 1);
   }
@@ -560,9 +579,9 @@ int TokenBits256(const int16_t* lvl_nat, int first, int plane, int ctx0) {
   return r;
 }
 
-int64_t QuantizedBlockScore(const int16_t* coef_nat, const int16_t* lvl_nat,
-                            int plane, int first, int ctx0, int qdc, int qac,
-                            int64_t lambda) {
+int64_t QuantizedBlockScore(const CostModel& cm, const int16_t* coef_nat,
+                            const int16_t* lvl_nat, int plane, int first,
+                            int ctx0, int qdc, int qac, int64_t lambda) {
   int64_t d = 0;
   for (int i = first; i < 16; ++i) {
     const int zi = kZigzag[i];
@@ -571,15 +590,15 @@ int64_t QuantizedBlockScore(const int16_t* coef_nat, const int16_t* lvl_nat,
         static_cast<int64_t>(lvl_nat[zi]) * (i == 0 ? qdc : qac);
     d += e * e;
   }
-  return 256 * d + lambda * TokenBits256(lvl_nat, first, plane, ctx0);
+  return 256 * d + lambda * TokenBits256(cm, lvl_nat, first, plane, ctx0);
 }
 
 // RD-quantise one block. coef_nat: transform output, natural order.
 // Writes zigzag positions [first, 16) of out_nat (natural order); the
 // caller owns positions < first. Returns true iff any level is nonzero.
-bool TrellisQuantBlock(const int16_t* coef_nat, int plane, int first,
-                       int ctx0, int qdc, int qac, int64_t lambda,
-                       int16_t* out_nat) {
+bool TrellisQuantBlock(const CostModel& cm, const int16_t* coef_nat,
+                       int plane, int first, int ctx0, int qdc, int qac,
+                       int64_t lambda, int16_t* out_nat) {
   int za[16];      // |coefficient| in zigzag order
   bool zneg[16];
   int q[16];
@@ -599,8 +618,7 @@ bool TrellisQuantBlock(const int16_t* coef_nat, int plane, int first,
     return false;
   }
 
-  const auto& PL = *reinterpret_cast<const uint8_t(*)[8][3][11]>(
-      kCoeffProbs[plane]);
+  const auto& PL = (*cm.probs)[plane];
   constexpr int64_t kInf = INT64_MAX / 4;
   int64_t dp[3] = {kInf, kInf, kInf};
   int16_t bt_l[16][3];  // chosen magnitude per (position, out-context)
@@ -646,7 +664,8 @@ bool TrellisQuantBlock(const int16_t* coef_nat, int plane, int first,
         const int l = cands[k];
         const int64_t e = a - static_cast<int64_t>(l) * qq;
         const int64_t r =
-            flag_r + (l == 0 ? BitCost(0, P[1]) : NzCost(plane, band, cin, l));
+            flag_r +
+            (l == 0 ? BitCost(0, P[1]) : NzCost(cm, plane, band, cin, l));
         const int64_t sc = base + 256 * e * e + lambda * r;
         const int cout = (l == 0) ? 0 : (l > 1 ? 2 : 1);
         if (sc < ndp[cout]) {
@@ -737,6 +756,38 @@ int TrellisKFor(int qindex, double mean_alpha, double flat_frac) {
   // throughput-critical serving default, keeps the non-trellis path.
   if (qindex >= 30 && mean_alpha >= 15.5) return 5;
   return 0;
+}
+
+// Two-pass probability-coupled RD (IMAGEKIT_VP8_TWO_PASS): -1 = auto
+// (on whenever the adaptive trellis is active — the bands where level
+// choice is rate-sensitive and encode time already trades against size),
+// 0 = off, 1 = force on at every quality. When on, the analysis loop runs
+// twice: once under the default tables, then again with every rate
+// estimate (trellis levels, B_PRED sub-mode RD) re-costed under the
+// tables fitted to the first pass's token statistics, so the choices and
+// the §13.4 header probabilities agree. Auto never fires at the pinned
+// serving default q80 (TrellisKFor returns 0 there).
+int TwoPassEnv() {
+  static const int v = [] {
+    const char* e = getenv("IMAGEKIT_VP8_TWO_PASS");
+    if (!e || !*e || strcmp(e, "auto") == 0) return -1;
+    return atoi(e);
+  }();
+  return v;
+}
+// Max fitted-cost re-analysis passes (0 = single pass, classic). The loop
+// also exits early once the stop-now size estimate improves <0.1%/pass.
+// Auto: only where the adaptive trellis is on (level choice is
+// rate-sensitive there and encode time already trades against size) —
+// cap 6 in the high band (quality-critical, converges slowest on
+// noise-like content: measured ~0.3-0.5%/pass through pass 6), cap 3 in
+// the mid band (gains plateau by pass 3; bounds the per-request CPU at
+// user-chosen mid quality). ~+10-12 ms per pass per 77 kpix frame.
+int TwoPassFor(int trellis_k, int qindex) {
+  const int v = TwoPassEnv();
+  if (v >= 0) return v;
+  if (trellis_k <= 0) return 0;
+  return qindex <= 15 ? 6 : 3;
 }
 
 // Loop-filter strength: level = qindex * scale >> 6. The default tracks
@@ -1141,8 +1192,6 @@ inline int RateProxy(const int16_t* lvl, int first) {
 // coefficient probability updates are RFC 6386 §13.4: at high quality the
 // defaults are far off and adapting them is where libwebp's size edge was.
 // ---------------------------------------------------------------------------
-using CoeffProbs = uint8_t[4][8][3][11];
-
 struct TokenStats {
   uint32_t cnt[4][8][3][11][2] = {};
 };
@@ -1314,6 +1363,30 @@ void AdaptCoeffProbs(const TokenStats& st, CoeffProbs& probs,
         }
 }
 
+// Price the tallied token decisions under the tables AdaptCoeffProbs
+// would signal for them (plus the 8-bit update literals): the stop-now
+// partition-2 size estimate for an analysis pass. Used by the multi-pass
+// RD loop to keep the best pass — comparable across passes because every
+// pass's choices are priced under their own best achievable tables.
+int64_t TokenBitsEstimate(const TokenStats& st) {
+  CoeffProbs p;
+  bool upd[4][8][3][11];
+  AdaptCoeffProbs(st, p, upd);
+  int64_t bits = 0;
+  for (int t = 0; t < 4; ++t)
+    for (int b = 0; b < 8; ++b)
+      for (int c = 0; c < 3; ++c)
+        for (int n = 0; n < 11; ++n) {
+          if (upd[t][b][c][n]) bits += 8 * 256;
+          const uint32_t c0 = st.cnt[t][b][c][n][0];
+          const uint32_t c1 = st.cnt[t][b][c][n][1];
+          if (c0 + c1 == 0) continue;
+          bits += static_cast<int64_t>(c0) * BitCost(0, p[t][b][c][n]) +
+                  static_cast<int64_t>(c1) * BitCost(1, p[t][b][c][n]);
+        }
+  return bits;
+}
+
 }  // namespace
 
 namespace {
@@ -1435,6 +1508,28 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   // visits MBs in bitstream raster order, so the nonzero contexts below
   // are exactly the write pass's) — saves a whole second token walk.
   TokenStats stats;
+
+  // ---------------- analysis pass: transform / reconstruct ----------------
+  // Runs once under the default-table cost model; when two-pass RD is
+  // active (TwoPassEnv), a second time with every rate estimate re-costed
+  // under the tables fitted to the first run's statistics. Each run resets
+  // the reconstruction borders, token statistics, and nonzero contexts to
+  // frame-start state and fully overwrites `mbs`.
+  //
+  // lscale10: token-bit lambda scale in 1/1024ths. Fitted tables price the
+  // same tokens in FEWER bits, so an unscaled lambda would drift the
+  // operating point up the rate axis (measured: +2..7% size for ~0 dB on
+  // smooth/detail). Scaling lambda by bits_default/bits_fitted over the
+  // pass-1 stats keeps the RD slope fixed, so the second pass changes
+  // RANKING (which coefficients/modes survive) rather than the rate target.
+  auto run_analysis = [&](const CostModel& cm, int64_t lscale10) {
+  std::fill(ybuf.begin(), ybuf.end(), static_cast<uint8_t>(129));
+  std::fill(ubuf.begin(), ubuf.end(), static_cast<uint8_t>(129));
+  std::fill(vbuf.begin(), vbuf.end(), static_cast<uint8_t>(129));
+  std::memset(ybuf.data(), 127, ls);
+  std::memset(ubuf.data(), 127, cs);
+  std::memset(vbuf.data(), 127, cs);
+  stats = TokenStats{};
   StatSink stat_sink{stats};
   std::vector<uint8_t> s_ay(static_cast<size_t>(mbw) * 4, 0);
   std::vector<uint8_t> s_au(static_cast<size_t>(mbw) * 2, 0);
@@ -1442,7 +1537,6 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
   std::vector<uint8_t> s_ay2(mbw, 0);
   uint8_t s_ly[4], s_lu[2], s_lv[2], s_ly2;
 
-  // ---------------- pass 1: analyse / transform / reconstruct ----------------
   int16_t res[16], coef[16], dcs[16];
   int pix[16];
   uint8_t best16[256], b8u[64], b8v[64];
@@ -1460,8 +1554,13 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
                        ? 0
                        : seg.map[static_cast<size_t>(mby) * mbw + mbx];
       const Quantizers& Q = segQ[mb.segment];
-      const int64_t lambda_y = seg_lambda_y[mb.segment];
-      const int64_t lambda_uv = seg_lambda_uv[mb.segment];
+      const int64_t lambda_y = seg_lambda_y[mb.segment] < 0
+                                   ? -1
+                                   : (seg_lambda_y[mb.segment] * lscale10) >> 10;
+      const int64_t lambda_uv =
+          seg_lambda_uv[mb.segment] < 0
+              ? -1
+              : (seg_lambda_uv[mb.segment] * lscale10) >> 10;
       const double lambda = seg_lambda_rd[mb.segment];
       const int64_t i4_gate = seg_i4_gate[mb.segment];
       const int px = mbx * 16, py = mby * 16;
@@ -1503,7 +1602,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
         y16[sb][0] = 0;
         bool nzb = false;
         if (lambda_y >= 0) {
-          nzb = TrellisQuantBlock(coef, 0, 1, tnza[sb & 3] + tnzl[sb >> 2],
+          nzb = TrellisQuantBlock(cm, coef, 0, 1, tnza[sb & 3] + tnzl[sb >> 2],
                                   Q.y1.dc, Q.y1.ac, lambda_y, y16[sb]);
         } else {
           for (int i = 1; i < 16; ++i) {
@@ -1597,7 +1696,8 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           // modes are near-free). The transform-vs-pixel domain gain is
           // folded into the calibrated selection lambda.
           const int64_t sel_lambda =
-              static_cast<int64_t>(Q.y1.ac) * Q.y1.ac * ModeRdMultEnv() / 64;
+              (static_cast<int64_t>(Q.y1.ac) * Q.y1.ac * ModeRdMultEnv() /
+               64 * lscale10) >> 10;
           const int bctx = bnza[sb & 3] + bnzl[sb >> 2];
           int16_t mres[16], mcoef[16], mlvl[16];
           int64_t bb = -1;
@@ -1612,7 +1712,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
                   Quantize(mcoef[i], i == 0 ? Q.y1.dc : Q.y1.ac, i == 0);
             const int mc = CostBMode(mp, m);
             const int64_t score =
-                QuantizedBlockScore(mcoef, mlvl, 3, 0, bctx, Q.y1.dc,
+                QuantizedBlockScore(cm, mcoef, mlvl, 3, 0, bctx, Q.y1.dc,
                                     Q.y1.ac, sel_lambda) +
                 sel_lambda * mc;
             if (bb < 0 || score < bb) {
@@ -1630,7 +1730,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           Fdct4x4(res, coef);
           if (lambda_y >= 0) {
             const bool nzb =
-                TrellisQuantBlock(coef, 3, 0, bnza[sb & 3] + bnzl[sb >> 2],
+                TrellisQuantBlock(cm, coef, 3, 0, bnza[sb & 3] + bnzl[sb >> 2],
                                   Q.y1.dc, Q.y1.ac, lambda_y, yb[sb]);
             bnza[sb & 3] = bnzl[sb >> 2] = nzb ? 1 : 0;
           } else {
@@ -1733,7 +1833,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           int16_t qc[16];
           if (lambda_uv >= 0) {
             const bool nzb =
-                TrellisQuantBlock(coef, 2, 0, cnza[sb & 1] + cnzl[sb >> 1],
+                TrellisQuantBlock(cm, coef, 2, 0, cnza[sb & 1] + cnzl[sb >> 1],
                                   Q.uv.dc, Q.uv.ac, lambda_uv, qc);
             cnza[sb & 1] = cnzl[sb >> 1] = nzb ? 1 : 0;
             if (nzb) any_nz = true;
@@ -1768,6 +1868,137 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
       uint8_t* row = RY + yy * ls;
       std::memset(row + W, row[W - 1], 4);
     }
+  }
+  };  // run_analysis
+
+  run_analysis(DefaultCostModel(), 1024);
+
+  // Exact partition-1 side-information bits (1/256 units) of the current
+  // analysis state: segment ids, skip flags (under their own fitted skip
+  // probability), and the context-coded ymode/bmode/uvmode trees — the
+  // frame-level cost a per-MB rate proxy cannot see (mode-probability
+  // dilution, docs/ROADMAP.md item 10). Mirrors the partition-1 writer's
+  // walk exactly.
+  auto side_bits = [&]() -> int64_t {
+    auto ymode_cost = [](int m) {
+      switch (m) {
+        case 4: return BitCost(0, 145);
+        case 0: return BitCost(1, 145) + BitCost(0, 156) + BitCost(0, 163);
+        case 1: return BitCost(1, 145) + BitCost(0, 156) + BitCost(1, 163);
+        case 2: return BitCost(1, 145) + BitCost(1, 156) + BitCost(0, 128);
+        default: return BitCost(1, 145) + BitCost(1, 156) + BitCost(1, 128);
+      }
+    };
+    auto uv_cost = [](int m) {
+      switch (m) {
+        case 0: return BitCost(0, 142);
+        case 1: return BitCost(1, 142) + BitCost(0, 114);
+        case 2: return BitCost(1, 142) + BitCost(1, 114) + BitCost(0, 183);
+        default: return BitCost(1, 142) + BitCost(1, 114) + BitCost(1, 183);
+      }
+    };
+    const int nmb_all = mbw * mbh;
+    int nsk = 0;
+    for (const auto& mb : mbs) nsk += mb.skip;
+    int psf = 255 - (255 * nsk) / nmb_all;
+    if (psf < 1) psf = 1;
+    if (psf > 255) psf = 255;
+    int64_t bits = 0;
+    std::vector<uint8_t> abm(static_cast<size_t>(mbw) * 4, 0);
+    uint8_t lbm[4];
+    for (int mby = 0; mby < mbh; ++mby) {
+      std::memset(lbm, 0, 4);
+      for (int mbx = 0; mbx < mbw; ++mbx) {
+        const MbData& mb = mbs[static_cast<size_t>(mby) * mbw + mbx];
+        if (seg.count > 1) {
+          const int s = mb.segment;
+          bits += (s < 2) ? BitCost(0, seg.tree_probs[0]) +
+                                BitCost(s & 1, seg.tree_probs[1])
+                          : BitCost(1, seg.tree_probs[0]) +
+                                BitCost(s & 1, seg.tree_probs[2]);
+        }
+        bits += BitCost(mb.skip, psf);
+        bits += ymode_cost(mb.ymode);
+        if (mb.ymode == 4) {
+          for (int sb = 0; sb < 16; ++sb) {
+            const int sx = sb & 3, sy_ = sb >> 2;
+            const int am = sy_ == 0 ? abm[mbx * 4 + sx] : mb.bmodes[sb - 4];
+            const int lm = sx == 0 ? lbm[sy_] : mb.bmodes[sb - 1];
+            bits += CostBMode(kKfBModeProbs[am][lm], mb.bmodes[sb]);
+          }
+        }
+        for (int i = 0; i < 4; ++i) {
+          abm[mbx * 4 + i] = mb.bmodes[12 + i];
+          lbm[i] = mb.bmodes[i * 4 + 3];
+        }
+        bits += uv_cost(mb.uvmode);
+      }
+    }
+    return bits;
+  };
+
+  // Multi-pass probability-coupled RD: re-analyse under tables fitted to
+  // the previous pass's statistics, keep the pass whose total estimated
+  // frame bits (tokens under own fit + exact partition-1 side info) is
+  // smallest, stop when a pass stops improving the estimate. Keeping the
+  // BEST pass (not the last) makes the loop monotone: content whose
+  // refit feedback oscillates (near-random coefficients at mid quality)
+  // costs one wasted pass and keeps its single-pass result.
+  const int max_extra = TwoPassFor(tk, qindex);
+  if (max_extra > 0) {
+    struct PassSnap {
+      std::vector<MbData> mbs;
+      TokenStats stats;
+      std::vector<uint8_t> y, u, v;
+    };
+    int64_t best_est = TokenBitsEstimate(stats) + side_bits();
+    int64_t prev_est = best_est;
+    PassSnap best{mbs, stats, ybuf, ubuf, vbuf};
+    for (int extra = 0; extra < max_extra; ++extra) {
+      CoeffProbs fitted;
+      bool fit_upd[4][8][3][11];
+      AdaptCoeffProbs(stats, fitted, fit_upd);
+      // Keep the RD slope: price the current decisions under the default
+      // and fitted tables and scale the next pass's lambda by the bit
+      // ratio (fitted tables code the same tokens in fewer bits; see
+      // run_analysis's lscale10 note).
+      int64_t bits_def = 0, bits_fit = 0;
+      for (int t = 0; t < 4; ++t)
+        for (int b = 0; b < 8; ++b)
+          for (int c = 0; c < 3; ++c)
+            for (int n = 0; n < 11; ++n) {
+              const uint32_t c0 = stats.cnt[t][b][c][n][0];
+              const uint32_t c1 = stats.cnt[t][b][c][n][1];
+              if (c0 + c1 == 0) continue;
+              bits_def += static_cast<int64_t>(c0) *
+                              BitCost(0, kCoeffProbs[t][b][c][n]) +
+                          static_cast<int64_t>(c1) *
+                              BitCost(1, kCoeffProbs[t][b][c][n]);
+              bits_fit +=
+                  static_cast<int64_t>(c0) * BitCost(0, fitted[t][b][c][n]) +
+                  static_cast<int64_t>(c1) * BitCost(1, fitted[t][b][c][n]);
+            }
+      const int64_t lscale10 =
+          bits_fit > 0 ? (bits_def * 1024 + bits_fit / 2) / bits_fit : 1024;
+      const NzCostTable fitted_nzc(fitted);
+      const CostModel cm_fitted{&fitted, &fitted_nzc};
+      run_analysis(cm_fitted, lscale10);
+      const int64_t est = TokenBitsEstimate(stats) + side_bits();
+      if (est < best_est) {
+        best_est = est;
+        best = PassSnap{mbs, stats, ybuf, ubuf, vbuf};
+      }
+      if (est * 1000 >= prev_est * 999) break;  // converged / not improving
+      prev_est = est;
+    }
+    mbs = std::move(best.mbs);
+    stats = best.stats;
+    ybuf = std::move(best.y);
+    ubuf = std::move(best.u);
+    vbuf = std::move(best.v);
+    RY = ybuf.data() + ls + 1;
+    RU = ubuf.data() + cs + 1;
+    RV = vbuf.data() + cs + 1;
   }
 
   // ---------------- skip probability ----------------

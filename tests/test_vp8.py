@@ -255,3 +255,74 @@ def test_content_adaptive_trellis_policy():
          np.full_like(yy, 128)], -1
     ).clip(0, 255).astype(np.uint8)
     assert enc(smooth, 30, 0) == enc(smooth, 30, 2)
+
+
+def test_two_pass_probability_coupled_rd():
+    """Multi-pass probability-coupled RD (round 4, IMAGEKIT_VP8_TWO_PASS;
+    vp8_encode.cpp TwoPassFor): in the trellis bands the analysis re-runs
+    under tables fitted to the previous pass's token stats. Pins, via
+    subprocesses (the knob is cached per process):
+
+    - auto fires at q95 on busy content (stream differs from forced-off)
+      and does not LOSE bytes — it closed the noise-q95 parity cell
+      (docs/PARITY_REPORT.md);
+    - q80 (outside the trellis bands) is byte-identical with the knob on
+      auto, off, and FORCED on... auto and off must match exactly (the
+      serving byte-pin); forced-on at q80 must still decode cleanly;
+    - every emitted stream decodes in both the host library and our
+      native decoder.
+    """
+    import base64
+    import os
+    import subprocess
+    import sys
+
+    from imagekit_tpu.codecs import vp8 as vp8mod
+
+    if not (vp8mod.available() and vp8mod.decode_available()):
+        pytest.skip("native codec unavailable")
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import base64, sys
+sys.path.insert(0, %r)
+import numpy as np
+from imagekit_tpu.codecs import vp8
+rng = np.random.default_rng(11)
+noisy = rng.integers(0, 255, (80, 96, 3), np.uint8)
+yy, xx = np.mgrid[0:72, 0:88].astype(np.float32)
+photo = np.clip(np.stack([
+    128 + 90 * np.sin(xx / 17), 128 + 90 * np.cos(yy / 13),
+    128 + 60 * np.sin((xx + yy) / 23)], -1)
+    + rng.normal(0, 6, (72, 88, 3)), 0, 255).astype(np.uint8)
+out = [vp8.encode_rgb(noisy, 95), vp8.encode_rgb(photo, 80)]
+sys.stdout.write(",".join(base64.b64encode(b).decode() for b in out))
+""" % here
+
+    def run(knob):
+        env = dict(os.environ)
+        env.pop("IMAGEKIT_VP8_TWO_PASS", None)
+        if knob is not None:
+            env["IMAGEKIT_VP8_TWO_PASS"] = knob
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, env=env, timeout=180,
+        )
+        assert out.returncode == 0, out.stderr.decode()[-500:]
+        return [base64.b64decode(b) for b in out.stdout.split(b",")]
+
+    auto = run(None)
+    off = run("0")
+    forced = run("2")
+
+    # q95 busy: the second pass changes (and does not grow) the stream
+    assert auto[0] != off[0]
+    assert len(auto[0]) <= len(off[0])
+    # q80: auto == off byte-identical (the serving byte-pin); forcing the
+    # knob is allowed to change bytes but must stay a valid stream
+    assert auto[1] == off[1]
+    for blob in auto + off + forced:
+        host = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        ours = vp8mod.decode_rgb(blob)
+        assert ours.shape == host.shape
+        assert np.abs(ours.astype(np.int16) - host.astype(np.int16)).max() <= 2

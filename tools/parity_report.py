@@ -154,6 +154,57 @@ def avif_rows():
     return out
 
 
+def seg_section():
+    # Hand-maintained prose (measured by tools/calibrate_segments.py
+    # --sweep seg_mixed, rounds 3-4); lives in the generator so a regen
+    # cannot clobber it.
+    return [
+        "## VP8 segmentation: calibrated negative (rounds 3-4)",
+        "",
+        "The complete RFC 6386 segmentation machinery (4 segments, absolute",
+        "per-segment quantisers, coded per-MB map) ships with auto amplitude",
+        "0. Round 3 measured no win on the parity corpora, whose \"text\"",
+        "image is bimodal WITHIN macroblocks (strokes+gaps inside every",
+        "16x16, where a per-MB map cannot help). Round 4 closed the",
+        "remaining hypothesis (VERDICT r3 #6) with an MB-SCALE bimodal",
+        "corpus - page (text half / photo half), magazine (photo column /",
+        "text column), chart (flat panels / busy plot strip), screenshot",
+        "(flat bg / text bands / photo thumb) - swept IMAGEKIT_VP8_SEG_AMP",
+        "in {-60..60} at q in {30,40,50} and scored dPSNR-at-size against",
+        "the encoder's own amp=0 rate-distortion ladder",
+        "(`tools/calibrate_segments.py --sweep seg_mixed`):",
+        "",
+        "- chart - the cleanest MB-scale bimodal case - is NEGATIVE at",
+        "  every amplitude (-0.06 to -2.4 dB at size): the flat panels are",
+        "  already near-free, so the map costs bits with no quality to buy.",
+        "- the isolated +1.9 to +2.4 dB \"wins\" on page/magazine q40 appear",
+        "  at BOTH amp signs (+20 and -20), which is impossible for a real",
+        "  segmentation effect; they sit exactly in dips of the amp=0 RD",
+        "  curve and are interpolation artifacts of those dips.",
+        "- no amplitude wins on more than 5/12 cells, with losses of the",
+        "  same magnitude elsewhere. Auto stays 0; the analysis pass still",
+        "  feeds the content-adaptive trellis policy, and the k-means/map",
+        "  machinery only runs when the env knob forces amp != 0 (the",
+        "  default path is slim).",
+        "",
+        "Side-finding: on aliased synthetic text the amp=0 ladder is",
+        "NON-monotone (q30 bigger AND worse than q38; the extra bytes are",
+        "mode-partition bits - coarser q flips MBs to B_PRED, whose",
+        "cross-MB probability-table dilution a per-MB rate proxy cannot",
+        "see). Round 4 implemented the fix that finding proposed -",
+        "multi-pass probability-coupled RD (above) - which improves every",
+        "parity cell in the trellis bands but, re-measured, does NOT",
+        "restore monotonicity on this content (q30 10.2 KB / 36.9 dB vs",
+        "q38 9.8 KB / 37.8 dB; inversion persists with two-pass forced on",
+        "and off), so the residual wrinkle is upstream of the probability",
+        "fit - in the per-MB mode decisions themselves. At EQUAL SIZE ours",
+        "still dominates libwebp on this content, so it stays an internal",
+        "operating-point wrinkle, not a parity loss (docs/ROADMAP.md item",
+        "10 re-scoped).",
+        "",
+    ]
+
+
 def main():
     suite = make_suite()
     dec = decode_rows(suite)
@@ -199,17 +250,23 @@ def main():
         f"{np.mean([r[3] / r[4] for r in wq80]):.3f}, mean dPSNR "
         f"{np.mean([r[5] - r[6] for r in wq80]):+.2f} dB.",
         "",
-        "WebP noise q95 is the one remaining cell above 1.0x (+3.7%): its",
-        "dPSNR is -0.004 dB (measurement epsilon). Stream dissection against",
-        "libwebp located it precisely: libwebp codes that corpus 100% B_PRED",
-        "at 74.0 KB with 315 probability-table updates; our per-MB-optimal",
-        "mode mix (168 B_PRED / 132 I16) lands at 76.8 KB with 567 updates,",
-        "our best uniform choice (all-I16) at 74.9 KB, and FORCED all-B_PRED",
-        "at 77.1 KB - so neither the mode mix nor any uniformity bias closes",
-        "the residual ~1.3%; it lives in per-level token-coding efficiency on",
-        "near-random coefficients. Documented rather than tuned away.",
+        "Round 4 closed the last cell above 1.0x (noise q95, +3.7% in round",
+        "3) with multi-pass probability-coupled RD (IMAGEKIT_VP8_TWO_PASS,",
+        "auto wherever the adaptive trellis is active): the analysis pass",
+        "re-runs with every rate estimate (trellis levels, B_PRED sub-mode",
+        "RD) re-costed under the coefficient tables fitted to the previous",
+        "pass's token statistics, lambda rescaled by the default/fitted bit",
+        "ratio so the RD slope is preserved, and the pass whose own-fit",
+        "size estimate (tokens + exact partition-1 side info) is smallest",
+        "is kept. The round-3 dissection had localised the residual in",
+        "per-level token-coding efficiency on near-random coefficients -",
+        "i.e. levels chosen under the spec-default tables disagreeing with",
+        "the fitted tables the header actually signals - which is exactly",
+        "what the re-cost removes. q80 (the serving default) is outside the",
+        "trellis bands, so its byte-pinned output is unchanged.",
         "",
     ]
+    out += seg_section()
     out += avif_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "PARITY_REPORT.md")
