@@ -511,23 +511,27 @@ async def measure_device_only(engine, src: bytes):
         _, dc8, ac8, esc8, _, ovf = jpeg_abi.decode_lowfreq_i8(lib, src, k)
         t8 = not ovf
     if t8:
+        # planar split-int8 AC layout (ops.dct.lowfreq_ac_width), matching
+        # the serving batcher's packing for the folded kernels
+        pads = (pad128(bx_b), pad128(cx_b))
         y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
-        y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+        y_ac = np.zeros((nb, by_b, na * pads[0]), np.int8)
         cb_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
-        cb_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+        cb_ac = np.zeros((nb, cy_b, na * pads[1]), np.int8)
         cr_dc = np.zeros_like(cb_dc)
         cr_ac = np.zeros_like(cb_ac)
         eidx = [[], [], []]
         evals = [[], [], []]
         for i in range(nb):
             y_dc[i, :by, :bx] = dc8[0]
-            y_ac[i, :by, : bx * na] = ac8[0].reshape(by, -1)
             cb_dc[i, :cy, :cx] = dc8[1]
-            cb_ac[i, :cy, : cx * na] = ac8[1].reshape(cy, -1)
             cr_dc[i, :cy, :cx] = dc8[2]
-            cr_ac[i, :cy, : cx * na] = ac8[2].reshape(cy, -1)
+            for j in range(na):
+                y_ac[i, :by, j * pads[0] : j * pads[0] + bx] = ac8[0][:, :, j]
+                cb_ac[i, :cy, j * pads[1] : j * pads[1] + cx] = ac8[1][:, :, j]
+                cr_ac[i, :cy, j * pads[1] : j * pads[1] + cx] = ac8[2][:, :, j]
             for c, (ei, ev) in enumerate(
-                _esc_batch_rows(esc8, i, bx, cx, na)
+                _esc_batch_rows(esc8, i, bx, cx, na, pads)
             ):
                 eidx[c].append(ei)
                 evals[c].append(ev)
@@ -568,7 +572,14 @@ async def measure_device_only(engine, src: bytes):
     wh_c[0] = lowfreq_chroma_half_weights(
         hdr.comp_width[1], hdr.width, out_w, lx // 2, obw // 2, k
     )
-    dweights = tuple(jax.device_put(w) for w in (wv_y, wh_y, wv_c, wh_c))
+    # fold the k-point IDCT basis into the stacks (the kernels read the
+    # folded (U, k, O, nblk) layout; see ops.dct.fold_lowfreq_weights)
+    from imagekit_tpu.ops.dct import fold_lowfreq_weights
+
+    dweights = tuple(
+        jax.device_put(fold_lowfreq_weights(w, k))
+        for w in (wv_y, wh_y, wv_c, wh_c)
+    )
     vidx = np.zeros(nb, np.int32)
     dims = (by_b, bx_b, cy_b, cx_b)
 
@@ -676,10 +687,11 @@ async def measure_device_only(engine, src: bytes):
         hbm_gbs = bytes_per_step * (resident_ips / nb) / 1e9
         membw_util_pct = 100.0 * hbm_gbs / 819.0
 
-        # Batch-depth headroom probe: the resident loop is LAUNCH-bound
-        # (~1.2 ms/step vs ~0.1-0.2 ms analytic compute floor at nb=32,
-        # docs/ARCHITECTURE.md "Roofline"), so doubling the batch should
-        # approach 2x img/s. Same chained+readback methodology at nb=64
+        # Batch-depth headroom probe: if the resident loop were
+        # launch-bound, doubling the batch would approach 2x img/s; the
+        # r4 probe showed only +11%, i.e. the cost is per-image
+        # (docs/ARCHITECTURE.md "Roofline" — the folded kernels attack
+        # exactly that). Same chained+readback methodology at nb=64
         # (3 windows; inputs tiled 2x, the fixed-size escape scatter is
         # batch-size-independent work so images 32-63 carrying no
         # escapes does not change the measured cost). Non-fatal: a

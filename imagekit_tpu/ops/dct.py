@@ -423,42 +423,121 @@ def pad128(n: int) -> int:
     return (n + 127) // 128 * 128
 
 
+def lowfreq_ac_width(nblk: int, k: int) -> int:
+    """Minor dim of the PLANAR split-int8 AC batch layout: k*k-1 coefficient
+    planes, each 128-aligned, so plane j of block column b sits at
+    ``j * pad128(nblk) + b``. Planar (not block-grouped) because the folded
+    kernels read one whole coefficient plane per (u, v) term — a contiguous
+    slice here, a stride-(k*k-1) gather in the old grouped layout."""
+    return (k * k - 1) * pad128(nblk)
+
+
+def fold_lowfreq_weights(W: np.ndarray, k: int) -> np.ndarray:
+    """Fold the k-point IDCT basis into a truncated-path resize weight
+    stack: (U, O, nblk*k) -> (U, k, O, nblk).
+
+    Column ``k*i + x`` of W addresses phase x of block i on the k/8-scale
+    intermediate plane. Both the per-block IDCT and the resize are linear,
+    so the basis folds straight into the weights:
+
+        out[:, u] = W @ E_u   with   E_u[k*i + x, i] = A_k[u, x]
+
+    and the kernel becomes  sum_{u,v} (W_v@E_u) @ C_uv @ (W_h@E_v)^T  over
+    the k*k coefficient PLANES — the per-block k-point IDCT einsum and the
+    (B, by, k, bx, k) interleave transpose (minor dims of 2..4 at the
+    flagship k=2, hostile to the 8x128 VPU tiling) disappear entirely.
+    Measured 2.2x on the flagship head (docs/ARCHITECTURE.md "Roofline")."""
+    A = idct_basis_k(k)
+    U, O, L = W.shape
+    nblk = L // k
+    Wb = W.reshape(U, O, nblk, k)
+    return np.ascontiguousarray(
+        np.einsum("zoix,ux->zuoi", Wb, A).astype(np.float32)
+    )
+
+
 # natural-order indices of the KxK low-frequency coefficients
 @functools.lru_cache(maxsize=8)
 def _lowfreq_indices(k: int) -> np.ndarray:
     return np.array([u * 8 + v for u in range(k) for v in range(k)], np.int32)
 
 
-def _lowfreq_spatial(lev, by, bx, qt, A, k):
-    """(B, by, bx, k*k) integer levels -> dequant -> k-point scaled IDCT ->
-    clipped spatial (B, by*k, bx*k) plane. Shared by both coefficient
-    transports (int16 flat and split-int8)."""
-    B = lev.shape[0]
-    c = lev.astype(jnp.float32) * qt[:, None, None, :] * (k / 8.0)
-    c = c.reshape(B, by, bx, k, k)
-    p = jnp.einsum(
-        "ux,vy,bijuv->bijxy", A, A, c, precision=jax.lax.Precision.HIGHEST
-    )
-    p = p + 128.0
-    p = p.transpose(0, 1, 3, 2, 4).reshape(B, by * k, bx * k)
-    return jnp.clip(p, 0.0, 255.0)
+def _folded_lowfreq_plane(getC, qt4, wv_f, wh_f, vidx, k):
+    """Truncated-path dequant + IDCT + resize in ONE folded contraction:
 
+        out = sum_{u,v} (Wv@E_u) @ (q_uv * C_uv) @ (Wh@E_v)^T + 128
 
-def _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx):
-    """Resize the three planes (per-image weight stacks), remap to studio
-    range, and pack (B, obh*obw + 2*(obh//2*obw//2)) u8 for one bulk D2H."""
+    with C_uv the (B, rows, nblk) coefficient plane for frequency (u, v)
+    (``getC(u*k+v)``) and the folded weight stacks from
+    :func:`fold_lowfreq_weights`. Every op is MXU-shaped; no tensor has a
+    minor dim under 128. The k/8-scale intermediate plane is never
+    materialised — and therefore NOT clipped to [0, 255] before resampling
+    (linearity requirement). Parity ledger: on real content the final u8
+    planes are bit-identical to the old staged form (measured max delta 0
+    on the 1080p bench corpus); blocks whose IDCT overshoots the u8 range
+    (ringing at saturated edges) may differ by ±1 after resampling. The
+    host mirrors skip the clip the same way."""
     hp = jax.lax.Precision.HIGHEST
+    wv = wv_f[vidx]  # (B, k, O, rows)
+    wh = wh_f[vidx]  # (B, k, P, nblk)
+    out = None
+    for v in range(k):
+        Pv = None
+        for u in range(k):
+            C = getC(u * k + v) * qt4[:, u * k + v][:, None, None]
+            t = jnp.einsum("boh,bhw->bow", wv[:, u], C, precision=hp)
+            Pv = t if Pv is None else Pv + t
+        t2 = jnp.einsum("bpw,bow->bop", wh[:, v], Pv, precision=hp)
+        out = t2 if out is None else out + t2
+    return out + 128.0
 
-    def plane_resize(P, wv_u, wh_u):
-        wv = wv_u[vidx]
-        wh = wh_u[vidx]
-        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
-        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
 
-    y = plane_resize(Y, wv_y_u, wh_y_u) * (219.0 / 255.0) + 16.0
+def _folded_plane_i16(flat, nblk, qt4, wv_f, wh_f, vidx, k):
+    """Folded plane from the int16 flat transport (block-grouped wire
+    layout, coefficient split done on device via reshape+slice — this
+    transport is the rare escape-overflow fallback, so it keeps its wire
+    format; values are exact ints in f32, so output is bit-identical to
+    the split-int8 kernel given the same levels)."""
+    B, rows, _ = flat.shape
+    nk = k * k
+    lev = flat[:, :, : nblk * nk].reshape(B, rows, nblk, nk).astype(
+        jnp.float32
+    )
+    return _folded_lowfreq_plane(
+        lambda lin: lev[..., lin], qt4, wv_f, wh_f, vidx, k
+    )
+
+
+def _folded_plane_i8(dc, ac, eidx, evals, nblk, qt4, wv_f, wh_f, vidx, k):
+    """Folded plane from the split-int8 transport: widen the PLANAR AC
+    layout (:func:`lowfreq_ac_width`) to f32, scatter-add escape residuals
+    (padding rows add 0 at (0,0,0)), then one contiguous slice per
+    coefficient plane. All values are exact ints in f32 — reconstruction
+    stays exact."""
+    p = ac.shape[2] // (k * k - 1)
+    a = ac.astype(jnp.float32)
+    a = a.at[eidx[:, 0], eidx[:, 1], eidx[:, 2]].add(
+        evals.astype(jnp.float32)
+    )
+
+    def getC(lin):
+        if lin == 0:
+            return dc[:, :, :nblk].astype(jnp.float32)
+        j = lin - 1
+        return a[:, :, j * p : j * p + nblk]
+
+    return _folded_lowfreq_plane(getC, qt4, wv_f, wh_f, vidx, k)
+
+
+def _yuv_range_pack(y, cb, cr):
+    """Full-range resized planes -> studio-range remap -> packed
+    (B, obh*obw + 2*(obh//2*obw//2)) u8 for one bulk D2H. Shared by the
+    full-resolution tail and the folded truncated kernels so the float op
+    order (and therefore the bytes) match across paths."""
+    y = y * (219.0 / 255.0) + 16.0
     c_off = 128.0 * (1.0 - 224.0 / 255.0)
-    cb = plane_resize(Cb, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
-    cr = plane_resize(Cr, wv_c_u, wh_c_u) * (224.0 / 255.0) + c_off
+    cb = cb * (224.0 / 255.0) + c_off
+    cr = cr * (224.0 / 255.0) + c_off
 
     def q8(p):
         B = p.shape[0]
@@ -471,18 +550,36 @@ def _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx):
     return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
 
 
+def _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx):
+    """Resize the three planes (per-image weight stacks), remap to studio
+    range, and pack u8 for one bulk D2H."""
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    return _yuv_range_pack(
+        plane_resize(Y, wv_y_u, wh_y_u),
+        plane_resize(Cb, wv_c_u, wh_c_u),
+        plane_resize(Cr, wv_c_u, wh_c_u),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("by_b", "bx_b", "cy_b", "cx_b", "k")
 )
 def _decode_resize_yuv_lowfreq_kernel(
-    y_flat,     # (B, by_b, pad128(bx_b*k*k)) i16
+    y_flat,     # (B, by_b, pad128(bx_b*k*k)) i16, block-grouped
     cb_flat,    # (B, cy_b, pad128(cx_b*k*k)) i16
     cr_flat,
     qtabs,      # (B, 128) f32
-    wv_y_u,     # (U, OHb, by_b*k)
-    wh_y_u,     # (U, OWb, bx_b*k)
-    wv_c_u,     # (U, OHb/2, cy_b*k)
-    wh_c_u,
+    wv_y_f,     # (U, k, OHb, by_b) folded (fold_lowfreq_weights)
+    wh_y_f,     # (U, k, OWb, bx_b)
+    wv_c_f,     # (U, k, OHb/2, cy_b)
+    wh_c_f,
     vidx,
     by_b: int,
     bx_b: int,
@@ -490,26 +587,20 @@ def _decode_resize_yuv_lowfreq_kernel(
     cx_b: int,
     k: int,
 ):
-    """Truncated-coefficient fused decode: KxK low-frequency blocks ->
-    k-point scaled IDCT (a k/8-scale plane — the frequencies dropped are
-    the ones the full-path Lanczos downsample would remove) -> resize in
-    YUV -> studio-range remap -> 4:2:0 planes. Upload and IDCT cost shrink
-    by (8/k)^2 vs the full kernel; >=55 dB vs the full path at k=2 on the
-    bench shape."""
-    A = jnp.asarray(idct_basis_k(k))
+    """Truncated-coefficient fused decode, int16 transport (the rare
+    escape-overflow fallback): KxK low-frequency blocks -> FOLDED
+    dequant+IDCT+resize (:func:`_folded_lowfreq_plane` — the k-point IDCT
+    basis lives inside the weight stacks) -> studio-range remap -> 4:2:0
+    planes. The frequencies dropped are the ones the full-path Lanczos
+    downsample would remove; >=55 dB vs the full path at k=2 on the bench
+    shape. Upload and FLOP cost shrink by (8/k)^2 vs the full kernel."""
     idx = jnp.asarray(_lowfreq_indices(k))
-
-    def blocks(flat, by, bx, qt):
-        B = flat.shape[0]
-        lev = flat[:, :, : bx * k * k].reshape(B, by, bx, k * k)
-        return _lowfreq_spatial(lev, by, bx, qt, A, k)
-
-    qt_l = qtabs[:, :64][:, idx]
-    qt_c = qtabs[:, 64:][:, idx]
-    Y = blocks(y_flat, by_b, bx_b, qt_l)
-    Cb = blocks(cb_flat, cy_b, cx_b, qt_c)
-    Cr = blocks(cr_flat, cy_b, cx_b, qt_c)
-    return _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx)
+    qt_l = qtabs[:, :64][:, idx] * (k / 8.0)
+    qt_c = qtabs[:, 64:][:, idx] * (k / 8.0)
+    Y = _folded_plane_i16(y_flat, bx_b, qt_l, wv_y_f, wh_y_f, vidx, k)
+    Cb = _folded_plane_i16(cb_flat, cx_b, qt_c, wv_c_f, wh_c_f, vidx, k)
+    Cr = _folded_plane_i16(cr_flat, cx_b, qt_c, wv_c_f, wh_c_f, vidx, k)
+    return _yuv_range_pack(Y, Cb, Cr)
 
 
 #: static escape capacities of the split-int8 batch kernel (part of the
@@ -526,22 +617,22 @@ LOWFREQ_ESC_C = 1024
 )
 def _decode_resize_yuv_lowfreq_i8_kernel(
     y_dc,       # (B, by_b, pad128(bx_b)) i16
-    y_ac,       # (B, by_b, pad128(bx_b*(k*k-1))) i8, clamped AC levels
+    y_ac,       # (B, by_b, lowfreq_ac_width(bx_b, k)) i8 PLANAR AC levels
     cb_dc,      # (B, cy_b, pad128(cx_b)) i16
-    cb_ac,      # (B, cy_b, pad128(cx_b*(k*k-1))) i8
+    cb_ac,      # (B, cy_b, lowfreq_ac_width(cx_b, k)) i8
     cr_dc,
     cr_ac,
-    ey_idx,     # (LOWFREQ_ESC_Y, 3) i32 (img, row, ac-flat col) escape sites
+    ey_idx,     # (LOWFREQ_ESC_Y, 3) i32 (img, row, planar col) escape sites
     ey_val,     # (LOWFREQ_ESC_Y,) i32 residuals (level - clamped)
     eb_idx,     # (LOWFREQ_ESC_C, 3) i32
     eb_val,
     er_idx,
     er_val,
     qtabs,      # (B, 128) f32
-    wv_y_u,
-    wh_y_u,
-    wv_c_u,
-    wh_c_u,
+    wv_y_f,     # (U, k, OHb, by_b) folded (fold_lowfreq_weights)
+    wh_y_f,     # (U, k, OWb, bx_b)
+    wv_c_f,     # (U, k, OHb/2, cy_b)
+    wh_c_f,
     vidx,
     by_b: int,
     bx_b: int,
@@ -549,26 +640,29 @@ def _decode_resize_yuv_lowfreq_i8_kernel(
     cx_b: int,
     k: int,
 ):
-    """Split int8-transport variant of the truncated fused decode: AC
-    levels arrive as int8 (halving the dominant host->device upload on
-    bandwidth-limited links) plus a sparse escape list of residuals for
-    the rare |level| > 127. Reconstruction is exact: widen to int32,
-    scatter-add residuals (padding entries add 0 at (0,0,0)), prepend the
-    int16 DC lane — then the identical dequant/IDCT/resize tail."""
-    A = jnp.asarray(idct_basis_k(k))
+    """Split int8-transport truncated fused decode — the flagship serving
+    head. AC levels arrive as int8 (halving the dominant host->device
+    upload on bandwidth-limited links) in the PLANAR layout
+    (:func:`lowfreq_ac_width`) plus a sparse escape list of residuals for
+    the rare |level| > 127. Reconstruction is exact (widen + scatter-add);
+    the dequant/IDCT/resize is the FOLDED contraction
+    (:func:`_folded_lowfreq_plane`): measured 2.2x over the staged
+    IDCT-then-resize form on the flagship 1080p->400 shape, which was
+    ~80% bound by the tiny-minor-dim IDCT/interleave stages (see
+    docs/ARCHITECTURE.md "Roofline")."""
     idx = jnp.asarray(_lowfreq_indices(k))
-    na = k * k - 1
-
-    def blocks(dc, ac, eidx, evals, by, bx, qt):
-        lev = _widen_split_lowfreq(dc, ac, eidx, evals, by, bx, na)
-        return _lowfreq_spatial(lev, by, bx, qt, A, k)
-
-    qt_l = qtabs[:, :64][:, idx]
-    qt_c = qtabs[:, 64:][:, idx]
-    Y = blocks(y_dc, y_ac, ey_idx, ey_val, by_b, bx_b, qt_l)
-    Cb = blocks(cb_dc, cb_ac, eb_idx, eb_val, cy_b, cx_b, qt_c)
-    Cr = blocks(cr_dc, cr_ac, er_idx, er_val, cy_b, cx_b, qt_c)
-    return _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx)
+    qt_l = qtabs[:, :64][:, idx] * (k / 8.0)
+    qt_c = qtabs[:, 64:][:, idx] * (k / 8.0)
+    Y = _folded_plane_i8(
+        y_dc, y_ac, ey_idx, ey_val, bx_b, qt_l, wv_y_f, wh_y_f, vidx, k
+    )
+    Cb = _folded_plane_i8(
+        cb_dc, cb_ac, eb_idx, eb_val, cx_b, qt_c, wv_c_f, wh_c_f, vidx, k
+    )
+    Cr = _folded_plane_i8(
+        cr_dc, cr_ac, er_idx, er_val, cx_b, qt_c, wv_c_f, wh_c_f, vidx, k
+    )
+    return _yuv_range_pack(Y, Cb, Cr)
 
 
 def decode_resize_yuv_lowfreq_batch(
@@ -780,7 +874,8 @@ def _transcode_i8_kernel(
     ey_idx, ey_val, eb_idx, eb_val, er_idx, er_val,
     qt_in,      # (B, 128) f32 source dequant tables
     qt_out,     # (B, 128) f32 target quant tables (output quality)
-    wv_y_u, wh_y_u, wv_c_u, wh_c_u,  # yuv-kind weight stacks, edge-replicated
+    wv_y_u, wh_y_u, wv_c_u, wh_c_u,  # yuv-kind weight stacks, edge-
+    # replicated; FOLDED (U, k, O, nblk) form when k < 8
     vidx,
     by_b: int,
     bx_b: int,
@@ -798,42 +893,48 @@ def _transcode_i8_kernel(
 
     The resized planes are rounded to the u8 grid before the fDCT so the
     math matches the staged decode->resize->encode pipeline's integer
-    hand-off points (same convention as the webp path)."""
+    hand-off points (same convention as the webp path). The truncated
+    (k < 8) front is the FOLDED contraction — planar AC wire layout,
+    IDCT basis folded into the weight stacks — like the lowfreq decode
+    kernels; the k == 8 front keeps the decoder-parity staged form
+    (its intermediate plane IS decoder-visible u8)."""
     hp = jax.lax.Precision.HIGHEST
-    A8 = jnp.asarray(idct_basis())
-    if k == 8:
-        def front(dc, ac, ei, ev, by, bx, qt):
-            lev = _widen_split_levels(dc, ac, ei, ev, by, bx)
-            return _blocks_to_plane(lev, by, bx, qt, A8)
-
-        qt_l, qt_c = qt_in[:, :64], qt_in[:, 64:]
-    else:
-        Ak = jnp.asarray(idct_basis_k(k))
-        idx = jnp.asarray(_lowfreq_indices(k))
-        na = k * k - 1
-
-        def front(dc, ac, ei, ev, by, bx, qt):
-            lev = _widen_split_lowfreq(dc, ac, ei, ev, by, bx, na)
-            return _lowfreq_spatial(lev, by, bx, qt, Ak, k)
-
-        qt_l = qt_in[:, :64][:, idx]
-        qt_c = qt_in[:, 64:][:, idx]
-    Y = front(y_dc, y_ac, ey_idx, ey_val, by_b, bx_b, qt_l)
-    Cb = front(cb_dc, cb_ac, eb_idx, eb_val, cy_b, cx_b, qt_c)
-    Cr = front(cr_dc, cr_ac, er_idx, er_val, cy_b, cx_b, qt_c)
-
-    def plane_resize(P, wv_u, wh_u):
-        wv = wv_u[vidx]
-        wh = wh_u[vidx]
-        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
-        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
 
     def u8c(p):  # stage hand-off: round to the u8 grid, centre for fDCT
         return jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0) - 128.0
 
-    y = u8c(plane_resize(Y, wv_y_u, wh_y_u))
-    cb = u8c(plane_resize(Cb, wv_c_u, wh_c_u))
-    cr = u8c(plane_resize(Cr, wv_c_u, wh_c_u))
+    if k == 8:
+        A8 = jnp.asarray(idct_basis())
+
+        def front(dc, ac, ei, ev, by, bx, qt):
+            lev = _widen_split_levels(dc, ac, ei, ev, by, bx)
+            return _blocks_to_plane(lev, by, bx, qt, A8)
+
+        def plane_resize(P, wv_u, wh_u):
+            wv = wv_u[vidx]
+            wh = wh_u[vidx]
+            x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+            return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+        Y = front(y_dc, y_ac, ey_idx, ey_val, by_b, bx_b, qt_in[:, :64])
+        Cb = front(cb_dc, cb_ac, eb_idx, eb_val, cy_b, cx_b, qt_in[:, 64:])
+        Cr = front(cr_dc, cr_ac, er_idx, er_val, cy_b, cx_b, qt_in[:, 64:])
+        y = u8c(plane_resize(Y, wv_y_u, wh_y_u))
+        cb = u8c(plane_resize(Cb, wv_c_u, wh_c_u))
+        cr = u8c(plane_resize(Cr, wv_c_u, wh_c_u))
+    else:
+        idx = jnp.asarray(_lowfreq_indices(k))
+        qt_l = qt_in[:, :64][:, idx] * (k / 8.0)
+        qt_c = qt_in[:, 64:][:, idx] * (k / 8.0)
+        y = u8c(_folded_plane_i8(
+            y_dc, y_ac, ey_idx, ey_val, bx_b, qt_l, wv_y_u, wh_y_u, vidx, k
+        ))
+        cb = u8c(_folded_plane_i8(
+            cb_dc, cb_ac, eb_idx, eb_val, cx_b, qt_c, wv_c_u, wh_c_u, vidx, k
+        ))
+        cr = u8c(_folded_plane_i8(
+            cr_dc, cr_ac, er_idx, er_val, cx_b, qt_c, wv_c_u, wh_c_u, vidx, k
+        ))
     return jnp.concatenate(
         [
             _fdct_quant_flat(y, qt_out[:, :64]),
@@ -1176,7 +1277,9 @@ def host_decode_resize_yuv_lowfreq_single(
 ):
     """Numpy mirror of the truncated kernel for ONE image (host fallback
     while the shape compiles; same math -> matching results). Returns
-    studio-range (Y, Cb, Cr) u8 planes at 4:2:0 geometry."""
+    studio-range (Y, Cb, Cr) u8 planes at 4:2:0 geometry. Like the folded
+    device kernel, the k/8-scale intermediate plane is NOT clipped before
+    resampling (parity-ledger'd in docs/ARCHITECTURE.md)."""
     A = idct_basis_k(k)
     idx = _lowfreq_indices(k)
     scale = k / 8.0
@@ -1186,8 +1289,7 @@ def host_decode_resize_yuv_lowfreq_single(
         c = cpl.astype(np.float32) * q[idx][None, None, :] * scale
         c = c.reshape(by, bx, k, k)
         p = np.einsum("ux,vy,ijuv->ijxy", A, A, c) + 128.0
-        p = p.transpose(0, 2, 1, 3).reshape(by * k, bx * k)
-        return np.clip(p, 0.0, 255.0)
+        return p.transpose(0, 2, 1, 3).reshape(by * k, bx * k)
 
     Y = plane(coeffs[0], qtabs[0].astype(np.float32))
     Cb = plane(coeffs[1], qtabs[1].astype(np.float32))
@@ -1235,9 +1337,10 @@ def host_transcode_single(
         if k == 8:
             # full-resolution front rounds post-IDCT samples to the u8
             # grid (_blocks_to_plane's decoder-parity convention); the
-            # truncated front keeps the k/8-scale plane unrounded
+            # truncated front keeps the k/8-scale plane unrounded AND
+            # unclipped (folded-kernel parity, docs/ARCHITECTURE.md)
             return np.clip(np.floor(p + 0.5), 0.0, 255.0)
-        return np.clip(p, 0.0, 255.0)
+        return p
 
     Y = plane(coeffs[0], qtabs[0].astype(np.float32))
     Cb = plane(coeffs[1], qtabs[1].astype(np.float32))

@@ -143,10 +143,16 @@ def _widen_items(items, k: int) -> None:
             it.split = None
 
 
-def _esc_batch_rows(esc, img: int, bx: int, cx: int, na: int):
+def _esc_batch_rows(esc, img: int, bx: int, cx: int, na: int,
+                    pads: tuple = None):
     """Map one image's escape rows (comp, flat_ac_index, residual) to batch
     scatter coordinates (img, block_row, ac_col) — the layout the split-int8
-    kernel scatters into. Returns [(idx (m,3) i32, val (m,) i32)] x 3."""
+    kernel scatters into. Returns [(idx (m,3) i32, val (m,) i32)] x 3.
+
+    ``pads`` = (pad128(bx_b), pad128(cx_b)) of the BATCH bucket selects the
+    truncated path's PLANAR layout (col = plane * pad + block_col, see
+    ops.dct.lowfreq_ac_width); None keeps the full path's block-grouped
+    layout (col = block_col * na + plane)."""
     out = []
     esc = np.asarray(esc, np.int64).reshape(-1, 3)
     for c in range(3):
@@ -154,8 +160,12 @@ def _esc_batch_rows(esc, img: int, bx: int, cx: int, na: int):
         bxi = bx if c == 0 else cx
         bi, n = np.divmod(rows[:, 1], na)
         r, b = np.divmod(bi, bxi)
+        if pads is not None:
+            col = n * (pads[0] if c == 0 else pads[1]) + b
+        else:
+            col = b * na + n
         idx = np.stack(
-            [np.full(len(rows), img, np.int64), r, b * na + n], axis=1
+            [np.full(len(rows), img, np.int64), r, col], axis=1
         )
         out.append((idx.astype(np.int32), rows[:, 2].astype(np.int32)))
     return out
@@ -1148,6 +1158,7 @@ class BatchedEngine(TransformEngine):
             decode_resize_yuv_i8_batch,
             decode_resize_yuv_lowfreq_batch,
             decode_resize_yuv_lowfreq_i8_batch,
+            fold_lowfreq_weights,
             lowfreq_chroma_half_weights,
             lowfreq_luma_weights,
             pad128,
@@ -1199,12 +1210,20 @@ class BatchedEngine(TransformEngine):
                 return
             # lowfreq layout: flat (B, by, pad128(bx*k*k)) keeps the minor
             # transfer dim 128-aligned regardless of k; the split transport
-            # carries DC (int16) and AC (int8) in separate 128-aligned planes
+            # carries DC (int16) and AC (int8) in separate 128-aligned
+            # planes — PLANAR (one 128-aligned slice per coefficient plane,
+            # ops.dct.lowfreq_ac_width) on the truncated path so the folded
+            # kernels read each (u, v) plane as a contiguous slice
             if t8:
+                pads = (pad128(bx_b), pad128(cx_b)) if lowfreq else None
                 y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
-                y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
                 cb_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
-                cb_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+                if lowfreq:
+                    y_ac = np.zeros((nb, by_b, na * pads[0]), np.int8)
+                    cb_ac = np.zeros((nb, cy_b, na * pads[1]), np.int8)
+                else:
+                    y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+                    cb_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
                 cr_dc = np.zeros_like(cb_dc)
                 cr_ac = np.zeros_like(cb_ac)
                 esc_idx: list = [[], [], []]
@@ -1240,14 +1259,26 @@ class BatchedEngine(TransformEngine):
                     byi, bxi = dc[0].shape
                     cyi, cxi = dc[1].shape
                     y_dc[i, :byi, :bxi] = dc[0]
-                    y_ac[i, :byi, : bxi * na] = ac[0].reshape(byi, -1)
                     cb_dc[i, :cyi, :cxi] = dc[1]
-                    cb_ac[i, :cyi, : cxi * na] = ac[1].reshape(cyi, -1)
                     cr_dc[i, :cyi, :cxi] = dc[2]
-                    cr_ac[i, :cyi, : cxi * na] = ac[2].reshape(cyi, -1)
+                    if lowfreq:
+                        for j in range(na):
+                            y_ac[i, :byi, j * pads[0] : j * pads[0] + bxi] = (
+                                ac[0][:, :, j]
+                            )
+                            cb_ac[i, :cyi, j * pads[1] : j * pads[1] + cxi] = (
+                                ac[1][:, :, j]
+                            )
+                            cr_ac[i, :cyi, j * pads[1] : j * pads[1] + cxi] = (
+                                ac[2][:, :, j]
+                            )
+                    else:
+                        y_ac[i, :byi, : bxi * na] = ac[0].reshape(byi, -1)
+                        cb_ac[i, :cyi, : cxi * na] = ac[1].reshape(cyi, -1)
+                        cr_ac[i, :cyi, : cxi * na] = ac[2].reshape(cyi, -1)
                     if len(esc):
                         for c, (ei, ev) in enumerate(
-                            _esc_batch_rows(esc, i, bxi, cxi, na)
+                            _esc_batch_rows(esc, i, bxi, cxi, na, pads)
                         ):
                             esc_idx[c].append(ei)
                             esc_val[c].append(ev)
@@ -1339,6 +1370,14 @@ class BatchedEngine(TransformEngine):
                         wh_c[u, cw_t : m_w // 2] = wh_c[u, cw_t - 1]
                 import jax as _jax
 
+                if lowfreq:
+                    # fold the k-point IDCT basis into the stacks (after
+                    # jxc edge replication — replicated OUTPUT rows stay
+                    # valid because folding acts on the column axis only)
+                    wv_y, wh_y, wv_c, wh_c = (
+                        fold_lowfreq_weights(w, k)
+                        for w in (wv_y, wh_y, wv_c, wh_c)
+                    )
                 place = self._put_replicated if shard else _jax.device_put
                 cached = tuple(place(x) for x in (wv_y, wh_y, wv_c, wh_c))
                 self._dweights.put(wkey, cached)
@@ -1875,11 +1914,12 @@ class BatchedEngine(TransformEngine):
         ym = pad128(bx_b * nk) if lowfreq else bx_b * 64
         cm = pad128(cx_b * nk) if lowfreq else cx_b * 64
         if lowfreq:
+            # folded (U, k, O, nblk) stacks — fold_lowfreq_weights layout
             wdims = (
-                (obh, yb_h * k // 8),
-                (obw, yb_w * k // 8),
-                (obh // 2, yb_h * k // 16),
-                (obw // 2, yb_w * k // 16),
+                (k, obh, by_b),
+                (k, obw, bx_b),
+                (k, obh // 2, cy_b),
+                (k, obw // 2, cx_b),
             )
         else:
             c_obh = obh if kind == "rgb" else obh // 2
@@ -1898,9 +1938,13 @@ class BatchedEngine(TransformEngine):
         if t8:
             na = nk - 1
             y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
-            y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
             c_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
-            c_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+            if lowfreq:  # planar AC layout (ops.dct.lowfreq_ac_width)
+                y_ac = np.zeros((nb, by_b, na * pad128(bx_b)), np.int8)
+                c_ac = np.zeros((nb, cy_b, na * pad128(cx_b)), np.int8)
+            else:
+                y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+                c_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
             ey = (
                 np.zeros((LOWFREQ_ESC_Y, 3), np.int32),
                 np.zeros((LOWFREQ_ESC_Y,), np.int32),

@@ -157,6 +157,7 @@ def test_lowfreq_decode_matches_full_path():
 def test_lowfreq_device_kernel_matches_host_mirror():
     from imagekit_tpu.ops.dct import (
         decode_resize_yuv_lowfreq_batch,
+        fold_lowfreq_weights,
         host_decode_resize_yuv_lowfreq_single,
         lowfreq_chroma_half_weights,
         lowfreq_luma_weights,
@@ -197,8 +198,9 @@ def test_lowfreq_device_kernel_matches_host_mirror():
     whc[0] = lowfreq_chroma_half_weights(
         hdr.comp_width[1], hdr.width, out_w, yb_w * k // 16, obw // 2, k
     )
+    folded = tuple(fold_lowfreq_weights(w, k) for w in (wv, wh, wvc, whc))
     yd, cbd, crd = decode_resize_yuv_lowfreq_batch(
-        y, cb, cr, qt, (wv, wh, wvc, whc), np.zeros(1, np.int32),
+        y, cb, cr, qt, folded, np.zeros(1, np.int32),
         (yb_h // 8, yb_w // 8, yb_h // 16, yb_w // 16), (obh, obw), k,
     )
     yh, cbh, crh = host_decode_resize_yuv_lowfreq_single(
@@ -286,6 +288,7 @@ def test_lowfreq_i8_device_kernel_bit_parity():
         LOWFREQ_ESC_Y,
         decode_resize_yuv_lowfreq_batch,
         decode_resize_yuv_lowfreq_i8_batch,
+        fold_lowfreq_weights,
         lowfreq_chroma_half_weights,
         lowfreq_luma_weights,
         pad128,
@@ -337,15 +340,17 @@ def test_lowfreq_i8_device_kernel_bit_parity():
     )
     vidx = np.zeros(nb, np.int32)
     dims = (by_b, bx_b, cy_b, cx_b)
+    folded = tuple(fold_lowfreq_weights(w, k) for w in (wv, wh, wvc, whc))
 
     ref = decode_resize_yuv_lowfreq_batch(
-        y16, cb16, cr16, qt, (wv, wh, wvc, whc), vidx, dims, (obh, obw), k
+        y16, cb16, cr16, qt, folded, vidx, dims, (obh, obw), k
     )
 
+    pads = (pad128(bx_b), pad128(cx_b))  # planar AC layout
     y_dc = np.zeros((nb, by_b, pad128(bx_b)), np.int16)
-    y_ac = np.zeros((nb, by_b, pad128(bx_b * na)), np.int8)
+    y_ac = np.zeros((nb, by_b, na * pads[0]), np.int8)
     cb_dc = np.zeros((nb, cy_b, pad128(cx_b)), np.int16)
-    cb_ac = np.zeros((nb, cy_b, pad128(cx_b * na)), np.int8)
+    cb_ac = np.zeros((nb, cy_b, na * pads[1]), np.int8)
     cr_dc = np.zeros_like(cb_dc)
     cr_ac = np.zeros_like(cb_ac)
     eidx = [[], [], []]
@@ -353,12 +358,15 @@ def test_lowfreq_i8_device_kernel_bit_parity():
     for i, (h, dc, ac, esc, qk, ovf) in enumerate(dec8):
         assert not ovf
         y_dc[i, :by, :bx] = dc[0]
-        y_ac[i, :by, : bx * na] = ac[0].reshape(by, -1)
         cb_dc[i, :cy, :cx] = dc[1]
-        cb_ac[i, :cy, : cx * na] = ac[1].reshape(cy, -1)
         cr_dc[i, :cy, :cx] = dc[2]
-        cr_ac[i, :cy, : cx * na] = ac[2].reshape(cy, -1)
-        for c, (ei, ev) in enumerate(_esc_batch_rows(esc, i, bx, cx, na)):
+        for j in range(na):
+            y_ac[i, :by, j * pads[0] : j * pads[0] + bx] = ac[0][:, :, j]
+            cb_ac[i, :cy, j * pads[1] : j * pads[1] + cx] = ac[1][:, :, j]
+            cr_ac[i, :cy, j * pads[1] : j * pads[1] + cx] = ac[2][:, :, j]
+        for c, (ei, ev) in enumerate(
+            _esc_batch_rows(esc, i, bx, cx, na, pads)
+        ):
             eidx[c].append(ei)
             evals[c].append(ev)
     escs = (
@@ -368,7 +376,7 @@ def test_lowfreq_i8_device_kernel_bit_parity():
     )
     out = decode_resize_yuv_lowfreq_i8_batch(
         (y_dc, cb_dc, cr_dc), (y_ac, cb_ac, cr_ac), escs, qt,
-        (wv, wh, wvc, whc), vidx, dims, (obh, obw), k,
+        folded, vidx, dims, (obh, obw), k,
     )
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
