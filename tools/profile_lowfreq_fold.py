@@ -130,9 +130,144 @@ def build_inputs():
     )
 
 
+def _stacked_variant_kernel(dims):
+    """EXPERIMENT D: the folded contraction collapsed into TWO batched
+    dot_generals per plane instead of 2*k*k small ones — contract (u, h)
+    in one multi-dim dot, then (v, w) in a second:
+
+        t   = einsum("buoh,buvhw->bvow", Wv_f, q*C)   # contract {u,h}
+        out = einsum("bvpw,bvow->bop",   Wh_f, t)     # contract {v,w}
+
+    MAC count identical to production; the hypothesis is better MXU
+    utilisation from fewer, larger matmuls (production's 8 per plane are
+    240x272 @ 272x240-ish; this is one 240x272 @ 272x480 + one
+    400x480 @ 480x240). The k*k C planes are stacked with one concat
+    (~16 MB/batch, ~0.02 ms HBM). Accumulation order changes, so output
+    may differ by f32 rounding (mirror tests allow +-1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagekit_tpu.ops.dct import (
+        _lowfreq_indices,
+        _yuv_range_pack,
+    )
+
+    k = dims["k"]
+    hp = jax.lax.Precision.HIGHEST
+
+    def plane(dc, ac, eidx, evals, nblk, qt4, wv_f, wh_f, vidx):
+        p = ac.shape[2] // (k * k - 1)
+        a = ac.astype(jnp.float32)
+        a = a.at[eidx[:, 0], eidx[:, 1], eidx[:, 2]].add(
+            evals.astype(jnp.float32)
+        )
+        planes = [dc[:, :, :nblk].astype(jnp.float32)] + [
+            a[:, :, j * p : j * p + nblk] for j in range(k * k - 1)
+        ]
+        C = jnp.stack(planes, axis=1)  # (B, k*k, H, W) u-major
+        C = C * qt4[:, :, None, None]
+        B, _, H, W = C.shape
+        C = C.reshape(B, k, k, H, W)
+        wv = wv_f[vidx]  # (B, k, O, H)
+        wh = wh_f[vidx]  # (B, k, P, W)
+        t = jnp.einsum("buoh,buvhw->bvow", wv, C, precision=hp)
+        out = jnp.einsum("bvpw,bvow->bop", wh, t, precision=hp)
+        return out + 128.0
+
+    import functools
+
+    @functools.partial(
+        jax.jit, static_argnames=("by_b", "bx_b", "cy_b", "cx_b", "k")
+    )
+    def kern_d(y_dc, y_ac, cb_dc, cb_ac, cr_dc, cr_ac,
+               ey_idx, ey_val, eb_idx, eb_val, er_idx, er_val,
+               qtabs, wv_y_f, wh_y_f, wv_c_f, wh_c_f, vidx,
+               by_b, bx_b, cy_b, cx_b, k):
+        idx = jnp.asarray(_lowfreq_indices(k))
+        qt_l = qtabs[:, :64][:, idx] * (k / 8.0)
+        qt_c = qtabs[:, 64:][:, idx] * (k / 8.0)
+        Y = plane(y_dc, y_ac, ey_idx, ey_val, bx_b, qt_l,
+                  wv_y_f, wh_y_f, vidx)
+        Cb = plane(cb_dc, cb_ac, eb_idx, eb_val, cx_b, qt_c,
+                   wv_c_f, wh_c_f, vidx)
+        Cr = plane(cr_dc, cr_ac, er_idx, er_val, cx_b, qt_c,
+                   wv_c_f, wh_c_f, vidx)
+        return _yuv_range_pack(Y, Cb, Cr)
+
+    return kern_d
+
+
+def _paired_variant_kernel(dims):
+    """EXPERIMENT E: variant D plus the two chroma planes stacked into
+    ONE pair of contractions (they share weights and quant tables; the
+    chroma matmuls are the smallest and least MXU-efficient, so doubling
+    their free dim should help)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imagekit_tpu.ops.dct import (
+        _lowfreq_indices,
+        _yuv_range_pack,
+    )
+
+    k = dims["k"]
+    hp = jax.lax.Precision.HIGHEST
+
+    def widen(dc, ac, eidx, evals, nblk):
+        p = ac.shape[2] // (k * k - 1)
+        a = ac.astype(jnp.float32)
+        a = a.at[eidx[:, 0], eidx[:, 1], eidx[:, 2]].add(
+            evals.astype(jnp.float32)
+        )
+        planes = [dc[:, :, :nblk].astype(jnp.float32)] + [
+            a[:, :, j * p : j * p + nblk] for j in range(k * k - 1)
+        ]
+        return jnp.stack(planes, axis=1)  # (B, k*k, H, W)
+
+    def contract(C, qt4, wv_f, wh_f, vidx):
+        # C: (B, S, k*k, H, W) with S stacked planes sharing weights
+        C = C * qt4[:, None, :, None, None]
+        B, S, _, H, W = C.shape
+        C = C.reshape(B, S, k, k, H, W)
+        wv = wv_f[vidx]
+        wh = wh_f[vidx]
+        t = jnp.einsum("buoh,bsuvhw->bsvow", wv, C, precision=hp)
+        out = jnp.einsum("bvpw,bsvow->bsop", wh, t, precision=hp)
+        return out + 128.0
+
+    import functools
+
+    @functools.partial(
+        jax.jit, static_argnames=("by_b", "bx_b", "cy_b", "cx_b", "k")
+    )
+    def kern_e(y_dc, y_ac, cb_dc, cb_ac, cr_dc, cr_ac,
+               ey_idx, ey_val, eb_idx, eb_val, er_idx, er_val,
+               qtabs, wv_y_f, wh_y_f, wv_c_f, wh_c_f, vidx,
+               by_b, bx_b, cy_b, cx_b, k):
+        idx = jnp.asarray(_lowfreq_indices(k))
+        qt_l = qtabs[:, :64][:, idx] * (k / 8.0)
+        qt_c = qtabs[:, 64:][:, idx] * (k / 8.0)
+        Cy = widen(y_dc, y_ac, ey_idx, ey_val, bx_b)[:, None]
+        Y = contract(Cy, qt_l, wv_y_f, wh_y_f, vidx)[:, 0]
+        Cc = jnp.stack(
+            [
+                widen(cb_dc, cb_ac, eb_idx, eb_val, cx_b),
+                widen(cr_dc, cr_ac, er_idx, er_val, cx_b),
+            ],
+            axis=1,
+        )
+        CbCr = contract(Cc, qt_c, wv_c_f, wh_c_f, vidx)
+        return _yuv_range_pack(Y, CbCr[:, 0], CbCr[:, 1])
+
+    return kern_e
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--variant", type=str, default="",
+                    help="'stacked' (D) and/or 'paired' (E), comma list")
+    ap.add_argument("--skip-production", action="store_true")
     opts = ap.parse_args()
 
     import jax
@@ -164,19 +299,57 @@ def main():
         dep = qt_dep + jnp.float32(0) * out.flatten()[0].astype(jnp.float32)
         return dep, out
 
-    t0 = time.time()
-    s = chained_readback_rate(
-        step, d(inp["qt"]), args, items_per_step=nb,
-        readback=lambda out: np.asarray(out[:1, :1]),
-        windows=opts.windows,
-    )
-    print(
-        f"folded production head: {s['ips_median']:.0f} img/s median "
-        f"({1e6 / s['ips_median']:.1f} us/img; windows {s['ips_windows']}, "
-        f"reps {s['reps']}, rtt {s['rtt_ms']:.0f} ms, "
-        f"compile+run {time.time() - t0:.0f}s)",
-        flush=True,
-    )
+    def run_one(label, step_fn, ref_out=None):
+        if ref_out is not None:
+            _, out_v = step_fn(d(inp["qt"]), *args)
+            delta = int(
+                np.abs(
+                    np.asarray(ref_out).astype(int)
+                    - np.asarray(out_v).astype(int)
+                ).max()
+            )
+            print(f"{label} vs production max |delta|: {delta}", flush=True)
+        t0 = time.time()
+        s = chained_readback_rate(
+            step_fn, d(inp["qt"]), args, items_per_step=nb,
+            readback=lambda out: np.asarray(out[:1, :1]),
+            windows=opts.windows,
+        )
+        print(
+            f"{label:24s}: {s['ips_median']:.0f} img/s median "
+            f"({1e6 / s['ips_median']:.1f} us/img; windows "
+            f"{s['ips_windows']}, reps {s['reps']}, "
+            f"rtt {s['rtt_ms']:.0f} ms, "
+            f"compile+run {time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        return s
+
+    out_p = None
+    if not opts.skip_production:
+        run_one("folded production head", step)
+    if opts.variant:
+        _, out_p = step(d(inp["qt"]), *args)
+
+    def wrap(kern_v):
+        @jax.jit
+        def step_v(qt_dep, *a):
+            out = kern_v(*a[:12], qt_dep, a[12], a[13], a[14], a[15],
+                         a[16], **dims)
+            dep = qt_dep + jnp.float32(0) * out.flatten()[0].astype(
+                jnp.float32
+            )
+            return dep, out
+
+        return step_v
+
+    for v in [v for v in opts.variant.split(",") if v]:
+        if v == "stacked":
+            run_one("stacked variant D", wrap(_stacked_variant_kernel(dims)),
+                    ref_out=out_p)
+        elif v == "paired":
+            run_one("paired-chroma variant E",
+                    wrap(_paired_variant_kernel(dims)), ref_out=out_p)
 
 
 if __name__ == "__main__":
