@@ -363,6 +363,14 @@ def _env_snapshot():
         pass
     snap["other_python_procs"] = procs
     snap["other_python_rss_mb"] = rss_mb
+    # matmul precision knob (utils/precision.py): readings at different
+    # contraction precisions are different experiments — say which
+    try:
+        from imagekit_tpu.utils.precision import MATMUL_PRECISION_NAME
+
+        snap["matmul_precision"] = MATMUL_PRECISION_NAME
+    except Exception:
+        pass
     # link probe: round-trip a 1 MB device transfer (fixed latency +
     # bandwidth in one number; ~35 ms/leg nominal on the dev tunnel)
     try:

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from imagekit_tpu.utils.precision import MATMUL_PRECISION
+
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def _rgb_to_yuv420_kernel(rgb_flat, h: int, w: int):
@@ -79,7 +81,7 @@ def _resample_rgb_yuv_kernel(imgs_flat, wv_u, wh_u, vidx, hidx):
     conversion. The resized RGB is rounded to the u8 grid before the
     affine conversion so the math matches the staged
     resize -> rgb_to_yuv420_host hand-off points."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
     B, H, WC = imgs_flat.shape
     W = WC // 3
     x = imgs_flat.reshape(B, H, W, 3).astype(jnp.float32)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from imagekit_tpu.ops.resize import padded_weights, resample_weights
+from imagekit_tpu.utils.precision import MATMUL_PRECISION
 
 # ---------------------------------------------------------------------------
 # Bases and fixed tables
@@ -190,7 +191,7 @@ def _blocks_to_plane(coef_flat, by, bx, qtab, A):
     c = c.reshape(B, by, bx, 8, 8)
     # 2-D IDCT: pixels[x,y] = sum_uv A[u,x] A[v,y] c[u,v]
     p = jnp.einsum(
-        "ux,vy,bijuv->bijxy", A, A, c, precision=jax.lax.Precision.HIGHEST
+        "ux,vy,bijuv->bijxy", A, A, c, precision=MATMUL_PRECISION
     )
     p = p + 128.0
     # reassemble (B, by, 8, bx, 8) -> (B, H, W)
@@ -227,7 +228,7 @@ def _decode_resize_kernel(
 def _rgb_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx):
     """Resize the three planes and convert BT.601 full-range YCbCr -> RGB;
     shared by both coefficient transports of the RGB kernel."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
 
     def plane_resize(P, wv_u, wh_u):
         # Fused two-pass Pallas kernel when the working set fits VMEM.
@@ -477,7 +478,7 @@ def _folded_lowfreq_plane(getC, qt4, wv_f, wh_f, vidx, k):
     on the 1080p bench corpus); blocks whose IDCT overshoots the u8 range
     (ringing at saturated edges) may differ by ±1 after resampling. The
     host mirrors skip the clip the same way."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
     wv = wv_f[vidx]  # (B, k, O, rows)
     wh = wh_f[vidx]  # (B, k, P, nblk)
     out = None
@@ -553,7 +554,7 @@ def _yuv_range_pack(y, cb, cr):
 def _yuv_tail(Y, Cb, Cr, wv_y_u, wh_y_u, wv_c_u, wh_c_u, vidx):
     """Resize the three planes (per-image weight stacks), remap to studio
     range, and pack u8 for one bulk D2H."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
 
     def plane_resize(P, wv_u, wh_u):
         wv = wv_u[vidx]
@@ -765,7 +766,7 @@ def _fdct_quant_flat(plane, q):
     """(B, ph, pw) centred samples -> 8x8 fDCT -> quantise (round half away
     from zero, the JPEG convention) -> flat (B, ph/8 * pw/8 * 64) int16
     levels. Shared encode tail of the fused transcode kernels."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
     A8 = jnp.asarray(idct_basis())
     B, ph, pw = plane.shape
     blocks = plane.reshape(B, ph // 8, 8, pw // 8, 8).transpose(0, 1, 3, 2, 4)
@@ -898,7 +899,7 @@ def _transcode_i8_kernel(
     IDCT basis folded into the weight stacks — like the lowfreq decode
     kernels; the k == 8 front keeps the decoder-parity staged form
     (its intermediate plane IS decoder-visible u8)."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
 
     def u8c(p):  # stage hand-off: round to the u8 grid, centre for fDCT
         return jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0) - 128.0
@@ -953,7 +954,7 @@ def _resample_rgb_jpeg_kernel(imgs_flat, wv_u, wh_u, vidx, hidx, qt_out):
     level planes (Y then Cb then Cr). Serves jpeg outputs from RGB
     sources in ONE batched dispatch (the staged path ran a per-image
     device fDCT call after shipping resized RGB to host and back)."""
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
     B, H, WC = imgs_flat.shape
     W = WC // 3
     x = imgs_flat.reshape(B, H, W, 3).astype(jnp.float32)
@@ -1107,7 +1108,7 @@ def _resize_yuv420_kernel(
         jnp.float32
     )
 
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
 
     def plane_resize(P, wv_u, wh_u):
         wv = wv_u[vidx]
@@ -1155,7 +1156,7 @@ def _resize_yuv_jpeg_kernel(
     Cr = flat[:, ny + nc:ny + 2 * nc].reshape(B, bh // 2, bw // 2).astype(
         jnp.float32
     )
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
 
     def plane_resize(P, wv_u, wh_u):
         wv = wv_u[vidx]
@@ -1488,7 +1489,7 @@ def _encode_kernel(rgb_flat, qy, qc, h: int, w: int):
     cb_d, cr_d = down(cb), down(cr)
 
     A = jnp.asarray(idct_basis())
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
 
     def fdct_quant(plane, q):
         ph, pw = plane.shape

@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from imagekit_tpu.utils.precision import MATMUL_PRECISION
+
 # conservative VMEM budget (bytes) for the working set
 _VMEM_BUDGET = 14 * 1024 * 1024
 _W_TILE = 512
@@ -278,7 +280,7 @@ def resize_planes(
 
 @jax.jit
 def _resize_planes_einsum(planes, wv_u, wh_u, vidx):
-    hp = jax.lax.Precision.HIGHEST
+    hp = MATMUL_PRECISION
     x = planes.astype(jnp.float32)
     wv = wv_u[vidx]
     wh = wh_u[vidx]

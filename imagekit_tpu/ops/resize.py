@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from imagekit_tpu.utils.precision import MATMUL_PRECISION
+
 # ---------------------------------------------------------------------------
 # Filter kernels (f32 semantics, matching the classic windowed-sinc family
 # used by the reference's resampler).
@@ -221,8 +223,8 @@ def _resample_kernel(
     u8 conversion."""
     x = imgs.astype(jnp.float32)
     # vertical pass first, like the reference's resampler
-    x = jnp.einsum("oh,bhwc->bowc", wv, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("pw,bowc->bopc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("oh,bhwc->bowc", wv, x, precision=MATMUL_PRECISION)
+    x = jnp.einsum("pw,bowc->bopc", wh, x, precision=MATMUL_PRECISION)
     if out_dtype == jnp.uint8:
         x = jnp.clip(x, 0.0, 255.0)
         x = jnp.floor(x + 0.5)
@@ -307,8 +309,8 @@ def _resample_perimage_kernel(
     onto the MXU; f32 HIGHEST for PSNR parity.
     """
     x = imgs.astype(jnp.float32)
-    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=MATMUL_PRECISION)
+    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=MATMUL_PRECISION)
     x = jnp.clip(x, 0.0, 255.0)
     return jnp.floor(x + 0.5).astype(jnp.uint8)
 
@@ -347,8 +349,8 @@ def _resample_flat_kernel(
     x = imgs_flat.reshape(B, H, W, channels).astype(jnp.float32)
     wv = wv_u[vidx]  # (B, OH, H) gather on device
     wh = wh_u[hidx]  # (B, OW, W)
-    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=MATMUL_PRECISION)
+    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=MATMUL_PRECISION)
     x = jnp.clip(x, 0.0, 255.0)
     x = jnp.floor(x + 0.5).astype(jnp.uint8)
     OH = wv_u.shape[1]

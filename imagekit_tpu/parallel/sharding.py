@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from imagekit_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
+from imagekit_tpu.utils.precision import MATMUL_PRECISION
 
 
 def shard_batch(arr, mesh: Mesh, *, spatial: bool = False):
@@ -42,8 +43,8 @@ def _sharded_resample_impl(imgs, wv, wh, spatial: bool = False):
     x = imgs.astype(jnp.float32)
     # vertical pass: contraction over H. When H is sharded over `space`,
     # XLA emits partial matmuls + psum over that axis.
-    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("boh,bhwc->bowc", wv, x, precision=MATMUL_PRECISION)
+    x = jnp.einsum("bpw,bowc->bopc", wh, x, precision=MATMUL_PRECISION)
     x = jnp.clip(x, 0.0, 255.0)
     return jnp.floor(x + 0.5).astype(jnp.uint8)
 
