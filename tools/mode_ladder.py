@@ -114,6 +114,20 @@ def main():
     ):
         rows = ladder(img_path, qs, env)
         out[label] = {"rows": rows, "dominated_pairs": inversions(rows)}
+
+    # the adjudicating arm (closed ROADMAP item 10): the reference
+    # encoder's own ladder on the same content
+    pim = Image.fromarray(img)
+    rows = []
+    for q in qs:
+        buf = io.BytesIO()
+        pim.save(buf, "WEBP", quality=q, method=4)
+        data = buf.getvalue()
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        rows.append(
+            {"q": q, "bytes": len(data), "psnr": round(psnr(img, dec), 2)}
+        )
+    out["libwebp_m4"] = {"rows": rows, "dominated_pairs": inversions(rows)}
     print(json.dumps(out, indent=1))
 
 

@@ -187,20 +187,23 @@ def seg_section():
         "  machinery only runs when the env knob forces amp != 0 (the",
         "  default path is slim).",
         "",
-        "Side-finding: on aliased synthetic text the amp=0 ladder is",
-        "NON-monotone (q30 bigger AND worse than q38; the extra bytes are",
-        "mode-partition bits - coarser q flips MBs to B_PRED, whose",
-        "cross-MB probability-table dilution a per-MB rate proxy cannot",
-        "see). Round 4 implemented the fix that finding proposed -",
-        "multi-pass probability-coupled RD (above) - which improves every",
-        "parity cell in the trellis bands but, re-measured, does NOT",
-        "restore monotonicity on this content (q30 10.2 KB / 36.9 dB vs",
-        "q38 9.8 KB / 37.8 dB; inversion persists with two-pass forced on",
-        "and off), so the residual wrinkle is upstream of the probability",
-        "fit - in the per-MB mode decisions themselves. At EQUAL SIZE ours",
-        "still dominates libwebp on this content, so it stays an internal",
-        "operating-point wrinkle, not a parity loss (docs/ROADMAP.md item",
-        "10 re-scoped).",
+        "Side-finding, CLOSED late round 4 as content-inherent",
+        "(tools/mode_ladder.py): on aliased synthetic text the q-ladder",
+        "is NON-monotone (dominated q-pairs: lower q bigger AND worse).",
+        "Round 4 first implemented multi-pass probability-coupled RD",
+        "(above), which improves every trellis-band parity cell but does",
+        "not restore monotonicity here; the ladder was then adjudicated",
+        "against the reference encoder on the SAME content: libwebp m4's",
+        "own ladder is non-monotone too (8 dominated pairs vs our 14;",
+        "q32 strictly dominated by four higher-q points), and the",
+        "all-I16 uniform arm - mode decision constant by construction -",
+        "still shows >3 dB single-step PSNR jumps. Mechanism: quantizer-",
+        "step resonance on perfectly periodic strokes (one AC harmonic",
+        "class carries the image; whether it survives a q_ac step flips",
+        "size and PSNR discontinuously). No mode policy can make a",
+        "fixed-q greedy encode monotone across q on such content, and",
+        "the reference's isn't. Ours dominates libwebp point-for-point",
+        "there (q38: 20,964 B / 38.83 dB vs 23,202 B / 37.01 dB).",
         "",
     ]
 
