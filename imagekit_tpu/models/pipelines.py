@@ -95,13 +95,30 @@ PIPELINES = {
     ImageFormat.avif: Pipeline(
         fmt=ImageFormat.avif,
         mime="image/avif",
-        decode_stages=(Stage.HOST_LIBRARY_DECODE,),
-        encode_stages=(Stage.DEVICE_RESIZE, Stage.HOST_LIBRARY_ENCODE),
+        decode_stages=(
+            Stage.HOST_LIBRARY_DECODE,  # dav1d AV1 core over a pinned ctypes ABI
+            Stage.DEVICE_CHROMA_RESAMPLE,
+            Stage.DEVICE_RESIZE,
+        ),
+        encode_stages=(
+            Stage.DEVICE_RESIZE,
+            Stage.DEVICE_COLOR_CONVERT,
+            Stage.DEVICE_SUBSAMPLE,
+            Stage.HOST_LIBRARY_ENCODE,  # direct libavif ABI fed device YUV
+        ),
+        # device_encode gates encode_bytes' native arms (jpeg/webp only);
+        # the serving engine feeds libavif device-produced YUV planes
+        # directly (codecs/avif_encode.py), bypassing this host path
         device_encode=False,
-        input_color="rgba8",  # to_rgba8 + AV1, src/transform.rs:140-145
+        input_color="yuv420_studio",  # device planes; reference: rgba8 + AV1
         speed_rank=3,
-        notes="libavif finishes AV1 stills (largest-scope host codec, "
-        "SURVEY.md §7 hard parts); resize batches on device",
+        notes="native ISOBMFF container + dav1d AV1 core via pinned ctypes "
+        "ABI (alpha/10/12-bit/avis frame-0), YUV planes straight into the "
+        "fused device heads (4:2:2/4:4:4 ride subsample-folded weights; "
+        "alpha/mono/709 take the generic RGB path); encode is the direct "
+        "libavif ABI fed device YUV 4:2:0 — no RGBA materialisation, "
+        "opaque sources drop the alpha plane. The AV1 entropy cores are "
+        "the sanctioned host-library pieces (docs/ROADMAP.md item 1)",
     ),
 }
 
