@@ -44,3 +44,17 @@ MATMUL_PRECISION: jax.lax.Precision = _MAP[_name]
 
 #: The knob's string form, for bench/env reporting.
 MATMUL_PRECISION_NAME: str = _name
+
+# TRIED AND REJECTED (late round 4): a manual "split-weight" 2-pass
+# contraction for the first resize pass (weights hi+lo bf16 x u8-exact
+# pixels — u8 integers are exact in bf16, so HIGH's third pass
+# multiplies zeros). tools/split_einsum_probe.py measured it SLOWER
+# than HIGH (2.46 vs 1.81 ms/batch on the rgbyuv core) with worse
+# numerics (65k ppm of ±1 flips vs 1.2k): two separate XLA dots
+# re-read the ~400 MB pixel operand from HBM twice and materialise a
+# bf16 copy, while HIGH's internal decomposition runs its passes per
+# VMEM tile with ONE pixel read. The MXU share of these heads at HIGH
+# is only ~30-40% (pass-count ladder in BASELINE.md), so even a
+# perfect in-tile version (a Pallas rewrite) caps at ~13%. Don't retry
+# at the einsum level; a Pallas variant must keep the pixel tile
+# resident across both partial dots to win anything.
