@@ -15,6 +15,10 @@ Usage:
     python tools/bake_compile_cache.py [--paths rgb,jpeg,jpeg_rgb]
     # then ship the cache dir into the image (see Dockerfile BAKE_CACHE)
 
+Entries are keyed by compiled HLO — bake at the SAME
+``IMAGEKIT_MATMUL_PRECISION`` the image will run (default ``high``,
+utils/precision.py) or every signature misses at runtime.
+
 Prints a JSON manifest: signatures compiled, wall time, cache dir size.
 """
 
