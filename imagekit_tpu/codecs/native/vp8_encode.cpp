@@ -863,6 +863,32 @@ int ModeRdMultEnv() {  // sub-mode RD lambda in 1/16ths of the frame lambda
   }();
   return v;
 }
+int I4RdModesEnv() {  // B_PRED sub-modes given the full RD treatment
+  // The 10-mode full-RD rank (fdct+quantise+token-cost each) is ~80%
+  // of whole-frame encode time on busy content (gprof, round 4). A
+  // prediction-SSE + mode-bits pre-rank prunes the candidates.
+  // 0 (default) = ADAPTIVE: full-RD every mode whose pre-rank is
+  // within I4RdSpanEnv()/64 of the best — near-ties (directional
+  // ambiguity, text) keep a near-exhaustive search, cleanly-separated
+  // content (photo, noise) prunes hard. N = fixed top-N; >=10 =
+  // exhaustive (bit-identical to rounds 1-3). Calibration:
+  // docs/PARITY_REPORT.md "B_PRED shortlist".
+  static const int v = [] {
+    const char* e = getenv("IMAGEKIT_VP8_I4_RD_MODES");
+    if (!e || !*e) return 0;
+    const int n = atoi(e);
+    return n < 0 ? 0 : n;
+  }();
+  return v;
+}
+int I4RdSpanEnv() {  // adaptive shortlist span, 64ths of the best rank
+  static const int v = [] {
+    const char* e = getenv("IMAGEKIT_VP8_I4_RD_SPAN");
+    const int n = e && *e ? atoi(e) : 192;  // 3.0x — calibrated round 4
+    return n < 64 ? 64 : n;
+  }();
+  return v;
+}
 int I4BiasPctEnv() {  // near-lossless I16-rate inflation, percent
   static const int v = [] {
     const char* e = getenv("IMAGEKIT_VP8_I4_BIAS_PCT");
@@ -1652,7 +1678,6 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           std::memcpy(tile + (r + 1) * 21, RY + (py + r) * ls + px - 1, 21);
         int64_t dist_b = 0;
         int rate_b = 2;  // B_PRED ymode bit + change
-        uint8_t predb[16];
         uint8_t bnza[4] = {0, 0, 0, 0}, bnzl[4] = {0, 0, 0, 0};
         for (int sb = 0; sb < 16; ++sb) {
           const int bx = (sb & 3) * 4, by = (sb >> 2) * 4;
@@ -1702,10 +1727,56 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           int16_t mres[16], mcoef[16], mlvl[16];
           int64_t bb = -1;
           int bm = 0, bmcost = 0;
+          // Shortlist before the full-RD rank: fdct+quantise+token-cost
+          // on all 10 modes is ~80% of whole-frame encode time on busy
+          // content (gprof, round 4). Prediction SSE ranks the same
+          // objective at the quantisation floor (the fdct is orthogonal
+          // up to a fixed gain, so residual energy orders identically
+          // in either domain); the sel_lambda*mode-bits term keeps
+          // near-ties ordered like the full score. Pre-rank ordering
+          // errors concentrate in NEAR-TIES, so the default policy is
+          // adaptive: full-RD every mode within I4RdSpanEnv()/64 of the
+          // best pre-rank — on directionally-ambiguous content (text)
+          // that is near-exhaustive, on photo/noise it prunes to ~2-4
+          // candidates. Fixed top-N via IMAGEKIT_VP8_I4_RD_MODES;
+          // candidates are visited in ascending mode order so >=10
+          // reproduces the exhaustive loop bit-for-bit.
+          const int nrd0 = I4RdModesEnv();
+          const int nrd = nrd0 > 10 ? 10 : nrd0;
+          uint8_t pmode[10][16];
+          int64_t prank[10];
           for (int m = 0; m < 10; ++m) {
-            ikvp8::PredictB(predb, 4, m, A, L, AL);
+            ikvp8::PredictB(pmode[m], 4, m, A, L, AL);
+            int64_t s = 0;
+            for (int i = 0; i < 16; ++i) {
+              const int d = s16[i] - pmode[m][i];
+              s += d * d;
+            }
+            // 16x: the fdct's fixed transform gain, matching the
+            // 256*transform-SSE scale the full score uses
+            prank[m] = 256 * 16 * s + sel_lambda * CostBMode(mp, m);
+          }
+          bool chosen[10] = {};
+          if (nrd == 0) {  // adaptive span around the best pre-rank
+            int64_t pmin = prank[0];
+            for (int m = 1; m < 10; ++m)
+              if (prank[m] < pmin) pmin = prank[m];
+            const int64_t cut = (pmin * I4RdSpanEnv()) / 64;
+            for (int m = 0; m < 10; ++m) chosen[m] = prank[m] <= cut;
+          } else {
+            for (int pick = 0; pick < nrd; ++pick) {
+              int best_m = -1;
+              for (int m = 0; m < 10; ++m)
+                if (!chosen[m] &&
+                    (best_m < 0 || prank[m] < prank[best_m]))
+                  best_m = m;
+              chosen[best_m] = true;
+            }
+          }
+          for (int m = 0; m < 10; ++m) {
+            if (!chosen[m]) continue;
             for (int i = 0; i < 16; ++i)
-              mres[i] = static_cast<int16_t>(s16[i] - predb[i]);
+              mres[i] = static_cast<int16_t>(s16[i] - pmode[m][i]);
             Fdct4x4(mres, mcoef);
             for (int i = 0; i < 16; ++i)
               mlvl[i] =

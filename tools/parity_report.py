@@ -208,6 +208,37 @@ def seg_section():
     ]
 
 
+def bpred_section():
+    # Hand-maintained prose (measured late round 4 by the calibration
+    # sweep in the commit that introduced IMAGEKIT_VP8_I4_RD_SPAN).
+    return [
+        "## B_PRED shortlist: adaptive full-RD candidate pruning (round 4)",
+        "",
+        "gprof on flagship-class content (photo-like 400x225, q80) showed",
+        "~80% of whole-frame encode time in the 10-mode full-RD B_PRED",
+        "rank (fdct + quantise + token-cost per 4x4 sub-block x 10 modes).",
+        "A prediction-SSE + mode-bits pre-rank now prunes the candidates:",
+        "full RD runs only for modes within IMAGEKIT_VP8_I4_RD_SPAN/64",
+        "(default 192 = 3.0x) of the best pre-rank. Ordering errors of a",
+        "pixel-domain SSE rank concentrate in NEAR-TIES, so the span rule",
+        "is self-gating: directionally ambiguous content (text) keeps a",
+        "near-exhaustive search while photo/noise prunes to ~2-4",
+        "candidates. Measured at the default (vs exhaustive):",
+        "",
+        "- flagship-class photo 400x225 q80: 12.0 -> 7.4 ms/frame (-38%)",
+        "  at +0.6% bytes / -0.14 dB (within run noise);",
+        "- binding parity cells UNCHANGED: noise q80 byte-identical, noise",
+        "  q95 +4 bytes (ratio 0.9964 either way), text q80 0.936->0.939",
+        "  at +0.13 dB, text q95 0.942->0.940;",
+        "- fixed top-N variants measured and rejected: N=4 loses 1.7 dB on",
+        "  text q50 (the two-pass trellis band compounds a wrong pass-1",
+        "  mode), N=2 loses 19% size on text; span 96 (1.5x) behaves like",
+        "  N~2 on text. IMAGEKIT_VP8_I4_RD_MODES=10 restores the",
+        "  exhaustive rounds-1-3 loop bit-for-bit.",
+        "",
+    ]
+
+
 def main():
     suite = make_suite()
     dec = decode_rows(suite)
@@ -269,6 +300,7 @@ def main():
         "trellis bands, so its byte-pinned output is unchanged.",
         "",
     ]
+    out += bpred_section()
     out += seg_section()
     out += avif_rows()
     path = os.path.join(os.path.dirname(os.path.dirname(
