@@ -326,3 +326,63 @@ sys.stdout.write(",".join(base64.b64encode(b).decode() for b in out))
         ours = vp8mod.decode_rgb(blob)
         assert ours.shape == host.shape
         assert np.abs(ours.astype(np.int16) - host.astype(np.int16)).max() <= 2
+
+
+def test_bpred_shortlist_knobs():
+    """Adaptive B_PRED full-RD shortlist (round 4,
+    IMAGEKIT_VP8_I4_RD_MODES / _SPAN; vp8_encode.cpp I4RdModesEnv). Pins,
+    via subprocesses (knobs are cached per process):
+
+    - the adaptive default and the exhaustive loop (RD_MODES=10) stay
+      RD-close on structured content: size within 3%, and both streams
+      decode bit-consistently in our decoder vs the host library;
+    - a degenerate shortlist (RD_MODES=1) still emits a valid stream
+      (the pre-rank argmin is always a legal mode choice).
+    """
+    import base64
+    import os
+    import subprocess
+    import sys
+
+    from imagekit_tpu.codecs import vp8 as vp8mod
+
+    if not (vp8mod.available() and vp8mod.decode_available()):
+        pytest.skip("native codec unavailable")
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import base64, sys
+sys.path.insert(0, %r)
+import numpy as np
+from imagekit_tpu.codecs import vp8
+r = np.full((96, 128), 255, np.uint8)
+x = np.arange(128)
+for i in range(0, 90, 12):
+    stroke = ((x // 3) %% 2 == 0) & ((x // 24) %% 4 != 3)
+    r[i:i + 6, :] = np.where(stroke[None, :], 20, 255)
+text = np.repeat(r[:, :, None], 3, 2)
+sys.stdout.write(base64.b64encode(vp8.encode_rgb(text, 80)).decode())
+""" % here
+
+    def run(knobs):
+        env = dict(os.environ)
+        for k in ("IMAGEKIT_VP8_I4_RD_MODES", "IMAGEKIT_VP8_I4_RD_SPAN"):
+            env.pop(k, None)
+        env.update(knobs)
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, env=env, timeout=180,
+        )
+        assert out.returncode == 0, out.stderr.decode()[-500:]
+        return base64.b64decode(out.stdout)
+
+    adaptive = run({})
+    exhaustive = run({"IMAGEKIT_VP8_I4_RD_MODES": "10"})
+    degenerate = run({"IMAGEKIT_VP8_I4_RD_MODES": "1"})
+
+    assert abs(len(adaptive) - len(exhaustive)) <= 0.03 * len(exhaustive)
+    for blob in (adaptive, exhaustive, degenerate):
+        host = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        ours = vp8mod.decode_rgb(blob)
+        assert ours.shape == host.shape
+        assert np.abs(ours.astype(np.int16) - host.astype(np.int16)).max() <= 2
