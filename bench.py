@@ -289,6 +289,16 @@ async def measure_bounded_latency(engine, sources):
     scout = []
     for conc in (2, 3, 4, 6, 8):
         ips, p95 = await _slo_window(engine, sources, conc)
+        # second chance: one bad scout window (a single slow transfer
+        # leg) can exile a rung from the candidate set entirely — Run E
+        # settled at c=2/16 rps with 67 ms of latency headroom because
+        # every higher rung caught a bad first window. Re-scout once and
+        # keep the better reading; the 3-window confirmation below still
+        # guards against the opposite error (a lucky scout).
+        if p95 >= 185.0:
+            ips2, p952 = await _slo_window(engine, sources, conc)
+            if p952 < p95:
+                ips, p95 = ips2, p952
         scout.append(
             {"ips": round(ips, 2), "p95_ms": round(p95, 1),
              "concurrency": conc}
