@@ -1747,11 +1747,7 @@ int64_t EncodeImpl(const uint8_t* ysrc, const uint8_t* usrc,
           int64_t prank[10];
           for (int m = 0; m < 10; ++m) {
             ikvp8::PredictB(pmode[m], 4, m, A, L, AL);
-            int64_t s = 0;
-            for (int i = 0; i < 16; ++i) {
-              const int d = s16[i] - pmode[m][i];
-              s += d * d;
-            }
+            const int64_t s = Sse4x4Packed(s16, pmode[m]);
             // 16x: the fdct's fixed transform gain, matching the
             // 256*transform-SSE scale the full score uses
             prank[m] = 256 * 16 * s + sel_lambda * CostBMode(mp, m);
