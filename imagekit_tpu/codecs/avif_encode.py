@@ -69,6 +69,7 @@ _IMG_CICP = 104          # u16 colorPrimaries, transferCharacteristics,
 #                          matrixCoefficients at 104/106/108
 
 _PIXEL_FORMAT_YUV420 = 3
+_PIXEL_FORMAT_YUV400 = 4
 _RANGE_LIMITED = 0
 _PLANES_YUV = 1
 _PLANES_ALPHA = 2
@@ -326,6 +327,68 @@ def encode_yuv420_studio(
         speed=AVIF_SPEED if speed is None else speed,
         alpha=alpha,
     )
+
+
+def encode_y400_studio(
+    y: np.ndarray,
+    quality: int,
+    speed: Optional[int] = None,
+    full_range: bool = False,
+) -> bytes:
+    """Single Y plane -> true monochrome (YUV400, mono_chrome=1) AVIF.
+
+    Production outputs stay colour 4:2:0 for reference parity (ravif
+    encodes RGBA; src/transform.rs:138-146), so this is a diagnostic /
+    fixture entry: PIL's plugin encodes mode-L images as neutral-chroma
+    COLOUR, which means the real mono source class — the one
+    decode_yuv_studio serves with synthesized neutral chroma — can only
+    be produced here. Used by tests/test_avif_native.py and the soak
+    corpus. Raises ValueError when the path is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise ValueError("native avif encode unavailable")
+    if y.dtype != np.uint8 or y.ndim != 2:
+        raise ValueError("y must be a 2-D uint8 plane")
+    h, w = y.shape
+    img = lib.avifImageCreate(w, h, 8, _PIXEL_FORMAT_YUV400)
+    if not img:
+        raise MemoryError("avifImageCreate failed")
+    enc = None
+    out = _RWData()
+    try:
+        ctypes.c_int32.from_address(img + _IMG_YUV_RANGE).value = (
+            1 if full_range else _RANGE_LIMITED
+        )
+        for i, v in enumerate(_CICP_VALUES):
+            ctypes.c_uint16.from_address(img + _IMG_CICP + 2 * i).value = v
+        res = lib.avifImageAllocatePlanes(img, _PLANES_YUV)
+        if res != 0:
+            raise ValueError(_result_str(lib, res))
+        planes = (ctypes.c_void_p * 3).from_address(img + _IMG_YUV_PLANES)
+        rowbytes = (ctypes.c_uint32 * 3).from_address(img + _IMG_YUV_ROWBYTES)
+        _copy_plane(planes[0], rowbytes[0], y)
+        enc = lib.avifEncoderCreate()
+        if not enc:
+            raise MemoryError("avifEncoderCreate failed")
+        qz = quality_to_quantizer(quality)
+        for off, val in (
+            (_ENC_CODEC_CHOICE, _state["codec"]),
+            (_ENC_MAX_THREADS, 1),
+            (_ENC_SPEED, AVIF_SPEED if speed is None else speed),
+            (_ENC_MIN_Q, qz),
+            (_ENC_MAX_Q, qz),
+        ):
+            ctypes.c_int32.from_address(enc + off).value = val
+        res = lib.avifEncoderWrite(enc, img, ctypes.byref(out))
+        if res != 0 or not out.size:
+            raise ValueError(f"avif y400 encode failed: {_result_str(lib, res)}")
+        return ctypes.string_at(out.data, out.size)
+    finally:
+        if out.data:
+            lib.avifRWDataFree(ctypes.byref(out))
+        if enc:
+            lib.avifEncoderDestroy(enc)
+        lib.avifImageDestroy(img)
 
 
 def encode_rgb(

@@ -759,27 +759,54 @@ def decode_yuv_studio(data: bytes):
     ((1,2)) and 4:4:4 ((1,1)) sources ALL take the direct path since
     round 4 — the fused kernel folds the source chroma geometry into its
     resize weights (VERDICT r3 #7; the reference's single decode path is
-    src/transform.rs:27-43). Returns None when this file can't take the
-    direct path (alpha / monochrome / BT.709 -> generic RGB or host
-    fallback; 10/12-bit sources round to 8 bits inside the dav1d layer,
-    like the reference's to_rgb8)."""
+    src/transform.rs:27-43). Monochrome (YUV400) sources ride too (late
+    round 4): the Y plane pairs with synthesized studio-neutral 4:2:0
+    chroma (a flat 128 plane is a fixed point of the combined
+    upsample∘resize weights, whose rows sum to 1, and of every YCbCr
+    matrix — grey in, grey out, bit-exact modulo the shared resize
+    rounding). Returns None when this file can't take the direct path
+    (alpha / BT.709 -> generic RGB or host fallback; 10/12-bit sources
+    round to 8 bits inside the dav1d layer, like the reference's
+    to_rgb8)."""
     try:
         info = parse_container(data)
     except ValueError:
         return None
-    if (
-        info.has_alpha
-        or info.monochrome
-        or not info.has_nclx
-        or info.matrix not in (2, 5, 6)
-    ):
+    if info.has_alpha:
         return None
+    if info.monochrome:
+        # Grey gates: chroma is synthesized neutral so the matrix is
+        # irrelevant; the sample range comes from nclx when present,
+        # else from the stream's own sequence header (the same bounded
+        # AV1 §5.5 parse the alpha plane uses — it answers for mono
+        # streams only). Unprovable range -> host fallback.
+        if info.has_nclx:
+            full_range = info.full_range
+        else:
+            rng = _seq_header_color_range(info.obu)
+            if rng is None:
+                return None
+            full_range = rng
+    elif not info.has_nclx or info.matrix not in (2, 5, 6):
+        return None
+    else:
+        full_range = info.full_range
     _bomb_guard(info)
     out = _decode_obu(info.obu, info.width, info.height)
     if out is None:
         return None
     y, u, v, layout, _bpc = out
-    if u is None:
+    if u is None or layout == _I400:
+        # Only when the container DECLARED mono; a container/stream
+        # disagreement (either direction) is malformed -> host fallback.
+        if not info.monochrome:
+            return None
+        h, w = y.shape
+        u = np.full(((h + 1) // 2, (w + 1) // 2), 128, np.uint8)
+        v = u.copy()
+        y, u, v = _to_studio(y, u, v, full_range)
+        return y, u, v, 2, 2
+    if info.monochrome:
         return None
     if layout == _I420:
         csy, csx = 2, 2
@@ -789,7 +816,7 @@ def decode_yuv_studio(data: bytes):
         csy, csx = 1, 1
     else:
         return None
-    y, u, v = _to_studio(y, u, v, info.full_range)
+    y, u, v = _to_studio(y, u, v, full_range)
     return y, u, v, csy, csx
 
 

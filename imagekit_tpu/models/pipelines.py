@@ -114,8 +114,9 @@ PIPELINES = {
         speed_rank=3,
         notes="native ISOBMFF container + dav1d AV1 core via pinned ctypes "
         "ABI (alpha/10/12-bit/avis frame-0), YUV planes straight into the "
-        "fused device heads (4:2:2/4:4:4 ride subsample-folded weights; "
-        "alpha/mono/709 take the generic RGB path); encode is the direct "
+        "fused device heads (4:2:2/4:4:4 ride subsample-folded weights, "
+        "mono rides with synthesized neutral chroma; alpha/709 take the "
+        "generic RGB path); encode is the direct "
         "libavif ABI fed device YUV 4:2:0 — no RGBA materialisation, "
         "opaque sources drop the alpha plane. The AV1 entropy cores are "
         "the sanctioned host-library pieces (docs/ROADMAP.md item 1)",

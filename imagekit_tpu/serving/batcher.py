@@ -571,7 +571,8 @@ class BatchedEngine(TransformEngine):
                 raise _NativeUnsupported() from e
 
         out = await self._pool_run("avif_decode", avif_decode)
-        if out is None:  # alpha / mono / 709 -> generic path
+        if out is None:  # alpha / 709 -> generic path (mono rides: its
+            #              synthesized neutral chroma makes a plain 420)
             raise _NativeUnsupported()
         y, u, v, csy, csx = out
         if (csy, csx) != (2, 2) and fmt == ImageFormat.jpeg:

@@ -430,6 +430,109 @@ def test_decode_yuv_studio_444_422():
     assert avif_native.decode_yuv420_studio(data) is None
 
 
+def _mono_avif(y, q=80, full_range=False):
+    """True YUV400 (mono_chrome=1) AVIF — PIL's plugin encodes mode-L as
+    neutral-chroma 4:2:0 COLOUR, so the real monochrome class needs the
+    direct bitstream encoder (codecs/avif_encode.py)."""
+    from imagekit_tpu.codecs import avif_encode as ae
+
+    try:
+        return ae.encode_y400_studio(
+            np.ascontiguousarray(y), q, full_range=full_range
+        )
+    except (ValueError, MemoryError) as e:
+        pytest.skip(f"libavif YUV400 encode unavailable: {e}")
+
+
+def test_decode_yuv_studio_mono():
+    """True monochrome (YUV400) sources ride the YUV-direct path since
+    late round 4: the Y plane pairs with synthesized studio-neutral
+    4:2:0 chroma (a flat 128 plane is a fixed point of the combined
+    chroma weights and of every YCbCr matrix); grey reconstruction
+    matches the host library."""
+    yy = np.tile(np.linspace(20, 230, 96, dtype=np.uint8)[None, :], (64, 1))
+    data = _mono_avif(yy, q=85)
+    info = avif_native.parse_container(data)
+    assert info.monochrome
+    out = avif_native.decode_yuv_studio(data)
+    assert out is not None
+    y, u, v, csy, csx = out
+    assert (csy, csx) == (2, 2)
+    assert y.shape == (64, 96) and u.shape == v.shape == (32, 48)
+    assert (u == 128).all() and (v == 128).all()
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert (ref[:, :, 0] == ref[:, :, 1]).all()  # host grey is grey
+    grey = np.clip(
+        np.floor((y.astype(np.float32) - 16.0) * (255.0 / 219.0) + 0.5),
+        0, 255,
+    ).astype(np.uint8)
+    assert int(np.abs(grey.astype(int) - ref[:, :, 0].astype(int)).max()) <= 1
+
+    # full-range mono squeezes Y to studio like every full-range source
+    data_fr = _mono_avif(yy, q=85, full_range=True)
+    out_fr = avif_native.decode_yuv_studio(data_fr)
+    assert out_fr is not None
+    y_fr = out_fr[0]
+    ref_fr = np.asarray(Image.open(io.BytesIO(data_fr)).convert("RGB"))
+    grey_fr = np.clip(
+        np.floor((y_fr.astype(np.float32) - 16.0) * (255.0 / 219.0) + 0.5),
+        0, 255,
+    ).astype(np.uint8)
+    assert (
+        int(np.abs(grey_fr.astype(int) - ref_fr[:, :, 0].astype(int)).max())
+        <= 1  # one squeeze/expand round trip
+    )
+
+    # odd dims: ceil-divide chroma geometry
+    yy_odd = np.tile(np.linspace(30, 220, 63, dtype=np.uint8)[None, :], (97, 1))
+    out_odd = avif_native.decode_yuv_studio(_mono_avif(yy_odd))
+    assert out_odd is not None
+    assert out_odd[0].shape == (97, 63)
+    assert out_odd[1].shape == out_odd[2].shape == (49, 32)
+
+
+def test_engine_mono_rides_yuv_path():
+    """Mono AVIF -> webp takes the native YUV batched path (avif_decode
+    stage runs, no PIL consultation); grey in, grey out within encode
+    tolerance, and the output matches the host-decode golden."""
+    import asyncio
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.config import ImageFormat
+    from tests.test_batcher import make_engine
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    yy = np.asarray(
+        Image.fromarray(make_test_image(640, 480)).convert("L")
+    )
+    data = _mono_avif(yy, q=85)
+    probe = avif_native.decode_yuv_studio(data)
+    assert probe is not None and probe[3:] == (2, 2)
+
+    engine = make_engine()
+
+    async def run():
+        out = await engine.transform(data, 320, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert engine.metrics.stage_seconds.get("avif_decode", 0) > 0
+    assert out[:4] == b"RIFF"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    assert dec.shape == (240, 320, 3)
+    # grey source: channels agree within VP8 chroma quantisation noise
+    assert int(np.abs(dec[:, :, 0].astype(int) - dec[:, :, 1].astype(int)).max()) <= 8
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (320, 240), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 30.0
+
+
 def test_engine_avif_444_rides_yuvsrc():
     """A 4:4:4 AVIF source -> webp rides the SAME fused yuvsrc head via
     chroma-geometry-keyed batches and subsample-folded weights: no host
@@ -582,26 +685,47 @@ def test_decompression_bomb_guard(monkeypatch):
 
 
 def test_no_double_decode_for_unsupported(monkeypatch):
-    """Sources the YUV-direct path can never serve (monochrome / alpha /
-    no-nclx) are rejected BEFORE the dav1d decode runs — the container's
-    declared bits say enough. (4:4:4/4:2:2 DO decode since round 4; they
-    ride the fused head with geometry-folded weights.)"""
+    """Sources the YUV-direct path can never serve (alpha / colour
+    without nclx / mono with an unprovable sample range) are rejected
+    BEFORE the dav1d decode runs — the container's declared bits plus a
+    bounded header parse say enough. (4:4:4/4:2:2 AND true monochrome DO
+    decode since round 4.)"""
     data = _avif(make_test_image(96, 64))
     real_parse = avif_native.parse_container
 
-    def as_mono(d):
-        info = real_parse(d)
-        info.monochrome = True
-        return info
+    def patched(**overrides):
+        def f(d):
+            info = real_parse(d)
+            for k, v in overrides.items():
+                setattr(info, k, v)
+            return info
+
+        return f
 
     calls = []
-    monkeypatch.setattr(avif_native, "parse_container", as_mono)
     monkeypatch.setattr(
         avif_native, "_decode_obu",
         lambda *a: calls.append(1) or None,
     )
+    # alpha: declared in the container
+    monkeypatch.setattr(
+        avif_native, "parse_container", patched(has_alpha=True)
+    )
     assert avif_native.decode_yuv_studio(data) is None
-    assert not calls, "dav1d ran for a source the av1C bits already rule out"
+    # colour without nclx: matrix unknowable
+    monkeypatch.setattr(
+        avif_native, "parse_container", patched(has_nclx=False)
+    )
+    assert avif_native.decode_yuv_studio(data) is None
+    # mono without nclx: the seq-header range parse answers for mono
+    # streams only — this OBU is colour, so the range is unprovable
+    monkeypatch.setattr(
+        avif_native,
+        "parse_container",
+        patched(monochrome=True, has_nclx=False),
+    )
+    assert avif_native.decode_yuv_studio(data) is None
+    assert not calls, "dav1d ran for a source the header bits already rule out"
 
 
 def test_header_dimensions_probe():

@@ -79,6 +79,18 @@ def make_sources():
                                     subsampling="4:2:2"), True))
     except Exception:
         pass
+    try:
+        # true YUV400 monochrome (PIL encodes mode-L as colour; the
+        # real mono class needs the direct libavif ABI) — rides the
+        # fused head with synthesized neutral chroma since late round 4
+        from imagekit_tpu.codecs.avif_encode import encode_y400_studio
+
+        out.append(
+            ("avif_mono", encode_y400_studio(img(95, 69, gray=True), 75),
+             True)
+        )
+    except Exception:
+        pass
 
     # hostile classes
     base = out[0][1]
