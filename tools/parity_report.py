@@ -13,6 +13,7 @@ quality sweep. Run on any machine (CPU-only paths).
 import io
 import os
 import sys
+import time
 
 import numpy as np
 from PIL import Image
@@ -87,6 +88,18 @@ def _save(im, fmt, **kw):
     return buf.getvalue()
 
 
+def _timed(fn, *a, reps=3, **kw):
+    """best-of-reps wall time (ms) + last result; best-of defends against
+    the 1-core dev box's scheduling noise."""
+    best = float("inf")
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*a, **kw)
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return out, best
+
+
 def encode_rows(suite):
     from imagekit_tpu.codecs import jpeg as jpeg_native
     from imagekit_tpu.codecs import vp8
@@ -94,20 +107,22 @@ def encode_rows(suite):
     rows = []
     for name, img in suite.items():
         for q in (50, 80, 95):
-            ours = jpeg_native.encode_rgb(img, q)
-            lib = _save(Image.fromarray(img), "JPEG", quality=q)
+            ours, t_o = _timed(jpeg_native.encode_rgb, img, q)
+            lib, t_l = _timed(
+                lambda: _save(Image.fromarray(img), "JPEG", quality=q))
             d_o = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
             d_l = np.asarray(Image.open(io.BytesIO(lib)).convert("RGB"))
             rows.append(("JPEG", name, q, len(ours), len(lib),
-                         psnr(img, d_o), psnr(img, d_l)))
+                         psnr(img, d_o), psnr(img, d_l), t_o, t_l))
     for name, img in suite.items():
         for q in (50, 80, 95):
-            ours = vp8.encode_rgb(img, q)
-            lib = _save(Image.fromarray(img), "WEBP", quality=q)
+            ours, t_o = _timed(vp8.encode_rgb, img, q)
+            lib, t_l = _timed(
+                lambda: _save(Image.fromarray(img), "WEBP", quality=q))
             d_o = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
             d_l = np.asarray(Image.open(io.BytesIO(lib)).convert("RGB"))
             rows.append(("WebP", name, q, len(ours), len(lib),
-                         psnr(img, d_o), psnr(img, d_l)))
+                         psnr(img, d_o), psnr(img, d_l), t_o, t_l))
     return rows
 
 
@@ -261,21 +276,29 @@ def main():
         out.append(f"| {name} | {verdict} |")
     out += [
         "",
-        "## Encode: size + PSNR vs the host encoders",
+        "## Encode: size + PSNR + speed vs the host encoders",
         "",
-        "| Codec | Content | q | ours (B) | host (B) | size ratio | ours dB | host dB | dPSNR |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "Times are best-of-3 wall ms on the 1-core dev host (host column",
+        "includes the library's own RGB->YUV, ours likewise via encode_rgb;",
+        "the serving path feeds device-produced YUV and skips that step).",
+        "",
+        "| Codec | Content | q | ours (B) | host (B) | size ratio "
+        "| ours dB | host dB | dPSNR | ours ms | host ms |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for codec, name, q, so, sl, po, pl in enc:
+    for codec, name, q, so, sl, po, pl, to, tl in enc:
         out.append(
             f"| {codec} | {name} | {q} | {so} | {sl} | {so / sl:.2f} "
-            f"| {po:.2f} | {pl:.2f} | {po - pl:+.2f} |"
+            f"| {po:.2f} | {pl:.2f} | {po - pl:+.2f} "
+            f"| {to:.1f} | {tl:.1f} |"
         )
     jpeg_rows = [r for r in enc if r[0] == "JPEG"]
     webp_rows = [r for r in enc if r[0] == "WebP"]
     jr = np.mean([r[3] / r[4] for r in jpeg_rows])
     wr = np.mean([r[3] / r[4] for r in webp_rows])
     wq80 = [r for r in webp_rows if r[2] == 80]
+    jt = np.mean([r[8] / r[7] for r in jpeg_rows])
+    wt = np.mean([r[8] / r[7] for r in webp_rows])
     out += [
         "",
         f"Mean size ratio at identical pixels/settings: JPEG {jr:.3f}, "
@@ -283,6 +306,20 @@ def main():
         f"WebP at q80 (the serving default): mean ratio "
         f"{np.mean([r[3] / r[4] for r in wq80]):.3f}, mean dPSNR "
         f"{np.mean([r[5] - r[6] for r in wq80]):+.2f} dB.",
+        f"Mean host/ours speed ratio (>1 = ours faster): JPEG {jt:.1f}x, "
+        f"WebP {wt:.1f}x.",
+        "",
+        "Reading the speed columns: the JPEG encoder always builds",
+        "per-image optimal Huffman tables (that is where the 0.73-0.94x",
+        "sizes come from) — a deliberate CPU-for-bytes trade against",
+        "libjpeg's default-table SIMD path; in serving, the fused jxc/",
+        "rgbjpg heads do fdct+quantise on device and the host pays only",
+        "the entropy stage. WebP at the q80 serving default is faster",
+        "than libwebp m4 on photo-class content (flagship 400x225: 4.9",
+        "vs 13.2 ms) and within ~10-30% elsewhere; the q95 detail/noise",
+        "cells pay the multi-pass probability-coupled RD + trellis that",
+        "bought their parity (auto only inside the trellis bands - q80",
+        "never pays it).",
         "",
         "Round 4 closed the last cell above 1.0x (noise q95, +3.7% in round",
         "3) with multi-pass probability-coupled RD (IMAGEKIT_VP8_TWO_PASS,",
