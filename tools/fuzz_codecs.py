@@ -77,6 +77,14 @@ def make_corpus():
     except Exception:
         pass
     try:
+        # true YUV400 mono seed: exercises the round-4 mono arm of
+        # decode_yuv_studio + the master-OBU sequence-header range parse
+        from imagekit_tpu.codecs.avif_encode import encode_y400_studio
+
+        corpus.append(("avif", encode_y400_studio(img[:45, :61, 0], 70)))
+    except Exception:
+        pass
+    try:
         from test_tiff import _craft_planar, _craft_tiled
 
         corpus.append(("tiff", _craft_tiled(img[:48, :48], 16, 16, 5)))
@@ -115,6 +123,10 @@ def feed(kind: str, data: bytes) -> None:
 
             try:
                 avif_native.decode_rgb(data)
+            except ValueError:
+                pass
+            try:
+                avif_native.decode_yuv_studio(data)
             except ValueError:
                 pass
         elif kind == "webp":
