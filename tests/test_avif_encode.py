@@ -337,3 +337,28 @@ def test_disabled_abi_falls_back_in_engine(monkeypatch):
     except Exception:
         pytest.skip("host PIL AVIF encoder unavailable")
     assert out[4:12] == b"ftypavif"
+
+
+def test_y400_fixture_entry_and_production_stays_color():
+    """encode_y400_studio is the fixture/diagnostic entry for the TRUE
+    monochrome source class (PIL encodes mode-L as colour). Production
+    avif OUTPUT stays colour 4:2:0 even for grey pixels — reference
+    parity: ravif encodes RGBA (src/transform.rs:138-146)."""
+    from imagekit_tpu.codecs import avif_native
+
+    grey = np.tile(
+        np.linspace(25, 230, 64, dtype=np.uint8)[None, :], (48, 1)
+    )
+    mono = avif_encode.encode_y400_studio(grey, 80)
+    info = avif_native.parse_container(mono)
+    assert info.monochrome
+
+    with pytest.raises(ValueError):
+        avif_encode.encode_y400_studio(grey.astype(np.int16), 80)
+    with pytest.raises(ValueError):
+        avif_encode.encode_y400_studio(np.dstack([grey] * 3), 80)
+
+    # production arm: grey RGB -> avif output is colour 4:2:0
+    out = avif_encode.encode_rgb(np.dstack([grey] * 3), 80)
+    info2 = avif_native.parse_container(out)
+    assert not info2.monochrome
