@@ -20,6 +20,17 @@ if os.environ.get("MALLOC_ARENA_MAX") is None and sys.platform == "linux":
 
 import argparse  # noqa: E402
 
+# Serve-through-failure (reference posture, src/lib.rs:194-197): if the TPU
+# relay is dead, the axon plugin would hang the first backend init forever
+# and the server would never answer even /health. Probe-or-scrub before the
+# engine can touch JAX: TPU when reachable, CPU backend otherwise (requests
+# then ride the host-fallback/CPU path instead of hanging).
+from imagekit_tpu.utils.relay_guard import ensure_usable_backend  # noqa: E402
+
+_guard = ensure_usable_backend()
+if _guard["mode"] != "tpu":
+    print(f"[imagekit] relay guard: {_guard}", file=sys.stderr, flush=True)
+
 from imagekit_tpu.serving.app import run  # noqa: E402
 
 if __name__ == "__main__":

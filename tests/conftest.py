@@ -16,6 +16,17 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Tests never want the TPU: pin this process to the CPU backend BEFORE any
+# backend initializes, so a dead TPU relay cannot hang the suite at the
+# jax.devices() below (VERDICT r4 weak #1 — the axon plugin retries forever
+# when its relay is down, even under JAX_PLATFORMS=cpu).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from imagekit_tpu.utils.relay_guard import force_cpu  # noqa: E402
+
+force_cpu()
 # Rate limiting off by default in tests (reference tests/integration.rs:12).
 os.environ.setdefault("DISABLE_RATE_LIMIT", "1")
 # Each create_app() otherwise background-compiles the full warmup ladder
