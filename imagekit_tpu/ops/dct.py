@@ -1073,11 +1073,46 @@ def decode_resize_yuv_i8_batch(dc_arrays, ac_arrays, escapes, qtabs,
     return y, cb, cr
 
 
+# BT.709 -> BT.601 cross-plane mix, studio-range digital domain
+# (M = A601 @ inv(A709) over the analog YCbCr matrices; the Y row keeps a
+# unit luma coefficient and the chroma rows have zero luma coefficient, so
+# the mix is 1 luma + 2 chroma-into-luma + a 2x2 chroma block. Y-row
+# chroma terms carry the 219/224 studio excursion ratio). Folding this
+# into the fused head is the same linearity trick as fold_lowfreq_weights
+# (VERDICT r4 next #4): the mix commutes with the per-plane resizes, so
+# 709 sources ride the SAME batched dispatch with three extra einsum
+# terms instead of falling back to the generic RGB path.
+MIX_709_YU = 0.09931166  # 0.10157905 * 219/224
+MIX_709_YV = 0.19169955  # 0.19607625 * 219/224
+MIX_709_UU = 0.98985381
+MIX_709_UV = -0.11065251
+MIX_709_VU = -0.07245296
+MIX_709_VV = 0.98339782
+
+
+def _yuv_mix_tail(plane_resize, Y, Cb, Cr, wv_y, wh_y, wv_c, wh_c,
+                  wv_cf, wh_cf):
+    """Shared 709->601 tail: resize luma to the output grid, chroma to
+    BOTH the full grid (the luma-row contribution) and the half grid
+    (the 2x2 chroma block), then apply the static mix. Offsets commute
+    with the resizes because every weight row sums to 1."""
+    Ry = plane_resize(Y, wv_y, wh_y)
+    CbF = plane_resize(Cb, wv_cf, wh_cf) - 128.0
+    CrF = plane_resize(Cr, wv_cf, wh_cf) - 128.0
+    Cbh = plane_resize(Cb, wv_c, wh_c) - 128.0
+    Crh = plane_resize(Cr, wv_c, wh_c) - 128.0
+    y = Ry + MIX_709_YU * CbF + MIX_709_YV * CrF
+    cb = 128.0 + MIX_709_UU * Cbh + MIX_709_UV * Crh
+    cr = 128.0 + MIX_709_VU * Cbh + MIX_709_VV * Crh
+    return y, cb, cr
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bh", "bw", "obh", "obw", "csy", "csx")
+    jax.jit,
+    static_argnames=("bh", "bw", "obh", "obw", "csy", "csx", "alpha"),
 )
 def _resize_yuv420_kernel(
-    flat,       # (B, pad128(bh*bw + 2*(bh/csy)*(bw/csx))) u8 packed planes
+    flat,       # (B, pad128(bh*bw*(1+alpha) + 2*(bh/csy)*(bw/csx))) u8
     wv_y,       # (U, OHb, bh)
     wh_y,       # (U, OWb, bw)
     wv_c,       # (U, OHb/2, bh/csy) subsample∘resize∘upsample folded
@@ -1089,6 +1124,7 @@ def _resize_yuv420_kernel(
     obw: int,
     csy: int = 2,
     csx: int = 2,
+    alpha: bool = False,
 ):
     """Pixel-domain YUV -> resized YUV 4:2:0 (the WebP->WebP path: the
     native VP8 decoder's planes feed this directly — no RGB and no range
@@ -1097,7 +1133,10 @@ def _resize_yuv420_kernel(
     4:2:2, (1,1) for 4:4:4 — the subsample∘resize∘upsample fold in the
     chroma weights lands every source class on 4:2:0 output (VERDICT r3
     #7; the reference decodes all of them through one path,
-    src/transform.rs:27-43)."""
+    src/transform.rs:27-43). ``alpha=True`` packs a full-range alpha
+    plane after Cr (luma geometry) and resizes it with the luma weights
+    — AVIF-with-alpha sources ride the fused head and hand the plane to
+    the AVIF encoder's alpha arm (VERDICT r4 next #4)."""
     B = flat.shape[0]
     ny = bh * bw
     ch, cw = bh // csy, bw // csx
@@ -1127,7 +1166,76 @@ def _resize_yuv420_kernel(
             .reshape(B, -1)
         )
 
-    return jnp.concatenate([q8(y), q8(cb), q8(cr)], axis=1)
+    parts = [q8(y), q8(cb), q8(cr)]
+    if alpha:
+        A = flat[:, ny + 2 * nc:ny + 2 * nc + ny].reshape(
+            B, bh, bw
+        ).astype(jnp.float32)
+        parts.append(q8(plane_resize(A, wv_y, wh_y)))
+    return jnp.concatenate(parts, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bh", "bw", "obh", "obw", "csy", "csx", "alpha"),
+)
+def _resize_yuv420_mix_kernel(
+    flat,       # same packing as _resize_yuv420_kernel
+    wv_y, wh_y,
+    wv_c,       # (U, OHb/2, bh/csy) chroma -> HALF output grid
+    wh_c,
+    wv_cf,      # (U, OHb, bh/csy)  chroma -> FULL output grid (mix row)
+    wh_cf,
+    vidx,
+    bh: int,
+    bw: int,
+    obh: int,
+    obw: int,
+    csy: int = 2,
+    csx: int = 2,
+    alpha: bool = False,
+):
+    """BT.709-source variant of the YUV head: same packing and output
+    contract, plus the static 709->601 cross-plane mix folded in (see
+    ``_yuv_mix_tail``). Kept as a separate compiled program so 601
+    batches never pay the three extra einsums; the batcher keys batches
+    by the mix flag exactly like it keys chroma geometry."""
+    B = flat.shape[0]
+    ny = bh * bw
+    ch, cw = bh // csy, bw // csx
+    nc = ch * cw
+    Y = flat[:, :ny].reshape(B, bh, bw).astype(jnp.float32)
+    Cb = flat[:, ny:ny + nc].reshape(B, ch, cw).astype(jnp.float32)
+    Cr = flat[:, ny + nc:ny + 2 * nc].reshape(B, ch, cw).astype(
+        jnp.float32
+    )
+
+    hp = MATMUL_PRECISION
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    y, cb, cr = _yuv_mix_tail(
+        plane_resize, Y, Cb, Cr, wv_y, wh_y, wv_c, wh_c, wv_cf, wh_cf
+    )
+
+    def q8(p):
+        return (
+            jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0)
+            .astype(jnp.uint8)
+            .reshape(B, -1)
+        )
+
+    parts = [q8(y), q8(cb), q8(cr)]
+    if alpha:
+        A = flat[:, ny + 2 * nc:ny + 2 * nc + ny].reshape(
+            B, bh, bw
+        ).astype(jnp.float32)
+        parts.append(q8(plane_resize(A, wv_y, wh_y)))
+    return jnp.concatenate(parts, axis=1)
 
 
 @functools.partial(
@@ -1184,28 +1292,87 @@ def _resize_yuv_jpeg_kernel(
     )
 
 
-def resize_yuv_jpeg_batch(flat, weights, qt_out, vidx, in_shape, out_shape):
+@functools.partial(
+    jax.jit, static_argnames=("bh", "bw", "obh", "obw")
+)
+def _resize_yuv_jpeg_mix_kernel(
+    flat, wv_y, wh_y, wv_c, wh_c, wv_cf, wh_cf, qt_out, vidx,
+    bh: int, bw: int, obh: int, obw: int,
+):
+    """BT.709-source variant of the fused YUV->JPEG head: the static
+    709->601 mix (``_yuv_mix_tail``) runs between the resizes and the
+    studio->JFIF range remap. 4:2:0 sources only, like the base head."""
+    B = flat.shape[0]
+    ny = bh * bw
+    nc = (bh // 2) * (bw // 2)
+    Y = flat[:, :ny].reshape(B, bh, bw).astype(jnp.float32)
+    Cb = flat[:, ny:ny + nc].reshape(B, bh // 2, bw // 2).astype(jnp.float32)
+    Cr = flat[:, ny + nc:ny + 2 * nc].reshape(B, bh // 2, bw // 2).astype(
+        jnp.float32
+    )
+    hp = MATMUL_PRECISION
+
+    def plane_resize(P, wv_u, wh_u):
+        wv = wv_u[vidx]
+        wh = wh_u[vidx]
+        x = jnp.einsum("boh,bhw->bow", wv, P, precision=hp)
+        return jnp.einsum("bpw,bow->bop", wh, x, precision=hp)
+
+    ym, cbm, crm = _yuv_mix_tail(
+        plane_resize, Y, Cb, Cr, wv_y, wh_y, wv_c, wh_c, wv_cf, wh_cf
+    )
+
+    def u8c(p):  # full-range u8 grid hand-off, centred for the fDCT
+        return jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0) - 128.0
+
+    y = u8c((ym - 16.0) * (255.0 / 219.0))
+    cb = u8c((cbm - 128.0) * (255.0 / 224.0) + 128.0)
+    cr = u8c((crm - 128.0) * (255.0 / 224.0) + 128.0)
+    return jnp.concatenate(
+        [
+            _fdct_quant_flat(y, qt_out[:, :64]),
+            _fdct_quant_flat(cb, qt_out[:, 64:]),
+            _fdct_quant_flat(cr, qt_out[:, 64:]),
+        ],
+        axis=1,
+    )
+
+
+def resize_yuv_jpeg_batch(flat, weights, qt_out, vidx, in_shape, out_shape,
+                          mix=False):
     """Run the fused YUV->JPEG kernel; returns (y, cb, cr) int16 level
     arrays ((B, OHb/8, OWb/8, 64) / (B, OHb/16, OWb/16, 64) x2) for the
-    host Huffman encoder."""
-    wv_y, wh_y, wv_c, wh_c = weights
+    host Huffman encoder. ``mix=True`` selects the BT.709-source variant
+    (weights then carries the two extra full-grid chroma stacks)."""
     bh, bw = in_shape
     obh, obw = out_shape
-    out = np.asarray(
-        _resize_yuv_jpeg_kernel(
-            jnp.asarray(flat),
-            jnp.asarray(wv_y),
-            jnp.asarray(wh_y),
-            jnp.asarray(wv_c),
-            jnp.asarray(wh_c),
-            jnp.asarray(qt_out),
-            jnp.asarray(vidx),
-            bh=bh,
-            bw=bw,
-            obh=obh,
-            obw=obw,
+    if mix:
+        wv_y, wh_y, wv_c, wh_c, wv_cf, wh_cf = weights
+        out = np.asarray(
+            _resize_yuv_jpeg_mix_kernel(
+                jnp.asarray(flat), jnp.asarray(wv_y), jnp.asarray(wh_y),
+                jnp.asarray(wv_c), jnp.asarray(wh_c), jnp.asarray(wv_cf),
+                jnp.asarray(wh_cf), jnp.asarray(qt_out),
+                jnp.asarray(vidx), bh=bh, bw=bw, obh=obh, obw=obw,
+            )
         )
-    )
+    else:
+        wv_y, wh_y, wv_c, wh_c = weights[:4]
+        out = np.asarray(
+            _resize_yuv_jpeg_kernel(
+                jnp.asarray(flat),
+                jnp.asarray(wv_y),
+                jnp.asarray(wh_y),
+                jnp.asarray(wv_c),
+                jnp.asarray(wh_c),
+                jnp.asarray(qt_out),
+                jnp.asarray(vidx),
+                bh=bh,
+                bw=bw,
+                obh=obh,
+                obw=obw,
+            )
+        )
     B = out.shape[0]
     ny = obh * obw
     nc = (obh // 2) * (obw // 2)
@@ -1216,43 +1383,65 @@ def resize_yuv_jpeg_batch(flat, weights, qt_out, vidx, in_shape, out_shape):
 
 
 def resize_yuv420_batch(flat, weights, vidx, in_shape, out_shape,
-                        chroma_sub=(2, 2)):
-    """Run the YUV-domain resize; returns (Y, Cb, Cr) u8 planes at bucket
-    output shapes (crop on host). ``chroma_sub`` = source (csy, csx)."""
-    wv_y, wh_y, wv_c, wh_c = weights
+                        chroma_sub=(2, 2), mix=False, alpha=False):
+    """Run the YUV-domain resize; returns (Y, Cb, Cr[, A]) u8 planes at
+    bucket output shapes (crop on host). ``chroma_sub`` = source
+    (csy, csx); ``mix`` selects the BT.709-source variant (weights then
+    carries two extra full-grid chroma stacks); ``alpha`` resizes a
+    packed 4th plane with the luma weights."""
     bh, bw = in_shape
     obh, obw = out_shape
     csy, csx = chroma_sub
-    out = np.asarray(
-        _resize_yuv420_kernel(
-            jnp.asarray(flat),
-            jnp.asarray(wv_y),
-            jnp.asarray(wh_y),
-            jnp.asarray(wv_c),
-            jnp.asarray(wh_c),
-            jnp.asarray(vidx),
-            bh=bh,
-            bw=bw,
-            obh=obh,
-            obw=obw,
-            csy=csy,
-            csx=csx,
+    if mix:
+        wv_y, wh_y, wv_c, wh_c, wv_cf, wh_cf = weights
+        out = np.asarray(
+            _resize_yuv420_mix_kernel(
+                jnp.asarray(flat), jnp.asarray(wv_y), jnp.asarray(wh_y),
+                jnp.asarray(wv_c), jnp.asarray(wh_c), jnp.asarray(wv_cf),
+                jnp.asarray(wh_cf), jnp.asarray(vidx),
+                bh=bh, bw=bw, obh=obh, obw=obw, csy=csy, csx=csx,
+                alpha=alpha,
+            )
         )
-    )
+    else:
+        wv_y, wh_y, wv_c, wh_c = weights[:4]
+        out = np.asarray(
+            _resize_yuv420_kernel(
+                jnp.asarray(flat),
+                jnp.asarray(wv_y),
+                jnp.asarray(wh_y),
+                jnp.asarray(wv_c),
+                jnp.asarray(wh_c),
+                jnp.asarray(vidx),
+                bh=bh,
+                bw=bw,
+                obh=obh,
+                obw=obw,
+                csy=csy,
+                csx=csx,
+                alpha=alpha,
+            )
+        )
     B = out.shape[0]
     ny = obh * obw
     nc = (obh // 2) * (obw // 2)
     y = out[:, :ny].reshape(B, obh, obw)
     cb = out[:, ny:ny + nc].reshape(B, obh // 2, obw // 2)
-    cr = out[:, ny + nc:].reshape(B, obh // 2, obw // 2)
+    cr = out[:, ny + nc:ny + 2 * nc].reshape(B, obh // 2, obw // 2)
+    if alpha:
+        a = out[:, ny + 2 * nc:].reshape(B, obh, obw)
+        return y, cb, cr, a
     return y, cb, cr
 
 
 def host_resize_yuv420_single(
-    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, out_h: int, out_w: int
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, out_h: int, out_w: int,
+    alpha: np.ndarray | None = None, mix: bool = False,
 ):
     """Numpy mirror of the YUV-domain resize for ONE image (host fallback
-    while the batched shape compiles)."""
+    while the batched shape compiles). ``mix`` applies the same static
+    709->601 cross-plane mix as the device kernel; ``alpha`` resizes a
+    full-range alpha plane with the luma weights (returned 4th)."""
     h, w = y.shape
     wv = resample_weights(h, out_h)
     wh = resample_weights(w, out_w)
@@ -1266,10 +1455,27 @@ def host_resize_yuv420_single(
     def q8(p):
         return np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
 
-    yo = q8(wv @ y.astype(np.float32) @ wh.T)
-    cbo = q8(cv @ cb.astype(np.float32) @ ch.T)
-    cro = q8(cv @ cr.astype(np.float32) @ ch.T)
-    return yo, cbo, cro
+    ry = wv @ y.astype(np.float32) @ wh.T
+    cbh = cv @ cb.astype(np.float32) @ ch.T
+    crh = cv @ cr.astype(np.float32) @ ch.T
+    if mix:
+        cvf = combined_chroma_weights(
+            cb.shape[0], h, out_h, cb.shape[0], out_h
+        )
+        chf = combined_chroma_weights(
+            cb.shape[1], w, out_w, cb.shape[1], out_w
+        )
+        cbf = cvf @ cb.astype(np.float32) @ chf.T - 128.0
+        crf = cvf @ cr.astype(np.float32) @ chf.T - 128.0
+        ry = ry + MIX_709_YU * cbf + MIX_709_YV * crf
+        cbh, crh = (
+            128.0 + MIX_709_UU * (cbh - 128.0) + MIX_709_UV * (crh - 128.0),
+            128.0 + MIX_709_VU * (cbh - 128.0) + MIX_709_VV * (crh - 128.0),
+        )
+    out = (q8(ry), q8(cbh), q8(crh))
+    if alpha is not None:
+        out = out + (q8(wv @ alpha.astype(np.float32) @ wh.T),)
+    return out
 
 
 def host_decode_resize_yuv_lowfreq_single(
@@ -1401,13 +1607,15 @@ def _host_fdct_planes(y, cb, cr, out_h: int, out_w: int, quality: int):
 
 def host_yuv_jpeg_single(
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-    out_h: int, out_w: int, quality: int,
+    out_h: int, out_w: int, quality: int, mix: bool = False,
 ):
     """Numpy mirror of the fused YUV->JPEG kernel for ONE image: resize
     the studio-range 4:2:0 planes (UNROUNDED float, exactly like the
     kernel — an intermediate u8 rounding would shift quantised levels by
     ±1 vs the device path), remap to full-range JFIF, round once on the
-    u8 grid, fDCT+quantise. Returns (level planes, (qy, qc))."""
+    u8 grid, fDCT+quantise. ``mix`` applies the 709->601 cross-plane mix
+    before the remap (the BT.709-source head). Returns
+    (level planes, (qy, qc))."""
     h, w = y.shape
     wv = resample_weights(h, out_h)
     wh = resample_weights(w, out_w)
@@ -1420,6 +1628,20 @@ def host_yuv_jpeg_single(
     ys = wv @ y.astype(np.float32) @ wh.T
     cbs = cv @ cb.astype(np.float32) @ ch.T
     crs = cv @ cr.astype(np.float32) @ ch.T
+    if mix:
+        cvf = combined_chroma_weights(
+            cb.shape[0], h, out_h, cb.shape[0], out_h
+        )
+        chf = combined_chroma_weights(
+            cb.shape[1], w, out_w, cb.shape[1], out_w
+        )
+        cbf = cvf @ cb.astype(np.float32) @ chf.T - 128.0
+        crf = cvf @ cr.astype(np.float32) @ chf.T - 128.0
+        ys = ys + MIX_709_YU * cbf + MIX_709_YV * crf
+        cbs, crs = (
+            128.0 + MIX_709_UU * (cbs - 128.0) + MIX_709_UV * (crs - 128.0),
+            128.0 + MIX_709_VU * (cbs - 128.0) + MIX_709_VV * (crs - 128.0),
+        )
 
     def u8(p):
         return np.clip(np.floor(p + 0.5), 0, 255)

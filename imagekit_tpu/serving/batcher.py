@@ -198,6 +198,8 @@ class _YuvItem:
     quality: int
     future: asyncio.Future
     fmt: ImageFormat = ImageFormat.webp
+    alpha: Optional[np.ndarray] = None  # full-range u8, luma geometry
+    mix: bool = False  # BT.709 source: head applies the 709->601 mix
     enqueued: float = field(default_factory=time.perf_counter)
 
 
@@ -571,21 +573,27 @@ class BatchedEngine(TransformEngine):
                 raise _NativeUnsupported() from e
 
         out = await self._pool_run("avif_decode", avif_decode)
-        if out is None:  # alpha / 709 -> generic path (mono rides: its
-            #              synthesized neutral chroma makes a plain 420)
+        if out is None:  # 10-bit / identity-matrix / unprovable range ->
+            #              generic path (mono rides with synthesized
+            #              neutral chroma; alpha and BT.709 ride too
+            #              since round 5 — VERDICT r4 next #4)
             raise _NativeUnsupported()
-        y, u, v, csy, csx = out
-        if (csy, csx) != (2, 2) and fmt == ImageFormat.jpeg:
+        if (out.csy, out.csx) != (2, 2) and fmt == ImageFormat.jpeg:
             # the fDCT head is 4:2:0-geometry only; 444/422 jpeg output
             # stays on the generic path (rare combination)
             raise _NativeUnsupported()
+        # alpha survives only into alpha-capable outputs: AVIF keeps it
+        # (the encoder's alpha arm); webp drops it like the reference's
+        # from_rgb lossy encode, jpeg has no alpha
+        alpha = out.alpha if fmt == ImageFormat.avif else None
         return await self._enqueue_yuv(
-            (y, u, v), w, h, quality, loop, fmt=fmt, cs=(csy, csx)
+            (out.y, out.u, out.v), w, h, quality, loop, fmt=fmt,
+            cs=(out.csy, out.csx), alpha=alpha, mix=out.bt709,
         )
 
     async def _enqueue_yuv(
         self, planes, w, h, quality: int, loop, fmt=ImageFormat.webp,
-        cs=(2, 2),
+        cs=(2, 2), alpha=None, mix=False,
     ) -> bytes:
         """Queue decoded studio-range planes on the YUV-domain batched
         path (shared by the native WebP and AVIF sources); the
@@ -593,7 +601,9 @@ class BatchedEngine(TransformEngine):
         batches homogeneous, and ``cs`` (source chroma subsample factors,
         (2,2)=4:2:0 / (1,2)=4:2:2 / (1,1)=4:4:4) keys batches by chroma
         geometry so 444/422 AVIF sources ride the same fused head with
-        folded weights (VERDICT r3 #7)."""
+        folded weights (VERDICT r3 #7). ``alpha`` (full-range u8, luma
+        geometry) and ``mix`` (BT.709 source planes) key their own batch
+        variants of the same head (round 5: the last AVIF carve-outs)."""
         y, cb, cr = planes
         ih, iw = y.shape
         out_w, out_h = target_dimensions(iw, ih, w, h)
@@ -606,8 +616,14 @@ class BatchedEngine(TransformEngine):
             raise _NativeUnsupported()
 
         fut: asyncio.Future = loop.create_future()
-        item = _YuvItem(y, cb, cr, out_h, out_w, quality, fut, fmt=fmt)
-        key = (bh, bw, obh, obw, fmt == ImageFormat.jpeg, cs[0], cs[1])
+        item = _YuvItem(
+            y, cb, cr, out_h, out_w, quality, fut, fmt=fmt,
+            alpha=alpha, mix=mix,
+        )
+        key = (
+            bh, bw, obh, obw, fmt == ImageFormat.jpeg, cs[0], cs[1],
+            mix, alpha is not None,
+        )
         queue = self._yqueues.setdefault(key, [])
         queue.append(item)
         if len(queue) >= self.max_batch:
@@ -626,6 +642,7 @@ class BatchedEngine(TransformEngine):
     async def _flush_yuv_group(self, key, items) -> None:
         from imagekit_tpu.ops.dct import (
             combined_chroma_half_weights,
+            combined_chroma_weights,
             pad128,
             quality_tables,
             resize_yuv420_batch,
@@ -634,7 +651,7 @@ class BatchedEngine(TransformEngine):
         from imagekit_tpu.utils.bucketing import batch_bucket
 
         loop = asyncio.get_running_loop()
-        bh, bw, obh, obw, jq, csy, csx = key
+        bh, bw, obh, obw, jq, csy, csx, mix, al = key
         ch_b, cw_b = bh // csy, bw // csx  # source chroma bucket dims
         try:
             t0 = time.perf_counter()
@@ -642,7 +659,7 @@ class BatchedEngine(TransformEngine):
             shard = self._use_mesh(nb)
             sig = (
                 "yuvjpg" if jq else "yuvsrc", shard, nb, bh, bw, obh, obw,
-                csy, csx,
+                csy, csx, mix, al,
             )
             if sig not in self._compiled:
                 self._kick_compile_yuvsrc(sig)
@@ -650,7 +667,9 @@ class BatchedEngine(TransformEngine):
                 return
             ny = bh * bw
             nc = ch_b * cw_b
-            flat = np.zeros((nb, pad128(ny + 2 * nc)), np.uint8)
+            flat = np.zeros(
+                (nb, pad128(ny + 2 * nc + (ny if al else 0))), np.uint8
+            )
             u_keys: Dict[Tuple[int, int, int, int], int] = {
                 k: i
                 for i, k in enumerate(
@@ -673,6 +692,12 @@ class BatchedEngine(TransformEngine):
                 crv = flat[i, ny + nc:ny + 2 * nc].reshape(ch_b, cw_b)
                 cbv[:chh, :cww] = it.cb
                 crv[:chh, :cww] = it.cr
+                if al:
+                    av = flat[i, ny + 2 * nc:ny + 2 * nc + ny].reshape(
+                        bh, bw
+                    )
+                    # pad region stays 0 (transparent) — cropped on host
+                    av[:ihh, :iww] = it.alpha
                 vidx[i] = u_keys[(iww, ihh, it.out_w, it.out_h)]
                 if jq:
                     qy_o, qc_o = quality_tables(it.quality)
@@ -686,6 +711,11 @@ class BatchedEngine(TransformEngine):
                 wh_y = np.zeros((nu, obw, bw), np.float32)
                 wv_c = np.zeros((nu, obh // 2, ch_b), np.float32)
                 wh_c = np.zeros((nu, obw // 2, cw_b), np.float32)
+                if mix:
+                    # the 709->601 mix's luma-row chroma terms need the
+                    # chroma planes on the FULL output grid too
+                    wv_cf = np.zeros((nu, obh, ch_b), np.float32)
+                    wh_cf = np.zeros((nu, obw, cw_b), np.float32)
                 for (iww, ihh, ow_, oh_), u in u_keys.items():
                     # true source chroma dims follow the source geometry
                     # (csy/csx = 1 means no subsampling on that axis;
@@ -700,6 +730,13 @@ class BatchedEngine(TransformEngine):
                     wh_c[u] = combined_chroma_half_weights(
                         cw_, iww, ow_, cw_b, obw // 2
                     )
+                    if mix:
+                        wv_cf[u] = combined_chroma_weights(
+                            ch_, ihh, oh_, ch_b, obh
+                        )
+                        wh_cf[u] = combined_chroma_weights(
+                            cw_, iww, ow_, cw_b, obw
+                        )
                     if jq:
                         # encode tail: replicate the last true row/col up
                         # to the MCU grid (np.pad mode='edge' semantics)
@@ -711,10 +748,16 @@ class BatchedEngine(TransformEngine):
                         cw_t = (ow_ + 1) // 2
                         wv_c[u, ch_t : m_h // 2] = wv_c[u, ch_t - 1]
                         wh_c[u, cw_t : m_w // 2] = wh_c[u, cw_t - 1]
+                        if mix:
+                            wv_cf[u, oh_:m_h] = wv_cf[u, oh_ - 1]
+                            wh_cf[u, ow_:m_w] = wh_cf[u, ow_ - 1]
                 import jax as _jax
 
                 place = self._put_replicated if shard else _jax.device_put
-                cached = tuple(place(x) for x in (wv_y, wh_y, wv_c, wh_c))
+                stacks = (wv_y, wh_y, wv_c, wh_c)
+                if mix:
+                    stacks = stacks + (wv_cf, wh_cf)
+                cached = tuple(place(x) for x in stacks)
                 self._dweights.put(wkey, cached)
             weights = cached
             t1 = time.perf_counter()
@@ -726,11 +769,12 @@ class BatchedEngine(TransformEngine):
                 if jq:
                     qto_ = self._put_sharded(qto) if shard else qto
                     return resize_yuv_jpeg_batch(
-                        f_, weights, qto_, v_, (bh, bw), (obh, obw)
+                        f_, weights, qto_, v_, (bh, bw), (obh, obw),
+                        mix=mix,
                     )
                 return resize_yuv420_batch(
                     f_, weights, v_, (bh, bw), (obh, obw),
-                    chroma_sub=(csy, csx),
+                    chroma_sub=(csy, csx), mix=mix, alpha=al,
                 )
 
             self._inflight += 1
@@ -779,7 +823,10 @@ class BatchedEngine(TransformEngine):
             else:
 
                 async def finish(i: int, it) -> None:
-                    yb, cbb, crb = out
+                    if al:
+                        yb, cbb, crb, ab = out
+                    else:
+                        yb, cbb, crb = out
                     ch_ = (it.out_h + 1) // 2
                     cw_ = (it.out_w + 1) // 2
                     try:
@@ -790,6 +837,9 @@ class BatchedEngine(TransformEngine):
                             crb[i, :ch_, :cw_],
                             it.quality,
                             fmt=it.fmt,
+                            alpha=(
+                                ab[i, : it.out_h, : it.out_w] if al else None
+                            ),
                         )
                     except Exception as e:  # noqa: BLE001
                         if not it.future.done():
@@ -826,13 +876,15 @@ class BatchedEngine(TransformEngine):
             resize_yuv_jpeg_batch,
         )
 
-        head, shard, nb, bh, bw, obh, obw, csy, csx = sig
+        head, shard, nb, bh, bw, obh, obw, csy, csx, mix, al = sig
 
         def compile_step():
             try:
                 ny = bh * bw
                 nc = (bh // csy) * (bw // csx)
-                flat = np.zeros((nb, pad128(ny + 2 * nc)), np.uint8)
+                flat = np.zeros(
+                    (nb, pad128(ny + 2 * nc + (ny if al else 0))), np.uint8
+                )
                 nu = self.MAX_UNIQUE
                 weights = (
                     np.zeros((nu, obh, bh), np.float32),
@@ -840,6 +892,11 @@ class BatchedEngine(TransformEngine):
                     np.zeros((nu, obh // 2, bh // csy), np.float32),
                     np.zeros((nu, obw // 2, bw // csx), np.float32),
                 )
+                if mix:
+                    weights = weights + (
+                        np.zeros((nu, obh, bh // csy), np.float32),
+                        np.zeros((nu, obw, bw // csx), np.float32),
+                    )
                 idx = np.zeros(nb, np.int32)
                 qto = np.zeros((nb, 128), np.float32)
                 if shard:
@@ -851,12 +908,13 @@ class BatchedEngine(TransformEngine):
                     weights = tuple(self._put_replicated(w) for w in weights)
                 if head == "yuvjpg":
                     resize_yuv_jpeg_batch(
-                        flat, weights, qto, idx, (bh, bw), (obh, obw)
+                        flat, weights, qto, idx, (bh, bw), (obh, obw),
+                        mix=mix,
                     )
                 else:
                     resize_yuv420_batch(
                         flat, weights, idx, (bh, bw), (obh, obw),
-                        chroma_sub=(csy, csx),
+                        chroma_sub=(csy, csx), mix=mix, alpha=al,
                     )
                 self._compiled.add(sig)
             except Exception:
@@ -883,7 +941,7 @@ class BatchedEngine(TransformEngine):
                     def run_jpeg():
                         planes, qt2 = host_yuv_jpeg_single(
                             it.y, it.cb, it.cr, it.out_h, it.out_w,
-                            it.quality,
+                            it.quality, mix=it.mix,
                         )
                         return _nl.encode_jpeg(
                             planes, qt2, it.out_w, it.out_h
@@ -895,17 +953,23 @@ class BatchedEngine(TransformEngine):
                     if not it.future.done():
                         it.future.set_result(encoded)
                     return
-                yo, cbo, cro = await loop.run_in_executor(
+                planes = await loop.run_in_executor(
                     self._codec_pool,
-                    host_resize_yuv420_single,
-                    it.y,
-                    it.cb,
-                    it.cr,
-                    it.out_h,
-                    it.out_w,
+                    functools.partial(
+                        host_resize_yuv420_single,
+                        it.y,
+                        it.cb,
+                        it.cr,
+                        it.out_h,
+                        it.out_w,
+                        alpha=it.alpha,
+                        mix=it.mix,
+                    ),
                 )
+                yo, cbo, cro = planes[:3]
+                ao = planes[3] if len(planes) == 4 else None
                 encoded = await self._encode_yuv(
-                    loop, yo, cbo, cro, it.quality, fmt=it.fmt
+                    loop, yo, cbo, cro, it.quality, fmt=it.fmt, alpha=ao
                 )
             except Exception as e:  # noqa: BLE001
                 if not it.future.done():
@@ -2162,15 +2226,24 @@ class BatchedEngine(TransformEngine):
         cr: np.ndarray,
         q: int,
         fmt: ImageFormat = ImageFormat.webp,
+        alpha: Optional[np.ndarray] = None,
     ) -> bytes:
         """WebP or AVIF encode from device-produced studio-range YUV
         planes (the fused no-RGB-round-trip tail shared by every YUV-
-        domain path): only the VP8 / AV1 bitstream runs on host."""
+        domain path): only the VP8 / AV1 bitstream runs on host.
+        ``alpha`` (full-range, luma geometry) feeds the AVIF encoder's
+        alpha arm; webp output drops alpha upstream (reference parity:
+        its lossy encode is from_rgb)."""
         if fmt == ImageFormat.avif:
             from imagekit_tpu.codecs import avif_encode
 
             return await self._pool_run(
-                "encode", avif_encode.encode_yuv420_studio, y, cb, cr, q
+                "encode",
+                functools.partial(
+                    avif_encode.encode_yuv420_studio, y, cb, cr, q,
+                    alpha=np.ascontiguousarray(alpha)
+                    if alpha is not None else None,
+                ),
             )
         from imagekit_tpu.codecs import vp8 as vp8_native
 

@@ -153,7 +153,9 @@ def _compile_yuvsrc(engine, bh, bw, obh, obw):
         flat, (wv, wh, wvc, whc), np.zeros(1, np.int32),
         (bh, bw), (obh, obw),
     )
-    engine._compiled.add(("yuvsrc", False, 1, bh, bw, obh, obw, 2, 2))
+    engine._compiled.add(
+        ("yuvsrc", False, 1, bh, bw, obh, obw, 2, 2, False, False)
+    )
 
 
 def test_engine_webp_to_avif_yuv_direct():

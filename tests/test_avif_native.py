@@ -341,7 +341,9 @@ def test_engine_avif_to_webp_yuv_direct():
             flat, (wv, wh, wvc, whc), np.zeros(1, np.int32),
             (bh, bw), (obh, obw),
         )
-        engine._compiled.add(("yuvsrc", False, 1, bh, bw, obh, obw, 2, 2))
+        engine._compiled.add(
+            ("yuvsrc", False, 1, bh, bw, obh, obw, 2, 2, False, False)
+        )
         out = await engine.transform(data, 320, None, ImageFormat.webp, 85)
         await engine.close()
         return out
@@ -405,7 +407,7 @@ def test_decode_yuv_studio_444_422():
     out = avif_native.decode_yuv_studio(data)
     if out is None:
         pytest.skip("encoder did not honour 4:4:4")
-    y, u, v, csy, csx = out
+    y, u, v, csy, csx = out[:5]
     assert (csy, csx) == (1, 1)
     assert y.shape == u.shape == v.shape == (96, 128)
     yf = (y.astype(np.float32) - 16.0) * (255.0 / 219.0)
@@ -422,7 +424,7 @@ def test_decode_yuv_studio_444_422():
     out = avif_native.decode_yuv_studio(data)
     if out is None:
         pytest.skip("encoder did not honour 4:2:2")
-    y, u, v, csy, csx = out
+    y, u, v, csy, csx = out[:5]
     assert (csy, csx) == (1, 2)  # full height, half width
     assert y.shape == (96, 128) and u.shape == (96, 64)
 
@@ -456,7 +458,7 @@ def test_decode_yuv_studio_mono():
     assert info.monochrome
     out = avif_native.decode_yuv_studio(data)
     assert out is not None
-    y, u, v, csy, csx = out
+    y, u, v, csy, csx = out[:5]
     assert (csy, csx) == (2, 2)
     assert y.shape == (64, 96) and u.shape == v.shape == (32, 48)
     assert (u == 128).all() and (v == 128).all()
@@ -509,7 +511,7 @@ def test_engine_mono_rides_yuv_path():
     )
     data = _mono_avif(yy, q=85)
     probe = avif_native.decode_yuv_studio(data)
-    assert probe is not None and probe[3:] == (2, 2)
+    assert probe is not None and probe[3:5] == (2, 2)
 
     engine = make_engine()
 
@@ -551,7 +553,7 @@ def test_engine_avif_444_rides_yuvsrc():
     img = make_test_image(640, 480)
     data = _avif(img, q=85, subsampling="4:4:4")
     probe = avif_native.decode_yuv_studio(data)
-    if probe is None or probe[3:] != (1, 1):
+    if probe is None or probe[3:5] != (1, 1):
         pytest.skip("encoder did not honour 4:4:4")
 
     engine = make_engine()
@@ -572,7 +574,9 @@ def test_engine_avif_444_rides_yuvsrc():
             flat, (wv, wh, wvc, whc), np.zeros(1, np.int32),
             (bh, bw), (obh, obw), chroma_sub=(1, 1),
         )
-        engine._compiled.add(("yuvsrc", False, 1, bh, bw, obh, obw, 1, 1))
+        engine._compiled.add(
+            ("yuvsrc", False, 1, bh, bw, obh, obw, 1, 1, False, False)
+        )
         out = await engine.transform(data, 320, None, ImageFormat.webp, 85)
         await engine.close()
         return out
@@ -607,7 +611,7 @@ def test_engine_avif_444_422_odd_dims_host_mirror():
     for sub, cs in (("4:4:4", (1, 1)), ("4:2:2", (1, 2))):
         data = _avif(img, q=85, subsampling=sub)
         probe = avif_native.decode_yuv_studio(data)
-        if probe is None or probe[3:] != cs:
+        if probe is None or probe[3:5] != cs:
             continue
         engine = make_engine()
 
@@ -646,7 +650,7 @@ def test_engine_avif_422_host_fallback_correct():
     img = make_test_image(640, 480)
     data = _avif(img, q=85, subsampling="4:2:2")
     probe = avif_native.decode_yuv_studio(data)
-    if probe is None or probe[3:] != (1, 2):
+    if probe is None or probe[3:5] != (1, 2):
         pytest.skip("encoder did not honour 4:2:2")
 
     engine = make_engine()
@@ -888,3 +892,278 @@ def test_premultiplied_alpha_falls_back():
 
     arr, _ = codecs_mod.decode_bytes(mutated)
     assert arr.shape[:2] == (48, 64)
+
+
+# -- round-5 carve-out folds: alpha and BT.709 ride the fused head ------------
+# (VERDICT r4 next #4: the fusion matrix's last source-class carve-outs)
+
+
+def _patch_colr_matrix(data: bytes, matrix: int) -> bytes:
+    """Re-tag an AVIF's colr/nclx matrix_coefficients in place (the box
+    layout is 'colr' 'nclx' prim:u16 transfer:u16 matrix:u16 range:u8).
+    The planes stay what the encoder wrote — the new tag changes how a
+    spec-honouring decoder interprets them, which is exactly what a
+    BT.709 fixture needs."""
+    i = data.find(b"colrnclx")
+    assert i > 0
+    off = i + 8 + 4  # past the tag + primaries + transfer
+    return data[:off] + matrix.to_bytes(2, "big") + data[off + 2:]
+
+
+def _rgba_avif(rng_seed=5, w=96, h=64, q=90):
+    rng = np.random.default_rng(rng_seed)
+    img = make_test_image(w, h)
+    a = np.clip(rng.normal(170, 60, (h, w)), 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(np.dstack([img, a]), "RGBA").save(buf, "AVIF", quality=q)
+    return buf.getvalue(), img, a
+
+
+def test_decode_yuv_studio_alpha():
+    """Alpha-bearing sources take the YUV-direct path since round 5: the
+    aux plane decodes through the same dav1d core (full-range, luma
+    geometry) and matches the host library's alpha channel exactly."""
+    data, _img, _a = _rgba_avif()
+    out = avif_native.decode_yuv_studio(data)
+    assert out is not None and out.alpha is not None
+    assert out.alpha.shape == out.y.shape == (64, 96)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))[:, :, 3]
+    assert int(np.abs(out.alpha.astype(int) - ref.astype(int)).max()) <= 1
+    # the strict pre-round-4 wrapper keeps rejecting alpha
+    assert avif_native.decode_yuv420_studio(data) is None
+
+
+def test_decode_yuv_studio_bt709():
+    """BT.709-tagged sources take the YUV-direct path since round 5,
+    flagged for the head's folded 709->601 mix."""
+    img = make_test_image(96, 64)
+    data = _patch_colr_matrix(_avif(img, q=90), 1)
+    info = avif_native.parse_container(data)
+    assert info.matrix == 1
+    out = avif_native.decode_yuv_studio(data)
+    assert out is not None and out.bt709
+    assert out.alpha is None
+    # the strict wrapper keeps rejecting 709
+    assert avif_native.decode_yuv420_studio(data) is None
+    # the folded mix must reproduce the host library's own 709
+    # interpretation: convert our mixed-to-601 planes to RGB and compare
+    from imagekit_tpu.ops.dct import host_resize_yuv420_single
+
+    h, w = out.y.shape
+    y6, cb6, cr6 = host_resize_yuv420_single(
+        out.y, out.u, out.v, h, w, mix=True
+    )
+    yf = (y6.astype(np.float32) - 16.0) * (255.0 / 219.0)
+    uf = (cb6.astype(np.float32) - 128.0) * (255.0 / 224.0)
+    vf = (cr6.astype(np.float32) - 128.0) * (255.0 / 224.0)
+    uf = np.repeat(np.repeat(uf, 2, 0), 2, 1)[:h, :w]
+    vf = np.repeat(np.repeat(vf, 2, 0), 2, 1)[:h, :w]
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    rgb = np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(rgb, ref) >= 33.0  # NN chroma upsample tolerance
+
+
+def test_engine_avif_709_to_webp_rides_fused():
+    """A BT.709 AVIF source -> webp rides the fused head via the
+    mix-keyed batch variant: no host fallback once the mix signature is
+    compiled, and the output matches the host library's own 709 decode
+    (VERDICT r4 next #4)."""
+    import asyncio
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.config import ImageFormat
+    from imagekit_tpu.utils.bucketing import bucket_for
+    from tests.test_batcher import make_engine
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(640, 480)
+    data = _patch_colr_matrix(_avif(img, q=85), 1)
+    probe = avif_native.decode_yuv_studio(data)
+    if probe is None or not probe.bt709 or probe[3:5] != (2, 2):
+        pytest.skip("fixture did not take the 709 direct path")
+
+    engine = make_engine()
+
+    async def run():
+        from imagekit_tpu.ops.dct import pad128, resize_yuv420_batch
+
+        bh, bw = bucket_for(480), bucket_for(640)
+        obh, obw = bucket_for(240), bucket_for(320)
+        ny, nc = bh * bw, (bh // 2) * (bw // 2)
+        flat = np.zeros((1, pad128(ny + 2 * nc)), np.uint8)
+        nu = engine.MAX_UNIQUE
+        weights = (
+            np.zeros((nu, obh, bh), np.float32),
+            np.zeros((nu, obw, bw), np.float32),
+            np.zeros((nu, obh // 2, bh // 2), np.float32),
+            np.zeros((nu, obw // 2, bw // 2), np.float32),
+            np.zeros((nu, obh, bh // 2), np.float32),
+            np.zeros((nu, obw, bw // 2), np.float32),
+        )
+        resize_yuv420_batch(
+            flat, weights, np.zeros(1, np.int32), (bh, bw), (obh, obw),
+            mix=True,
+        )
+        engine._compiled.add(
+            ("yuvsrc", False, 1, bh, bw, obh, obw, 2, 2, True, False)
+        )
+        out = await engine.transform(data, 320, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert engine.metrics.host_fallbacks == 0
+    assert out[:4] == b"RIFF"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (320, 240), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 30.0
+    # and the mix really changed the colours vs a 601 interpretation
+    data601 = _patch_colr_matrix(data, 6)
+    g601 = np.asarray(
+        Image.open(io.BytesIO(data601)).convert("RGB").resize(
+            (320, 240), Image.LANCZOS
+        )
+    )
+    assert psnr(golden, g601) < 45.0  # interpretations genuinely differ
+
+
+def test_engine_avif_alpha_to_avif_rides_fused():
+    """An alpha-bearing AVIF -> AVIF output rides the fused head with the
+    alpha plane as a 4th resized plane, handed to the encoder's alpha
+    arm: no host fallback once the alpha signature is compiled, output
+    keeps alpha (VERDICT r4 next #4)."""
+    import asyncio
+
+    from imagekit_tpu.codecs import avif_encode
+    from imagekit_tpu.config import ImageFormat
+    from imagekit_tpu.utils.bucketing import bucket_for
+    from tests.test_batcher import make_engine
+
+    if not avif_encode.available():
+        pytest.skip("direct libavif encode ABI unavailable")
+
+    data, _img, alpha = _rgba_avif(w=640, h=480, q=88)
+    probe = avif_native.decode_yuv_studio(data)
+    if probe is None or probe.alpha is None:
+        pytest.skip("fixture did not take the alpha direct path")
+
+    engine = make_engine()
+
+    async def run():
+        from imagekit_tpu.ops.dct import pad128, resize_yuv420_batch
+
+        bh, bw = bucket_for(480), bucket_for(640)
+        obh, obw = bucket_for(240), bucket_for(320)
+        ny, nc = bh * bw, (bh // 2) * (bw // 2)
+        flat = np.zeros((1, pad128(ny + 2 * nc + ny)), np.uint8)
+        nu = engine.MAX_UNIQUE
+        weights = (
+            np.zeros((nu, obh, bh), np.float32),
+            np.zeros((nu, obw, bw), np.float32),
+            np.zeros((nu, obh // 2, bh // 2), np.float32),
+            np.zeros((nu, obw // 2, bw // 2), np.float32),
+        )
+        resize_yuv420_batch(
+            flat, weights, np.zeros(1, np.int32), (bh, bw), (obh, obw),
+            alpha=True,
+        )
+        engine._compiled.add(
+            ("yuvsrc", False, 1, bh, bw, obh, obw, 2, 2, False, True)
+        )
+        out = await engine.transform(data, 320, None, ImageFormat.avif, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert engine.metrics.host_fallbacks == 0
+    assert out[4:12] == b"ftypavif"
+    dec = Image.open(io.BytesIO(out))
+    assert dec.mode == "RGBA"
+    got_a = np.asarray(dec)[:, :, 3]
+    golden_a = np.asarray(
+        Image.fromarray(alpha, "L").resize((320, 240), Image.LANCZOS)
+    )
+    assert got_a.shape == golden_a.shape
+    assert psnr(got_a, golden_a) >= 30.0
+
+
+def test_engine_avif_alpha_to_webp_drops_alpha():
+    """Alpha AVIF -> webp output DROPS alpha like the reference (its
+    lossy webp encode is from_rgb — src/transform.rs:116-122): the
+    source still rides the YUV-direct decode, keyed as a no-alpha batch."""
+    import asyncio
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.config import ImageFormat
+    from tests.test_batcher import make_engine
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    data, img, _alpha = _rgba_avif(w=128, h=96, q=90)
+    if avif_native.decode_yuv_studio(data) is None:
+        pytest.skip("fixture did not take the direct path")
+
+    engine = make_engine()
+
+    async def run():
+        out = await engine.transform(data, 64, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert out[:4] == b"RIFF"
+    dec = Image.open(io.BytesIO(out))
+    assert dec.mode == "RGB"  # simple lossy VP8, no ALPH chunk
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (64, 48), Image.LANCZOS
+        )
+    )
+    assert psnr(np.asarray(dec.convert("RGB")), golden) >= 28.0
+
+
+def test_engine_avif_709_alpha_host_mirror():
+    """709 and alpha sources on COLD signatures are served correctly by
+    the host mirror (same mix/alpha math) while the variant compiles in
+    the background."""
+    import asyncio
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.config import ImageFormat
+    from tests.test_batcher import make_engine
+
+    if not vp8_native.available():
+        pytest.skip("native VP8 encoder unavailable")
+
+    img = make_test_image(200, 150)
+    data = _patch_colr_matrix(_avif(img, q=85), 1)
+    probe = avif_native.decode_yuv_studio(data)
+    if probe is None or not probe.bt709:
+        pytest.skip("fixture did not take the 709 direct path")
+
+    engine = make_engine()
+
+    async def run():
+        out = await engine.transform(data, 100, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert engine.metrics.host_fallbacks == 1  # cold mix sig -> mirror
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (100, 75), Image.LANCZOS
+        )
+    )
+    assert psnr(dec, golden) >= 30.0

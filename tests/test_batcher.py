@@ -1489,7 +1489,10 @@ def test_yuv_source_jpeg_fused_kernel():
                     np.zeros(1, np.int32),
                     (bh, bw), (obh, obw),
                 )
-                e._compiled.add(("yuvjpg", False, 1, bh, bw, obh, obw, 2, 2))
+                e._compiled.add(
+                    ("yuvjpg", False, 1, bh, bw, obh, obw, 2, 2,
+                     False, False)
+                )
             out = await e.transform(data, 200, 150, ImageFormat.jpeg, 85)
             await e.close()
             return out, e.metrics.host_fallbacks

@@ -347,10 +347,14 @@ def test_yuv_heads_multichip():
             resize_yuv_jpeg_batch(
                 flat, weights, qto, vidx, (bh, bw), (obh, obw)
             )
-            engine._compiled.add(("yuvjpg", True, nb, bh, bw, obh, obw, 2, 2))
+            engine._compiled.add(
+                ("yuvjpg", True, nb, bh, bw, obh, obw, 2, 2, False, False)
+            )
         else:
             resize_yuv420_batch(flat, weights, vidx, (bh, bw), (obh, obw))
-            engine._compiled.add(("yuvsrc", True, nb, bh, bw, obh, obw, 2, 2))
+            engine._compiled.add(
+                ("yuvsrc", True, nb, bh, bw, obh, obw, 2, 2, False, False)
+            )
 
     async def run():
         compile_sharded(jq=False)
@@ -381,8 +385,12 @@ def test_yuv_heads_multichip():
     assert metrics.host_fallbacks == 0, metrics.host_fallbacks
     assert metrics.batches >= 2
     # shard placement pinned for both heads
-    assert ("yuvsrc", True, nb, bh, bw, obh, obw, 2, 2) in engine._compiled
-    assert ("yuvjpg", True, nb, bh, bw, obh, obw, 2, 2) in engine._compiled
+    assert (
+        "yuvsrc", True, nb, bh, bw, obh, obw, 2, 2, False, False
+    ) in engine._compiled
+    assert (
+        "yuvjpg", True, nb, bh, bw, obh, obw, 2, 2, False, False
+    ) in engine._compiled
     for i, out in enumerate(wouts[:4]):
         assert out[:4] == b"RIFF"
     if avif_encode.available():
