@@ -43,6 +43,18 @@ class SourceFormat(str, enum.Enum):
     gif = "gif"
     bmp = "bmp"
     tiff = "tiff"
+    # long-tail formats (round 5): the full image::guess_format magic
+    # table. The REFERENCE detects these but rejects them at decode (its
+    # image crate is built default-features=false with only
+    # jpeg/png/webp/avif enabled, Cargo.toml:20); we decode them —
+    # ledger'd superset divergence (docs/PARITY_REPORT.md input matrix).
+    ico = "ico"
+    qoi = "qoi"
+    pnm = "pnm"
+    dds = "dds"
+    hdr = "hdr"
+    exr = "exr"
+    farbfeld = "farbfeld"
 
     @property
     def as_output(self) -> Optional[ImageFormat]:
@@ -76,6 +88,27 @@ def guess_format(data: bytes) -> SourceFormat:
         return SourceFormat.bmp
     if len(data) >= 4 and data[:4] in (b"II*\x00", b"MM\x00*"):
         return SourceFormat.tiff
+    # long-tail magic table (the rest of image::guess_format's list;
+    # TGA has no magic, so it is undetectable there AND here)
+    if len(data) >= 4 and data[:4] == b"\x00\x00\x01\x00":
+        return SourceFormat.ico
+    if len(data) >= 4 and data[:4] == b"qoif":
+        return SourceFormat.qoi
+    if (
+        len(data) >= 3
+        and data[0:1] == b"P"
+        and data[1:2] in b"1234567"
+        and data[2:3] in b" \t\n\r"
+    ):
+        return SourceFormat.pnm
+    if len(data) >= 4 and data[:4] == b"DDS ":
+        return SourceFormat.dds
+    if data.startswith((b"#?RADIANCE", b"#?RGBE")):
+        return SourceFormat.hdr
+    if len(data) >= 4 and data[:4] == b"\x76\x2f\x31\x01":
+        return SourceFormat.exr
+    if len(data) >= 8 and data[:8] == b"farbfeld":
+        return SourceFormat.farbfeld
     raise TransformError("unsupported or undetectable image format")
 
 
@@ -146,6 +179,22 @@ def decode_bytes(data: bytes) -> Tuple[np.ndarray, SourceFormat]:
                 raise TransformError(str(e)) from e
             if arr is not None:
                 return arr, fmt
+    elif fmt in (SourceFormat.hdr, SourceFormat.farbfeld):
+        # PIL has no Radiance HDR / farbfeld plugins; tiny native
+        # decoders (round 5 long-tail)
+        from imagekit_tpu.codecs import longtail
+
+        arr = (
+            longtail.decode_hdr(data)
+            if fmt == SourceFormat.hdr
+            else longtail.decode_farbfeld(data)
+        )
+        return arr, fmt
+    elif fmt == SourceFormat.exr:
+        # detected so the error names the format; decoding OpenEXR
+        # (half-float + zip/piz) is out of scope — the reference
+        # rejects EXR too (features=[jpeg,png,webp,avif])
+        raise TransformError("EXR input is not supported")
     from imagekit_tpu.codecs import pil_backend
 
     arr = pil_backend.decode(data)
