@@ -1,0 +1,306 @@
+"""Generic RGB head: bucketed batched resample + fused RGB->YUV/JPEG.
+
+Split out of batcher.py in round 5 (VERDICT r4 next #7). Mixin methods
+of :class:`imagekit_tpu.serving.batcher.BatchedEngine` — the generic
+path every non-native source rides: per-image-weights batched Lanczos
+resample (rgb), the fused resample+RGB->YUV (rgbyuv) and
+resample+YCbCr+fDCT (rgbjpg) output heads, compile kicks and the host
+fallback.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import functools
+import time
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from imagekit_tpu.config import ImageFormat
+from imagekit_tpu.ops.resize import resample_bucketed
+from imagekit_tpu.serving.batch_types import _cached_weights, _Item
+from imagekit_tpu.transform import encode_image
+
+
+class RgbPathMixin:
+    async def _flush(self, key: _BucketKey, items: List[_Item]) -> None:
+        groups = self._split_by_geometry(
+            items,
+            lambda it: (it.img.shape[0], it.img.shape[1], it.out_h, it.out_w),
+            self.MAX_UNIQUE,
+        )
+        await asyncio.gather(*(self._flush_group(key, g) for g in groups))
+
+    async def _flush_group(self, key: _BucketKey, items: List[_Item]) -> None:
+        loop = asyncio.get_running_loop()
+        bh, bw, obh, obw, ch, okind = key
+        wy = okind == "yuv"
+        jq = okind == "jpg"
+        try:
+            t0 = time.perf_counter()
+            # pad the batch axis to a small ladder so each (shape, batch)
+            # pair compiles exactly once; zero weights make pad entries free
+            from imagekit_tpu.ops.color import resample_rgb_yuv_batch
+            from imagekit_tpu.ops.dct import (
+                quality_tables,
+                resample_rgb_jpeg_batch,
+            )
+            from imagekit_tpu.ops.resize import resample_bucketed_flat
+            from imagekit_tpu.utils.bucketing import batch_bucket
+
+            nb = batch_bucket(len(items), self.max_batch)
+            shard = self._use_mesh(nb)
+            head = {"yuv": "rgbyuv", "jpg": "rgbjpg"}.get(okind, "rgb")
+            sig = (head, shard, nb, bh, bw, obh, obw, ch)
+            if sig not in self._compiled:
+                self._kick_compile_rgb(sig)
+                await self._host_fallback_rgb(items)
+                return
+            # flat (B, H, W*C) u8 layout: keeps the minor transfer dim wide
+            # (avoids the 128-lane padding blowup of NHWC u8 transfers)
+            batch = np.zeros((nb, bh, bw * ch), dtype=np.uint8)
+            # canonical (sorted) unique-geometry indexing so equal geometry
+            # SETS share one device-resident weight stack (see jpeg path)
+            v_keys: Dict[Tuple[int, int], int] = {
+                k: i
+                for i, k in enumerate(
+                    sorted({(it.img.shape[0], it.out_h) for it in items})
+                )
+            }
+            h_keys: Dict[Tuple[int, int], int] = {
+                k: i
+                for i, k in enumerate(
+                    sorted({(it.img.shape[1], it.out_w) for it in items})
+                )
+            }
+            vidx = np.zeros(nb, np.int32)
+            hidx = np.zeros(nb, np.int32)
+            qto = np.zeros((nb, 128), np.float32) if jq else None
+            for i, it in enumerate(items):
+                h_i, w_i = it.img.shape[:2]
+                batch[i, :h_i, : w_i * ch] = it.img.reshape(h_i, w_i * ch)
+                vidx[i] = v_keys[(h_i, it.out_h)]
+                hidx[i] = h_keys[(w_i, it.out_w)]
+                if jq:
+                    qy_o, qc_o = quality_tables(it.quality)
+                    qto[i, :64] = qy_o
+                    qto[i, 64:] = qc_o
+            wkey = (
+                key, shard, tuple(sorted(v_keys)), tuple(sorted(h_keys)),
+            )
+            cached = self._dweights.get(wkey)
+            if cached is None:
+                nu_v = self.MAX_UNIQUE
+                nu_h = self.MAX_UNIQUE
+                wv = np.zeros((nu_v, obh, bh), dtype=np.float32)
+                wh = np.zeros((nu_h, obw, bw), dtype=np.float32)
+                # fused-output edge semantics: rows/cols beyond the true
+                # output replicate the last true one (matching the staged
+                # host paths' np.pad mode='edge') — one row for the webp
+                # kernel's 2x2 chroma box, the full MCU grid for the jpeg
+                # encode tail
+                rep_to = (
+                    (lambda to: to + (to & 1)) if wy
+                    else (lambda to: (to + 15) // 16 * 16) if jq
+                    else (lambda to: to)
+                )
+                for (ti, to), u in v_keys.items():
+                    wv[u] = _cached_weights(ti, to, bh, obh)
+                    wv[u, to : min(rep_to(to), obh)] = wv[u, to - 1]
+                for (ti, to), u in h_keys.items():
+                    wh[u] = _cached_weights(ti, to, bw, obw)
+                    wh[u, to : min(rep_to(to), obw)] = wh[u, to - 1]
+                import jax as _jax
+
+                place = self._put_replicated if shard else _jax.device_put
+                cached = (place(wv), place(wh))
+                self._dweights.put(wkey, cached)
+            wv, wh = cached
+            t1 = time.perf_counter()
+
+            def device_step():
+                b_, v_, h_ = batch, vidx, hidx
+                if shard:  # DP over the mesh's data axis (weights cached
+                    # with a replicated placement already)
+                    b_, v_, h_ = (
+                        self._put_sharded(a) for a in (batch, vidx, hidx)
+                    )
+                if wy:
+                    return resample_rgb_yuv_batch(
+                        b_, (wv, wh), v_, h_, (obh, obw)
+                    )
+                if jq:
+                    qto_ = self._put_sharded(qto) if shard else qto
+                    return resample_rgb_jpeg_batch(
+                        b_, (wv, wh), v_, h_, qto_, (obh, obw)
+                    )
+                flat = np.asarray(
+                    resample_bucketed_flat(b_, wv, wh, v_, h_, ch)
+                )
+                return flat.reshape(nb, obh, obw, ch)
+
+            self._inflight += 1
+            try:
+                out = await loop.run_in_executor(self._device_pool, device_step)
+            finally:
+                self._inflight -= 1
+            self._compiled.add(sig)
+            t2 = time.perf_counter()
+            self.metrics.add_stage_time("batch_build", t1 - t0)
+            self.metrics.add_stage_time("device_resize", t2 - t1)
+            self.metrics.record_batch(len(items))
+
+            if wy:
+                yb_p, cb_p, cr_p = out
+
+                async def finish(i: int, it: _Item) -> None:
+                    ch2 = (it.out_h + 1) // 2
+                    cw2 = (it.out_w + 1) // 2
+                    try:
+                        encoded = await self._encode_yuv(
+                            loop,
+                            yb_p[i, : it.out_h, : it.out_w],
+                            cb_p[i, :ch2, :cw2],
+                            cr_p[i, :ch2, :cw2],
+                            it.quality,
+                            fmt=it.fmt,
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
+                    if not it.future.done():
+                        it.future.set_result(encoded)
+
+                await asyncio.gather(
+                    *(finish(i, it) for i, it in enumerate(items))
+                )
+                return
+
+            if jq:
+                ylv, cblv, crlv = out
+                from imagekit_tpu.codecs.native import loader as _nloader
+
+                async def finish(i: int, it: _Item) -> None:
+                    mby = (it.out_h + 15) // 16 * 2
+                    mbx = (it.out_w + 15) // 16 * 2
+
+                    def run():
+                        planes = [
+                            ylv[i, :mby, :mbx],
+                            cblv[i, : mby // 2, : mbx // 2],
+                            crlv[i, : mby // 2, : mbx // 2],
+                        ]
+                        return _nloader.encode_jpeg(
+                            planes,
+                            quality_tables(it.quality),
+                            it.out_w,
+                            it.out_h,
+                        )
+
+                    try:
+                        encoded = await self._pool_run("encode", run)
+                    except Exception as e:  # noqa: BLE001
+                        if not it.future.done():
+                            it.future.set_exception(e)
+                        return
+                    if not it.future.done():
+                        it.future.set_result(encoded)
+
+                await asyncio.gather(
+                    *(finish(i, it) for i, it in enumerate(items))
+                )
+                return
+
+            async def finish(i: int, it: _Item) -> None:
+                cropped = out[i, : it.out_h, : it.out_w]
+                try:
+                    encoded = await self._encode(loop, cropped, it.fmt, it.quality)
+                except Exception as e:  # noqa: BLE001
+                    if not it.future.done():
+                        it.future.set_exception(e)
+                    return
+                if not it.future.done():
+                    it.future.set_result(encoded)
+
+            await asyncio.gather(*(finish(i, it) for i, it in enumerate(items)))
+        except Exception as e:  # noqa: BLE001
+            for it in items:
+                if not it.future.done():
+                    it.future.set_exception(e)
+        finally:
+            self.metrics.queue_depth = self._total_queued()
+
+    # -- compile-miss host fallback ------------------------------------
+
+    def _kick_compile_rgb(self, sig) -> None:
+        """Compile a cold rgb-path shape in the background (zero inputs)."""
+        if sig in self._compiling or not self._may_compile(sig):
+            return
+        self._compiling.add(sig)
+        from imagekit_tpu.ops.color import resample_rgb_yuv_batch
+        from imagekit_tpu.ops.dct import resample_rgb_jpeg_batch
+        from imagekit_tpu.ops.resize import resample_bucketed_flat
+
+        head, shard, nb, bh, bw, obh, obw, ch = sig
+
+        def compile_step():
+            try:
+                batch = np.zeros((nb, bh, bw * ch), np.uint8)
+                wv = np.zeros((self.MAX_UNIQUE, obh, bh), np.float32)
+                wh = np.zeros((self.MAX_UNIQUE, obw, bw), np.float32)
+                idx = np.zeros(nb, np.int32)
+                qto = np.zeros((nb, 128), np.float32)
+                if shard:
+                    batch, idx, qto = (
+                        self._put_sharded(batch),
+                        self._put_sharded(idx),
+                        self._put_sharded(qto),
+                    )
+                    wv, wh = self._put_replicated(wv), self._put_replicated(wh)
+                if head == "rgbyuv":
+                    resample_rgb_yuv_batch(
+                        batch, (wv, wh), idx, idx, (obh, obw)
+                    )
+                elif head == "rgbjpg":
+                    resample_rgb_jpeg_batch(
+                        batch, (wv, wh), idx, idx, qto, (obh, obw)
+                    )
+                else:
+                    np.asarray(
+                        resample_bucketed_flat(batch, wv, wh, idx, idx, ch)
+                    )
+                self._compiled.add(sig)
+            except Exception:
+                pass
+            finally:
+                self._compiling.discard(sig)
+
+        self._device_pool.submit(compile_step)
+
+    async def _host_fallback_rgb(self, items: List[_Item]) -> None:
+        """Serve a cold-shape batch on host: same resample math in numpy."""
+        from imagekit_tpu.ops.resize import resample_reference
+
+        loop = asyncio.get_running_loop()
+        self.metrics.inc("host_fallbacks", len(items))
+
+        async def one(it: _Item) -> None:
+            try:
+                resized = await loop.run_in_executor(
+                    self._codec_pool,
+                    resample_reference,
+                    it.img,
+                    it.out_h,
+                    it.out_w,
+                )
+                encoded = await self._encode(loop, resized, it.fmt, it.quality)
+            except Exception as e:  # noqa: BLE001
+                if not it.future.done():
+                    it.future.set_exception(e)
+                return
+            if not it.future.done():
+                it.future.set_result(encoded)
+
+        await asyncio.gather(*(one(it) for it in items))

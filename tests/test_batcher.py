@@ -762,7 +762,7 @@ def test_jpeg_lowfreq_i8_transport_end_to_end(monkeypatch):
     native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
     from PIL import Image
     from imagekit_tpu.codecs import vp8 as vp8_native
-    from imagekit_tpu.serving import batcher as batcher_mod
+    from imagekit_tpu.serving import jpeg_transport as batcher_mod
 
     lib = native.load()
     if not vp8_native.available() or not hasattr(
@@ -853,7 +853,7 @@ def test_jpeg_lowfreq_i8_batch_budget_demotes_whole_batch(monkeypatch):
 
     native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
     from imagekit_tpu.codecs import vp8 as vp8_native
-    from imagekit_tpu.serving import batcher as batcher_mod
+    from imagekit_tpu.serving import jpeg_transport as batcher_mod
 
     lib = native.load()
     if not vp8_native.available() or not hasattr(
@@ -914,7 +914,7 @@ def test_jpeg_fullk_i8_transport_end_to_end(monkeypatch):
     native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
     from PIL import Image
     from imagekit_tpu.codecs import vp8 as vp8_native
-    from imagekit_tpu.serving import batcher as batcher_mod
+    from imagekit_tpu.serving import jpeg_transport as batcher_mod
 
     lib = native.load()
     if not vp8_native.available() or not hasattr(
@@ -1289,7 +1289,7 @@ def test_jpeg_transcode_batch_budget_splits_not_widens(monkeypatch):
 
     native = pytest.importorskip("imagekit_tpu.codecs.native.loader")
     from PIL import Image
-    from imagekit_tpu.serving import batcher as batcher_mod
+    from imagekit_tpu.serving import jpeg_transport as batcher_mod
 
     lib = native.load()
     if not hasattr(lib, "ik_jpeg_decode_coeffs_lowfreq_i8"):
