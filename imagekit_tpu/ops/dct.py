@@ -1392,6 +1392,17 @@ def resize_yuv420_batch(flat, weights, vidx, in_shape, out_shape,
     bh, bw = in_shape
     obh, obw = out_shape
     csy, csx = chroma_sub
+    if not mix:
+        # opt-in Pallas in-tile layout fusion (VERDICT r4 #5): the
+        # per-image weight gather and the u8->f32 input copy never
+        # reach HBM — see ops/pallas_resize.py. Same output contract.
+        from imagekit_tpu.ops import pallas_resize
+
+        if pallas_resize.enabled():
+            return pallas_resize.resize_yuv420_batch_pallas(
+                flat, weights, vidx, in_shape, out_shape,
+                chroma_sub=chroma_sub, alpha=alpha,
+            )
     if mix:
         wv_y, wh_y, wv_c, wh_c, wv_cf, wh_cf = weights
         out = np.asarray(

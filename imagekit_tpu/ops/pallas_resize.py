@@ -1,0 +1,199 @@
+"""Pallas in-tile layout fusion for the YUV-domain resize head.
+
+Round-5 kernel lever (VERDICT r4 next #5). The einsum `yuvsrc` head's
+roofline (docs/ARCHITECTURE.md "Roofline") shows the residual per-image
+cost is LAYOUT work, not MXU or HBM: XLA materializes (a) the per-image
+gathered weight tensors ``wv_u[vidx]`` — (B, OH, IH) f32, ~33 MB/batch
+at the flagship geometry — and (b) the u8->f32 input conversion as an
+HBM-resident copy 4x the wire bytes, before the contractions run. This
+module replaces that with ONE Pallas program per plane:
+
+- ``vidx`` rides scalar prefetch; each grid step DMAs the RIGHT weight
+  slab straight out of the (U, OH, IH) stack — the gathered per-batch
+  weight tensor never exists.
+- the u8 strip converts to f32 *in VMEM*, fused with the matmuls — the
+  f32 input copy never exists in HBM.
+- both resize contractions and the round/clip/u8 pack happen in one
+  kernel; the only HBM traffic is u8 in, f32 weight slabs, u8 out.
+
+The input plane is strip-tiled over its width (grid = (B, n_strips)),
+with an (OH, OW) f32 VMEM accumulator carried across strips and the u8
+store on the last strip — VMEM stays ~6 MB at the flagship bucket and
+the kernel generalizes to every ladder bucket.
+
+Opt-in: ``IMAGEKIT_PALLAS_YUV=1`` (TPU) or ``=interpret`` (CPU tests,
+runs the Pallas interpreter). Default OFF so the einsum path and its
+compile cache are untouched; flip after measuring on hardware. The
+variant covers mix=False batches (BT.709-mix batches keep the einsum
+head; they are a rare source class with extra weight stacks).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imagekit_tpu.utils.precision import MATMUL_PRECISION
+
+# largest f32 strip the kernel holds at once (input strip + tmp)
+_STRIP_BUDGET_BYTES = 3 * 1024 * 1024
+
+
+def mode() -> str:
+    """'' (disabled), 'tpu' (compiled), or 'interpret' (CPU tests)."""
+    v = os.environ.get("IMAGEKIT_PALLAS_YUV", "")
+    if v in ("1", "tpu"):
+        return "tpu"
+    if v == "interpret":
+        return "interpret"
+    return ""
+
+
+def enabled() -> bool:
+    m = mode()
+    if not m:
+        return False
+    if m == "interpret":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _pick_strip(iw: int, ih: int) -> int:
+    """Strip width: prefer 128-multiple divisors of IW under the VMEM
+    budget; fall back to the whole width (small planes)."""
+    limit = max(128, _STRIP_BUDGET_BYTES // (4 * max(ih, 1)))
+    best = iw
+    for mult in range(iw // 128, 0, -1):
+        s = mult * 128
+        if iw % s == 0 and s <= limit:
+            return s
+    return best
+
+
+def _resize_kernel(vidx_ref, x_ref, wv_ref, wh_ref, out_ref, acc):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    xs = x_ref[0].astype(jnp.float32)  # (IH, S) u8 -> f32 in VMEM
+    tmp = jnp.dot(
+        wv_ref[0], xs,
+        precision=MATMUL_PRECISION,
+        preferred_element_type=jnp.float32,
+    )  # (OH, S)
+    acc[...] += jax.lax.dot_general(
+        tmp, wh_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=MATMUL_PRECISION,
+        preferred_element_type=jnp.float32,
+    )  # (OH, OW)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _store():
+        out_ref[0] = jnp.clip(
+            jnp.floor(acc[...] + 0.5), 0.0, 255.0
+        ).astype(jnp.uint8)
+
+
+def _plane_resize(x, wv, wh, vidx, interpret: bool):
+    """(B, IH, IW) u8 plane stack -> (B, OH, OW) u8, weights selected
+    per image from the (U, OH, IH)/(U, OW, IW) f32 stacks by ``vidx``."""
+    B, ih, iw = x.shape
+    _, oh, _ = wv.shape
+    _, ow, _ = wh.shape
+    s = _pick_strip(iw, ih)
+    n_strips = iw // s
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_strips),
+        in_specs=[
+            pl.BlockSpec((1, ih, s), lambda b, t, v: (b, 0, t)),
+            pl.BlockSpec((1, oh, ih), lambda b, t, v: (v[b], 0, 0)),
+            pl.BlockSpec((1, ow, s), lambda b, t, v: (v[b], 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, oh, ow), lambda b, t, v: (b, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((oh, ow), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _resize_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, oh, ow), jnp.uint8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (oh * ih * iw + oh * ow * iw),
+            bytes_accessed=B * (ih * iw + oh * ow)
+            + B * 4 * (oh * ih + ow * iw),
+            transcendentals=0,
+        ),
+    )(vidx, x, wv, wh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bh", "bw", "obh", "obw", "csy", "csx", "alpha", "interpret"
+    ),
+)
+def _resize_yuv420_pallas(
+    flat, wv_y, wh_y, wv_c, wh_c, vidx,
+    bh: int, bw: int, obh: int, obw: int,
+    csy: int = 2, csx: int = 2,
+    alpha: bool = False, interpret: bool = False,
+):
+    """Same contract as ``dct._resize_yuv420_kernel`` (flat u8 packed
+    planes in, concatenated u8 planes out) with the three/four plane
+    resizes running as Pallas programs."""
+    B = flat.shape[0]
+    ny = bh * bw
+    ch, cw = bh // csy, bw // csx
+    nc = ch * cw
+    y = flat[:, :ny].reshape(B, bh, bw)
+    cb = flat[:, ny:ny + nc].reshape(B, ch, cw)
+    cr = flat[:, ny + nc:ny + 2 * nc].reshape(B, ch, cw)
+
+    outs = [
+        _plane_resize(y, wv_y, wh_y, vidx, interpret),
+        _plane_resize(cb, wv_c, wh_c, vidx, interpret),
+        _plane_resize(cr, wv_c, wh_c, vidx, interpret),
+    ]
+    if alpha:
+        a = flat[:, ny + 2 * nc:ny + 2 * nc + ny].reshape(B, bh, bw)
+        outs.append(_plane_resize(a, wv_y, wh_y, vidx, interpret))
+    return tuple(o.reshape(B, -1) for o in outs)
+
+
+def resize_yuv420_batch_pallas(
+    flat, weights, vidx, in_shape, out_shape,
+    chroma_sub=(2, 2), alpha=False,
+):
+    """Drop-in for the mix=False arm of ``dct.resize_yuv420_batch``:
+    returns (Y, Cb, Cr[, A]) u8 planes at bucket output shapes."""
+    wv_y, wh_y, wv_c, wh_c = weights[:4]
+    bh, bw = in_shape
+    obh, obw = out_shape
+    csy, csx = chroma_sub
+    outs = _resize_yuv420_pallas(
+        jnp.asarray(flat), jnp.asarray(wv_y), jnp.asarray(wh_y),
+        jnp.asarray(wv_c), jnp.asarray(wh_c), jnp.asarray(vidx),
+        bh=bh, bw=bw, obh=obh, obw=obw, csy=csy, csx=csx,
+        alpha=alpha, interpret=(mode() == "interpret"),
+    )
+    B = flat.shape[0]
+    y = np.asarray(outs[0]).reshape(B, obh, obw)
+    cb = np.asarray(outs[1]).reshape(B, obh // 2, obw // 2)
+    cr = np.asarray(outs[2]).reshape(B, obh // 2, obw // 2)
+    if alpha:
+        return y, cb, cr, np.asarray(outs[3]).reshape(B, obh, obw)
+    return y, cb, cr

@@ -1,0 +1,100 @@
+"""Pallas in-tile layout-fusion variant of the yuvsrc head (round 5,
+VERDICT r4 next #5): interpret-mode equivalence against the einsum
+kernel. On CPU both paths resolve HIGH precision to full f32, so the
+contract here is EXACT equality; on TPU the acceptance contract is the
+same ±1 u8 band as every kernel-vs-mirror pin (bf16x3 associativity)."""
+
+import numpy as np
+import pytest
+
+from imagekit_tpu.ops import pallas_resize
+from imagekit_tpu.ops.dct import (
+    combined_chroma_half_weights,
+    pad128,
+    resize_yuv420_batch,
+)
+from imagekit_tpu.ops.resize import padded_weights
+
+
+def _weights(bh, bw, obh, obw, csy, csx, geoms):
+    U = 4
+    wv_y = np.zeros((U, obh, bh), np.float32)
+    wh_y = np.zeros((U, obw, bw), np.float32)
+    wv_c = np.zeros((U, obh // 2, bh // csy), np.float32)
+    wh_c = np.zeros((U, obw // 2, bw // csx), np.float32)
+    for u, (iww, ihh, ow_, oh_) in enumerate(geoms):
+        wv_y[u] = padded_weights(ihh, oh_, bh, obh)
+        wh_y[u] = padded_weights(iww, ow_, bw, obw)
+        ch_ = (ihh + csy - 1) // csy
+        cw_ = (iww + csx - 1) // csx
+        wv_c[u] = combined_chroma_half_weights(ch_, ihh, oh_, bh // csy, obh // 2)
+        wh_c[u] = combined_chroma_half_weights(cw_, iww, ow_, bw // csx, obw // 2)
+    return wv_y, wh_y, wv_c, wh_c
+
+
+def _run_both(monkeypatch, flat, weights, vidx, ins, outs, **kw):
+    monkeypatch.setenv("IMAGEKIT_PALLAS_YUV", "")
+    ref = resize_yuv420_batch(flat, weights, vidx, ins, outs, **kw)
+    monkeypatch.setenv("IMAGEKIT_PALLAS_YUV", "interpret")
+    assert pallas_resize.enabled()
+    got = resize_yuv420_batch(flat, weights, vidx, ins, outs, **kw)
+    return ref, got
+
+
+@pytest.mark.parametrize("csy,csx", [(2, 2), (1, 2), (1, 1)])
+def test_pallas_matches_einsum_kernel(monkeypatch, csy, csx):
+    rng = np.random.default_rng(1)
+    bh, bw, obh, obw = 64, 256, 32, 128
+    ny = bh * bw
+    nc = (bh // csy) * (bw // csx)
+    B = 3
+    flat = rng.integers(0, 255, (B, pad128(ny + 2 * nc)), np.uint8)
+    geoms = [(240, 60, 120, 30), (200, 56, 100, 28), (256, 64, 128, 32),
+             (130, 34, 66, 18)]
+    weights = _weights(bh, bw, obh, obw, csy, csx, geoms)
+    vidx = np.array([0, 3, 1], np.int32)
+    ref, got = _run_both(
+        monkeypatch, flat, weights, vidx, (bh, bw), (obh, obw),
+        chroma_sub=(csy, csx),
+    )
+    for name, a, b in zip(("y", "cb", "cr"), ref, got):
+        assert a.shape == b.shape
+        d = int(np.abs(a.astype(int) - b.astype(int)).max())
+        assert d <= 1, (name, d)  # exact on CPU; ±1 allowed on TPU
+
+
+def test_pallas_alpha_plane(monkeypatch):
+    rng = np.random.default_rng(2)
+    bh, bw, obh, obw = 64, 256, 32, 128
+    ny, nc = bh * bw, (bh // 2) * (bw // 2)
+    B = 2
+    flat = rng.integers(0, 255, (B, pad128(2 * ny + 2 * nc)), np.uint8)
+    geoms = [(240, 60, 120, 30)] * 4
+    weights = _weights(bh, bw, obh, obw, 2, 2, geoms)
+    vidx = np.zeros(B, np.int32)
+    ref, got = _run_both(
+        monkeypatch, flat, weights, vidx, (bh, bw), (obh, obw), alpha=True,
+    )
+    assert len(ref) == len(got) == 4
+    for a, b in zip(ref, got):
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 1
+
+
+def test_pallas_gating(monkeypatch):
+    # default OFF; mix batches stay on the einsum head regardless
+    monkeypatch.delenv("IMAGEKIT_PALLAS_YUV", raising=False)
+    assert not pallas_resize.enabled()
+    monkeypatch.setenv("IMAGEKIT_PALLAS_YUV", "1")
+    import jax
+
+    assert pallas_resize.enabled() == (jax.default_backend() == "tpu")
+    monkeypatch.setenv("IMAGEKIT_PALLAS_YUV", "interpret")
+    assert pallas_resize.enabled()
+
+
+def test_pallas_strip_choice():
+    # strips prefer 128-multiple divisors under the VMEM budget and
+    # fall back to the full width when none divides
+    assert pallas_resize._pick_strip(1920, 1088) in (128, 256, 384, 640)
+    assert 1920 % pallas_resize._pick_strip(1920, 1088) == 0
+    assert pallas_resize._pick_strip(960, 544) == 960  # no 128-divisor
