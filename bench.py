@@ -237,6 +237,7 @@ async def run_bench(ev: Evidence):
     engine = BatchedEngine(cfg, metrics=metrics)
 
     # --- stage: warmup (mandatory) ---------------------------------------
+    _cache_track_start()
     t_warm0 = time.perf_counter()
     await engine.warmup(paths=("jpeg",))  # bench sources are all JPEG
     # one full warm pass through the pipeline (primes codec pool + weights)
@@ -253,6 +254,7 @@ async def run_bench(ev: Evidence):
             round(engine.hot_shape_ready_s, 1)
             if engine.hot_shape_ready_s is not None else None
         ),
+        compile_cache=_cache_report(),
     )
 
     # --- stage: link probe (cheap, EARLY — scales the plan) --------------
@@ -407,6 +409,10 @@ async def run_bench(ev: Evidence):
         mean_batch_size_all=round(mean_batch, 1),
         shed=metrics.shed,
         stage_s=stage,
+        # whole-run cache delta (vs the warmup-stage report): late cold
+        # compiles (e.g. deeper-batch signatures from flush holds) show
+        # up here (VERDICT r4 next #8)
+        compile_cache_final=_cache_report(),
     )
     return ev.res
 
@@ -502,6 +508,46 @@ async def measure_bounded_latency(engine, sources):
     # the record shows what the link allowed rather than a silent null
     fallback = min(scout, key=lambda p: p["p95_ms"])
     return {**fallback, "slo_met": False}
+
+
+_CACHE_START = None  # set[str] | None
+
+
+def _cache_dir_entries():
+    """Names in the persistent XLA compile cache dir (None when off)."""
+    try:
+        from imagekit_tpu.utils import compile_cache_path
+
+        d = compile_cache_path()
+        if d.lower() == "off" or not os.path.isdir(d):
+            return None, None
+        return d, set(os.listdir(d))
+    except Exception:  # noqa: BLE001
+        return None, None
+
+
+def _cache_track_start() -> None:
+    global _CACHE_START
+    _, entries = _cache_dir_entries()
+    _CACHE_START = entries
+
+
+def _cache_report():
+    """Compile-cache delta for this run (VERDICT r4 next #8): new files
+    = real cold compiles persisted this run; zero new files + a long
+    warmup = executable-UPLOAD window, not compilation — the anomaly
+    self-explains in the evidence line."""
+    d, entries = _cache_dir_entries()
+    if entries is None:
+        return {"enabled": False}
+    rep = {
+        "enabled": True,
+        "dir": d,
+        "entries": len(entries),
+    }
+    if _CACHE_START is not None:
+        rep["new_files_this_run"] = len(entries - _CACHE_START)
+    return rep
 
 
 def _env_snapshot():
