@@ -298,3 +298,33 @@ def test_upload_rejects_exr_and_tga_with_400():
         with pytest.raises(TransformError) as ei:
             decode_bytes(data)
         assert isinstance(ei.value, ImageKitError)  # -> 400 in app.py
+
+
+def test_longtail_decoders_mutation_fuzz():
+    """Hostile-input posture for the new pure-Python parsers: random
+    byte mutations and truncations of valid fixtures must either decode
+    or raise TransformError — never crash, hang, or return garbage
+    shapes (same posture as tools/fuzz_codecs.py for the C++ layer)."""
+    rng = np.random.default_rng(99)
+    base = [
+        _farbfeld(np.dstack([make_test_image(24, 16),
+                             np.full((16, 24), 7, np.uint8)])),
+        _hdr_new_rle(_rand_rgbe(seed=11, h=12, w=24)),
+        _hdr_old_flat(_rand_rgbe(seed=12, h=6, w=6)),
+    ]
+    for data in base:
+        for _ in range(120):
+            buf = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            mutated = bytes(buf)[: rng.integers(8, len(buf) + 1)]
+            fn = (
+                longtail.decode_farbfeld
+                if mutated[:1] == b"f"
+                else longtail.decode_hdr
+            )
+            try:
+                out = fn(mutated)
+                assert out.ndim == 3 and out.dtype == np.uint8
+            except TransformError:
+                pass
