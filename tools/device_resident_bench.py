@@ -139,6 +139,20 @@ def main():
         )
         return wv_dep + _dep_of(out), out
 
+    # Pallas in-tile layout-fusion variant of the same head (round 5,
+    # ops/pallas_resize.py) — the A/B that decides whether
+    # IMAGEKIT_PALLAS_YUV flips on by default
+    from imagekit_tpu.ops.pallas_resize import _resize_yuv420_pallas, mode as _pl_mode
+
+    @jax.jit
+    def dstep_yuvsrc_pl(wv_dep, flat_, wh, wvc, whc, vi):
+        out = _resize_yuv420_pallas(
+            flat_, wv_dep, wh, wvc, whc, vi,
+            bh=bh, bw=bw, obh=obh, obw=obw,
+            interpret=(_pl_mode() == "interpret"),
+        )
+        return wv_dep + _dep_of(out), out
+
     # --- RGB-source heads ---
     rgb = d(r.integers(0, 255, (nb, bh, bw * 3)).astype(np.uint8))
     wv = d(r.random((nu, obh, bh)).astype(np.float32))
@@ -192,6 +206,8 @@ def main():
     heads = {
         "yuvsrc": (dstep_yuvsrc, yw[0],
                    [flat, yw[1], yw[2], yw[3], vidx]),
+        "yuvsrc_pl": (dstep_yuvsrc_pl, yw[0],
+                      [flat, yw[1], yw[2], yw[3], vidx]),
         "yuvjpg": (dstep_yuvjpg, yw[0],
                    [flat, yw[1], yw[2], yw[3], qto, vidx]),
         "rgbyuv": (dstep_rgbyuv, wv, [rgb, wh, vidx]),
