@@ -411,3 +411,77 @@ def test_yuv_heads_multichip():
     )
     assert dec.shape == (32, 48, 3)
     assert psnr(dec, src_rgb) >= 28.0
+
+
+def test_yuv_mix_alpha_variant_multichip():
+    """The round-5 head variants (BT.709 mix + alpha 4th plane) compile
+    and execute sharded over the data mesh like the base head."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imagekit_tpu.ops.dct import pad128, resize_yuv420_batch
+    from imagekit_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    devs = cpu_devices()
+    mesh = make_mesh(8, devices=devs[:8])
+    nb, nu = 8, 4
+    bh, bw, obh, obw = 64, 128, 32, 64
+    ny, nc = bh * bw, (bh // 2) * (bw // 2)
+
+    def shard(a):
+        spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    def repl(a):
+        return jax.device_put(a, NamedSharding(mesh, P(*([None] * a.ndim))))
+
+    rng = np.random.default_rng(3)
+    flat = shard(rng.integers(
+        0, 255, (nb, pad128(2 * ny + 2 * nc)), np.uint8
+    ))
+    from imagekit_tpu.ops.resize import padded_weights
+    from imagekit_tpu.ops.dct import combined_chroma_half_weights
+    from imagekit_tpu.ops.dct import combined_chroma_weights
+
+    wv_y = np.stack([padded_weights(60, 30, bh, obh)] * nu)
+    wh_y = np.stack([padded_weights(120, 60, bw, obw)] * nu)
+    wv_c = np.stack(
+        [combined_chroma_half_weights(30, 60, 30, bh // 2, obh // 2)] * nu
+    )
+    wh_c = np.stack(
+        [combined_chroma_half_weights(60, 120, 60, bw // 2, obw // 2)] * nu
+    )
+    wv_cf = np.stack(
+        [combined_chroma_weights(30, 60, 30, bh // 2, obh)] * nu
+    )
+    wh_cf = np.stack(
+        [combined_chroma_weights(60, 120, 60, bw // 2, obw)] * nu
+    )
+    w = tuple(repl(x.astype(np.float32))
+              for x in (wv_y, wh_y, wv_c, wh_c, wv_cf, wh_cf))
+    vi = shard(np.zeros(nb, np.int32))
+    out = resize_yuv420_batch(
+        flat, w, vi, (bh, bw), (obh, obw), mix=True, alpha=True
+    )
+    assert len(out) == 4
+    assert out[0].shape == (nb, obh, obw)
+    assert out[3].shape == (nb, obh, obw)
+    # host-mirror agreement on one item (the mirror carries the same
+    # mix/alpha math)
+    from imagekit_tpu.ops.dct import host_resize_yuv420_single
+
+    i = 2
+    fl = np.asarray(jax.device_get(flat))[i]
+    y = fl[:ny].reshape(bh, bw)[:60, :120]
+    cb = fl[ny:ny + nc].reshape(bh // 2, bw // 2)[:30, :60]
+    cr = fl[ny + nc:ny + 2 * nc].reshape(bh // 2, bw // 2)[:30, :60]
+    a = fl[ny + 2 * nc:2 * ny + 2 * nc].reshape(bh, bw)[:60, :120]
+    ym, cbm, crm, am = host_resize_yuv420_single(
+        y, cb, cr, 30, 60, alpha=a, mix=True
+    )
+    assert np.abs(
+        out[0][i, :30, :60].astype(int) - ym.astype(int)
+    ).max() <= 1
+    assert np.abs(
+        out[3][i, :30, :60].astype(int) - am.astype(int)
+    ).max() <= 1
