@@ -21,6 +21,7 @@ import argparse
 import asyncio
 import io
 import random
+import struct
 import sys
 
 import numpy as np
@@ -91,6 +92,33 @@ def make_sources():
         )
     except Exception:
         pass
+
+    # long-tail formats (round 5 superset — the reference 400s these;
+    # see docs/PARITY_REPORT.md "Input-format matrix")
+    for name, fmt in (("ico", "ICO"), ("qoi", "QOI"), ("pnm", "PPM"),
+                      ("dds", "DDS")):
+        try:
+            out.append((name, enc(img(63, 45), fmt), True))
+        except Exception:
+            pass
+    ff_px = np.dstack([img(57, 41), np.full((41, 57), 255, np.uint8)])
+    out.append((
+        "farbfeld",
+        b"farbfeld"
+        + struct.pack(">II", 57, 41)
+        + (ff_px.astype(np.uint16) * 257).astype(">u2").tobytes(),
+        True,
+    ))
+    # Radiance HDR: flat literal scanlines (w<8 forces old-style decode)
+    hdr_px = np.dstack(
+        [img(6, 5) // 2, np.full((5, 6), 128, np.uint8)]
+    ).astype(np.uint8)
+    hdr = [b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 5 +X 6\n"]
+    for row in range(5):
+        for x in range(6):
+            hdr.append(bytes(hdr_px[row, x].tolist()))
+    out.append(("hdr", b"".join(hdr), True))
+    out.append(("exr_rejected", b"\x76\x2f\x31\x01" + b"\x00" * 64, False))
 
     # hostile classes
     base = out[0][1]
