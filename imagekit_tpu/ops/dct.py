@@ -726,8 +726,18 @@ def decode_resize_yuv_lowfreq_i8_batch(
     by_b, bx_b, cy_b, cx_b = block_dims
     obh, obw = out_shape
     (ey_idx, ey_val), (eb_idx, eb_val), (er_idx, er_val) = escapes
+    # opt-in Pallas layout-fusion variant of the flagship head
+    # (VERDICT r4 #5 second front): same wire contract + op order,
+    # see ops/pallas_jpeg8.py
+    from imagekit_tpu.ops import pallas_jpeg8
+
+    kern = _decode_resize_yuv_lowfreq_i8_kernel
+    kwargs = {}
+    if pallas_jpeg8.enabled():
+        kern = pallas_jpeg8._decode_resize_i8_pallas
+        kwargs = {"interpret": pallas_jpeg8.mode() == "interpret"}
     flat = np.asarray(
-        _decode_resize_yuv_lowfreq_i8_kernel(
+        kern(
             jnp.asarray(dc_arrays[0]),
             jnp.asarray(ac_arrays[0]),
             jnp.asarray(dc_arrays[1]),
@@ -751,6 +761,7 @@ def decode_resize_yuv_lowfreq_i8_batch(
             cy_b=cy_b,
             cx_b=cx_b,
             k=k,
+            **kwargs,
         )
     )
     B = flat.shape[0]

@@ -203,6 +203,35 @@ def main():
         )
         return qt_dep + _dep_of(out), out
 
+    # flagship split-int8 decode head (bench.py's resident kernel) and
+    # its round-5 Pallas variant — the second A/B
+    from imagekit_tpu.ops.dct import _decode_resize_yuv_lowfreq_i8_kernel
+    from imagekit_tpu.ops.pallas_jpeg8 import (
+        _decode_resize_i8_pallas,
+        mode as _pl8_mode,
+    )
+
+    @jax.jit
+    def dstep_jpeg8(qt_dep, a0, a1, a2, a3, a4, a5,
+                    e0, e1, e2, e3, e4, e5, w0, w1, w2, w3, vi):
+        out = _decode_resize_yuv_lowfreq_i8_kernel(
+            a0, a1, a2, a3, a4, a5, e0, e1, e2, e3, e4, e5,
+            qt_dep, w0, w1, w2, w3, vi,
+            by_b=by_b, bx_b=bx_b, cy_b=cy_b, cx_b=cx_b, k=k,
+        )
+        return qt_dep + _dep_of(out), out
+
+    @jax.jit
+    def dstep_jpeg8_pl(qt_dep, a0, a1, a2, a3, a4, a5,
+                       e0, e1, e2, e3, e4, e5, w0, w1, w2, w3, vi):
+        out = _decode_resize_i8_pallas(
+            a0, a1, a2, a3, a4, a5, e0, e1, e2, e3, e4, e5,
+            qt_dep, w0, w1, w2, w3, vi,
+            by_b=by_b, bx_b=bx_b, cy_b=cy_b, cx_b=cx_b, k=k,
+            interpret=(_pl8_mode() == "interpret"),
+        )
+        return qt_dep + _dep_of(out), out
+
     heads = {
         "yuvsrc": (dstep_yuvsrc, yw[0],
                    [flat, yw[1], yw[2], yw[3], vidx]),
@@ -212,6 +241,14 @@ def main():
                    [flat, yw[1], yw[2], yw[3], qto, vidx]),
         "rgbyuv": (dstep_rgbyuv, wv, [rgb, wh, vidx]),
         "rgbjpg": (dstep_rgbjpg, wv, [rgb, wh, vidx, qto]),
+        "jpeg8": (dstep_jpeg8, qt_in,
+                  [y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
+                   ey[0], ey[1], ec[0], ec[1], ec[0], ec[1],
+                   tw[0], tw[1], tw[2], tw[3], vidx]),
+        "jpeg8_pl": (dstep_jpeg8_pl, qt_in,
+                     [y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
+                      ey[0], ey[1], ec[0], ec[1], ec[0], ec[1],
+                      tw[0], tw[1], tw[2], tw[3], vidx]),
         "jxc": (dstep_jxc, qt_in,
                 [y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
                  ey[0], ey[1], ec[0], ec[1], ec[0], ec[1],
