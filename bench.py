@@ -106,7 +106,12 @@ class Evidence:
         self.res = dict(base)
         self.res["stages_done"] = []
         self.res["stages_skipped"] = []
-        self._lock = threading.Lock()
+        # RLock, NOT Lock: the SIGTERM handler runs ON the main thread,
+        # so a signal landing while update()/emit() holds the lock would
+        # self-deadlock with a plain Lock and the guaranteed JSON line
+        # would never appear — the exact silent death this class exists
+        # to prevent (round-5 review finding, reproduced empirically)
+        self._lock = threading.RLock()
         self._emitted = False
         self._t0 = time.monotonic()
         self.budget_s = budget_s
@@ -125,12 +130,19 @@ class Evidence:
         """Gate an optional stage on the remaining budget."""
         if self.remaining() >= min_remaining_s:
             return True
-        self.res["stages_skipped"].append(
-            {"stage": stage, "needed_s": min_remaining_s,
-             "remaining_s": round(self.remaining(), 1)}
-        )
-        self._checkpoint()
+        self.skip(stage, "budget",
+                  needed_s=min_remaining_s,
+                  remaining_s=round(self.remaining(), 1))
         return False
+
+    def skip(self, stage: str, reason: str, **kv) -> None:
+        """Record a deliberately skipped stage (budget, bad link window,
+        …) so the evidence line always says WHY a key is absent."""
+        with self._lock:
+            self.res["stages_skipped"].append(
+                {"stage": stage, "reason": reason, **kv}
+            )
+        self._checkpoint()
 
     def update(self, stage: str, **kv) -> None:
         with self._lock:
@@ -383,13 +395,17 @@ async def run_bench(ev: Evidence):
     # --- stage: avif + transcode secondary metrics (skipped in bad
     # windows: their signatures may compile cold and a slow link turns
     # that into minutes) ----------------------------------------------------
-    if not bad_window and ev.should_run("avif", 120.0):
-        ev.update("avif", avif_ips=await measure_avif(engine, sources))
-    if not bad_window and ev.should_run("transcode", 120.0):
-        ev.update(
-            "transcode",
-            jpeg_transcode_ips=await measure_transcode(engine, sources),
-        )
+    if bad_window:
+        ev.skip("avif", "bad_link_window", link_rtt_ms=rtt)
+        ev.skip("transcode", "bad_link_window", link_rtt_ms=rtt)
+    else:
+        if ev.should_run("avif", 120.0):
+            ev.update("avif", avif_ips=await measure_avif(engine, sources))
+        if ev.should_run("transcode", 120.0):
+            ev.update(
+                "transcode",
+                jpeg_transcode_ips=await measure_transcode(engine, sources),
+            )
 
     await engine.close()
 
@@ -932,8 +948,9 @@ async def measure_device_only(engine, src: bytes, ev: Evidence):
         # failed compile or link stall reports null, never breaks the
         # headline. Budget-gated (its signature may compile cold).
         resident_nb64 = None
+        attempted = ev.should_run("nb64_probe", 150.0)
         try:
-            if not ev.should_run("nb64_probe", 150.0):
+            if not attempted:
                 raise RuntimeError("skipped")
             tile2 = lambda a: np.concatenate([a, a], axis=0)  # noqa: E731
             args64 = [
@@ -954,7 +971,11 @@ async def measure_device_only(engine, src: bytes, ev: Evidence):
             }
         except Exception:
             pass
-        ev.update("nb64_probe", device_resident_nb64=resident_nb64)
+        if attempted:
+            # only an ATTEMPTED probe lands in stages_done (null = it
+            # ran and failed); a budget skip is already in
+            # stages_skipped — never both
+            ev.update("nb64_probe", device_resident_nb64=resident_nb64)
 
     # Analytic FLOPs per image (einsum MACs x2); the truncated kernel does
     # a k-point IDCT per block and resizes the k/8-scale planes

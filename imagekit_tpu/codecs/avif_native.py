@@ -774,7 +774,9 @@ class YuvDirect(NamedTuple):
     bt709: bool = False  # planes are BT.709 YUV (head applies the mix)
 
 
-def decode_yuv_studio(data: bytes) -> Optional[YuvDirect]:
+def decode_yuv_studio(
+    data: bytes, want_alpha: bool = True
+) -> Optional[YuvDirect]:
     """Container parse + dav1d -> studio-range YUV planes PLUS the source
     chroma-subsample factors for the serving engine's YUV-domain batched
     resize. 4:2:0 ((2,2)), 4:2:2 ((1,2)) and 4:4:4 ((1,1)) sources ALL
@@ -824,7 +826,12 @@ def decode_yuv_studio(data: bytes) -> Optional[YuvDirect]:
         return None
     y, u, v, layout, _bpc = out
     alpha = None
-    if info.has_alpha:
+    if info.has_alpha and want_alpha:
+        # ``want_alpha=False`` skips the aux-plane dav1d decode entirely:
+        # webp/jpeg outputs drop alpha anyway (reference parity — lossy
+        # webp encode is from_rgb), so decoding it would double the
+        # decode work on the alpha-AVIF -> webp hot path for nothing
+        # (round-5 review finding)
         alpha = _alpha_plane(info)
         if alpha is None or alpha.shape != y.shape:
             return None

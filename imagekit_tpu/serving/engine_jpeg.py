@@ -13,9 +13,8 @@ transport MODULE so tests can monkeypatch them there.
 from __future__ import annotations
 
 import asyncio
-import functools
 import time
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -11,16 +11,12 @@ fallback.
 from __future__ import annotations
 
 import asyncio
-import functools
 import time
 from typing import Dict, List, Tuple
 
 import numpy as np
 
-from imagekit_tpu.config import ImageFormat
-from imagekit_tpu.ops.resize import resample_bucketed
-from imagekit_tpu.serving.batch_types import _cached_weights, _Item
-from imagekit_tpu.transform import encode_image
+from imagekit_tpu.serving.batch_types import _BucketKey, _cached_weights, _Item
 
 
 class RgbPathMixin:

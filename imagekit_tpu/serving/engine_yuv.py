@@ -81,7 +81,11 @@ class YuvPathMixin:
 
         def avif_decode():
             try:
-                return avif_native.decode_yuv_studio(data)
+                # only AVIF output keeps alpha (encoder alpha arm); for
+                # webp/jpeg outputs skip the aux-plane decode outright
+                return avif_native.decode_yuv_studio(
+                    data, want_alpha=(fmt == ImageFormat.avif)
+                )
             except ValueError as e:
                 raise _NativeUnsupported() from e
 

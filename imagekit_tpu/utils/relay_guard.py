@@ -42,6 +42,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 _RELAY_MARKERS = ("tpu_init",)
@@ -66,6 +67,26 @@ def axon_registered() -> bool:
         except Exception:
             return False
     return False
+
+
+def relay_pid() -> int | None:
+    """Pid of the relay pump process, or None. Never signals anything."""
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(
+                        "utf-8", "replace"
+                    )
+            except OSError:
+                continue
+            if any(m in cmd for m in _RELAY_MARKERS):
+                return int(pid)
+    except OSError:
+        pass
+    return None
 
 
 def relay_process_alive() -> bool:
@@ -215,12 +236,40 @@ def ensure_usable_backend(
         info = force_cpu()
         _GUARD_RESULT = {"mode": "cpu", "relay": "skipped", **info}
         return _GUARD_RESULT
-    if not relay_process_alive():
+    rpid = relay_pid()
+    if rpid is None:
         info = force_cpu()
         _GUARD_RESULT = {"mode": "cpu", "relay": "down", **info}
         return _GUARD_RESULT
+    # cross-process probe cache: the child probe costs a FULL remote
+    # backend init on the tunnel, and the parent then inits again — a
+    # healthy cold start otherwise pays that twice (round-5 review
+    # finding). A fresh marker for the SAME relay pid skips the probe;
+    # a relay restart changes the pid and re-probes.
+    cache_s = float(os.environ.get("IK_RELAY_PROBE_CACHE_S", "600"))
+    marker = os.path.join(
+        tempfile.gettempdir(), f"ik_relay_ok_{os.getuid()}"
+    )
+    if cache_s > 0:
+        try:
+            with open(marker) as f:
+                cached_pid = int(f.read().strip() or "0")
+            fresh = (time.time() - os.stat(marker).st_mtime) < cache_s
+            if fresh and cached_pid == rpid:
+                _GUARD_RESULT = {
+                    "mode": "tpu", "relay": "up", "probe": "cached",
+                }
+                return _GUARD_RESULT
+        except (OSError, ValueError):
+            pass
     pr = _probe_backend(probe_timeout_s)
     if pr.get("ok"):
+        if cache_s > 0:
+            try:  # remember the healthy probe for sibling processes
+                with open(marker, "w") as f:
+                    f.write(str(rpid))
+            except OSError:
+                pass
         _GUARD_RESULT = {
             "mode": "tpu" if pr.get("platform") in ("tpu", "axon") else "cpu",
             "relay": "up",

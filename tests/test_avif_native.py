@@ -1167,3 +1167,15 @@ def test_engine_avif_709_alpha_host_mirror():
         )
     )
     assert psnr(dec, golden) >= 30.0
+
+
+def test_decode_yuv_studio_want_alpha_false():
+    """webp/jpeg outputs drop alpha, so the engine asks the decoder to
+    skip the aux-plane decode outright (round-5 review finding): the
+    colour planes still ride the direct path, alpha is None."""
+    data, _img, _a = _rgba_avif()
+    out = avif_native.decode_yuv_studio(data, want_alpha=False)
+    assert out is not None and out.alpha is None
+    full = avif_native.decode_yuv_studio(data)
+    assert full is not None and full.alpha is not None
+    assert (out.y == full.y).all()

@@ -166,3 +166,59 @@ def test_bench_relay_down_diagnostic_is_fast_and_parseable(tmp_path):
     res = json.loads(lines[0])
     assert res["status"] in ("complete", "budget_exhausted")
     assert "stages_done" in res
+
+
+def test_probe_cache_skips_second_probe(monkeypatch, tmp_path):
+    """A fresh healthy-probe marker for the SAME relay pid skips the
+    expensive child probe (round-5 review: every healthy start paid the
+    remote backend init twice); a changed pid re-probes."""
+    relay_guard.reset_for_tests()
+    monkeypatch.setattr(relay_guard, "axon_registered", lambda: True)
+    monkeypatch.setattr(relay_guard, "_backends_initialized", lambda: False)
+    monkeypatch.setattr(relay_guard, "relay_pid", lambda: 4242)
+    monkeypatch.setattr(
+        relay_guard.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    calls = []
+
+    def fake_probe(t):
+        calls.append(t)
+        return {"ok": True, "probe_s": 0.1, "platform": "axon", "n": 1}
+
+    monkeypatch.setattr(relay_guard, "_probe_backend", fake_probe)
+    a = relay_guard.ensure_usable_backend()
+    assert a["relay"] == "up" and len(calls) == 1
+    # marker written -> a sibling process (fresh _GUARD_RESULT) skips
+    relay_guard.reset_for_tests()
+    b = relay_guard.ensure_usable_backend()
+    assert b["relay"] == "up" and b.get("probe") == "cached"
+    assert len(calls) == 1  # no second probe
+    # relay restarted under a different pid -> re-probe
+    relay_guard.reset_for_tests()
+    monkeypatch.setattr(relay_guard, "relay_pid", lambda: 777)
+    c = relay_guard.ensure_usable_backend()
+    assert c["relay"] == "up" and len(calls) == 2
+    relay_guard.reset_for_tests()
+
+
+def test_probe_cache_disabled_by_env(monkeypatch, tmp_path):
+    relay_guard.reset_for_tests()
+    monkeypatch.setenv("IK_RELAY_PROBE_CACHE_S", "0")
+    monkeypatch.setattr(relay_guard, "axon_registered", lambda: True)
+    monkeypatch.setattr(relay_guard, "_backends_initialized", lambda: False)
+    monkeypatch.setattr(relay_guard, "relay_pid", lambda: 4242)
+    monkeypatch.setattr(
+        relay_guard.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    calls = []
+
+    def fake_probe(t):
+        calls.append(t)
+        return {"ok": True, "probe_s": 0.1, "platform": "axon", "n": 1}
+
+    monkeypatch.setattr(relay_guard, "_probe_backend", fake_probe)
+    relay_guard.ensure_usable_backend()
+    relay_guard.reset_for_tests()
+    relay_guard.ensure_usable_backend()
+    assert len(calls) == 2  # cache off -> probes both times
+    relay_guard.reset_for_tests()
