@@ -115,15 +115,31 @@ def resample_rgb_yuv_batch(imgs_flat, weights, vidx, hidx, out_shape):
     of shapes (B, OHb, OWb) and (B, OHb/2, OWb/2) x2 (crop on host)."""
     wv, wh = weights
     obh, obw = out_shape
-    flat = np.asarray(
-        _resample_rgb_yuv_kernel(
-            jnp.asarray(imgs_flat),
-            jnp.asarray(wv),
-            jnp.asarray(wh),
-            jnp.asarray(vidx),
-            jnp.asarray(hidx),
+    # opt-in Pallas layout-fusion front (VERDICT r4 #5 third front):
+    # same rounded-u8 hand-off point, see ops/pallas_resize.py
+    from imagekit_tpu.ops import pallas_resize
+
+    if pallas_resize.rgb_enabled():
+        flat = np.asarray(
+            pallas_resize._resample_rgb_yuv_pallas(
+                jnp.asarray(imgs_flat),
+                jnp.asarray(wv),
+                jnp.asarray(wh),
+                jnp.asarray(vidx),
+                jnp.asarray(hidx),
+                interpret=pallas_resize.rgb_mode() == "interpret",
+            )
         )
-    )
+    else:
+        flat = np.asarray(
+            _resample_rgb_yuv_kernel(
+                jnp.asarray(imgs_flat),
+                jnp.asarray(wv),
+                jnp.asarray(wh),
+                jnp.asarray(vidx),
+                jnp.asarray(hidx),
+            )
+        )
     B = flat.shape[0]
     ny = obh * obw
     nc = (obh // 2) * (obw // 2)

@@ -79,7 +79,9 @@ def _pick_strip(iw: int, ih: int) -> int:
     return best
 
 
-def _resize_kernel(vidx_ref, x_ref, wv_ref, wh_ref, out_ref, acc):
+def _resize_kernel(vidx_ref, hidx_ref, x_ref, wv_ref, wh_ref, out_ref,
+                   acc):
+    del vidx_ref, hidx_ref  # consumed by the BlockSpec index maps
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -106,24 +108,30 @@ def _resize_kernel(vidx_ref, x_ref, wv_ref, wh_ref, out_ref, acc):
         ).astype(jnp.uint8)
 
 
-def _plane_resize(x, wv, wh, vidx, interpret: bool):
+def _plane_resize(x, wv, wh, vidx, interpret: bool, hidx=None):
     """(B, IH, IW) u8 plane stack -> (B, OH, OW) u8, weights selected
-    per image from the (U, OH, IH)/(U, OW, IW) f32 stacks by ``vidx``."""
+    per image from the (U, OH, IH)/(U, OW, IW) f32 stacks by ``vidx``
+    (and ``hidx`` for the horizontal stack — the rgb head keys the two
+    axes separately; defaults to ``vidx``)."""
     B, ih, iw = x.shape
     _, oh, _ = wv.shape
     _, ow, _ = wh.shape
     s = _pick_strip(iw, ih)
     n_strips = iw // s
+    if hidx is None:
+        hidx = vidx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, n_strips),
         in_specs=[
-            pl.BlockSpec((1, ih, s), lambda b, t, v: (b, 0, t)),
-            pl.BlockSpec((1, oh, ih), lambda b, t, v: (v[b], 0, 0)),
-            pl.BlockSpec((1, ow, s), lambda b, t, v: (v[b], 0, t)),
+            pl.BlockSpec((1, ih, s), lambda b, t, v, hx: (b, 0, t)),
+            pl.BlockSpec((1, oh, ih), lambda b, t, v, hx: (v[b], 0, 0)),
+            pl.BlockSpec((1, ow, s), lambda b, t, v, hx: (hx[b], 0, t)),
         ],
-        out_specs=pl.BlockSpec((1, oh, ow), lambda b, t, v: (b, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, oh, ow), lambda b, t, v, hx: (b, 0, 0)
+        ),
         scratch_shapes=[pltpu.VMEM((oh, ow), jnp.float32)],
     )
     return pl.pallas_call(
@@ -137,7 +145,7 @@ def _plane_resize(x, wv, wh, vidx, interpret: bool):
             + B * 4 * (oh * ih + ow * iw),
             transcendentals=0,
         ),
-    )(vidx, x, wv, wh)
+    )(vidx, hidx, x, wv, wh)
 
 
 @functools.partial(
@@ -172,6 +180,70 @@ def _resize_yuv420_pallas(
         a = flat[:, ny + 2 * nc:ny + 2 * nc + ny].reshape(B, bh, bw)
         outs.append(_plane_resize(a, wv_y, wh_y, vidx, interpret))
     return tuple(o.reshape(B, -1) for o in outs)
+
+
+def rgb_mode() -> str:
+    v = os.environ.get("IMAGEKIT_PALLAS_RGB", "")
+    if v in ("1", "tpu"):
+        return "tpu"
+    if v == "interpret":
+        return "interpret"
+    return ""
+
+
+def rgb_enabled() -> bool:
+    m = rgb_mode()
+    if not m:
+        return False
+    if m == "interpret":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",)
+)
+def _resample_rgb_yuv_pallas(imgs_flat, wv_u, wh_u, vidx, hidx,
+                             interpret: bool = False):
+    """Pallas front for the fused RGB resample + studio YUV 4:2:0 head
+    (`color._resample_rgb_yuv_kernel`): de-interleave to channel planes
+    in XLA (u8 transpose — cheap), per-channel Pallas resize to ROUNDED
+    u8 (bit-matching the einsum head's round-before-convert hand-off
+    point), then the small affine mix + 2x2 subsample on the resized
+    grid in XLA. What never exists in HBM anymore: the (B, H, W, 3) f32
+    input copy (~25 MB/img at the flagship bucket) and the gathered
+    per-batch weight tensors."""
+    B, H, WC = imgs_flat.shape
+    W = WC // 3
+    x = imgs_flat.reshape(B, H, W, 3)
+    planes = [
+        _plane_resize(
+            x[..., c], wv_u, wh_u, vidx,
+            interpret, hidx=hidx,
+        ).astype(jnp.float32)
+        for c in range(3)
+    ]
+    r, g, b = planes
+    y = 0.25678824 * r + 0.50412941 * g + 0.09790588 * b + 16.0
+    u = -0.14822290 * r - 0.29099279 * g + 0.43921569 * b + 128.0
+    v = 0.43921569 * r - 0.36778831 * g - 0.07142737 * b + 128.0
+    OH = wv_u.shape[1]
+    OW = wh_u.shape[1]
+
+    def q8(p):
+        return (
+            jnp.clip(jnp.floor(p + 0.5), 0.0, 255.0)
+            .astype(jnp.uint8)
+            .reshape(B, -1)
+        )
+
+    def sub(p):
+        return p.reshape(B, OH // 2, 2, OW // 2, 2).mean(axis=(2, 4))
+
+    return jnp.concatenate([q8(y), q8(sub(u)), q8(sub(v))], axis=1)
 
 
 def resize_yuv420_batch_pallas(

@@ -98,3 +98,33 @@ def test_pallas_strip_choice():
     assert pallas_resize._pick_strip(1920, 1088) in (128, 256, 384, 640)
     assert 1920 % pallas_resize._pick_strip(1920, 1088) == 0
     assert pallas_resize._pick_strip(960, 544) == 960  # no 128-divisor
+
+
+def test_pallas_rgbyuv_matches_einsum(monkeypatch):
+    """Third Pallas front (rgbyuv): de-interleave + per-channel Pallas
+    resize to rounded u8 (the einsum head's exact hand-off point) +
+    XLA mix/subsample tail — exact on CPU."""
+    from imagekit_tpu.ops.color import resample_rgb_yuv_batch
+
+    rng = np.random.default_rng(4)
+    B, U = 3, 4
+    bh, bw, obh, obw = 64, 256, 32, 128
+    imgs = rng.integers(0, 255, (B, bh, bw * 3), np.uint8)
+    wv = np.stack(
+        [padded_weights(60 - 2 * i, 30 - i, bh, obh) for i in range(U)]
+    ).astype(np.float32)
+    wh = np.stack(
+        [padded_weights(250 - 3 * i, 125 - 2 * i, bw, obw)
+         for i in range(U)]
+    ).astype(np.float32)
+    vidx = np.array([0, 2, 1], np.int32)
+    hidx = np.array([3, 1, 0], np.int32)  # axes keyed separately
+    monkeypatch.setenv("IMAGEKIT_PALLAS_RGB", "")
+    ref = resample_rgb_yuv_batch(imgs, (wv, wh), vidx, hidx, (obh, obw))
+    monkeypatch.setenv("IMAGEKIT_PALLAS_RGB", "interpret")
+    assert pallas_resize.rgb_enabled()
+    got = resample_rgb_yuv_batch(imgs, (wv, wh), vidx, hidx, (obh, obw))
+    for name, a, b in zip(("y", "u", "v"), ref, got):
+        assert a.shape == b.shape
+        d = int(np.abs(a.astype(int) - b.astype(int)).max())
+        assert d <= 1, (name, d)  # exact on CPU; ±1 allowed on TPU

@@ -163,6 +163,19 @@ def main():
         out = _resample_rgb_yuv_kernel(rgb_, wv_dep, wh_, vi, vi)
         return wv_dep + _dep_of(out), out
 
+    from imagekit_tpu.ops.pallas_resize import (
+        _resample_rgb_yuv_pallas,
+        rgb_mode as _plr_mode,
+    )
+
+    @jax.jit
+    def dstep_rgbyuv_pl(wv_dep, rgb_, wh_, vi):
+        out = _resample_rgb_yuv_pallas(
+            rgb_, wv_dep, wh_, vi, vi,
+            interpret=(_plr_mode() == "interpret"),
+        )
+        return wv_dep + _dep_of(out), out
+
     @jax.jit
     def dstep_rgbjpg(wv_dep, rgb_, wh_, vi, qt):
         out = _resample_rgb_jpeg_kernel(rgb_, wv_dep, wh_, vi, vi, qt)
@@ -240,6 +253,7 @@ def main():
         "yuvjpg": (dstep_yuvjpg, yw[0],
                    [flat, yw[1], yw[2], yw[3], qto, vidx]),
         "rgbyuv": (dstep_rgbyuv, wv, [rgb, wh, vidx]),
+        "rgbyuv_pl": (dstep_rgbyuv_pl, wv, [rgb, wh, vidx]),
         "rgbjpg": (dstep_rgbjpg, wv, [rgb, wh, vidx, qto]),
         "jpeg8": (dstep_jpeg8, qt_in,
                   [y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
