@@ -1029,8 +1029,18 @@ def transcode_i8_batch(dc_arrays, ac_arrays, escapes, qt_in, qt_out,
     by_b, bx_b, cy_b, cx_b = block_dims
     obh, obw = out_shape
     (ey_idx, ey_val), (eb_idx, eb_val), (er_idx, er_val) = escapes
+    # opt-in Pallas front for the k<8 truncated branch (VERDICT r4 #5
+    # fourth front; k==8 keeps the decoder-parity staged form) — see
+    # ops/pallas_jpeg8._transcode_i8_pallas
+    from imagekit_tpu.ops import pallas_jpeg8
+
+    kern = _transcode_i8_kernel
+    kwargs = {}
+    if k < 8 and pallas_jpeg8.jxc_enabled():
+        kern = pallas_jpeg8._transcode_i8_pallas
+        kwargs = {"interpret": pallas_jpeg8.jxc_mode() == "interpret"}
     flat = np.asarray(
-        _transcode_i8_kernel(
+        kern(
             jnp.asarray(dc_arrays[0]),
             jnp.asarray(ac_arrays[0]),
             jnp.asarray(dc_arrays[1]),
@@ -1055,6 +1065,7 @@ def transcode_i8_batch(dc_arrays, ac_arrays, escapes, qt_in, qt_out,
             cy_b=cy_b,
             cx_b=cx_b,
             k=k,
+            **kwargs,
         )
     )
     B = flat.shape[0]

@@ -42,8 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 from imagekit_tpu.utils.precision import MATMUL_PRECISION
 
 
-def mode() -> str:
-    v = os.environ.get("IMAGEKIT_PALLAS_JPEG8", "")
+def _env_mode(var: str) -> str:
+    v = os.environ.get(var, "")
     if v in ("1", "tpu"):
         return "tpu"
     if v == "interpret":
@@ -51,8 +51,7 @@ def mode() -> str:
     return ""
 
 
-def enabled() -> bool:
-    m = mode()
+def _mode_enabled(m: str) -> bool:
     if not m:
         return False
     if m == "interpret":
@@ -63,10 +62,29 @@ def enabled() -> bool:
         return False
 
 
+def mode() -> str:
+    return _env_mode("IMAGEKIT_PALLAS_JPEG8")
+
+
+def enabled() -> bool:
+    return _mode_enabled(mode())
+
+
+def jxc_mode() -> str:
+    return _env_mode("IMAGEKIT_PALLAS_JXC")
+
+
+def jxc_enabled() -> bool:
+    return _mode_enabled(jxc_mode())
+
+
 def _make_plane_kernel(k: int, nblk: int, p: int, scale: float,
-                       offset: float):
+                       offset: float, centered: bool = False):
     """Kernel body for one folded plane: C planes (i16, planar) ->
-    dequant -> folded resize -> +128 -> studio remap -> u8."""
+    dequant -> folded resize -> +128 -> epilogue. ``centered=False``
+    (the jpeg8 decode head): studio remap -> u8. ``centered=True`` (the
+    jxc transcode front): round to the u8 grid and centre for the fDCT
+    tail (``u8c`` in dct._transcode_i8_kernel) -> int8."""
 
     def kernel(vidx_ref, dc_ref, ac_ref, qt_ref, wv_ref, wh_ref, out_ref):
         hp = MATMUL_PRECISION
@@ -94,20 +112,27 @@ def _make_plane_kernel(k: int, nblk: int, p: int, scale: float,
                 precision=hp, preferred_element_type=jnp.float32,
             )
             out = t2 if out is None else out + t2
-        out = (out + 128.0) * scale + offset
-        out_ref[0] = jnp.clip(
-            jnp.floor(out + 0.5), 0.0, 255.0
-        ).astype(jnp.uint8)
+        if centered:
+            out_ref[0] = (
+                jnp.clip(jnp.floor(out + 128.0 + 0.5), 0.0, 255.0) - 128.0
+            ).astype(jnp.int8)
+        else:
+            out = (out + 128.0) * scale + offset
+            out_ref[0] = jnp.clip(
+                jnp.floor(out + 0.5), 0.0, 255.0
+            ).astype(jnp.uint8)
 
     return kernel
 
 
 def _folded_plane_pallas(dc16, ac16, qt, wv_f, wh_f, vidx, k: int,
-                         luma: bool, interpret: bool):
+                         luma: bool, interpret: bool,
+                         centered: bool = False):
     """dc16 (B, rows, pad128(nblk)) i16, ac16 (B, rows, (k²-1)·pad128(nblk))
     i16 (escapes already scattered in), qt (B, k²) f32 dequant scales,
     wv_f (U, k, O, rows) / wh_f (U, k, P, nblk) folded stacks ->
-    (B, O, P) u8 studio-range plane."""
+    (B, O, P) u8 studio-range plane (or i8 centred full-range plane for
+    the transcode front, ``centered=True``)."""
     B, rows, pw = dc16.shape
     _, _, oh, _ = wv_f.shape
     _, _, ow, nblk = wh_f.shape
@@ -132,9 +157,11 @@ def _folded_plane_pallas(dc16, ac16, qt, wv_f, wh_f, vidx, k: int,
         out_specs=pl.BlockSpec((1, oh, ow), lambda b, v: (b, 0, 0)),
     )
     return pl.pallas_call(
-        _make_plane_kernel(k, nblk, p, scale, offset),
+        _make_plane_kernel(k, nblk, p, scale, offset, centered=centered),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, oh, ow), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, oh, ow), jnp.int8 if centered else jnp.uint8
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * k * (k * oh * rows * nblk + oh * ow * nblk),
@@ -188,3 +215,53 @@ def _decode_resize_i8_pallas(
     ]
     B = y_dc.shape[0]
     return jnp.concatenate([pl_.reshape(B, -1) for pl_ in planes], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("by_b", "bx_b", "cy_b", "cx_b", "k", "interpret"),
+)
+def _transcode_i8_pallas(
+    y_dc, y_ac, cb_dc, cb_ac, cr_dc, cr_ac,
+    ey_idx, ey_val, eb_idx, eb_val, er_idx, er_val,
+    qt_in, qt_out, wv_y_f, wh_y_f, wv_c_f, wh_c_f, vidx,
+    by_b: int, bx_b: int, cy_b: int, cx_b: int, k: int,
+    interpret: bool = False,
+):
+    """Pallas front for the fused JPEG->JPEG transcode (jxc) head, k<8
+    truncated branch: same folded contraction front as the decode head
+    but with the ``u8c`` epilogue (round to the u8 grid + centre) stored
+    as int8; the fDCT + target quantisation tail stays the einsum
+    ``dct._fdct_quant_flat`` UNCHANGED (bit-identical tail, it operates
+    on the small output grid). k == 8 callers keep the einsum kernel
+    (decoder-parity staged form)."""
+    from imagekit_tpu.ops.dct import _fdct_quant_flat, _lowfreq_indices
+
+    idx = jnp.asarray(_lowfreq_indices(k))
+    qt_l = qt_in[:, :64][:, idx] * (k / 8.0)
+    qt_c = qt_in[:, 64:][:, idx] * (k / 8.0)
+
+    def widen_scatter(ac, eidx, evals):
+        a = ac.astype(jnp.int16)
+        return a.at[eidx[:, 0], eidx[:, 1], eidx[:, 2]].add(
+            evals.astype(jnp.int16)
+        )
+
+    def front(dc, ac, ei, ev, qt, wv, wh):
+        p8 = _folded_plane_pallas(
+            dc, widen_scatter(ac, ei, ev), qt, wv, wh, vidx, k,
+            luma=True, interpret=interpret, centered=True,
+        )
+        return p8.astype(jnp.float32)
+
+    y = front(y_dc, y_ac, ey_idx, ey_val, qt_l, wv_y_f, wh_y_f)
+    cb = front(cb_dc, cb_ac, eb_idx, eb_val, qt_c, wv_c_f, wh_c_f)
+    cr = front(cr_dc, cr_ac, er_idx, er_val, qt_c, wv_c_f, wh_c_f)
+    return jnp.concatenate(
+        [
+            _fdct_quant_flat(y, qt_out[:, :64]),
+            _fdct_quant_flat(cb, qt_out[:, 64:]),
+            _fdct_quant_flat(cr, qt_out[:, 64:]),
+        ],
+        axis=1,
+    )

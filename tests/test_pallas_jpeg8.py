@@ -94,3 +94,24 @@ def test_pallas_jpeg8_gating(monkeypatch):
     assert not pallas_jpeg8.enabled()
     monkeypatch.setenv("IMAGEKIT_PALLAS_JPEG8", "interpret")
     assert pallas_jpeg8.enabled()
+
+
+def test_pallas_jxc_matches_einsum(monkeypatch):
+    """Fourth Pallas front: the jxc transcode's k<8 branch — Pallas
+    folded front with the u8c epilogue (int8), einsum fDCT tail
+    unchanged. Output int16 LEVELS match exactly on CPU (escapes
+    included)."""
+    from imagekit_tpu.ops.dct import transcode_i8_batch
+
+    (dc, ac, esc, qt, w, vidx, bd, os_, k) = _mk(2, seed=5)
+    rng = np.random.default_rng(6)
+    qt_out = rng.random((3, 128)).astype(np.float32) * 20 + 1
+    args = (dc, ac, esc, qt, qt_out, w, vidx, bd, os_, k)
+    monkeypatch.setenv("IMAGEKIT_PALLAS_JXC", "")
+    ref = transcode_i8_batch(*args)
+    monkeypatch.setenv("IMAGEKIT_PALLAS_JXC", "interpret")
+    assert pallas_jpeg8.jxc_enabled()
+    got = transcode_i8_batch(*args)
+    for name, a, b in zip(("y", "cb", "cr"), ref, got):
+        assert a.shape == b.shape
+        assert (a == b).all(), name  # int16 levels: exact on CPU

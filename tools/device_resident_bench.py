@@ -221,6 +221,8 @@ def main():
     from imagekit_tpu.ops.dct import _decode_resize_yuv_lowfreq_i8_kernel
     from imagekit_tpu.ops.pallas_jpeg8 import (
         _decode_resize_i8_pallas,
+        _transcode_i8_pallas,
+        jxc_mode as _plx_mode,
         mode as _pl8_mode,
     )
 
@@ -245,6 +247,17 @@ def main():
         )
         return qt_dep + _dep_of(out), out
 
+    @jax.jit
+    def dstep_jxc_pl(qt_dep, a0, a1, a2, a3, a4, a5, e0, e1, e2, e3, e4,
+                     e5, qt2, w0, w1, w2, w3, vi):
+        out = _transcode_i8_pallas(
+            a0, a1, a2, a3, a4, a5, e0, e1, e2, e3, e4, e5,
+            qt_dep, qt2, w0, w1, w2, w3, vi,
+            by_b=by_b, bx_b=bx_b, cy_b=cy_b, cx_b=cx_b, k=k,
+            interpret=(_plx_mode() == "interpret"),
+        )
+        return qt_dep + _dep_of(out), out
+
     heads = {
         "yuvsrc": (dstep_yuvsrc, yw[0],
                    [flat, yw[1], yw[2], yw[3], vidx]),
@@ -263,6 +276,10 @@ def main():
                      [y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
                       ey[0], ey[1], ec[0], ec[1], ec[0], ec[1],
                       tw[0], tw[1], tw[2], tw[3], vidx]),
+        "jxc_pl": (dstep_jxc_pl, qt_in,
+                   [y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
+                    ey[0], ey[1], ec[0], ec[1], ec[0], ec[1],
+                    qto, tw[0], tw[1], tw[2], tw[3], vidx]),
         "jxc": (dstep_jxc, qt_in,
                 [y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
                  ey[0], ey[1], ec[0], ec[1], ec[0], ec[1],
