@@ -1380,21 +1380,36 @@ def resize_yuv_jpeg_batch(flat, weights, qt_out, vidx, in_shape, out_shape,
         )
     else:
         wv_y, wh_y, wv_c, wh_c = weights[:4]
-        out = np.asarray(
-            _resize_yuv_jpeg_kernel(
-                jnp.asarray(flat),
-                jnp.asarray(wv_y),
-                jnp.asarray(wh_y),
-                jnp.asarray(wv_c),
-                jnp.asarray(wh_c),
-                jnp.asarray(qt_out),
-                jnp.asarray(vidx),
-                bh=bh,
-                bw=bw,
-                obh=obh,
-                obw=obw,
+        # opt-in Pallas front (VERDICT r4 #5 fifth front): fused remap
+        # epilogue, einsum fDCT tail — see pallas_resize
+        from imagekit_tpu.ops import pallas_resize as _plr
+
+        if _plr.yuvjpg_enabled():
+            out = np.asarray(
+                _plr._resize_yuv_jpeg_pallas(
+                    jnp.asarray(flat), jnp.asarray(wv_y),
+                    jnp.asarray(wh_y), jnp.asarray(wv_c),
+                    jnp.asarray(wh_c), jnp.asarray(qt_out),
+                    jnp.asarray(vidx), bh=bh, bw=bw, obh=obh, obw=obw,
+                    interpret=_plr.yuvjpg_mode() == "interpret",
+                )
             )
-        )
+        else:
+            out = np.asarray(
+                _resize_yuv_jpeg_kernel(
+                    jnp.asarray(flat),
+                    jnp.asarray(wv_y),
+                    jnp.asarray(wh_y),
+                    jnp.asarray(wv_c),
+                    jnp.asarray(wh_c),
+                    jnp.asarray(qt_out),
+                    jnp.asarray(vidx),
+                    bh=bh,
+                    bw=bw,
+                    obh=obh,
+                    obw=obw,
+                )
+            )
     B = out.shape[0]
     ny = obh * obw
     nc = (obh // 2) * (obw // 2)

@@ -79,40 +79,58 @@ def _pick_strip(iw: int, ih: int) -> int:
     return best
 
 
-def _resize_kernel(vidx_ref, hidx_ref, x_ref, wv_ref, wh_ref, out_ref,
-                   acc):
-    del vidx_ref, hidx_ref  # consumed by the BlockSpec index maps
-    t = pl.program_id(1)
+def _make_resize_kernel(scale: float = 1.0, pre: float = 0.0,
+                        post: float = 0.0, centered: bool = False):
+    """Strip-accumulating resize kernel with a parametric epilogue:
+    default = round/clip -> u8 (the yuvsrc/rgb hand-off);
+    ``(v + pre) * scale + post`` applies an affine remap first in the
+    einsum heads' exact float op order (the yuvjpg studio->JFIF remap),
+    and ``centered`` subtracts 128 and stores int8 (the fDCT tail's
+    u8c hand-off)."""
 
-    @pl.when(t == 0)
-    def _init():
-        acc[...] = jnp.zeros_like(acc)
+    def kernel(vidx_ref, hidx_ref, x_ref, wv_ref, wh_ref, out_ref, acc):
+        del vidx_ref, hidx_ref  # consumed by the BlockSpec index maps
+        t = pl.program_id(1)
 
-    xs = x_ref[0].astype(jnp.float32)  # (IH, S) u8 -> f32 in VMEM
-    tmp = jnp.dot(
-        wv_ref[0], xs,
-        precision=MATMUL_PRECISION,
-        preferred_element_type=jnp.float32,
-    )  # (OH, S)
-    acc[...] += jax.lax.dot_general(
-        tmp, wh_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=MATMUL_PRECISION,
-        preferred_element_type=jnp.float32,
-    )  # (OH, OW)
+        @pl.when(t == 0)
+        def _init():
+            acc[...] = jnp.zeros_like(acc)
 
-    @pl.when(t == pl.num_programs(1) - 1)
-    def _store():
-        out_ref[0] = jnp.clip(
-            jnp.floor(acc[...] + 0.5), 0.0, 255.0
-        ).astype(jnp.uint8)
+        xs = x_ref[0].astype(jnp.float32)  # (IH, S) u8 -> f32 in VMEM
+        tmp = jnp.dot(
+            wv_ref[0], xs,
+            precision=MATMUL_PRECISION,
+            preferred_element_type=jnp.float32,
+        )  # (OH, S)
+        acc[...] += jax.lax.dot_general(
+            tmp, wh_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=MATMUL_PRECISION,
+            preferred_element_type=jnp.float32,
+        )  # (OH, OW)
+
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _store():
+            v = acc[...]
+            if scale != 1.0 or pre != 0.0 or post != 0.0:
+                v = (v + pre) * scale + post
+            v = jnp.clip(jnp.floor(v + 0.5), 0.0, 255.0)
+            if centered:
+                out_ref[0] = (v - 128.0).astype(jnp.int8)
+            else:
+                out_ref[0] = v.astype(jnp.uint8)
+
+    return kernel
 
 
-def _plane_resize(x, wv, wh, vidx, interpret: bool, hidx=None):
-    """(B, IH, IW) u8 plane stack -> (B, OH, OW) u8, weights selected
-    per image from the (U, OH, IH)/(U, OW, IW) f32 stacks by ``vidx``
-    (and ``hidx`` for the horizontal stack — the rgb head keys the two
-    axes separately; defaults to ``vidx``)."""
+def _plane_resize(x, wv, wh, vidx, interpret: bool, hidx=None,
+                  scale: float = 1.0, pre: float = 0.0,
+                  post: float = 0.0, centered: bool = False):
+    """(B, IH, IW) u8 plane stack -> (B, OH, OW) u8 (or i8 centred,
+    see _make_resize_kernel), weights selected per image from the
+    (U, OH, IH)/(U, OW, IW) f32 stacks by ``vidx`` (and ``hidx`` for
+    the horizontal stack — the rgb head keys the two axes separately;
+    defaults to ``vidx``)."""
     B, ih, iw = x.shape
     _, oh, _ = wv.shape
     _, ow, _ = wh.shape
@@ -135,9 +153,11 @@ def _plane_resize(x, wv, wh, vidx, interpret: bool, hidx=None):
         scratch_shapes=[pltpu.VMEM((oh, ow), jnp.float32)],
     )
     return pl.pallas_call(
-        _resize_kernel,
+        _make_resize_kernel(scale, pre, post, centered),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, oh, ow), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, oh, ow), jnp.int8 if centered else jnp.uint8
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * (oh * ih * iw + oh * ow * iw),
@@ -269,3 +289,65 @@ def resize_yuv420_batch_pallas(
     if alpha:
         return y, cb, cr, np.asarray(outs[3]).reshape(B, obh, obw)
     return y, cb, cr
+
+
+def yuvjpg_mode() -> str:
+    v = os.environ.get("IMAGEKIT_PALLAS_YUVJPG", "")
+    if v in ("1", "tpu"):
+        return "tpu"
+    if v == "interpret":
+        return "interpret"
+    return ""
+
+
+def yuvjpg_enabled() -> bool:
+    m = yuvjpg_mode()
+    if not m:
+        return False
+    if m == "interpret":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bh", "bw", "obh", "obw", "interpret"),
+)
+def _resize_yuv_jpeg_pallas(
+    flat, wv_y, wh_y, wv_c, wh_c, qt_out, vidx,
+    bh: int, bw: int, obh: int, obw: int, interpret: bool = False,
+):
+    """Pallas front for the fused YUV->JPEG head (4:2:0 sources, no
+    mix): per-plane Pallas resize with the studio->JFIF remap + u8c
+    epilogue fused in (the einsum head's exact hand-off point), then
+    the unchanged einsum fDCT + target-quantisation tail on the small
+    output grid."""
+    from imagekit_tpu.ops.dct import _fdct_quant_flat
+
+    B = flat.shape[0]
+    ny = bh * bw
+    ch, cw = bh // 2, bw // 2
+    nc = ch * cw
+    yp = flat[:, :ny].reshape(B, bh, bw)
+    cbp = flat[:, ny:ny + nc].reshape(B, ch, cw)
+    crp = flat[:, ny + nc:ny + 2 * nc].reshape(B, ch, cw)
+
+    y = _plane_resize(yp, wv_y, wh_y, vidx, interpret,
+                      scale=255.0 / 219.0, pre=-16.0, centered=True)
+    cb = _plane_resize(cbp, wv_c, wh_c, vidx, interpret,
+                       scale=255.0 / 224.0, pre=-128.0, post=128.0,
+                       centered=True)
+    cr = _plane_resize(crp, wv_c, wh_c, vidx, interpret,
+                       scale=255.0 / 224.0, pre=-128.0, post=128.0,
+                       centered=True)
+    return jnp.concatenate(
+        [
+            _fdct_quant_flat(y.astype(jnp.float32), qt_out[:, :64]),
+            _fdct_quant_flat(cb.astype(jnp.float32), qt_out[:, 64:]),
+            _fdct_quant_flat(cr.astype(jnp.float32), qt_out[:, 64:]),
+        ],
+        axis=1,
+    )

@@ -128,3 +128,46 @@ def test_pallas_rgbyuv_matches_einsum(monkeypatch):
         assert a.shape == b.shape
         d = int(np.abs(a.astype(int) - b.astype(int)).max())
         assert d <= 1, (name, d)  # exact on CPU; ±1 allowed on TPU
+
+
+def test_pallas_yuvjpg_matches_einsum(monkeypatch):
+    """Fifth Pallas front: the fused YUV->JPEG head — per-plane Pallas
+    resize with the studio->JFIF remap + u8c epilogue fused in (exact
+    einsum op order), einsum fDCT tail unchanged. int16 levels exact on
+    CPU."""
+    from imagekit_tpu.ops.dct import (
+        combined_chroma_half_weights,
+        pad128,
+        resize_yuv_jpeg_batch,
+    )
+
+    rng = np.random.default_rng(2)
+    B, U = 3, 4
+    bh, bw, obh, obw = 64, 256, 32, 128
+    ny, nc = bh * bw, (bh // 2) * (bw // 2)
+    flat = rng.integers(0, 255, (B, pad128(ny + 2 * nc)), np.uint8)
+    geoms = [(240, 60, 120, 30), (200, 56, 104, 28), (256, 64, 128, 32),
+             (130, 34, 66, 18)]
+    wv_y = np.zeros((U, obh, bh), np.float32)
+    wh_y = np.zeros((U, obw, bw), np.float32)
+    wv_c = np.zeros((U, obh // 2, bh // 2), np.float32)
+    wh_c = np.zeros((U, obw // 2, bw // 2), np.float32)
+    for u, (iww, ihh, ow_, oh_) in enumerate(geoms):
+        wv_y[u] = padded_weights(ihh, oh_, bh, obh)
+        wh_y[u] = padded_weights(iww, ow_, bw, obw)
+        wv_c[u] = combined_chroma_half_weights(
+            (ihh + 1) // 2, ihh, oh_, bh // 2, obh // 2)
+        wh_c[u] = combined_chroma_half_weights(
+            (iww + 1) // 2, iww, ow_, bw // 2, obw // 2)
+    vidx = np.array([0, 3, 1], np.int32)
+    qt_out = rng.random((B, 128)).astype(np.float32) * 20 + 1
+    args = (flat, (wv_y, wh_y, wv_c, wh_c), qt_out, vidx,
+            (bh, bw), (obh, obw))
+    monkeypatch.setenv("IMAGEKIT_PALLAS_YUVJPG", "")
+    ref = resize_yuv_jpeg_batch(*args)
+    monkeypatch.setenv("IMAGEKIT_PALLAS_YUVJPG", "interpret")
+    assert pallas_resize.yuvjpg_enabled()
+    got = resize_yuv_jpeg_batch(*args)
+    for name, a, b in zip(("y", "cb", "cr"), ref, got):
+        assert a.shape == b.shape
+        assert (a == b).all(), name  # int16 levels: exact on CPU

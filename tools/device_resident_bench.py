@@ -142,7 +142,12 @@ def main():
     # Pallas in-tile layout-fusion variant of the same head (round 5,
     # ops/pallas_resize.py) — the A/B that decides whether
     # IMAGEKIT_PALLAS_YUV flips on by default
-    from imagekit_tpu.ops.pallas_resize import _resize_yuv420_pallas, mode as _pl_mode
+    from imagekit_tpu.ops.pallas_resize import (
+        _resize_yuv420_pallas,
+        _resize_yuv_jpeg_pallas,
+        mode as _pl_mode,
+        yuvjpg_mode as _plj_mode,
+    )
 
     @jax.jit
     def dstep_yuvsrc_pl(wv_dep, flat_, wh, wvc, whc, vi):
@@ -150,6 +155,15 @@ def main():
             flat_, wv_dep, wh, wvc, whc, vi,
             bh=bh, bw=bw, obh=obh, obw=obw,
             interpret=(_pl_mode() == "interpret"),
+        )
+        return wv_dep + _dep_of(out), out
+
+    @jax.jit
+    def dstep_yuvjpg_pl(wv_dep, flat_, wh, wvc, whc, qt, vi):
+        out = _resize_yuv_jpeg_pallas(
+            flat_, wv_dep, wh, wvc, whc, qt, vi,
+            bh=bh, bw=bw, obh=obh, obw=obw,
+            interpret=(_plj_mode() == "interpret"),
         )
         return wv_dep + _dep_of(out), out
 
@@ -265,6 +279,8 @@ def main():
                       [flat, yw[1], yw[2], yw[3], vidx]),
         "yuvjpg": (dstep_yuvjpg, yw[0],
                    [flat, yw[1], yw[2], yw[3], qto, vidx]),
+        "yuvjpg_pl": (dstep_yuvjpg_pl, yw[0],
+                      [flat, yw[1], yw[2], yw[3], qto, vidx]),
         "rgbyuv": (dstep_rgbyuv, wv, [rgb, wh, vidx]),
         "rgbyuv_pl": (dstep_rgbyuv_pl, wv, [rgb, wh, vidx]),
         "rgbjpg": (dstep_rgbjpg, wv, [rgb, wh, vidx, qto]),
