@@ -171,3 +171,69 @@ def test_pallas_yuvjpg_matches_einsum(monkeypatch):
     for name, a, b in zip(("y", "cb", "cr"), ref, got):
         assert a.shape == b.shape
         assert (a == b).all(), name  # int16 levels: exact on CPU
+
+
+def test_engine_serves_with_pallas_enabled(monkeypatch):
+    """The batched engine end-to-end with the Pallas yuvsrc front
+    enabled (interpret): WebP source -> fused head -> WebP output, no
+    host fallback once compiled, bytes decode correctly."""
+    import asyncio
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from imagekit_tpu.codecs import vp8 as vp8_native
+    from imagekit_tpu.config import ImageFormat
+    from imagekit_tpu.utils.bucketing import bucket_for
+    from tests.conftest import make_test_image
+    from tests.test_batcher import make_engine
+
+    if not (vp8_native.available() and vp8_native.decode_available()):
+        pytest.skip("native VP8 unavailable")
+
+    monkeypatch.setenv("IMAGEKIT_PALLAS_YUV", "interpret")
+    img = make_test_image(96, 64)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "WEBP", quality=92)
+    data = buf.getvalue()
+
+    engine = make_engine()
+
+    async def run():
+        from imagekit_tpu.ops.dct import pad128, resize_yuv420_batch
+
+        bh, bw = bucket_for(64), bucket_for(96)
+        obh, obw = bucket_for(32), bucket_for(48)
+        ny, nc = bh * bw, (bh // 2) * (bw // 2)
+        nu = engine.MAX_UNIQUE
+        # warm the signature through the SAME dispatch the engine uses
+        resize_yuv420_batch(
+            np.zeros((1, pad128(ny + 2 * nc)), np.uint8),
+            (
+                np.zeros((nu, obh, bh), np.float32),
+                np.zeros((nu, obw, bw), np.float32),
+                np.zeros((nu, obh // 2, bh // 2), np.float32),
+                np.zeros((nu, obw // 2, bw // 2), np.float32),
+            ),
+            np.zeros(1, np.int32), (bh, bw), (obh, obw),
+        )
+        engine._compiled.add(
+            ("yuvsrc", False, 1, bh, bw, obh, obw, 2, 2, False, False)
+        )
+        out = await engine.transform(data, 48, None, ImageFormat.webp, 85)
+        await engine.close()
+        return out
+
+    out = asyncio.run(run())
+    assert engine.metrics.host_fallbacks == 0
+    assert out[:4] == b"RIFF"
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    golden = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (48, 32), Image.LANCZOS
+        )
+    )
+    from tests.conftest import psnr
+
+    assert psnr(dec, golden) >= 28.0
