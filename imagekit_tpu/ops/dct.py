@@ -1000,16 +1000,30 @@ def resample_rgb_jpeg_batch(imgs_flat, weights, vidx, hidx, qt_out,
     in natural order for the host Huffman encoder."""
     wv, wh = weights
     obh, obw = out_shape
-    flat = np.asarray(
-        _resample_rgb_jpeg_kernel(
-            jnp.asarray(imgs_flat),
-            jnp.asarray(wv),
-            jnp.asarray(wh),
-            jnp.asarray(vidx),
-            jnp.asarray(hidx),
-            jnp.asarray(qt_out),
+    # opt-in Pallas front (VERDICT r4 #5 sixth front) — see
+    # pallas_resize._resample_rgb_jpeg_pallas
+    from imagekit_tpu.ops import pallas_resize as _plr
+
+    if _plr.rgbjpg_enabled():
+        flat = np.asarray(
+            _plr._resample_rgb_jpeg_pallas(
+                jnp.asarray(imgs_flat), jnp.asarray(wv),
+                jnp.asarray(wh), jnp.asarray(vidx),
+                jnp.asarray(hidx), jnp.asarray(qt_out),
+                interpret=_plr.rgbjpg_mode() == "interpret",
+            )
         )
-    )
+    else:
+        flat = np.asarray(
+            _resample_rgb_jpeg_kernel(
+                jnp.asarray(imgs_flat),
+                jnp.asarray(wv),
+                jnp.asarray(wh),
+                jnp.asarray(vidx),
+                jnp.asarray(hidx),
+                jnp.asarray(qt_out),
+            )
+        )
     B = flat.shape[0]
     ny = obh * obw
     nc = (obh // 2) * (obw // 2)

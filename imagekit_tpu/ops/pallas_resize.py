@@ -351,3 +351,61 @@ def _resize_yuv_jpeg_pallas(
         ],
         axis=1,
     )
+
+
+def rgbjpg_mode() -> str:
+    v = os.environ.get("IMAGEKIT_PALLAS_RGBJPG", "")
+    if v in ("1", "tpu"):
+        return "tpu"
+    if v == "interpret":
+        return "interpret"
+    return ""
+
+
+def rgbjpg_enabled() -> bool:
+    m = rgbjpg_mode()
+    if not m:
+        return False
+    if m == "interpret":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _resample_rgb_jpeg_pallas(imgs_flat, wv_u, wh_u, vidx, hidx, qt_out,
+                              interpret: bool = False):
+    """Pallas front for the fused RGB resample + JPEG encode head
+    (`dct._resample_rgb_jpeg_kernel`): per-channel Pallas resize to the
+    rounded u8 grid (the einsum head's exact hand-off), then the JFIF
+    BT.601 mix, 4:2:0 box subsample, and einsum fDCT + quantisation
+    tail on the small output grid."""
+    from imagekit_tpu.ops.dct import _fdct_quant_flat
+
+    B, H, WC = imgs_flat.shape
+    W = WC // 3
+    x = imgs_flat.reshape(B, H, W, 3)
+    planes = [
+        _plane_resize(
+            x[..., c], wv_u, wh_u, vidx, interpret, hidx=hidx
+        ).astype(jnp.float32)
+        for c in range(3)
+    ]
+    r, g, b = planes
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    OH = wv_u.shape[1]
+    OW = wh_u.shape[1]
+    cb = cb.reshape(B, OH // 2, 2, OW // 2, 2).mean(axis=(2, 4))
+    cr = cr.reshape(B, OH // 2, 2, OW // 2, 2).mean(axis=(2, 4))
+    return jnp.concatenate(
+        [
+            _fdct_quant_flat(y, qt_out[:, :64]),
+            _fdct_quant_flat(cb, qt_out[:, 64:]),
+            _fdct_quant_flat(cr, qt_out[:, 64:]),
+        ],
+        axis=1,
+    )

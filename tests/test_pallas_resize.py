@@ -237,3 +237,33 @@ def test_engine_serves_with_pallas_enabled(monkeypatch):
     from tests.conftest import psnr
 
     assert psnr(dec, golden) >= 28.0
+
+
+def test_pallas_rgbjpg_matches_einsum(monkeypatch):
+    """Sixth Pallas front: RGB -> JPEG head — per-channel Pallas resize
+    to the rounded u8 grid, JFIF mix + subsample + einsum fDCT tail.
+    int16 levels exact on CPU."""
+    from imagekit_tpu.ops.dct import resample_rgb_jpeg_batch
+
+    rng = np.random.default_rng(3)
+    B, U = 3, 4
+    bh, bw, obh, obw = 64, 256, 32, 128
+    imgs = rng.integers(0, 255, (B, bh, bw * 3), np.uint8)
+    wv = np.stack(
+        [padded_weights(60 - 2 * i, 30 - i, bh, obh) for i in range(U)]
+    ).astype(np.float32)
+    wh = np.stack(
+        [padded_weights(250 - 3 * i, 125 - 2 * i, bw, obw)
+         for i in range(U)]
+    ).astype(np.float32)
+    vidx = np.array([0, 2, 1], np.int32)
+    hidx = np.array([3, 1, 0], np.int32)
+    qt_out = rng.random((B, 128)).astype(np.float32) * 20 + 1
+    args = (imgs, (wv, wh), vidx, hidx, qt_out, (obh, obw))
+    monkeypatch.setenv("IMAGEKIT_PALLAS_RGBJPG", "")
+    ref = resample_rgb_jpeg_batch(*args)
+    monkeypatch.setenv("IMAGEKIT_PALLAS_RGBJPG", "interpret")
+    assert pallas_resize.rgbjpg_enabled()
+    got = resample_rgb_jpeg_batch(*args)
+    for name, a, b in zip(("y", "cb", "cr"), ref, got):
+        assert (a == b).all(), name  # int16 levels: exact on CPU

@@ -178,8 +178,10 @@ def main():
         return wv_dep + _dep_of(out), out
 
     from imagekit_tpu.ops.pallas_resize import (
+        _resample_rgb_jpeg_pallas,
         _resample_rgb_yuv_pallas,
         rgb_mode as _plr_mode,
+        rgbjpg_mode as _plrj_mode,
     )
 
     @jax.jit
@@ -193,6 +195,14 @@ def main():
     @jax.jit
     def dstep_rgbjpg(wv_dep, rgb_, wh_, vi, qt):
         out = _resample_rgb_jpeg_kernel(rgb_, wv_dep, wh_, vi, vi, qt)
+        return wv_dep + _dep_of(out), out
+
+    @jax.jit
+    def dstep_rgbjpg_pl(wv_dep, rgb_, wh_, vi, qt):
+        out = _resample_rgb_jpeg_pallas(
+            rgb_, wv_dep, wh_, vi, vi, qt,
+            interpret=(_plrj_mode() == "interpret"),
+        )
         return wv_dep + _dep_of(out), out
 
     # --- fused JPEG->JPEG transcode (jxc), split-int8 transport, K=2 ---
@@ -284,6 +294,7 @@ def main():
         "rgbyuv": (dstep_rgbyuv, wv, [rgb, wh, vidx]),
         "rgbyuv_pl": (dstep_rgbyuv_pl, wv, [rgb, wh, vidx]),
         "rgbjpg": (dstep_rgbjpg, wv, [rgb, wh, vidx, qto]),
+        "rgbjpg_pl": (dstep_rgbjpg_pl, wv, [rgb, wh, vidx, qto]),
         "jpeg8": (dstep_jpeg8, qt_in,
                   [y_dc, y_ac, c_dc, c_ac, c_dc, c_ac,
                    ey[0], ey[1], ec[0], ec[1], ec[0], ec[1],
