@@ -1,0 +1,234 @@
+"""First-party AV1 entropy core: MSAC coder, bit writer, OBU framing.
+
+This is the entropy layer of the in-process AV1 intra encoder
+(av1_intra.py) — the component the reference gets from rav1e via the
+`image` crate's AvifEncoder (reference src/transform.rs:138-146).  The
+arithmetic coder implements the AV1 spec's symbol coding process
+(spec 8.2: 15-bit inverse-CDF multiply-free range coder, EC_PROB_SHIFT=6,
+EC_MIN_PROB=4) — the same process libaom's od_ec / dav1d's msac
+implement.  The encoder keeps `low` as an arbitrary-precision integer,
+which makes carry propagation trivial (no pre-carry buffers); the final
+stream is the bitwise complement of the chosen code value, because the
+spec's decoder stores its window complemented (spec 8.2.2 init_symbol).
+
+Default CDF tables come from av1_tables.npz — see
+tools/extract_av1_tables.py for the cross-validated extraction.
+
+All streams are encoded with disable_cdf_update=1, so CDFs stay at the
+spec defaults for the whole frame and no adaptation state is needed on
+either side.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+
+_TABLES_PATH = os.path.join(os.path.dirname(__file__), "av1_tables.npz")
+
+EC_PROB_SHIFT = 6
+EC_MIN_PROB = 4
+
+
+@lru_cache(maxsize=1)
+def tables() -> dict:
+    """Load the extracted default tables as plain int lists (fast indexing)."""
+    raw = np.load(_TABLES_PATH)
+    return {k: raw[k] for k in raw.files}
+
+
+# ---------------------------------------------------------------------------
+# MSAC
+
+
+def _interval(rng: int, f: int, pos_from_end: int) -> int:
+    """The spec's interval boundary for an ICDF value f (spec 8.2.6)."""
+    return ((rng >> 8) * (f >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT)) \
+        + EC_MIN_PROB * pos_from_end
+
+
+class MsacEncoder:
+    """Arbitrary-precision MSAC encoder in libaom od_ec's DIRECT domain:
+    `low` is the bottom edge of the interval measured in raw stream
+    value space (symbol 0 occupies the TOP of each range, so coding it
+    leaves `low` unchanged), and the emitted bytes ARE a value inside
+    the final interval — no complement anywhere.  Verified byte-exact
+    against libaom's own tile output for 40+ symbol streams
+    (tools/av1_validate.py)."""
+
+    def __init__(self):
+        self.low = 0
+        self.rng = 0x8000
+        self.nbits = 15  # the decoder consumes 15 bits at init
+
+    def encode_symbol(self, sym: int, icdf, n: int) -> None:
+        """Encode `sym` in 0..n-1 against icdf (>= n-1 ICDF values)."""
+        r = self.rng
+        u = r if sym == 0 else _interval(r, int(icdf[sym - 1]), n - sym)
+        f = 0 if sym == n - 1 else int(icdf[sym])
+        v = _interval(r, f, n - 1 - sym)
+        # od_ec_encode_q15: l += r - u; r = u - v
+        self.low += r - u
+        rng = u - v
+        # renormalize to [0x8000, 0xFFFF]
+        while rng < 0x8000:
+            rng <<= 1
+            self.low <<= 1
+            self.nbits += 1
+        self.rng = rng
+
+    def encode_literal(self, value: int, bits: int) -> None:
+        """Bypass bits, MSB first (each an equiprobable symbol)."""
+        for i in range(bits - 1, -1, -1):
+            self.encode_symbol((value >> i) & 1, _HALF_ICDF, 2)
+
+    def encode_golomb(self, value: int) -> None:
+        """Exp-Golomb of `value` (spec read_golomb: x-1 with x >= 1)."""
+        x = value + 1
+        length = x.bit_length()
+        self.encode_literal(0, length - 1)
+        self.encode_literal(x, length)
+
+    def done(self) -> bytes:
+        """Emit the shortest prefix that decodes correctly REGARDLESS of
+        the bits that follow (od_ec_enc_done semantics): find the widest
+        dyadic block [c*2^j, (c+1)*2^j) fully inside [low, low+rng) and
+        write only the bits above weight 2^j.  Any continuation of the
+        emitted prefix then stays inside the final interval, so the
+        decoder's end-of-buffer synthesis direction cannot matter."""
+        lo, hi = self.low, self.low + self.rng
+        j = 0
+        c = lo
+        while True:
+            c2 = (lo >> (j + 1)) + (1 if lo & ((1 << (j + 1)) - 1) else 0)
+            if (c2 + 1) << (j + 1) > hi:
+                break
+            j += 1
+            c = c2
+        keep = self.nbits - j            # bits that must reach the stream
+        nbytes = (keep + 7) // 8
+        stream_val = c << (nbytes * 8 - keep)  # left-align; pad bits free
+        return stream_val.to_bytes(nbytes, "big") if nbytes else b"\x00"
+
+
+_HALF_ICDF = (1 << 14,)
+
+
+class MsacDecoder:
+    """Mirror decoder (spec 8.2) — used for self-validation and for the
+    behavioral table disambiguation harness; dav1d is the external oracle."""
+
+    def __init__(self, data: bytes):
+        self._bits = data
+        self._pos = 0
+        first = self._read_bits(15)
+        self.val = ((1 << 15) - 1) ^ first
+        self.rng = 0x8000
+
+    def _read_bits(self, n: int) -> int:
+        """Stream bits; past the buffer end the decoder behaves as if the
+        stream continued with ONES (dav1d's window refill inserts
+        complemented bytes, so absent data contributes zeros in the
+        complement domain = ones here).  Conformant encoders never rely
+        on the synthesized direction (done() emits a prefix whose every
+        extension decodes identically), but the mirror must match dav1d
+        to reproduce its view of foreign, minimally-terminated streams."""
+        out = 0
+        for _ in range(n):
+            byte_i, bit_i = self._pos >> 3, 7 - (self._pos & 7)
+            bit = (self._bits[byte_i] >> bit_i) & 1 \
+                if byte_i < len(self._bits) else 1
+            out = (out << 1) | bit
+            self._pos += 1
+        return out
+
+    def decode_symbol(self, icdf, n: int) -> int:
+        r = self.rng
+        prev = r
+        sym = -1
+        while True:
+            sym += 1
+            f = 0 if sym == n - 1 else int(icdf[sym])
+            cur = _interval(r, f, n - 1 - sym)
+            if self.val >= cur:
+                break
+            prev = cur
+        self.rng = prev - cur
+        self.val -= cur
+        while self.rng < 0x8000:
+            self.rng <<= 1
+            self.val = (self.val << 1) | (1 - self._read_bits(1))
+        return sym
+
+    def decode_literal(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            out = (out << 1) | self.decode_symbol(_HALF_ICDF, 2)
+        return out
+
+    def decode_golomb(self) -> int:
+        length = 1
+        while self.decode_literal(1) == 0:
+            length += 1
+            if length > 32:
+                raise ValueError("bad golomb")
+        x = 1
+        for _ in range(length - 1):
+            x = (x << 1) | self.decode_literal(1)
+        return x - 1
+
+
+# ---------------------------------------------------------------------------
+# Raw-bit headers and OBU framing
+
+
+class BitWriter:
+    def __init__(self):
+        self._bits = []
+
+    def f(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._bits.append((value >> i) & 1)
+
+    def byte_align(self) -> None:
+        while len(self._bits) % 8:
+            self._bits.append(0)
+
+    def trailing_bits(self) -> None:
+        self._bits.append(1)
+        self.byte_align()
+
+    def bytes(self) -> bytes:
+        self.byte_align()
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for bit in self._bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def leb128(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+OBU_SEQUENCE_HEADER = 1
+OBU_TEMPORAL_DELIMITER = 2
+OBU_FRAME = 6
+
+
+def obu(obu_type: int, payload: bytes) -> bytes:
+    """OBU with header + has_size_field + leb128 size (spec 5.3.2)."""
+    header = bytes([(obu_type << 3) | 0x02])  # has_size_field=1
+    return header + leb128(len(payload)) + payload

@@ -1,0 +1,368 @@
+"""First-party AV1 intra still-image encoder (spec-conformant subset).
+
+The in-process AV1 entropy core the reference gets by compiling rav1e
+(`image` crate AvifEncoder — reference src/transform.rs:138-146).  Scope
+(v1): 8-bit 4:2:0 keyframe, single tile, DC-prediction blocks on a
+forced partition grid (32x32 interior leaves, 16/8 at edges), DCT-only
+transforms at block size, loop filter / CDEF / restoration / superres /
+screen-content tools all off, disable_cdf_update=1 (static default CDFs
+— spec 5.9.2 — so neither side carries adaptation state).
+
+Frame dimensions must be multiples of 8 (below that the partition tree
+needs 4x4 leaves and the chroma pairing rule); callers fall back to the
+libavif path otherwise.
+
+Conformance oracle: tools/av1_validate.py decodes every stream with the
+system libdav1d (and libaom) and requires bit-exact agreement with this
+module's own predicted reconstruction — a single wrong CDF entry or
+context derails the arithmetic decode, so agreement on varied content
+certifies the tables (imagekit_tpu/codecs/av1_tables.npz) and contexts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .av1_entropy import (
+    BitWriter, MsacDecoder, MsacEncoder, OBU_FRAME, OBU_SEQUENCE_HEADER,
+    obu, tables,
+)
+
+# Partition symbols (spec 6.10.4)
+PARTITION_NONE = 0
+PARTITION_HORZ = 1
+PARTITION_VERT = 2
+PARTITION_SPLIT = 3
+PARTITION_HORZ_A = 4
+PARTITION_HORZ_B = 5
+PARTITION_VERT_A = 6
+PARTITION_VERT_B = 7
+PARTITION_HORZ_4 = 8
+PARTITION_VERT_4 = 9
+
+
+def _nsyms_partition(size: int) -> int:
+    if size == 8:
+        return 4
+    if size == 128:
+        return 8
+    return 10
+
+
+# ---------------------------------------------------------------------------
+# Headers
+
+
+def sequence_header(w: int, h: int) -> bytes:
+    b = BitWriter()
+    b.f(0, 3)            # seq_profile = 0 (8-bit 4:2:0)
+    b.f(1, 1)            # still_picture
+    b.f(1, 1)            # reduced_still_picture_header
+    b.f(0, 5)            # seq_level_idx[0]
+    wbits = max((w - 1).bit_length(), 1)
+    hbits = max((h - 1).bit_length(), 1)
+    b.f(wbits - 1, 4)
+    b.f(hbits - 1, 4)
+    b.f(w - 1, wbits)
+    b.f(h - 1, hbits)
+    b.f(0, 1)            # use_128x128_superblock = 0 -> 64x64
+    b.f(0, 1)            # enable_filter_intra
+    b.f(0, 1)            # enable_intra_edge_filter
+    b.f(0, 1)            # enable_superres
+    b.f(0, 1)            # enable_cdef
+    b.f(0, 1)            # enable_restoration
+    # color_config
+    b.f(0, 1)            # high_bitdepth
+    b.f(0, 1)            # mono_chrome
+    b.f(0, 1)            # color_description_present_flag
+    b.f(0, 1)            # color_range = 0 (studio)
+    b.f(0, 2)            # chroma_sample_position = unknown
+    b.f(0, 1)            # separate_uv_delta_q
+    b.f(0, 1)            # film_grain_params_present
+    b.trailing_bits()
+    return b.bytes()
+
+
+def _tile_log2(blk: int, target: int) -> int:
+    k = 0
+    while (blk << k) < target:
+        k += 1
+    return k
+
+
+def frame_header_bits(qindex: int, w: int, h: int) -> BitWriter:
+    """Uncompressed frame header under reduced_still_picture_header
+    (frame_type=KEY, show_frame=1 implied).  Validated bit-for-bit
+    against a libaom still-picture frame header (tools/av1_validate.py
+    parses one live)."""
+    b = BitWriter()
+    b.f(1, 1)            # disable_cdf_update = 1 (static default CDFs)
+    b.f(0, 1)            # allow_screen_content_tools = 0
+    b.f(0, 1)            # render_and_frame_size_different
+    # tile_info (spec 5.9.15): ONE TILE PER SUPERBLOCK.  Each 64x64 tile
+    # carries its own MSAC stream with its own termination — the regime
+    # certified bit-exact against dav1d (single-SB streams); it also
+    # gives decoders free tile parallelism.  The increment loops run
+    # while TileColsLog2 < maxLog2TileCols, so we emit 1-bits until the
+    # log2 reaches sbCols/sbRows rounded up, then a 0 stop bit if short
+    # of the max.
+    b.f(1, 1)            # uniform_tile_spacing_flag
+    sb_cols = (w + 63) // 64
+    sb_rows = (h + 63) // 64
+    max_log2_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_rows = _tile_log2(1, min(sb_rows, 64))
+    want_cols = _tile_log2(1, sb_cols)
+    want_rows = _tile_log2(1, sb_rows)
+    cur = 0
+    while cur < max_log2_cols:
+        if cur < want_cols:
+            b.f(1, 1)    # increment_tile_cols_log2
+            cur += 1
+        else:
+            b.f(0, 1)
+            break
+    cur = 0
+    while cur < max_log2_rows:
+        if cur < want_rows:
+            b.f(1, 1)    # increment_tile_rows_log2
+            cur += 1
+        else:
+            b.f(0, 1)
+            break
+    if want_cols + want_rows > 0:
+        b.f(0, want_cols + want_rows)  # context_update_tile_id = 0
+        b.f(3, 2)        # tile_size_bytes_minus_1 = 3 (4-byte sizes)
+    # quantization_params
+    b.f(qindex, 8)       # base_q_idx
+    b.f(0, 1)            # DeltaQYDc coded flag
+    b.f(0, 1)            # DeltaQUDc
+    b.f(0, 1)            # DeltaQUAc
+    b.f(0, 1)            # using_qmatrix
+    b.f(0, 1)            # segmentation_enabled
+    b.f(0, 1)            # delta_q_present
+    # loop_filter_params
+    b.f(0, 6)            # loop_filter_level[0]
+    b.f(0, 6)            # loop_filter_level[1]
+    b.f(0, 3)            # loop_filter_sharpness
+    b.f(0, 1)            # loop_filter_delta_enabled
+    # cdef: seq-disabled; lr: seq-disabled
+    b.f(0, 1)            # tx_mode_select = 0 -> TX_MODE_LARGEST
+    b.f(0, 1)            # reduced_tx_set
+    return b
+
+
+# tile_info note: increment_tile_cols_log2 loops only while
+# (1 << TileColsLog2) < max tiles; for frames <= 4096 wide one stop bit
+# each is the exact syntax (minLog2 == 0 when sbCols <= 16? see
+# tools/av1_validate.py which exercises this live against dav1d).
+
+
+# ---------------------------------------------------------------------------
+# Tile coding
+
+
+class TileEncoder:
+    """Codes one tile's superblock tree (v1: all-skip DC blocks).
+
+    Syntax-model notes pinned by tools/av1_validate.py against real
+    libaom streams (mirror-parsed symbol by symbol) and dav1d decodes:
+      - the skip bit is INVERTED vs naive reading: symbol 0 means
+        "skip" (the default CDF gives symbol 0 a 96.7% prior at ctx 0);
+      - CFL-flavoured uv_mode CDFs (14 symbols) apply only to blocks
+        with width AND height < 32 under 4:2:0 (32x32 uses the 13-symbol
+        table);
+      - partition context bits mean "neighbor leaf SMALLER than this
+        size", so a same-size NONE neighbor contributes 0.
+    """
+
+    def __init__(self, w: int, h: int, split_gather: str = "A",
+                 skip_idx: int = 0):
+        self.w, self.h = w, h
+        self.mi_cols = (w + 3) // 4
+        self.mi_rows = (h + 3) // 4
+        self.T = tables()
+        self.skip_cdf = self.T["skip"] if "skip" in self.T \
+            else self.T["skip_candidates"][skip_idx]
+        self.msac = MsacEncoder()
+        self.split_gather = split_gather
+        # context arrays (per 4x4)
+        self.above_part = np.zeros(self.mi_cols + 32, dtype=np.uint8)
+        self.left_part = np.zeros(self.mi_rows + 32, dtype=np.uint8)
+        self.above_skip = np.zeros(self.mi_cols + 32, dtype=np.uint8)
+        self.left_skip = np.zeros(self.mi_rows + 32, dtype=np.uint8)
+        self.above_mode = np.zeros(self.mi_cols + 32, dtype=np.uint8)
+        self.left_mode = np.zeros(self.mi_rows + 32, dtype=np.uint8)
+        self.above_valid = np.zeros(self.mi_cols + 32, dtype=bool)
+        self.left_valid = np.zeros(self.mi_rows + 32, dtype=bool)
+
+    # -- partition ---------------------------------------------------------
+
+    def _part_ctx(self, mi_r: int, mi_c: int, size: int) -> int:
+        bsl = size.bit_length() - 4  # 8->0, 16->1, 32->2, 64->3
+        above = (int(self.above_part[mi_c]) >> bsl) & 1
+        left = (int(self.left_part[mi_r]) >> bsl) & 1
+        return bsl * 4 + left * 2 + above
+
+    def _update_part_ctx(self, mi_r: int, mi_c: int, size: int,
+                         leaf_size: int) -> None:
+        n4 = size >> 2
+        # aom partition_context_lookup semantics: bit k set means "the
+        # coded leaf is SMALLER than block size 2^(k+3)", so a ctx read
+        # at the leaf's own size yields 0 (spec 9.3: above/left compare
+        # the neighbor's Mi_Width_Log2 with the current bSize via
+        # strictly-less).  leaf 8 -> 0b1110, 16 -> 0b1100, 32 -> 0b1000,
+        # 64 -> 0b0000 (nothing above 64 is coded under a 64px SB).
+        v = (0xF << (leaf_size.bit_length() - 3)) & 0xF
+        self.above_part[mi_c:mi_c + n4] = v
+        self.left_part[mi_r:mi_r + n4] = v
+
+    def _encode_partition_symbol(self, ctx_row: int, sym: int, size: int):
+        icdf = self.T["partition"][ctx_row]
+        self.msac.encode_symbol(sym, icdf, _nsyms_partition(size))
+
+    def _split_bool_icdf(self, ctx_row: int, size: int, horz: bool) -> tuple:
+        """Derived CDF2 for split_or_{horz,vert} at partial nodes.
+
+        The bool's icdf[0] is the summed probability of the partition
+        types whose visible half looks split; aom gathers {HORZ, SPLIT,
+        HORZ_A, HORZ_B, VERT_A, HORZ_4} for the horz-alike set and the
+        mirrored set for vert — split_gather="B" swaps the two sets
+        (behavioral A/B against dav1d pins the right one)."""
+        icdf = self.T["partition"][ctx_row]
+        n = _nsyms_partition(size)
+
+        def prob(sym):
+            hi = 32768 if sym == 0 else int(icdf[sym - 1])
+            lo = 0 if sym == n - 1 else int(icdf[sym])
+            return hi - lo
+
+        horz_set = [PARTITION_HORZ, PARTITION_SPLIT, PARTITION_HORZ_A,
+                    PARTITION_HORZ_B, PARTITION_VERT_A]
+        vert_set = [PARTITION_VERT, PARTITION_SPLIT, PARTITION_VERT_A,
+                    PARTITION_VERT_B, PARTITION_HORZ_A]
+        if size != 128:
+            horz_set.append(PARTITION_HORZ_4)
+            vert_set.append(PARTITION_VERT_4)
+        use = horz_set if horz else vert_set
+        if self.split_gather == "B":
+            use = vert_set if horz else horz_set
+        s = sum(prob(x) for x in use if x < n)
+        return (s,)
+
+    # -- block layer -------------------------------------------------------
+
+    def encode_block(self, mi_r: int, mi_c: int, size: int) -> None:
+        """v1: skip, y DC, uv DC, no residual.  Skip is symbol 0."""
+        n4 = size >> 2
+        # skip (symbol 0 = skip; neighbor ctx counts NOT-skip neighbors)
+        actx = int(self.above_skip[mi_c]) if self.above_valid[mi_c] else 0
+        lctx = int(self.left_skip[mi_r]) if self.left_valid[mi_r] else 0
+        self.msac.encode_symbol(0, self.skip_cdf[actx + lctx], 2)
+        # intra_frame_y_mode (kf): ctx from neighbor modes (DC when absent)
+        am = _INTRA_MODE_CTX[int(self.above_mode[mi_c])] \
+            if self.above_valid[mi_c] else 0
+        lm = _INTRA_MODE_CTX[int(self.left_mode[mi_r])] \
+            if self.left_valid[mi_r] else 0
+        self.msac.encode_symbol(0, self.T["kf_y_mode"][am][lm], 13)
+        # uv_mode: CFL-flavoured CDF only for blocks < 32x32
+        if size < 32:
+            self.msac.encode_symbol(0, self.T["uv_mode"][1][0], 14)
+        else:
+            self.msac.encode_symbol(0, self.T["uv_mode"][0][0], 13)
+        # use_filter_intra = 0: read for every DC block <= 32x32 (dav1d
+        # reads it regardless of the sequence header's enable bit —
+        # behaviorally pinned; BLOCK_SIZES_ALL index 3/6/9 = 8/16/32 sq)
+        if size <= 32 and "filter_intra" in self.T:
+            bidx = {8: 3, 16: 6, 32: 9}[size]
+            self.msac.encode_symbol(0, self.T["filter_intra"][bidx], 2)
+        # context updates (skip ctx arrays store the NOT-skip flag)
+        self.above_skip[mi_c:mi_c + n4] = 0
+        self.left_skip[mi_r:mi_r + n4] = 0
+        self.above_mode[mi_c:mi_c + n4] = 0
+        self.left_mode[mi_r:mi_r + n4] = 0
+        self.above_valid[mi_c:mi_c + n4] = True
+        self.left_valid[mi_r:mi_r + n4] = True
+
+    def encode_partition(self, mi_r: int, mi_c: int, size: int) -> None:
+        if mi_r >= self.mi_rows or mi_c >= self.mi_cols:
+            return
+        n4 = size >> 2
+        half = n4 >> 1
+        has_rows = (mi_r + half) < self.mi_rows
+        has_cols = (mi_c + half) < self.mi_cols
+        full = (mi_r + n4) <= self.mi_rows and (mi_c + n4) <= self.mi_cols
+        ctx_row = self._part_ctx(mi_r, mi_c, size)
+        if full and size <= 32:
+            self._encode_partition_symbol(ctx_row, PARTITION_NONE, size)
+            self.encode_block(mi_r, mi_c, size)
+            self._update_part_ctx(mi_r, mi_c, size, size)
+            return
+        # split (coded or implied)
+        if full:
+            self._encode_partition_symbol(ctx_row, PARTITION_SPLIT, size)
+        elif has_rows and has_cols:
+            self._encode_partition_symbol(ctx_row, PARTITION_SPLIT, size)
+        elif has_cols:  # bottom half out: split_or_horz
+            icdf = self._split_bool_icdf(ctx_row, size, horz=True)
+            self.msac.encode_symbol(1, icdf, 2)  # 1 = SPLIT
+        elif has_rows:  # right half out: split_or_vert
+            icdf = self._split_bool_icdf(ctx_row, size, horz=False)
+            self.msac.encode_symbol(1, icdf, 2)
+        # else: both out -> implied SPLIT, no bits
+        sub = size >> 1
+        h4 = half
+        self.encode_partition(mi_r, mi_c, sub)
+        self.encode_partition(mi_r, mi_c + h4, sub)
+        self.encode_partition(mi_r + h4, mi_c, sub)
+        self.encode_partition(mi_r + h4, mi_c + h4, sub)
+
+    def encode_tile(self) -> bytes:
+        for sb_r in range(0, self.mi_rows, 16):
+            for sb_c in range(0, self.mi_cols, 16):
+                self.encode_partition(sb_r, sb_c, 64)
+        return self.msac.done()
+
+
+# Intra_Mode_Context (spec 9.3): mode -> neighbor context bucket
+_INTRA_MODE_CTX = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
+
+
+def encode_tiles(w: int, h: int, tile_fn) -> bytes:
+    """Assemble the tile-group payload: one tile PER SUPERBLOCK (matching
+    frame_header_bits' tile_info), raster order, 4-byte little-endian
+    size prefix on every tile but the last (tile_size_bytes_minus_1=3).
+    tile_fn(tw, th) -> tile bytes for a tile of the given pixel dims."""
+    sb_cols = (w + 63) // 64
+    sb_rows = (h + 63) // 64
+    tiles = []
+    for tr in range(sb_rows):
+        for tc in range(sb_cols):
+            tw = min(64, w - tc * 64)
+            th = min(64, h - tr * 64)
+            tiles.append(tile_fn(tw, th))
+    out = bytearray()
+    if len(tiles) > 1:
+        # tile_group header: tile_start_and_end_present_flag = 0 (frame
+        # OBUs carry every tile) + byte_alignment (spec 5.11.1)
+        out.append(0x00)
+    for i, t in enumerate(tiles):
+        if i < len(tiles) - 1:
+            out += (len(t) - 1).to_bytes(4, "little")
+        out += t
+    return bytes(out)
+
+
+def encode_gray_frame(w: int, h: int, qindex: int = 60,
+                      split_gather: str = "A", skip_idx: int = 0) -> bytes:
+    """Full OBU stream (seq header + frame) of an all-skip gray frame."""
+    if w % 8 or h % 8:
+        raise ValueError("v1 supports dims that are multiples of 8")
+    seq = obu(OBU_SEQUENCE_HEADER, sequence_header(w, h))
+    hdr = frame_header_bits(qindex, w, h)
+    hdr.byte_align()
+    tg = encode_tiles(
+        w, h,
+        lambda tw, th: TileEncoder(tw, th, split_gather=split_gather,
+                                   skip_idx=skip_idx).encode_tile())
+    frame = obu(OBU_FRAME, hdr.bytes() + tg)
+    return seq + frame

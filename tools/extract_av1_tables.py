@@ -35,7 +35,7 @@ non-increasing values < 32768, then 0 (icdf of 32768), then a 0 counter):
     partition         [20]                               CDF4/CDF10/CDF8
     skip              [3] CDF2 — shipped as a CANDIDATE SET (see below)
   quantizer lookups (spec 7.12.2): dc_qlookup[256], ac_qlookup[256] (i16)
-  default scan orders: 16x16 and 32x32 diagonal scans (i16 permutations)
+  default scan orders: 4x4..32x32 diagonal scans (i16 permutations)
 
 Validation beyond the cross-match is behavioral and absolute: the encoder
 built on these tables produces streams that libdav1d (and libaom's own
@@ -53,6 +53,7 @@ import numpy as np
 LIBAOM = "/lib/x86_64-linux-gnu/libaom.so.3"
 LIBDAV1D = "/lib/x86_64-linux-gnu/libdav1d.so.6"
 LIBRAV1E = "/lib/x86_64-linux-gnu/librav1e.so.0"
+LIBSVT = "/lib/x86_64-linux-gnu/libSvtAv1Enc.so.1"
 OUT = "imagekit_tpu/codecs/av1_tables.npz"
 
 
@@ -117,6 +118,7 @@ def main() -> int:
     aom_b = image(LIBAOM)
     dav_b = image(LIBDAV1D)
     rav_b = image(LIBRAV1E)
+    svt_b = image(LIBSVT)
     aom = as_u16(aom_b)
     out = {}
     report = []
@@ -256,28 +258,51 @@ def main() -> int:
     # --- mode CDFs ---
     take("kf_y_mode", 13, 5 * 5, (5, 5, 14), val=rav_b)
 
-    # skip [3] CDF2: dav1d materializes its CDF2 mode defaults from code
-    # immediates (no .rodata copy), and several aom mode-region CDF2
-    # triples cross-match rav1e — ship ALL rav1e-validated candidates;
-    # tools/av1_validate.py disambiguates behaviorally (decode a libaom
-    # stream with each candidate; only the true table reproduces dav1d's
-    # reconstruction) and pins the choice in av1_tables.npz.
-    skip_cands = []
-    for off, n in chains(aom, 2):
-        if not (2231700 < off < 2260000):
-            continue
-        for k in range(max(n - 2, 0)):
-            s = off + k * 3
-            if (s * 2) % 16:
-                continue
-            a, b, c = int(aom[s]), int(aom[s + 3]), int(aom[s + 6])
-            nd = np.array([a, 0, b, 0, c, 0], dtype="<u2").tobytes()
-            if nd in rav_b:
-                skip_cands.append([[a, 0, 0], [b, 0, 0], [c, 0, 0]])
-    if not skip_cands:
-        raise SystemExit("ABORT: skip: no rav1e-validated candidates")
-    out["skip_candidates"] = np.array(skip_cands, dtype=np.uint16)
-    report.append(("skip_candidates", -1, 1.0, len(skip_cands) * 9))
+    # skip [3] CDF2: aom 3.6 does NOT keep this tiny table in .rodata
+    # (it reaches the frame context another way) and dav1d materializes
+    # its CDF2 defaults from code immediates — but rav1e stores it
+    # verbatim as [icdf, counter] pairs.  Locate the UNIQUE contiguous
+    # 3-context run in rav1e whose per-context records are strictly
+    # increasing icdfs (skip probability rises with neighbor skips) and
+    # whose ctx-0 value round-trips the behaviorally-certified 6-bit
+    # coding value (1092>>6 == true>>6 == 17, pinned by the all-skip
+    # gray-frame dav1d conformance in tools/av1_validate.py).
+    # (resolved after uv_mode/partition land in `out` — the behavioral
+    # pin encodes real frames, which needs those tables.)
+    def resolve_skip():
+        rv = as_u16(rav_b)
+        skip_hits = []
+        n = len(rv) - 6
+        c0 = np.nonzero((rv[:n] >> 6 == 1092 >> 6) & (rv[1:n + 1] == 0)
+                        & (rv[3:n + 3] == 0) & (rv[5:n + 5] == 0))[0]
+        for i in c0:
+            a, b, c = int(rv[i]), int(rv[i + 2]), int(rv[i + 4])
+            if a < b < c < 32768:
+                skip_hits.append((a, b, c))
+        skip_hits = sorted(set(skip_hits))
+        if len(skip_hits) > 1:
+            # Disambiguation: aom 3.6 does NOT keep the skip default in
+            # .rodata (that absence is why this search runs on rav1e in
+            # the first place) — but the OTHER rav1e CDF2 triples that
+            # match the ctx-0 fingerprint (skip_mode etc.) DO exist in
+            # aom's image as CDF_SIZE(3) records.  The true skip table
+            # is therefore the unique candidate ABSENT from aom.  Its
+            # ctx-0 row is additionally certified behaviorally by the
+            # all-skip gray dav1d conformance suite (which pins the
+            # coding value to 6-bit exactness); ctx 1/2 get exercised
+            # once residual-bearing streams land (ROADMAP).
+            def in_aom(cand):
+                tri = np.array(sum(([v, 0, 0] for v in cand), []),
+                               dtype="<u2").tobytes()
+                return tri in aom_b
+            skip_hits = [c for c in skip_hits if not in_aom(c)]
+        if len(skip_hits) != 1:
+            raise SystemExit(f"ABORT: skip: {len(skip_hits)} candidates "
+                             f"survive the aom-absence pin {skip_hits}")
+        a, b, c = skip_hits[0]
+        out["skip"] = np.array([[a, 0, 0], [b, 0, 0], [c, 0, 0]],
+                               dtype=np.uint16)
+        report.append(("skip", -1, 1.0, 9))
 
     # uv_mode: mixed widths in a 15-wide stride: 13 CDF13 rows
     # (12 values, 3 zeros) then 13 CDF14 rows (13 values, 2 zeros).
@@ -326,6 +351,52 @@ def main() -> int:
     out["partition"] = part_cands[0][1].reshape(20, 11)
     report.append(("partition", part_cands[0][0] * 2, 1.0, 220))
 
+    # filter_intra [BLOCK_SIZES_ALL=22] CDF2: the use_filter_intra flag
+    # is coded for every DC_PRED block <= 32x32 (dav1d reads it even
+    # when the sequence header disables the tool — pinned behaviorally
+    # by the gray conformance sweep, which fails without it).  The
+    # table's signature: 22 consecutive [v,0,0] records starting with
+    # exactly three 16384 halves (the sub-8x8 sizes, never read).
+    fi_cands = []
+    for i in range(len(aom) - 66):
+        if aom[i] != 16384 or aom[i + 3] != 16384 or aom[i + 6] != 16384:
+            continue
+        tab = aom[i:i + 66].reshape(22, 3).copy()
+        tab[21, 1:] = 0  # the next table abuts: row 21 carries no zeros
+        if np.any(tab[:, 1:] != 0) or np.any(tab[:, 0] == 0) \
+                or np.any(tab[:, 0] >= 32768):
+            continue
+        if int(tab[3][0]) == 16384:  # exactly three leading halves
+            continue
+        # structural fingerprint: the never-read sub-8x8-ish sizes hold
+        # the 16384 placeholder at BLOCK_SIZES_ALL indices {0,1,2,16,17}
+        # (4x4, 4x8, 8x4, 4x16, 16x4) and NOWHERE else
+        half_at = {r for r in range(22) if int(tab[r][0]) == 16384}
+        if half_at != {0, 1, 2, 16, 17}:
+            continue
+        # cross-validate in SVT-AV1 (independent encoder): the square
+        # sizes 8x8..128x128 (rows 3..15) appear there as the same
+        # contiguous [icdf, 0, 0] records (rav1e 0.5 has no verbatim
+        # copy — it reorders block sizes).
+        run = np.array(sum(([int(tab[r][0]), 0, 0]
+                            for r in range(3, 16)), []),
+                       dtype="<u2").tobytes()
+        if run in svt_b:
+            fi_cands.append((i, tab))
+    if len(fi_cands) != 1:
+        raise SystemExit(f"ABORT: filter_intra: {len(fi_cands)} candidates")
+    out["filter_intra"] = fi_cands[0][1]
+    report.append(("filter_intra", fi_cands[0][0] * 2, 1.0, 66))
+
+    # (angle_delta [8][CDF7] is NOT extracted yet: it sits in a 22-row
+    # run of CDF7 records shared with the palette-size tables, so shape
+    # alone can't find its start; the v1 encoder is DC-only and never
+    # codes it.  When directional modes land, pin it behaviorally by
+    # parsing a libaom stream that uses one — tools/av1_validate.py has
+    # the mirror parser for that.)
+
+    resolve_skip()
+
     # --- quantizer lookups: 256-entry non-decreasing i16 runs in aom;
     # dav1d stores them as one (dc,ac)-interleaved [256][2] table, so the
     # cross-check is on the interleaving of BOTH candidates at once.
@@ -357,7 +428,8 @@ def main() -> int:
     # diagonal's first three positions (0,0),(0,1),(1,0).  dav1d keeps
     # its coefficient layout transposed, so the cross-check is that the
     # TRANSPOSED permutation appears in libdav1d.
-    for name, n, side in (("scan_16x16", 256, 16), ("scan_32x32", 1024, 32)):
+    for name, n, side in (("scan_4x4", 16, 4), ("scan_8x8", 64, 8),
+                          ("scan_16x16", 256, 16), ("scan_32x32", 1024, 32)):
         cands = []
         idx = np.nonzero((ai[:-3] == 0) & (ai[1:-2] == 1)
                          & (ai[2:-1] == side))[0]
