@@ -129,17 +129,16 @@ class MsacDecoder:
 
     def _read_bits(self, n: int) -> int:
         """Stream bits; past the buffer end the decoder behaves as if the
-        stream continued with ONES (dav1d's window refill inserts
-        complemented bytes, so absent data contributes zeros in the
-        complement domain = ones here).  Conformant encoders never rely
-        on the synthesized direction (done() emits a prefix whose every
-        extension decodes identically), but the mirror must match dav1d
-        to reproduce its view of foreign, minimally-terminated streams."""
+        stream continued with ZEROS (pinned against dav1d: a 1-byte tile
+        and the same tile with explicit zero padding decode identically,
+        while 0xFF padding decodes differently).  Conformant encoders
+        never rely on the synthesized direction — done() emits a prefix
+        whose every extension decodes identically."""
         out = 0
         for _ in range(n):
             byte_i, bit_i = self._pos >> 3, 7 - (self._pos & 7)
             bit = (self._bits[byte_i] >> bit_i) & 1 \
-                if byte_i < len(self._bits) else 1
+                if byte_i < len(self._bits) else 0
             out = (out << 1) | bit
             self._pos += 1
         return out
