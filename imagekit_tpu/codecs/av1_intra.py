@@ -140,7 +140,8 @@ def frame_header_bits(qindex: int, w: int, h: int) -> BitWriter:
     b.f(0, 1)            # using_qmatrix
     b.f(0, 1)            # segmentation_enabled
     b.f(0, 1)            # delta_q_present
-    # loop_filter_params
+    # loop_filter_params: levels [2]/[3] are present only when
+    # [0] or [1] is nonzero (pinned against a real lf=0 libaom header)
     b.f(0, 6)            # loop_filter_level[0]
     b.f(0, 6)            # loop_filter_level[1]
     b.f(0, 3)            # loop_filter_sharpness
@@ -249,15 +250,61 @@ class TileEncoder:
         s = sum(prob(x) for x in use if x < n)
         return (s,)
 
+    # -- residual coefficients ----------------------------------------------
+
+    def encode_txb_dc(self, qctx: int, txsz: int, plane_type: int,
+                      level: int, sign: int) -> None:
+        """One transform block whose ONLY nonzero coefficient is DC.
+
+        Syntax (spec 5.11.39 coeffs(), eob==1 specialisation):
+        all_zero=0, eob_pt symbol 0 (eob=1), coeff_base_eob at scan
+        position 0, base-range increments, then the forward pass's
+        dc_sign and (if level > 15) the exp-Golomb residue.  All neighbor
+        contexts are 0 in this encoder (every txb around is all-zero)."""
+        m = self.msac
+        # txb context 0: luma tx spanning its whole block; chroma base 7.
+        # all_zero symbol 0 means "no coefficients" (behaviorally pinned:
+        # a not-skip block whose three txbs code symbol 0 reconstructs
+        # pure prediction), so a coefficient-bearing txb codes symbol 1.
+        skip_ctx = 0 if plane_type == 0 else 7
+        m.encode_symbol(1, self.T["txb_skip"][qctx][txsz][skip_ctx], 2)
+        # eob_pt class by coefficient count: TX_4X4..TX_64X64 ->
+        # 16/64/256/1024/1024 (64-point transforms zero beyond 32x32)
+        name = ("eob_pt_16", "eob_pt_64", "eob_pt_256",
+                "eob_pt_1024", "eob_pt_1024")[txsz]
+        m.encode_symbol(0, self.T[name][qctx][plane_type][0],
+                        self.T[name].shape[-1] - 1)
+        # coeff_base_eob at si==0: symbol min(level,3)-1 (CDF3)
+        m.encode_symbol(min(level, 3) - 1,
+                        self.T["coeff_base_eob"][qctx][txsz][plane_type][0], 3)
+        # base range: up to 4 CDF4 increments while level-3 remains
+        if level > 2:
+            remaining = level - 3
+            for _ in range(4):
+                sym = min(remaining, 3)
+                m.encode_symbol(
+                    sym, self.T["coeff_br"][qctx][txsz][plane_type][0], 4)
+                remaining -= sym
+                if sym < 3:
+                    break
+        # forward pass: dc sign (ctx 0), then golomb residue if saturated
+        m.encode_symbol(sign, self.T["dc_sign"][qctx][plane_type][0], 2)
+        if level > 15:
+            m.encode_golomb(level - 15)
+
     # -- block layer -------------------------------------------------------
 
-    def encode_block(self, mi_r: int, mi_c: int, size: int) -> None:
-        """v1: skip, y DC, uv DC, no residual.  Skip is symbol 0."""
+    def encode_block(self, mi_r: int, mi_c: int, size: int,
+                     y_dc=None, qctx: int = 2) -> None:
+        """Skip (or DC-only-residual) DC-predicted block.  Skip is
+        symbol 0; `y_dc=(level, sign)` switches the block to not-skip
+        with a single luma DC coefficient and all-zero chroma."""
         n4 = size >> 2
+        notskip = 1 if y_dc else 0
         # skip (symbol 0 = skip; neighbor ctx counts NOT-skip neighbors)
         actx = int(self.above_skip[mi_c]) if self.above_valid[mi_c] else 0
         lctx = int(self.left_skip[mi_r]) if self.left_valid[mi_r] else 0
-        self.msac.encode_symbol(0, self.skip_cdf[actx + lctx], 2)
+        self.msac.encode_symbol(notskip, self.skip_cdf[actx + lctx], 2)
         # intra_frame_y_mode (kf): ctx from neighbor modes (DC when absent)
         am = _INTRA_MODE_CTX[int(self.above_mode[mi_c])] \
             if self.above_valid[mi_c] else 0
@@ -275,9 +322,19 @@ class TileEncoder:
         if size <= 32 and "filter_intra" in self.T:
             bidx = {8: 3, 16: 6, 32: 9}[size]
             self.msac.encode_symbol(0, self.T["filter_intra"][bidx], 2)
+        if y_dc:
+            # residual: luma tx = block size (TX_MODE_LARGEST), one DC
+            # coefficient; chroma txbs all-zero
+            level, sign = y_dc
+            y_txsz = {8: 1, 16: 2, 32: 3}[size]
+            self.encode_txb_dc(qctx, y_txsz, 0, level, sign)
+            uv_txsz = max(y_txsz - 1, 0)
+            for _ in range(2):  # all_zero sym 0: chroma txbs carry nothing
+                self.msac.encode_symbol(
+                    0, self.T["txb_skip"][qctx][uv_txsz][7], 2)
         # context updates (skip ctx arrays store the NOT-skip flag)
-        self.above_skip[mi_c:mi_c + n4] = 0
-        self.left_skip[mi_r:mi_r + n4] = 0
+        self.above_skip[mi_c:mi_c + n4] = notskip
+        self.left_skip[mi_r:mi_r + n4] = notskip
         self.above_mode[mi_c:mi_c + n4] = 0
         self.left_mode[mi_r:mi_r + n4] = 0
         self.above_valid[mi_c:mi_c + n4] = True

@@ -1,0 +1,100 @@
+"""First-party AV1 intra encoder: MSAC + gray-frame conformance.
+
+The dav1d-oracle tests decode this module's streams with the system
+libdav1d (the same library the production AVIF decode path uses) and
+require bit-exact reconstruction.  They skip when dav1d is unavailable.
+
+Scope pins (keep in sync with imagekit_tpu/codecs/av1_intra.py):
+multiple-of-64 frame dims are fully certified; sub-64 edge tiles are a
+known open corner (docs/ROADMAP.md item 1) and deliberately NOT pinned.
+"""
+
+import numpy as np
+import pytest
+
+from imagekit_tpu.codecs.av1_entropy import (
+    MsacDecoder, MsacEncoder, leb128, obu, tables,
+)
+from imagekit_tpu.codecs.av1_intra import encode_gray_frame
+from imagekit_tpu.codecs import avif_native
+
+
+def test_tables_present_and_shaped():
+    T = tables()
+    assert T["partition"].shape == (20, 11)
+    assert T["kf_y_mode"].shape == (5, 5, 14)
+    assert T["uv_mode"].shape == (2, 13, 15)
+    assert T["skip"].shape == (3, 3)
+    assert T["filter_intra"].shape == (22, 3)
+    # true default skip CDF (icdf of {31671, 16515, 4576})
+    assert [int(r[0]) for r in T["skip"]] == [1097, 16253, 28192]
+
+
+def test_msac_roundtrip_mixed_symbols():
+    T = tables()
+    chains = [
+        (T["partition"][12], 10, 3),
+        (T["partition"][8], 10, 0),
+        (T["skip"][0], 2, 0),
+        (T["kf_y_mode"][0][0], 13, 0),
+        (T["uv_mode"][0][0], 13, 0),
+        (T["filter_intra"][9], 2, 0),
+        (T["kf_y_mode"][2][3], 13, 7),
+        (T["partition"][4], 10, 2),
+        (T["skip"][2], 2, 1),
+    ]
+    m = MsacEncoder()
+    for icdf, n, s in chains:
+        m.encode_symbol(s, icdf, n)
+    m.encode_literal(0x2B5, 10)
+    data = m.done()
+    d = MsacDecoder(data)
+    for icdf, n, s in chains:
+        assert d.decode_symbol(icdf, n) == s
+    got = 0
+    for _ in range(10):
+        got = (got << 1) | d.decode_symbol((1 << 14,), 2)
+    assert got == 0x2B5
+
+
+def test_leb128():
+    assert leb128(0) == b"\x00"
+    assert leb128(127) == b"\x7f"
+    assert leb128(128) == b"\x80\x01"
+
+
+def test_obu_framing():
+    payload = b"\x12\x34"
+    out = obu(1, payload)
+    assert out[0] == (1 << 3) | 0x02
+    assert out[1] == 2
+    assert out[2:] == payload
+
+
+needs_dav1d = pytest.mark.skipif(
+    not avif_native.decode_available(), reason="libdav1d unavailable")
+
+
+@needs_dav1d
+@pytest.mark.parametrize("dims", [
+    (64, 64), (128, 64), (64, 128), (128, 128),
+    (256, 256), (192, 128), (512, 384), (1024, 768),
+])
+def test_gray_frame_bit_exact_via_dav1d(dims):
+    w, h = dims
+    stream = encode_gray_frame(w, h)
+    r = avif_native._decode_obu(stream, w, h)
+    assert r is not None, "dav1d rejected the stream"
+    y, u, v, _, _ = r
+    assert (y == 128).all()
+    assert (u == 128).all()
+    assert (v == 128).all()
+
+
+@needs_dav1d
+def test_tile_per_superblock_framing():
+    # 256x192: 4x3 tiles; every tile but the last carries a 4-byte size
+    stream = encode_gray_frame(256, 192)
+    r = avif_native._decode_obu(stream, 256, 192)
+    assert r is not None
+    assert (r[0] == 128).all()
