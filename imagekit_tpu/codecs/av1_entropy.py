@@ -34,7 +34,7 @@ EC_MIN_PROB = 4
 
 @lru_cache(maxsize=1)
 def tables() -> dict:
-    """Load the extracted default tables as plain int lists (fast indexing)."""
+    """Load the extracted default tables (numpy arrays, cached once)."""
     raw = np.load(_TABLES_PATH)
     return {k: raw[k] for k in raw.files}
 

@@ -254,13 +254,15 @@ class TileEncoder:
 
     def encode_txb_dc(self, qctx: int, txsz: int, plane_type: int,
                       level: int, sign: int) -> None:
-        """One transform block whose ONLY nonzero coefficient is DC.
-
-        Syntax (spec 5.11.39 coeffs(), eob==1 specialisation):
-        all_zero=0, eob_pt symbol 0 (eob=1), coeff_base_eob at scan
-        position 0, base-range increments, then the forward pass's
-        dc_sign and (if level > 15) the exp-Golomb residue.  All neighbor
-        contexts are 0 in this encoder (every txb around is all-zero)."""
+        """EXPERIMENTAL — NOT yet dav1d-conformant; do not wire into
+        production paths.  One transform block whose only nonzero
+        coefficient is DC: all_zero=1, eob_pt symbol 0 (eob=1),
+        coeff_base_eob at scan position 0, base-range increments, the
+        forward pass's dc_sign and (level >= 15) exp-Golomb residue.
+        Every tested (level, qctx, qindex) combination still desyncs
+        libdav1d somewhere in this chain — the open piece of ROADMAP
+        item 1; only the all-zero-txb path (encode_block without y_dc)
+        is conformance-certified."""
         m = self.msac
         # txb context 0: luma tx spanning its whole block; chroma base 7.
         # all_zero symbol 0 means "no coefficients" (behaviorally pinned:
@@ -288,8 +290,10 @@ class TileEncoder:
                 if sym < 3:
                     break
         # forward pass: dc sign (ctx 0), then golomb residue if saturated
+        # (the decoder reads a residue whenever base+range saturate to 15,
+        # so level == 15 needs golomb(0))
         m.encode_symbol(sign, self.T["dc_sign"][qctx][plane_type][0], 2)
-        if level > 15:
+        if level >= 15:
             m.encode_golomb(level - 15)
 
     # -- block layer -------------------------------------------------------
@@ -411,9 +415,26 @@ def encode_tiles(w: int, h: int, tile_fn) -> bytes:
 
 def encode_gray_frame(w: int, h: int, qindex: int = 60,
                       split_gather: str = "A", skip_idx: int = 0) -> bytes:
-    """Full OBU stream (seq header + frame) of an all-skip gray frame."""
-    if w % 8 or h % 8:
-        raise ValueError("v1 supports dims that are multiples of 8")
+    """Full OBU stream (seq header + frame) of an all-skip gray frame.
+
+    Conformance-certified for MULTIPLE-OF-64 dims only (bit-exact
+    through libdav1d, tools/av1_validate.py); sub-64 edge tiles are a
+    known open corner that decodes without error but with wrong samples,
+    so they are rejected here — the production plan pads to 64 and
+    crops via the AVIF container's clean-aperture box.  qindex must be
+    lossy (1..255): base_q_idx==0 flips the frame to CodedLossless,
+    whose header omits the delta-q/loop-filter/tx-mode fields this
+    writer emits.  Dims above 4096 need the multi-level tile_info
+    increment loop (minLog2TileCols > 0) that this writer doesn't emit.
+    """
+    if w % 64 or h % 64:
+        raise ValueError("certified dims are multiples of 64 "
+                         "(pad + clean-aperture crop upstream)")
+    if not 1 <= qindex <= 255:
+        raise ValueError("qindex must be in 1..255 (0 = lossless, "
+                         "which needs a different header layout)")
+    if w > 4096 or h > 4096:
+        raise ValueError("dims above 4096 need multi-level tile_info")
     seq = obu(OBU_SEQUENCE_HEADER, sequence_header(w, h))
     hdr = frame_header_bits(qindex, w, h)
     hdr.byte_align()

@@ -25,6 +25,21 @@ the module's syntax model was pinned:
     padding does not -> stream-zero synthesis, which our terminator
     never relies on anyway (it emits a whole dyadic block).
 
+Residual-coding attack surface (ROADMAP item 1, open): minimal Rosetta
+streams from libavif/aom carrying exactly one DC-ish luma correction —
+32x32 flat-160/144/192 content at quality 60 produce frame payloads
+  16400618618400 + tiles 4b75d44740 / 4b75d5ec / 4b75d42370
+(identical 22-bit mode prefix, level-dependent ~18-bit tail).  Under
+the certified tables the forced interval decode of the prefix reads
+[NONE, skip-cdf sym0, ym=2, angle, uv=0], which contradicts the
+reconstruction (skip blocks cannot carry the +32 correction) — some
+element of the NOT-skip mode-info region is still misread, and no
+hypothesized residual tail has byte-matched.  Regenerate fresh streams
+with codecs/avif_encode.encode_yuv420_studio on flat content and
+byte-fit against them; beware that all-gray oracles are parse-tolerant
+(many wrong models decode gray) and that header-field-width mistakes
+shift the tile start byte and manufacture compensating "wins".
+
 Usage: python tools/av1_validate.py   (exits nonzero on any mismatch)
 """
 
