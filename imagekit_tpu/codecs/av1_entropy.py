@@ -99,6 +99,13 @@ class MsacEncoder:
         emitted prefix then stays inside the final interval, so the
         decoder's end-of-buffer synthesis direction cannot matter."""
         lo, hi = self.low, self.low + self.rng
+        # Widest dyadic block [c*2^j, (c+1)*2^j) inside [lo, hi) with c
+        # the LO-ALIGNED (rounded-up) choice.  NOTE: this exact choice
+        # is what the dav1d conformance sweep certifies; empirically
+        # dav1d rejects interior block choices on some chains while
+        # accepting this one, so the alignment is part of the certified
+        # behavior — do not "improve" it without re-running
+        # tools/av1_validate.py (see the round-5 session notes).
         j = 0
         c = lo
         while True:
