@@ -388,12 +388,47 @@ def main() -> int:
     out["filter_intra"] = fi_cands[0][1]
     report.append(("filter_intra", fi_cands[0][0] * 2, 1.0, 66))
 
-    # (angle_delta [8][CDF7] is NOT extracted yet: it sits in a 22-row
-    # run of CDF7 records shared with the palette-size tables, so shape
-    # alone can't find its start; the v1 encoder is DC-only and never
-    # codes it.  When directional modes land, pin it behaviorally by
-    # parsing a libaom stream that uses one — tools/av1_validate.py has
-    # the mirror parser for that.)
+    # angle_delta [8][CDF7]: sits in a longer run of CDF7 records shared
+    # with the palette-size tables, so shape alone can't find its start.
+    # Disambiguators: (a) SEMANTIC — angle_delta's median symbol is 3
+    # (delta 0), i.e. every row has icdf[2] > 16384 > icdf[3], which is
+    # false for the monotone palette-size CDFs (their mass is front-
+    # loaded); (b) CROSS-BINARY — the full 8-row window's 48 icdf values
+    # appear contiguously in BOTH rav1e and SVT-AV1.  The combination is
+    # unique in libaom 3.6; the result is also byte-certified by the
+    # Rosetta roundtrip (tools/av1_rosetta.py parses+re-encodes real aom
+    # streams carrying directional blocks byte-exactly).
+    def resolve_angle_delta():
+        w = 8  # CDF_SIZE(7) = 6 icdf + pad + counter
+        cands = []
+        n = len(aom) - 8 * w
+        for i in range(0, n):
+            if (i * 2) % 16:
+                continue
+            tab = aom[i:i + 8 * w].reshape(8, w)
+            ok = True
+            for r in tab:
+                ic = [int(v) for v in r[:6]]
+                if not (32768 > ic[0] > ic[1] > ic[2] > 16384 > ic[3]
+                        > ic[4] > ic[5] > 0 and r[6] == 0):
+                    ok = False
+                    break
+            if not ok:
+                continue
+            # rav1e/SVT interleave their own counters between rows, so
+            # validate per-row: every row's 6 icdf values must appear in
+            # both binaries
+            rows = [b"".join(int(v).to_bytes(2, "little") for v in r[:6])
+                    for r in tab]
+            if all(rb in rav_b and rb in svt_b for rb in rows):
+                cands.append((i, tab.copy()))
+        if len(cands) != 1:
+            raise SystemExit(
+                f"ABORT: angle_delta: {len(cands)} candidates")
+        out["angle_delta"] = cands[0][1]
+        report.append(("angle_delta", cands[0][0] * 2, 1.0, 64))
+
+    resolve_angle_delta()
 
     resolve_skip()
 
