@@ -92,32 +92,25 @@ class MsacEncoder:
         self.encode_literal(x, length)
 
     def done(self) -> bytes:
-        """Emit the shortest prefix that decodes correctly REGARDLESS of
-        the bits that follow (od_ec_enc_done semantics): find the widest
-        dyadic block [c*2^j, (c+1)*2^j) fully inside [low, low+rng) and
-        write only the bits above weight 2^j.  Any continuation of the
-        emitted prefix then stays inside the final interval, so the
-        decoder's end-of-buffer synthesis direction cannot matter."""
-        lo, hi = self.low, self.low + self.rng
-        # Widest dyadic block [c*2^j, (c+1)*2^j) inside [lo, hi) with c
-        # the LO-ALIGNED (rounded-up) choice.  NOTE: this exact choice
-        # is what the dav1d conformance sweep certifies; empirically
-        # dav1d rejects interior block choices on some chains while
-        # accepting this one, so the alignment is part of the certified
-        # behavior — do not "improve" it without re-running
-        # tools/av1_validate.py (see the round-5 session notes).
-        j = 0
-        c = lo
-        while True:
-            c2 = (lo >> (j + 1)) + (1 if lo & ((1 << (j + 1)) - 1) else 0)
-            if (c2 + 1) << (j + 1) > hi:
-                break
-            j += 1
-            c = c2
-        keep = self.nbits - j            # bits that must reach the stream
+        """Terminate exactly as libaom's od_ec_enc_done does: round `low`
+        up to the next multiple of 2^14 and set bit 14
+        (``e = ((low + 0x3FFF) & ~0x3FFF) | 0x4000``), then emit the top
+        ``nbits - 14`` bits, left-aligned and zero-padded to a byte
+        boundary.  Since ``e <= low + 0x7FFF < low + rng`` the chosen
+        value is always strictly inside the final interval, and a decoder
+        that synthesizes stream-zeros past end-of-buffer (dav1d-measured
+        behavior) reads back exactly ``e``.  Pinned byte-identical to
+        libaom tile output across the full Rosetta corpus
+        (tools/av1_rosetta.py) — this is the ecosystem's de-facto
+        termination contract, so do not substitute a different interior
+        choice without re-running tools/av1_validate.py."""
+        e = ((self.low + 0x3FFF) & ~0x3FFF) | 0x4000
+        keep = self.nbits - 14           # bits that reach the stream
+        if keep <= 0:
+            return b"\x40"               # degenerate empty-stream case
         nbytes = (keep + 7) // 8
-        stream_val = c << (nbytes * 8 - keep)  # left-align; pad bits free
-        return stream_val.to_bytes(nbytes, "big") if nbytes else b"\x00"
+        stream_val = (e >> 14) << (nbytes * 8 - keep)  # left-align
+        return stream_val.to_bytes(nbytes, "big")
 
 
 _HALF_ICDF = (1 << 14,)

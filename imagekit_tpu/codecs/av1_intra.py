@@ -165,15 +165,23 @@ def frame_header_bits(qindex: int, w: int, h: int) -> BitWriter:
 class TileEncoder:
     """Codes one tile's superblock tree (v1: all-skip DC blocks).
 
-    Syntax-model notes pinned by tools/av1_validate.py against real
-    libaom streams (mirror-parsed symbol by symbol) and dav1d decodes:
-      - the skip bit is INVERTED vs naive reading: symbol 0 means
-        "skip" (the default CDF gives symbol 0 a 96.7% prior at ctx 0);
-      - CFL-flavoured uv_mode CDFs (14 symbols) apply only to blocks
-        with width AND height < 32 under 4:2:0 (32x32 uses the 13-symbol
-        table);
+    Syntax model pinned by tools/av1_rosetta.py: controlled libaom
+    streams (static CDFs, forced 32x32 partitions) are mirror-parsed
+    symbol by symbol and RE-ENCODED byte-identically, so every symbol's
+    table, context, and order below is certified against aom itself:
+      - the skip symbol IS the skip flag (symbol 1 = skip, symbol 0 =
+        not-skip followed by residual txbs); neighbor context sums the
+        two neighbors' skip flags;
+      - CFL-flavoured uv_mode CDFs (14 symbols) apply to blocks with
+        width AND height <= 32 under 4:2:0 (spec cfl_allowed);
+      - use_filter_intra is coded only when the sequence header enables
+        filter intra (ours doesn't, so it is never coded);
       - partition context bits mean "neighbor leaf SMALLER than this
         size", so a same-size NONE neighbor contributes 0.
+
+    (The round-5 notes' earlier inverted pins came from all-gray
+    parse-tolerance — gray decodes bit-exact under many wrong models —
+    and are superseded by the Rosetta byte-roundtrip evidence.)
     """
 
     def __init__(self, w: int, h: int, split_gather: str = "A",
@@ -254,22 +262,19 @@ class TileEncoder:
 
     def encode_txb_dc(self, qctx: int, txsz: int, plane_type: int,
                       level: int, sign: int) -> None:
-        """EXPERIMENTAL — NOT yet dav1d-conformant; do not wire into
-        production paths.  One transform block whose only nonzero
-        coefficient is DC: all_zero=1, eob_pt symbol 0 (eob=1),
+        """One transform block whose only nonzero coefficient is DC:
+        all_zero=0 (coefficients present), eob_pt symbol 0 (eob=1),
         coeff_base_eob at scan position 0, base-range increments, the
         forward pass's dc_sign and (level >= 15) exp-Golomb residue.
-        Every tested (level, qctx, qindex) combination still desyncs
-        libdav1d somewhere in this chain — the open piece of ROADMAP
-        item 1; only the all-zero-txb path (encode_block without y_dc)
-        is conformance-certified."""
+        The whole chain is Rosetta-certified (tools/av1_rosetta.py
+        re-encodes real aom DC-residual tiles byte-identically with
+        exactly this symbol sequence)."""
         m = self.msac
         # txb context 0: luma tx spanning its whole block; chroma base 7.
-        # all_zero symbol 0 means "no coefficients" (behaviorally pinned:
-        # a not-skip block whose three txbs code symbol 0 reconstructs
-        # pure prediction), so a coefficient-bearing txb codes symbol 1.
+        # all_zero symbol 1 means "no coefficients" (Rosetta-pinned), so
+        # a coefficient-bearing txb codes symbol 0.
         skip_ctx = 0 if plane_type == 0 else 7
-        m.encode_symbol(1, self.T["txb_skip"][qctx][txsz][skip_ctx], 2)
+        m.encode_symbol(0, self.T["txb_skip"][qctx][txsz][skip_ctx], 2)
         # eob_pt class by coefficient count: TX_4X4..TX_64X64 ->
         # 16/64/256/1024/1024 (64-point transforms zero beyond 32x32)
         name = ("eob_pt_16", "eob_pt_64", "eob_pt_256",
@@ -285,7 +290,8 @@ class TileEncoder:
             for _ in range(4):
                 sym = min(remaining, 3)
                 m.encode_symbol(
-                    sym, self.T["coeff_br"][qctx][txsz][plane_type][0], 4)
+                    sym,
+                    self.T["coeff_br"][qctx][min(txsz, 3)][plane_type][0], 4)
                 remaining -= sym
                 if sym < 3:
                     break
@@ -304,28 +310,25 @@ class TileEncoder:
         symbol 0; `y_dc=(level, sign)` switches the block to not-skip
         with a single luma DC coefficient and all-zero chroma."""
         n4 = size >> 2
-        notskip = 1 if y_dc else 0
-        # skip (symbol 0 = skip; neighbor ctx counts NOT-skip neighbors)
+        skip = 0 if y_dc else 1
+        # skip symbol = the skip flag; neighbor ctx sums neighbor skips
         actx = int(self.above_skip[mi_c]) if self.above_valid[mi_c] else 0
         lctx = int(self.left_skip[mi_r]) if self.left_valid[mi_r] else 0
-        self.msac.encode_symbol(notskip, self.skip_cdf[actx + lctx], 2)
+        self.msac.encode_symbol(skip, self.skip_cdf[actx + lctx], 2)
         # intra_frame_y_mode (kf): ctx from neighbor modes (DC when absent)
         am = _INTRA_MODE_CTX[int(self.above_mode[mi_c])] \
             if self.above_valid[mi_c] else 0
         lm = _INTRA_MODE_CTX[int(self.left_mode[mi_r])] \
             if self.left_valid[mi_r] else 0
         self.msac.encode_symbol(0, self.T["kf_y_mode"][am][lm], 13)
-        # uv_mode: CFL-flavoured CDF only for blocks < 32x32
-        if size < 32:
+        # uv_mode: CFL-flavoured 14-symbol CDF when cfl is allowed
+        # (w and h <= 32 — includes 32x32; Rosetta-certified)
+        if size <= 32:
             self.msac.encode_symbol(0, self.T["uv_mode"][1][0], 14)
         else:
             self.msac.encode_symbol(0, self.T["uv_mode"][0][0], 13)
-        # use_filter_intra = 0: read for every DC block <= 32x32 (dav1d
-        # reads it regardless of the sequence header's enable bit —
-        # behaviorally pinned; BLOCK_SIZES_ALL index 3/6/9 = 8/16/32 sq)
-        if size <= 32 and "filter_intra" in self.T:
-            bidx = {8: 3, 16: 6, 32: 9}[size]
-            self.msac.encode_symbol(0, self.T["filter_intra"][bidx], 2)
+        # use_filter_intra: only coded when the sequence header enables
+        # filter intra; ours sets enable_filter_intra=0, so never coded.
         if y_dc:
             # residual: luma tx = block size (TX_MODE_LARGEST), one DC
             # coefficient; chroma txbs all-zero
@@ -333,12 +336,12 @@ class TileEncoder:
             y_txsz = {8: 1, 16: 2, 32: 3}[size]
             self.encode_txb_dc(qctx, y_txsz, 0, level, sign)
             uv_txsz = max(y_txsz - 1, 0)
-            for _ in range(2):  # all_zero sym 0: chroma txbs carry nothing
+            for _ in range(2):  # all_zero sym 1: chroma txbs carry nothing
                 self.msac.encode_symbol(
-                    0, self.T["txb_skip"][qctx][uv_txsz][7], 2)
-        # context updates (skip ctx arrays store the NOT-skip flag)
-        self.above_skip[mi_c:mi_c + n4] = notskip
-        self.left_skip[mi_r:mi_r + n4] = notskip
+                    1, self.T["txb_skip"][qctx][uv_txsz][7], 2)
+        # context updates (skip ctx arrays store the skip flag)
+        self.above_skip[mi_c:mi_c + n4] = skip
+        self.left_skip[mi_r:mi_r + n4] = skip
         self.above_mode[mi_c:mi_c + n4] = 0
         self.left_mode[mi_r:mi_r + n4] = 0
         self.above_valid[mi_c:mi_c + n4] = True
