@@ -1,0 +1,254 @@
+"""First-party AV1 intra image encoder: prediction + transform layer.
+
+Sits on top of the Rosetta-certified entropy/syntax layer
+(av1_entropy.py + av1_intra.py) and turns real 4:2:0 pixel planes into
+a spec-conformant AV1 keyframe OBU stream — the capability the
+reference obtains by compiling rav1e into its binary (reference
+src/transform.rs:138-146); here it is a first-party encoder whose
+every symbol is certified against libaom/dav1d behavior.
+
+v1 design decisions:
+  - geometry: every luma block is 32x32 (superblocks force-split once),
+    so the luma transform is always TX_32X32 — the DCT-only transform
+    set, no tx_type symbols; chroma rides at 16x16.  Arbitrary sizes
+    are handled upstream by padding to a multiple of 64 and cropping
+    with the AVIF container's CleanAperture box.
+  - prediction: DC_PRED per plane from in-tile reconstructed neighbors
+    (tiles are one superblock, so prediction never crosses an SB).
+  - reconstruction: EXACT, via the decode oracle — each tile is
+    self-contained, so a snapshot of the tile encoder is finalized with
+    skip blocks, wrapped in a single-SB frame, and decoded with the
+    system libdav1d (avif_native).  The encoder therefore predicts from
+    byte-true decoder output; there is no inverse-transform drift by
+    construction.  (A fast in-process integer inverse transform can
+    replace the oracle later; the oracle then becomes its test.)
+  - quantization: orthonormal float DCT-II + round(c / step), where
+    step comes from the extracted dc/ac qlookup tables.  The scale
+    relation (step = q_Q3/8 at TX_32X32, measured against dav1d) only
+    shapes rate/distortion — reconstruction exactness never depends on
+    it because recon comes from the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import avif_native
+from .av1_entropy import OBU_FRAME, OBU_SEQUENCE_HEADER, obu, tables
+from .av1_intra import (
+    PARTITION_NONE, PARTITION_SPLIT, TileEncoder, frame_header_bits,
+    sequence_header,
+)
+
+
+def q_ctx(base_q_idx: int) -> int:
+    """Coefficient-CDF quantizer context bucket (spec get_q_ctx)."""
+    if base_q_idx <= 20:
+        return 0
+    if base_q_idx <= 60:
+        return 1
+    if base_q_idx <= 120:
+        return 2
+    return 3
+
+
+# ---------------------------------------------------------------------------
+# Transforms + quantization
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (rows = basis functions)."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * k * (2 * x + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+_DCT = {n: _dct_matrix(n) for n in (4, 8, 16, 32)}
+
+
+def fdct2(res: np.ndarray) -> np.ndarray:
+    """2-D orthonormal DCT-II of a square residual block."""
+    m = _DCT[res.shape[0]]
+    return m @ res.astype(np.float64) @ m.T
+
+
+# Transform-domain quantizer step per unit qlookup value, measured
+# against libdav1d reconstructions (tools/av1_calibrate.py): a level L
+# at quantizer q reconstructs an orthonormal-domain amplitude of
+# L * q * _STEP_SCALE[tx_log2].  (AV1's integer transforms are
+# uniform-gain by design, so one scale per size covers all positions.)
+_STEP_SCALE = {5: 1.0 / 8.0, 4: 1.0 / 8.0, 3: 1.0 / 8.0, 2: 1.0 / 8.0}
+
+
+def quantize(coefs: np.ndarray, dc_q: int, ac_q: int,
+             tx_log2: int, bias: float = 0.5) -> dict:
+    """Round transform coefficients to levels; returns {pos: level}."""
+    scale = _STEP_SCALE[tx_log2]
+    n = coefs.shape[0]
+    steps = np.full((n, n), ac_q * scale)
+    steps[0, 0] = dc_q * scale
+    lv = np.sign(coefs) * np.floor(np.abs(coefs) / steps + bias)
+    lv = np.clip(lv, -4096, 4096).astype(np.int64)
+    out = {}
+    for r, c in zip(*np.nonzero(lv)):
+        out[int(r) * n + int(c)] = int(lv[r, c])
+    return out
+
+
+def dc_pred(recon: np.ndarray, r0: int, c0: int, bh: int, bw: int,
+            have_above: bool, have_left: bool) -> int:
+    """DC_PRED (spec 7.11.2.5) from reconstructed neighbors."""
+    if have_above and have_left:
+        s = int(recon[r0 - 1, c0:c0 + bw].sum()) \
+            + int(recon[r0:r0 + bh, c0 - 1].sum())
+        return (s + (bw + bh) // 2) // (bw + bh)
+    if have_above:
+        return (int(recon[r0 - 1, c0:c0 + bw].sum()) + bw // 2) // bw
+    if have_left:
+        return (int(recon[r0:r0 + bh, c0 - 1].sum()) + bh // 2) // bh
+    return 128
+
+
+# ---------------------------------------------------------------------------
+# Superblock (= tile) encoder
+
+
+def _tile_to_frame(tile: bytes, qindex: int) -> bytes:
+    """Wrap one 64x64 tile as a complete single-SB frame stream."""
+    seq = obu(OBU_SEQUENCE_HEADER, sequence_header(64, 64))
+    hdr = frame_header_bits(qindex, 64, 64)
+    hdr.byte_align()
+    return seq + obu(OBU_FRAME, hdr.bytes() + tile)
+
+
+class _OracleRecon:
+    """Byte-true reconstruction of a partially coded tile: finalize a
+    snapshot with skip blocks and decode through libdav1d."""
+
+    def __init__(self, qindex: int):
+        self.qindex = qindex
+
+    def __call__(self, te: TileEncoder, coded: int, blocks) -> tuple:
+        snap = te.snapshot()
+        for j in range(coded, 4):
+            r, c = blocks[j]
+            te._encode_partition_symbol(te._part_ctx(r, c, 32),
+                                        PARTITION_NONE, 32)
+            te.encode_block(r, c, 32)
+            te._update_part_ctx(r, c, 32, 32)
+        tile = te.msac.done()
+        te.restore(snap)
+        dec = avif_native._decode_obu(_tile_to_frame(tile, self.qindex),
+                                      64, 64)
+        if dec is None:
+            raise RuntimeError("oracle decode failed (entropy desync?)")
+        y, u, v = dec[0], dec[1], dec[2]
+        return (np.asarray(y, np.uint8), np.asarray(u, np.uint8),
+                np.asarray(v, np.uint8))
+
+
+def encode_superblock(sb_y: np.ndarray, sb_u: np.ndarray, sb_v: np.ndarray,
+                      qindex: int, oracle: _OracleRecon | None = None
+                      ) -> tuple:
+    """Encode one 64x64 superblock as its own tile.
+
+    Returns (tile_bytes, recon_y 64x64, recon_u 32x32, recon_v 32x32).
+    """
+    T = tables()
+    dcq = int(T["dc_qlookup"][qindex])
+    acq = int(T["ac_qlookup"][qindex])
+    qc = q_ctx(qindex)
+    oracle = oracle or _OracleRecon(qindex)
+    te = TileEncoder(64, 64, qctx=qc)
+    te._encode_partition_symbol(te._part_ctx(0, 0, 64), PARTITION_SPLIT, 64)
+    blocks = [(0, 0), (0, 8), (8, 0), (8, 8)]  # mi coords (4px units)
+    ry = np.zeros((64, 64), np.uint8)
+    ru = np.zeros((32, 32), np.uint8)
+    rv = np.zeros((32, 32), np.uint8)
+    for i, (mr, mc) in enumerate(blocks):
+        pr, pc = mr * 4, mc * 4          # luma pixel coords
+        cr, cc = pr // 2, pc // 2        # chroma pixel coords
+        ha, hl = pr > 0, pc > 0
+        preds = []
+        quants = []
+        for plane, (src, rec, r0, c0, bs) in enumerate((
+                (sb_y, ry, pr, pc, 32),
+                (sb_u, ru, cr, cc, 16),
+                (sb_v, rv, cr, cc, 16))):
+            p = dc_pred(rec, r0, c0, bs, bs, ha, hl)
+            res = src[r0:r0 + bs, c0:c0 + bs].astype(np.int32) - p
+            q = quantize(fdct2(res), dcq, acq, bs.bit_length() - 1)
+            preds.append(p)
+            quants.append(q)
+        te._encode_partition_symbol(te._part_ctx(mr, mc, 32),
+                                    PARTITION_NONE, 32)
+        if any(quants):
+            te.encode_block(mr, mc, 32, txbs=quants)
+        else:
+            te.encode_block(mr, mc, 32)   # skip: recon == flat prediction
+        te._update_part_ctx(mr, mc, 32, 32)
+        if any(quants):
+            dy, du, dv = oracle(te, i + 1, blocks)
+            ry[pr:pr + 32, pc:pc + 32] = dy[pr:pr + 32, pc:pc + 32]
+            ru[cr:cr + 16, cc:cc + 16] = du[cr:cr + 16, cc:cc + 16]
+            rv[cr:cr + 16, cc:cc + 16] = dv[cr:cr + 16, cc:cc + 16]
+        else:
+            ry[pr:pr + 32, pc:pc + 32] = preds[0]
+            ru[cr:cr + 16, cc:cc + 16] = preds[1]
+            rv[cr:cr + 16, cc:cc + 16] = preds[2]
+    return te.msac.done(), ry, ru, rv
+
+
+# ---------------------------------------------------------------------------
+# Frame encoder
+
+
+def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                 qindex: int = 60) -> tuple:
+    """Encode 4:2:0 planes (dims multiples of 64) to a full OBU stream.
+
+    Returns (obu_bytes, recon_y, recon_u, recon_v) — recon is the
+    byte-true decoder output (oracle-sourced), usable for PSNR and for
+    the conformance gate (dav1d must reproduce it bit-exactly).
+    """
+    h, w = y.shape
+    if w % 64 or h % 64:
+        raise ValueError("dims must be multiples of 64 (pad + CLAP crop "
+                         "upstream)")
+    if u.shape != (h // 2, w // 2) or v.shape != (h // 2, w // 2):
+        raise ValueError("u/v must be half-size 4:2:0 planes")
+    if not 1 <= qindex <= 255:
+        raise ValueError("qindex must be in 1..255")
+    if w > 4096 or h > 4096:
+        raise ValueError("dims above 4096 need multi-level tile_info")
+    oracle = _OracleRecon(qindex)
+    sb_cols, sb_rows = w // 64, h // 64
+    recon_y = np.zeros_like(y)
+    recon_u = np.zeros_like(u)
+    recon_v = np.zeros_like(v)
+    tiles = []
+    for tr in range(sb_rows):
+        for tc in range(sb_cols):
+            py, px = tr * 64, tc * 64
+            cy, cx = py // 2, px // 2
+            tile, ty, tu, tv = encode_superblock(
+                y[py:py + 64, px:px + 64], u[cy:cy + 32, cx:cx + 32],
+                v[cy:cy + 32, cx:cx + 32], qindex, oracle)
+            recon_y[py:py + 64, px:px + 64] = ty
+            recon_u[cy:cy + 32, cx:cx + 32] = tu
+            recon_v[cy:cy + 32, cx:cx + 32] = tv
+            tiles.append(tile)
+    tg = bytearray()
+    if len(tiles) > 1:
+        tg.append(0x00)  # tile_start_and_end_present_flag=0 + alignment
+    for i, t in enumerate(tiles):
+        if i < len(tiles) - 1:
+            tg += (len(t) - 1).to_bytes(4, "little")
+        tg += t
+    seq = obu(OBU_SEQUENCE_HEADER, sequence_header(w, h))
+    hdr = frame_header_bits(qindex, w, h)
+    hdr.byte_align()
+    stream = seq + obu(OBU_FRAME, hdr.bytes() + bytes(tg))
+    return stream, recon_y, recon_u, recon_v

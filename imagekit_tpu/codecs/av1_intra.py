@@ -184,16 +184,16 @@ class TileEncoder:
     and are superseded by the Rosetta byte-roundtrip evidence.)
     """
 
-    def __init__(self, w: int, h: int, split_gather: str = "A",
-                 skip_idx: int = 0):
+    def __init__(self, w: int, h: int, qctx: int = 1,
+                 split_gather: str = "A", skip_idx: int = 0):
         self.w, self.h = w, h
+        self.qctx = qctx
         self.mi_cols = (w + 3) // 4
         self.mi_rows = (h + 3) // 4
         self.T = tables()
-        self.skip_cdf = self.T["skip"] if "skip" in self.T \
-            else self.T["skip_candidates"][skip_idx]
-        self.msac = MsacEncoder()
+        self.skip_cdf = self.T["skip"]
         self.split_gather = split_gather
+        self.msac = MsacEncoder()
         # context arrays (per 4x4)
         self.above_part = np.zeros(self.mi_cols + 32, dtype=np.uint8)
         self.left_part = np.zeros(self.mi_rows + 32, dtype=np.uint8)
@@ -203,6 +203,33 @@ class TileEncoder:
         self.left_mode = np.zeros(self.mi_rows + 32, dtype=np.uint8)
         self.above_valid = np.zeros(self.mi_cols + 32, dtype=bool)
         self.left_valid = np.zeros(self.mi_rows + 32, dtype=bool)
+        # per-plane coefficient entropy contexts (cul_level | dc_cat<<6);
+        # luma indexed in luma 4x4 units, chroma in chroma 4x4 units
+        self.above_ent = [np.zeros(self.mi_cols + 32, dtype=np.uint8)
+                          for _ in range(3)]
+        self.left_ent = [np.zeros(self.mi_rows + 32, dtype=np.uint8)
+                         for _ in range(3)]
+
+    def snapshot(self) -> dict:
+        """Copy of all mutable coding state (the MSAC integers and every
+        context array) — cheap, enabling finalize-and-peek flows."""
+        s = {"low": self.msac.low, "rng": self.msac.rng,
+             "nbits": self.msac.nbits}
+        for name in ("above_part", "left_part", "above_skip", "left_skip",
+                     "above_mode", "left_mode", "above_valid", "left_valid"):
+            s[name] = getattr(self, name).copy()
+        s["above_ent"] = [a.copy() for a in self.above_ent]
+        s["left_ent"] = [a.copy() for a in self.left_ent]
+        return s
+
+    def restore(self, s: dict) -> None:
+        self.msac.low, self.msac.rng = s["low"], s["rng"]
+        self.msac.nbits = s["nbits"]
+        for name in ("above_part", "left_part", "above_skip", "left_skip",
+                     "above_mode", "left_mode", "above_valid", "left_valid"):
+            setattr(self, name, s[name].copy())
+        self.above_ent = [a.copy() for a in s["above_ent"]]
+        self.left_ent = [a.copy() for a in s["left_ent"]]
 
     # -- partition ---------------------------------------------------------
 
@@ -260,57 +287,164 @@ class TileEncoder:
 
     # -- residual coefficients ----------------------------------------------
 
-    def encode_txb_dc(self, qctx: int, txsz: int, plane_type: int,
-                      level: int, sign: int) -> None:
-        """One transform block whose only nonzero coefficient is DC:
-        all_zero=0 (coefficients present), eob_pt symbol 0 (eob=1),
-        coeff_base_eob at scan position 0, base-range increments, the
-        forward pass's dc_sign and (level >= 15) exp-Golomb residue.
-        The whole chain is Rosetta-certified (tools/av1_rosetta.py
-        re-encodes real aom DC-residual tiles byte-identically with
-        exactly this symbol sequence)."""
-        m = self.msac
-        # txb context 0: luma tx spanning its whole block; chroma base 7.
-        # all_zero symbol 1 means "no coefficients" (Rosetta-pinned), so
-        # a coefficient-bearing txb codes symbol 0.
-        skip_ctx = 0 if plane_type == 0 else 7
-        m.encode_symbol(0, self.T["txb_skip"][qctx][txsz][skip_ctx], 2)
-        # eob_pt class by coefficient count: TX_4X4..TX_64X64 ->
-        # 16/64/256/1024/1024 (64-point transforms zero beyond 32x32)
-        name = ("eob_pt_16", "eob_pt_64", "eob_pt_256",
-                "eob_pt_1024", "eob_pt_1024")[txsz]
-        m.encode_symbol(0, self.T[name][qctx][plane_type][0],
-                        self.T[name].shape[-1] - 1)
-        # coeff_base_eob at si==0: symbol min(level,3)-1 (CDF3)
-        m.encode_symbol(min(level, 3) - 1,
-                        self.T["coeff_base_eob"][qctx][txsz][plane_type][0], 3)
-        # base range: up to 4 CDF4 increments while level-3 remains
-        if level > 2:
-            remaining = level - 3
-            for _ in range(4):
-                sym = min(remaining, 3)
-                m.encode_symbol(
-                    sym,
-                    self.T["coeff_br"][qctx][min(txsz, 3)][plane_type][0], 4)
-                remaining -= sym
-                if sym < 3:
-                    break
-        # forward pass: dc sign (ctx 0), then golomb residue if saturated
-        # (the decoder reads a residue whenever base+range saturate to 15,
-        # so level == 15 needs golomb(0))
-        m.encode_symbol(sign, self.T["dc_sign"][qctx][plane_type][0], 2)
-        if level >= 15:
-            m.encode_golomb(level - 15)
+    def _dc_sign_ctx(self, plane: int, er: int, ec: int, n4: int) -> int:
+        a = self.above_ent[plane][ec:ec + n4] >> 6
+        l = self.left_ent[plane][er:er + n4] >> 6
+        dcsum = 0
+        for v in list(a) + list(l):
+            if v == 1:
+                dcsum -= 1
+            elif v == 2:
+                dcsum += 1
+        if dcsum < 0:
+            return 1
+        if dcsum > 0:
+            return 2
+        return 0
+
+    def encode_txb(self, plane: int, px_r: int, px_c: int,
+                   txsz_log2: int, quant) -> None:
+        """One transform block with arbitrary quantized coefficients.
+
+        `quant` maps raster position -> signed level (dict, or a 2-D
+        array in tx raster order).  px_r/px_c are PLANE-pixel coords;
+        txsz_log2 = log2 of the (square) tx dimension.  Symbol order,
+        tables, and every context derivation mirror tools/av1_rosetta.py's
+        parse_txb, which re-encodes real aom tiles byte-identically —
+        the two are independent implementations cross-checked by bytes.
+        """
+        T, q, m = self.T, self.qctx, self.msac
+        ptype = 1 if plane else 0
+        txs_ctx = txsz_log2 - 2
+        n4 = 1 << (txsz_log2 - 2)
+        er, ec = px_r >> 2, px_c >> 2
+        a_ent, l_ent = self.above_ent[plane], self.left_ent[plane]
+        side = 1 << txsz_log2
+        nc = min(side, 32) * min(side, 32)
+        if not isinstance(quant, dict):
+            arr = np.asarray(quant)
+            quant = {int(r * side + c): int(arr[r, c])
+                     for r, c in zip(*np.nonzero(arr))}
+        quant = {p: int(v) for p, v in quant.items() if v}
+        # txb_skip (all_zero): symbol 1 = no coefficients
+        if plane == 0:
+            skip_ctx = 0  # luma tx spans its whole block in this encoder
+        else:
+            above_nz = int((a_ent[ec:ec + n4] != 0).any())
+            left_nz = int((l_ent[er:er + n4] != 0).any())
+            skip_ctx = 7 + above_nz + left_nz
+        if not quant:
+            m.encode_symbol(1, T["txb_skip"][q][txs_ctx][skip_ctx], 2)
+            a_ent[ec:ec + n4] = 0
+            l_ent[er:er + n4] = 0
+            return
+        m.encode_symbol(0, T["txb_skip"][q][txs_ctx][skip_ctx], 2)
+        # (tx_type: never coded in this encoder — luma tx is always
+        # 32x32 (TX_SET_DCTONLY) and intra chroma tx_type is derived)
+        scan = {16: T["scan_4x4"], 64: T["scan_8x8"],
+                256: T["scan_16x16"], 1024: T["scan_32x32"]}[nc]
+        pos_to_c = {int(p): c for c, p in enumerate(scan)}
+        eob = 1 + max(pos_to_c[p] for p in quant)
+        # eob_pt + extras
+        name = {16: "eob_pt_16", 64: "eob_pt_64", 256: "eob_pt_256",
+                1024: "eob_pt_1024"}[nc]
+        eob_pt = eob if eob <= 2 else (eob - 1).bit_length() + 1
+        nsyms = T[name].shape[-1] - 1
+        m.encode_symbol(eob_pt - 1, T[name][q][ptype][0], nsyms)
+        if eob_pt >= 3:
+            rem = eob - 1 - (1 << (eob_pt - 2))
+            m.encode_symbol((rem >> (eob_pt - 3)) & 1,
+                            T["eob_extra"][q][txs_ctx][ptype][eob_pt - 3], 2)
+            for i in range(eob_pt - 4, -1, -1):
+                m.encode_literal((rem >> i) & 1, 1)
+        # reverse scan: base magnitudes (capped at 15 via br increments)
+        bwl = min(txsz_log2, 5)
+        stride = (1 << bwl) + 4          # TX_PAD_HOR
+        levels = np.zeros((min(side, 32) + 4) * stride + 16, np.int32)
+        for c in range(eob - 1, -1, -1):
+            pos = int(scan[c])
+            level = min(abs(quant.get(pos, 0)), 15)
+            row, col = pos >> bwl, pos & ((1 << bwl) - 1)
+            lp = row * stride + col
+            if c == eob - 1:
+                if c == 0:
+                    bctx = 0
+                elif c <= nc // 8:
+                    bctx = 1
+                elif c <= nc // 4:
+                    bctx = 2
+                else:
+                    bctx = 3
+                m.encode_symbol(min(level, 3) - 1,
+                                T["coeff_base_eob"][q][txs_ctx][ptype][bctx],
+                                3)
+            else:
+                mag = (min(int(levels[lp + 1]), 3)
+                       + min(int(levels[lp + stride]), 3)
+                       + min(int(levels[lp + stride + 1]), 3)
+                       + min(int(levels[lp + 2]), 3)
+                       + min(int(levels[lp + 2 * stride]), 3))
+                bctx = min((mag + 1) >> 1, 4)
+                if pos == 0:
+                    bctx = 0
+                elif row + col < 2:
+                    bctx += 1
+                elif row + col < 4:
+                    bctx += 6
+                else:
+                    bctx += 21
+                m.encode_symbol(min(level, 3),
+                                T["coeff_base"][q][txs_ctx][ptype][bctx], 4)
+            if level > 2:
+                mag = (min(int(levels[lp + 1]), 15)
+                       + min(int(levels[lp + stride]), 15)
+                       + min(int(levels[lp + stride + 1]), 15))
+                brctx = min((mag + 1) >> 1, 6)
+                if pos != 0:
+                    brctx += 7 if (row < 2 and col < 2) else 14
+                remaining = level - 3
+                for _ in range(4):
+                    sym = min(remaining, 3)
+                    m.encode_symbol(
+                        sym, T["coeff_br"][q][min(txs_ctx, 3)][ptype][brctx],
+                        4)
+                    remaining -= sym
+                    if sym < 3:
+                        break
+            levels[lp] = level
+        # forward pass: signs + exp-Golomb residues for saturated levels
+        for c in range(eob):
+            pos = int(scan[c])
+            v = quant.get(pos, 0)
+            if not v:
+                continue
+            sign = 1 if v < 0 else 0
+            if c == 0:
+                dcctx = self._dc_sign_ctx(plane, er, ec, n4)
+                m.encode_symbol(sign, T["dc_sign"][q][ptype][dcctx], 2)
+            else:
+                m.encode_literal(sign, 1)
+            if abs(v) > 14:
+                m.encode_golomb(abs(v) - 15)
+        # entropy context: cul_level + dc category
+        cul = min(63, sum(abs(v) for v in quant.values()))
+        dc = quant.get(0, 0)
+        cat = (1 if dc < 0 else 2) if dc else 0
+        ent = cul | (cat << 6)
+        a_ent[ec:ec + n4] = ent
+        l_ent[er:er + n4] = ent
 
     # -- block layer -------------------------------------------------------
 
     def encode_block(self, mi_r: int, mi_c: int, size: int,
-                     y_dc=None, qctx: int = 2) -> None:
-        """Skip (or DC-only-residual) DC-predicted block.  Skip is
-        symbol 0; `y_dc=(level, sign)` switches the block to not-skip
-        with a single luma DC coefficient and all-zero chroma."""
+                     txbs=None, ymode: int = 0, uvmode: int = 0) -> None:
+        """One DC/directional intra block.  `txbs=(qy, qu, qv)` carries
+        the three planes' quantized coefficients (dicts pos->level or
+        2-D arrays; all-empty coefficients may also be passed — the
+        block is then coded not-skip with three all_zero txbs, which is
+        what aom itself emits); txbs=None codes a skip block."""
         n4 = size >> 2
-        skip = 0 if y_dc else 1
+        skip = 0 if txbs is not None else 1
         # skip symbol = the skip flag; neighbor ctx sums neighbor skips
         actx = int(self.above_skip[mi_c]) if self.above_valid[mi_c] else 0
         lctx = int(self.left_skip[mi_r]) if self.left_valid[mi_r] else 0
@@ -320,30 +454,43 @@ class TileEncoder:
             if self.above_valid[mi_c] else 0
         lm = _INTRA_MODE_CTX[int(self.left_mode[mi_r])] \
             if self.left_valid[mi_r] else 0
-        self.msac.encode_symbol(0, self.T["kf_y_mode"][am][lm], 13)
+        self.msac.encode_symbol(ymode, self.T["kf_y_mode"][am][lm], 13)
+        if 1 <= ymode <= 8 and size >= 8:
+            # directional mode: angle_delta is always coded (delta 0 is
+            # symbol 3 — MAX_ANGLE_DELTA)
+            self.msac.encode_symbol(3, self.T["angle_delta"][ymode - 1], 7)
         # uv_mode: CFL-flavoured 14-symbol CDF when cfl is allowed
         # (w and h <= 32 — includes 32x32; Rosetta-certified)
         if size <= 32:
-            self.msac.encode_symbol(0, self.T["uv_mode"][1][0], 14)
+            self.msac.encode_symbol(uvmode, self.T["uv_mode"][1][ymode], 14)
         else:
-            self.msac.encode_symbol(0, self.T["uv_mode"][0][0], 13)
+            self.msac.encode_symbol(uvmode, self.T["uv_mode"][0][ymode], 13)
+        if 1 <= uvmode <= 8 and size >= 8:
+            self.msac.encode_symbol(3, self.T["angle_delta"][uvmode - 1], 7)
         # use_filter_intra: only coded when the sequence header enables
         # filter intra; ours sets enable_filter_intra=0, so never coded.
-        if y_dc:
-            # residual: luma tx = block size (TX_MODE_LARGEST), one DC
-            # coefficient; chroma txbs all-zero
-            level, sign = y_dc
-            y_txsz = {8: 1, 16: 2, 32: 3}[size]
-            self.encode_txb_dc(qctx, y_txsz, 0, level, sign)
-            uv_txsz = max(y_txsz - 1, 0)
-            for _ in range(2):  # all_zero sym 1: chroma txbs carry nothing
-                self.msac.encode_symbol(
-                    1, self.T["txb_skip"][qctx][uv_txsz][7], 2)
+        if txbs is not None:
+            # residual: luma tx = block size (TX_MODE_LARGEST, <= 32),
+            # then U, then V at half size (4:2:0)
+            qy, qu, qv = txbs
+            y_txl = size.bit_length() - 1
+            self.encode_txb(0, mi_r * 4, mi_c * 4, y_txl, qy)
+            uv_txl = y_txl - 1
+            self.encode_txb(1, mi_r * 2, mi_c * 2, uv_txl, qu)
+            self.encode_txb(2, mi_r * 2, mi_c * 2, uv_txl, qv)
+        else:
+            # skip blocks clear the coefficient entropy contexts
+            self.above_ent[0][mi_c:mi_c + n4] = 0
+            self.left_ent[0][mi_r:mi_r + n4] = 0
+            cn4 = max(n4 >> 1, 1)
+            for pl in (1, 2):
+                self.above_ent[pl][mi_c // 2:mi_c // 2 + cn4] = 0
+                self.left_ent[pl][mi_r // 2:mi_r // 2 + cn4] = 0
         # context updates (skip ctx arrays store the skip flag)
         self.above_skip[mi_c:mi_c + n4] = skip
         self.left_skip[mi_r:mi_r + n4] = skip
-        self.above_mode[mi_c:mi_c + n4] = 0
-        self.left_mode[mi_r:mi_r + n4] = 0
+        self.above_mode[mi_c:mi_c + n4] = ymode
+        self.left_mode[mi_r:mi_r + n4] = ymode
         self.above_valid[mi_c:mi_c + n4] = True
         self.left_valid[mi_r:mi_r + n4] = True
 
