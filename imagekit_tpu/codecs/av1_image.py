@@ -252,3 +252,35 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     hdr.byte_align()
     stream = seq + obu(OBU_FRAME, hdr.bytes() + bytes(tg))
     return stream, recon_y, recon_u, recon_v
+
+
+def _pad64(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a plane to the padded geometry (cheap bits: the
+    replicated band is flat along one axis, so its AC mostly quantizes
+    away and the clap crop discards it anyway)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_avif(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                qindex: int = 60) -> bytes:
+    """Complete first-party AVIF: arbitrary-dimension studio-range
+    BT.601 4:2:0 planes -> .avif bytes (container + OBU stream).
+
+    Dims that aren't multiples of 64 are edge-padded to the certified
+    coding geometry and cropped back with the container's CleanAperture
+    property (top-left anchor, right/bottom crop — always chroma-grid
+    aligned, so our own decode keeps the direct YUV path)."""
+    from .av1_container import write_avif
+
+    h, w = y.shape
+    if u.shape != ((h + 1) // 2, (w + 1) // 2) or v.shape != u.shape:
+        raise ValueError("u/v must be 4:2:0 planes of the luma geometry")
+    ph, pw = (h + 63) // 64 * 64, (w + 63) // 64 * 64
+    yp = _pad64(y, ph, pw)
+    up = _pad64(u, ph // 2, pw // 2)
+    vp = _pad64(v, ph // 2, pw // 2)
+    stream, _, _, _ = encode_frame(yp, up, vp, qindex=qindex)
+    seq_obu = obu(OBU_SEQUENCE_HEADER, sequence_header(pw, ph))
+    return write_avif(stream, pw, ph, display_w=w, display_h=h,
+                      seq_obu=seq_obu)

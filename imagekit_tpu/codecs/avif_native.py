@@ -117,6 +117,11 @@ class AvifInfo:
     chroma_sub_x: bool = True
     chroma_sub_y: bool = True
     properties: Dict[int, list] = field(default_factory=dict)
+    # CleanAperture crop (x0, y0, w, h) in luma pixels, already validated
+    # against the coded dims; None when absent or unusable (non-integer
+    # or out-of-bounds apertures are ignored, matching the pre-clap
+    # behaviour of decoding the full coded picture)
+    crop: Optional[Tuple[int, int, int, int]] = None
 
 
 _MAX_BOXES = 4096  # a legal still AVIF has dozens; bound hostile walks
@@ -258,6 +263,7 @@ def _parse_container(data: bytes) -> AvifInfo:
     sub_x = sub_y = True
     alpha_ids: List[int] = []
     alpha_size = (0, 0)
+    clap_raw = None
     if b"iprp" in meta:
         pa2, pb2 = meta[b"iprp"]
         sub = {}
@@ -334,8 +340,13 @@ def _parse_container(data: bytes) -> AvifInfo:
                 mono = bool(cfg & 0x10)
                 sub_x = bool(cfg & 0x08)
                 sub_y = bool(cfg & 0x04)
+            elif t == b"clap" and b - a >= 32:
+                clap_raw = tuple(
+                    int.from_bytes(data[a + 4 * i:a + 4 * i + 4], "big",
+                                   signed=True) for i in range(8))
     if width <= 0 or height <= 0:
         raise ValueError("missing ispe dimensions")
+    crop = _clap_to_crop(clap_raw, width, height) if clap_raw else None
 
     cm, extents = locs.get(pitm, (None, []))
     if cm != 0 or not extents:
@@ -359,8 +370,40 @@ def _parse_container(data: bytes) -> AvifInfo:
                 alpha_obu = b"".join(data[o:o + l] for o, l in aextents)
     return AvifInfo(
         width, height, obu, has_alpha, alpha_obu, alpha_size, matrix,
-        full_range, has_nclx, high_bd, mono, sub_x, sub_y,
+        full_range, has_nclx, high_bd, mono, sub_x, sub_y, crop=crop,
     )
+
+
+def _clap_to_crop(raw, width: int, height: int):
+    """CleanApertureBox fractions -> integer (x0, y0, w, h), or None.
+
+    ISO 14496-12 12.1.4: the aperture is cw x ch centred at
+    ((width-1)/2 + hoff, (height-1)/2 + voff); equivalently
+    x0 = (width - cw)/2 + hoff.  Apertures that aren't integral,
+    positive, and fully inside the coded picture are ignored (the file
+    still decodes at coded size, the pre-clap behaviour)."""
+    from fractions import Fraction
+
+    cwn, cwd, chn, chd, hon, hod, von, vod = raw
+    if cwd == 0 or chd == 0 or hod == 0 or vod == 0:
+        return None
+    try:
+        cw = Fraction(cwn, cwd)
+        ch = Fraction(chn, chd)
+        x0 = Fraction(width - cw, 2) + Fraction(hon, hod)
+        y0 = Fraction(height - ch, 2) + Fraction(von, vod)
+    except (ZeroDivisionError, OverflowError):
+        return None
+    if cw.denominator != 1 or ch.denominator != 1 \
+            or x0.denominator != 1 or y0.denominator != 1:
+        return None
+    cw, ch, x0, y0 = int(cw), int(ch), int(x0), int(y0)
+    if cw <= 0 or ch <= 0 or x0 < 0 or y0 < 0 \
+            or x0 + cw > width or y0 + ch > height:
+        return None
+    if (cw, ch, x0, y0) == (width, height, 0, 0):
+        return None  # no-op aperture
+    return (x0, y0, cw, ch)
 
 
 def header_dimensions(data: bytes):
@@ -541,7 +584,8 @@ def decode_rgb(data: bytes) -> Optional[np.ndarray]:
         yf = (yf - 16.0) * (255.0 / 219.0)
     if layout == _I400 or u is None:
         g8 = np.clip(np.floor(yf + 0.5), 0, 255).astype(np.uint8)
-        return _maybe_alpha(np.repeat(g8[:, :, None], 3, axis=2), info)
+        return _crop_rgb(
+            _maybe_alpha(np.repeat(g8[:, :, None], 3, axis=2), info), info)
     uf = u.astype(np.float32) - 128.0
     vf = v.astype(np.float32) - 128.0
     if not info.full_range:
@@ -560,7 +604,16 @@ def decode_rgb(data: bytes) -> Optional[np.ndarray]:
     g = (yf - kr * r - kb * b) / kg
     rgb = np.stack([r, g, b], axis=-1)
     rgb8 = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
-    return _maybe_alpha(rgb8, info)
+    return _crop_rgb(_maybe_alpha(rgb8, info), info)
+
+
+def _crop_rgb(arr, info: AvifInfo):
+    """Apply the container's validated clean-aperture crop (no-op
+    without one; pixel-domain slice, so any aperture alignment works)."""
+    if arr is None or info.crop is None:
+        return arr
+    x0, y0, cw, ch = info.crop
+    return arr[y0:y0 + ch, x0:x0 + cw]
 
 
 class _Bits:
@@ -835,6 +888,23 @@ def decode_yuv_studio(
         alpha = _alpha_plane(info)
         if alpha is None or alpha.shape != y.shape:
             return None
+    if info.crop is not None:
+        # clean-aperture crop in the YUV domain: only chroma-grid-aligned
+        # apertures keep the direct path (misaligned ones would need a
+        # half-sample chroma shift -> host fallback)
+        x0, y0, cw, ch = info.crop
+        sx = 2 if layout in (_I420, _I422) else 1
+        sy = 2 if layout == _I420 else 1
+        if u is not None and (x0 % sx or y0 % sy):
+            return None
+        y = y[y0:y0 + ch, x0:x0 + cw]
+        if alpha is not None:
+            alpha = alpha[y0:y0 + ch, x0:x0 + cw]
+        if u is not None:
+            u = u[y0 // sy:(y0 + ch + sy - 1) // sy,
+                  x0 // sx:(x0 + cw + sx - 1) // sx]
+            v = v[y0 // sy:(y0 + ch + sy - 1) // sy,
+                  x0 // sx:(x0 + cw + sx - 1) // sx]
     if u is None or layout == _I400:
         # Only when the container DECLARED mono; a container/stream
         # disagreement (either direction) is malformed -> host fallback.
