@@ -430,6 +430,63 @@ def main() -> int:
 
     resolve_angle_delta()
 
+    # intra tx-type CDFs: default_intra_ext_tx_cdf
+    # [EXT_TX_SETS_INTRA=3][EXT_TX_SIZES=4][INTRA_MODES=13][CDF_SIZE(16)]
+    # Set 0 (DCT-only) is 4*13*17 zeros; set 1 carries 7-symbol records
+    # (6 icdf values then zeros in the 17-wide slot); set 2 carries
+    # 5-symbol records (4 values).  The zero block + both shape runs +
+    # per-row value matches in dav1d (set1) / dav1d-or-rav1e (set2)
+    # identify the table uniquely.
+    def resolve_intra_ext_tx():
+        w = 17
+        rows_per_set = 4 * 13
+        zeros = rows_per_set * w
+
+        def row_ok(r, nval):
+            ic = r.astype(np.int32)
+            if not (32768 > ic[0] and ic[nval - 1] > 0):
+                return False
+            for k in range(nval - 1):
+                if ic[k] < ic[k + 1]:
+                    return False
+            return not ic[nval:].any()
+
+        cands = []
+        for i in range(0, len(aom) - 3 * zeros, 8):
+            if aom[i:i + zeros].any():
+                continue
+            s1 = aom[i + zeros:i + 2 * zeros].reshape(rows_per_set, w)
+            s2 = aom[i + 2 * zeros:i + 3 * zeros].reshape(rows_per_set, w)
+            if not (row_ok(s1[0], 6) and row_ok(s2[0], 4)):
+                continue
+            if not all(row_ok(r, 6) for r in s1):
+                continue
+            if not all(row_ok(r, 4) for r in s2):
+                continue
+            # dav1d materializes set 1 differently, so its cross-check
+            # comes from the OTHER two independent codebases (rav1e +
+            # SVT-AV1); set 2 additionally matches dav1d itself.
+            ok1 = all(r[:6].astype("<u2").tobytes() in rav_b
+                      and r[:6].astype("<u2").tobytes() in svt_b
+                      for r in s1)
+            ok2 = all(r[:4].astype("<u2").tobytes() in dav_b
+                      and r[:4].astype("<u2").tobytes() in rav_b
+                      for r in s2)
+            if ok1 and ok2:
+                cands.append((i, s1.copy(), s2.copy()))
+        if len(cands) != 1:
+            raise SystemExit(
+                f"ABORT: intra_ext_tx: {len(cands)} candidates "
+                f"at {[c[0] * 2 for c in cands]}")
+        i, s1, s2 = cands[0]
+        out["intra_ext_tx1"] = s1[:, :7].reshape(4, 13, 7)
+        out["intra_ext_tx2"] = s2[:, :5].reshape(4, 13, 5)
+        report.append(("intra_ext_tx1", (i + zeros) * 2, 1.0, s1[:, :7].size))
+        report.append(("intra_ext_tx2", (i + 2 * zeros) * 2, 1.0,
+                       s2[:, :5].size))
+
+    resolve_intra_ext_tx()
+
     resolve_skip()
 
     # --- quantizer lookups: 256-entry non-decreasing i16 runs in aom;
