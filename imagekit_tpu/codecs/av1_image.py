@@ -15,18 +15,19 @@ v1 design decisions:
     with the AVIF container's CleanAperture box.
   - prediction: DC_PRED per plane from in-tile reconstructed neighbors
     (tiles are one superblock, so prediction never crosses an SB).
-  - reconstruction: EXACT, via the decode oracle — each tile is
-    self-contained, so a snapshot of the tile encoder is finalized with
-    skip blocks, wrapped in a single-SB frame, and decoded with the
-    system libdav1d (avif_native).  The encoder therefore predicts from
-    byte-true decoder output; there is no inverse-transform drift by
-    construction.  (A fast in-process integer inverse transform can
-    replace the oracle later; the oracle then becomes its test.)
+  - reconstruction: EXACT, via the in-process integer inverse
+    transform (av1_itx.py), certified bit-exact against libdav1d over
+    every basis vector + dense random coefficient sets of every size
+    (tools/av1_itx_probe.py), so the encoder predicts from byte-true
+    decoder output.  A dav1d decode oracle remains available (each
+    tile is self-contained: a snapshot of the tile encoder finalized
+    with skip blocks decodes as a single-SB frame) and cross-checks
+    av1_itx inside full tiles in tests.
   - quantization: orthonormal float DCT-II + round(c / step), where
     step comes from the extracted dc/ac qlookup tables.  The scale
     relation (step = q_Q3/8 at TX_32X32, measured against dav1d) only
     shapes rate/distortion — reconstruction exactness never depends on
-    it because recon comes from the oracle.
+    it because recon comes from av1_itx.
 """
 
 from __future__ import annotations
@@ -39,6 +40,7 @@ from .av1_intra import (
     PARTITION_NONE, PARTITION_SPLIT, TileEncoder, frame_header_bits,
     sequence_header,
 )
+from .av1_itx import recon_block
 
 
 def q_ctx(base_q_idx: int) -> int:
@@ -154,13 +156,17 @@ def encode_superblock(sb_y: np.ndarray, sb_u: np.ndarray, sb_v: np.ndarray,
                       ) -> tuple:
     """Encode one 64x64 superblock as its own tile.
 
+    Reconstruction uses the in-process integer inverse transform
+    (av1_itx, probe-certified bit-exact against libdav1d); pass an
+    `oracle` to reconstruct through an actual dav1d decode instead
+    (slower; used by tests to cross-check av1_itx inside full tiles).
+
     Returns (tile_bytes, recon_y 64x64, recon_u 32x32, recon_v 32x32).
     """
     T = tables()
     dcq = int(T["dc_qlookup"][qindex])
     acq = int(T["ac_qlookup"][qindex])
     qc = q_ctx(qindex)
-    oracle = oracle or _OracleRecon(qindex)
     te = TileEncoder(64, 64, qctx=qc)
     te._encode_partition_symbol(te._part_ctx(0, 0, 64), PARTITION_SPLIT, 64)
     blocks = [(0, 0), (0, 8), (8, 0), (8, 8)]  # mi coords (4px units)
@@ -189,15 +195,21 @@ def encode_superblock(sb_y: np.ndarray, sb_u: np.ndarray, sb_v: np.ndarray,
         else:
             te.encode_block(mr, mc, 32)   # skip: recon == flat prediction
         te._update_part_ctx(mr, mc, 32, 32)
-        if any(quants):
+        if not any(quants):
+            ry[pr:pr + 32, pc:pc + 32] = preds[0]
+            ru[cr:cr + 16, cc:cc + 16] = preds[1]
+            rv[cr:cr + 16, cc:cc + 16] = preds[2]
+        elif oracle is not None:
             dy, du, dv = oracle(te, i + 1, blocks)
             ry[pr:pr + 32, pc:pc + 32] = dy[pr:pr + 32, pc:pc + 32]
             ru[cr:cr + 16, cc:cc + 16] = du[cr:cr + 16, cc:cc + 16]
             rv[cr:cr + 16, cc:cc + 16] = dv[cr:cr + 16, cc:cc + 16]
         else:
-            ry[pr:pr + 32, pc:pc + 32] = preds[0]
-            ru[cr:cr + 16, cc:cc + 16] = preds[1]
-            rv[cr:cr + 16, cc:cc + 16] = preds[2]
+            for plane, (rec, r0, c0, bs) in enumerate((
+                    (ry, pr, pc, 32), (ru, cr, cc, 16), (rv, cr, cc, 16))):
+                pred = np.full((bs, bs), preds[plane], np.uint8)
+                rec[r0:r0 + bs, c0:c0 + bs] = recon_block(
+                    pred, quants[plane], dcq, acq)
     return te.msac.done(), ry, ru, rv
 
 
@@ -210,7 +222,7 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     """Encode 4:2:0 planes (dims multiples of 64) to a full OBU stream.
 
     Returns (obu_bytes, recon_y, recon_u, recon_v) — recon is the
-    byte-true decoder output (oracle-sourced), usable for PSNR and for
+    byte-true decoder output (av1_itx model), usable for PSNR and for
     the conformance gate (dav1d must reproduce it bit-exactly).
     """
     h, w = y.shape
@@ -223,7 +235,6 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         raise ValueError("qindex must be in 1..255")
     if w > 4096 or h > 4096:
         raise ValueError("dims above 4096 need multi-level tile_info")
-    oracle = _OracleRecon(qindex)
     sb_cols, sb_rows = w // 64, h // 64
     recon_y = np.zeros_like(y)
     recon_u = np.zeros_like(u)
@@ -235,7 +246,7 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
             cy, cx = py // 2, px // 2
             tile, ty, tu, tv = encode_superblock(
                 y[py:py + 64, px:px + 64], u[cy:cy + 32, cx:cx + 32],
-                v[cy:cy + 32, cx:cx + 32], qindex, oracle)
+                v[cy:cy + 32, cx:cx + 32], qindex)
             recon_y[py:py + 64, px:px + 64] = ty
             recon_u[cy:cy + 32, cx:cx + 32] = tu
             recon_v[cy:cy + 32, cx:cx + 32] = tv

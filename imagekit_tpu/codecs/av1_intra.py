@@ -148,7 +148,10 @@ def frame_header_bits(qindex: int, w: int, h: int) -> BitWriter:
     b.f(0, 1)            # loop_filter_delta_enabled
     # cdef: seq-disabled; lr: seq-disabled
     b.f(0, 1)            # tx_mode_select = 0 -> TX_MODE_LARGEST
-    b.f(0, 1)            # reduced_tx_set
+    # reduced_tx_set = 1: every sub-32 intra luma tx uses TX_SET_INTRA_2,
+    # whose 5-symbol tx_type CDF (intra_ext_tx2) is Rosetta-certified
+    # with DCT_DCT = symbol 1; 32x32 stays in the DCT-only set either way
+    b.f(1, 1)
     return b
 
 
@@ -303,7 +306,7 @@ class TileEncoder:
         return 0
 
     def encode_txb(self, plane: int, px_r: int, px_c: int,
-                   txsz_log2: int, quant) -> None:
+                   txsz_log2: int, quant, ymode: int = 0) -> None:
         """One transform block with arbitrary quantized coefficients.
 
         `quant` maps raster position -> signed level (dict, or a 2-D
@@ -339,8 +342,13 @@ class TileEncoder:
             l_ent[er:er + n4] = 0
             return
         m.encode_symbol(0, T["txb_skip"][q][txs_ctx][skip_ctx], 2)
-        # (tx_type: never coded in this encoder — luma tx is always
-        # 32x32 (TX_SET_DCTONLY) and intra chroma tx_type is derived)
+        # tx_type: coded for luma tx < 32x32 with coefficients, between
+        # all_zero and eob_pt (Rosetta-pinned).  With the frame header's
+        # reduced_tx_set=1 the set is TX_SET_INTRA_2 and DCT_DCT is
+        # symbol 1; chroma derives its tx_type (never coded); 32x32 is
+        # the DCT-only set.
+        if plane == 0 and txsz_log2 < 5:
+            m.encode_symbol(1, T["intra_ext_tx2"][txsz_log2 - 2][ymode], 5)
         scan = {16: T["scan_4x4"], 64: T["scan_8x8"],
                 256: T["scan_16x16"], 1024: T["scan_32x32"]}[nc]
         pos_to_c = {int(p): c for c, p in enumerate(scan)}
@@ -474,7 +482,7 @@ class TileEncoder:
             # then U, then V at half size (4:2:0)
             qy, qu, qv = txbs
             y_txl = size.bit_length() - 1
-            self.encode_txb(0, mi_r * 4, mi_c * 4, y_txl, qy)
+            self.encode_txb(0, mi_r * 4, mi_c * 4, y_txl, qy, ymode=ymode)
             uv_txl = y_txl - 1
             self.encode_txb(1, mi_r * 2, mi_c * 2, uv_txl, qu)
             self.encode_txb(2, mi_r * 2, mi_c * 2, uv_txl, qv)

@@ -167,3 +167,23 @@ def test_image_encode_rejects_bad_geometry():
     u = v = np.zeros((30, 32), np.uint8)
     with pytest.raises(ValueError):
         encode_frame(y, u, v)
+
+
+@needs_dav1d
+def test_itx_recon_matches_dav1d_oracle_in_full_tiles():
+    """encode_superblock's in-process av1_itx reconstruction must equal
+    the dav1d decode-oracle reconstruction of the same tile bytes."""
+    from imagekit_tpu.codecs.av1_image import (
+        _OracleRecon, encode_superblock,
+    )
+
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    u = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    v = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    for q in (20, 120, 220):
+        t1, y1, u1, v1 = encode_superblock(y, u, v, q)
+        t2, y2, u2, v2 = encode_superblock(y, u, v, q,
+                                           oracle=_OracleRecon(q))
+        assert t1 == t2  # identical recon -> identical predictions/bits
+        assert (y1 == y2).all() and (u1 == u2).all() and (v1 == v2).all()
