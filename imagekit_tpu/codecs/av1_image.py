@@ -218,7 +218,7 @@ def encode_superblock(sb_y: np.ndarray, sb_u: np.ndarray, sb_v: np.ndarray,
 
 
 def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                 qindex: int = 60) -> tuple:
+                 qindex: int = 60, full_range: bool = False) -> tuple:
     """Encode 4:2:0 planes (dims multiples of 64) to a full OBU stream.
 
     Returns (obu_bytes, recon_y, recon_u, recon_v) — recon is the
@@ -258,7 +258,7 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         if i < len(tiles) - 1:
             tg += (len(t) - 1).to_bytes(4, "little")
         tg += t
-    seq = obu(OBU_SEQUENCE_HEADER, sequence_header(w, h))
+    seq = obu(OBU_SEQUENCE_HEADER, sequence_header(w, h, full_range))
     hdr = frame_header_bits(qindex, w, h)
     hdr.byte_align()
     stream = seq + obu(OBU_FRAME, hdr.bytes() + bytes(tg))
@@ -274,24 +274,46 @@ def _pad64(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
 
 
 def encode_avif(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                qindex: int = 60) -> bytes:
+                qindex: int = 60, alpha: np.ndarray | None = None,
+                alpha_qindex: int | None = None) -> bytes:
     """Complete first-party AVIF: arbitrary-dimension studio-range
     BT.601 4:2:0 planes -> .avif bytes (container + OBU stream).
 
     Dims that aren't multiples of 64 are edge-padded to the certified
     coding geometry and cropped back with the container's CleanAperture
     property (top-left anchor, right/bottom crop — always chroma-grid
-    aligned, so our own decode keeps the direct YUV path)."""
+    aligned, so our own decode keeps the direct YUV path).
+
+    ``alpha`` (full-range u8, luma geometry) rides as an auxiliary AV1
+    item: a second 4:2:0 stream with neutral chroma — the same layout
+    rav1e-family encoders write (their cores lack a mono path too) —
+    whose sequence header signals full range, near-lossless by default
+    (``alpha_qindex``, default min(qindex, 16) — tighter than the
+    libavif arm's quantizer-16 cap (avif_encode.py:304) because the
+    DC-pred-only coder pays more error at equal qindex)."""
     from .av1_container import write_avif
 
     h, w = y.shape
     if u.shape != ((h + 1) // 2, (w + 1) // 2) or v.shape != u.shape:
         raise ValueError("u/v must be 4:2:0 planes of the luma geometry")
+    if alpha is not None and alpha.shape != (h, w):
+        raise ValueError("alpha plane must match luma geometry")
     ph, pw = (h + 63) // 64 * 64, (w + 63) // 64 * 64
     yp = _pad64(y, ph, pw)
     up = _pad64(u, ph // 2, pw // 2)
     vp = _pad64(v, ph // 2, pw // 2)
     stream, _, _, _ = encode_frame(yp, up, vp, qindex=qindex)
     seq_obu = obu(OBU_SEQUENCE_HEADER, sequence_header(pw, ph))
+    a_stream = None
+    a_seq = b""
+    if alpha is not None:
+        aq = min(qindex, 16) if alpha_qindex is None else alpha_qindex
+        ap = _pad64(alpha, ph, pw)
+        neutral = np.full((ph // 2, pw // 2), 128, np.uint8)
+        a_stream, _, _, _ = encode_frame(ap, neutral, neutral,
+                                         qindex=aq, full_range=True)
+        a_seq = obu(OBU_SEQUENCE_HEADER,
+                    sequence_header(pw, ph, full_range=True))
     return write_avif(stream, pw, ph, display_w=w, display_h=h,
-                      seq_obu=seq_obu)
+                      seq_obu=seq_obu, alpha_obu_stream=a_stream,
+                      alpha_seq_obu=a_seq)

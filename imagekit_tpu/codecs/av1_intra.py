@@ -53,7 +53,7 @@ def _nsyms_partition(size: int) -> int:
 # Headers
 
 
-def sequence_header(w: int, h: int) -> bytes:
+def sequence_header(w: int, h: int, full_range: bool = False) -> bytes:
     b = BitWriter()
     b.f(0, 3)            # seq_profile = 0 (8-bit 4:2:0)
     b.f(1, 1)            # still_picture
@@ -75,7 +75,7 @@ def sequence_header(w: int, h: int) -> bytes:
     b.f(0, 1)            # high_bitdepth
     b.f(0, 1)            # mono_chrome
     b.f(0, 1)            # color_description_present_flag
-    b.f(0, 1)            # color_range = 0 (studio)
+    b.f(int(full_range), 1)  # color_range (full for alpha streams)
     b.f(0, 2)            # chroma_sample_position = unknown
     b.f(0, 1)            # separate_uv_delta_q
     b.f(0, 1)            # film_grain_params_present

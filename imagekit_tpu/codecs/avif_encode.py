@@ -214,6 +214,42 @@ def quality_to_quantizer(quality: int) -> int:
     return ((100 - q) * 63 + 50) // 100
 
 
+def quantizer_to_qindex(quantizer: int) -> int:
+    """AV1 quantizer (0-63) -> base_q_idx (0-255), aom's
+    av1_quantizer_to_qindex linear map (qindex = quantizer * 4), floored
+    at 1 because the first-party encoder has no lossless mode."""
+    return min(max(int(quantizer) * 4, 1), 255)
+
+
+def firstparty_requested() -> bool:
+    """IMAGEKIT_AVIF_FIRSTPARTY routes AVIF encodes through the
+    in-process first-party AV1 encoder (codecs/av1_image.py) instead of
+    the libavif ABI — always-available (pure in-process), dav1d-
+    conformant output, but a simpler rate model than aom (DC-pred
+    intra), so it is opt-in for production and the automatic last
+    resort when no system AVIF encoder exists at all."""
+    return os.environ.get("IMAGEKIT_AVIF_FIRSTPARTY", "") not in (
+        "", "0", "off", "false")
+
+
+def encode_firstparty(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    quality: int,
+    alpha: Optional[np.ndarray] = None,
+) -> bytes:
+    """First-party AVIF from studio-range BT.601 4:2:0 planes — the
+    in-process encoder behind the same plane contract as
+    encode_yuv420_studio (arbitrary dims via pad + CleanAperture)."""
+    from .av1_image import encode_avif
+
+    return encode_avif(
+        y, cb, cr,
+        qindex=quantizer_to_qindex(quality_to_quantizer(quality)),
+        alpha=alpha)
+
+
 def _encode_planes(
     lib: ctypes.CDLL,
     codec: int,
@@ -306,10 +342,10 @@ def encode_yuv420_studio(
     """Studio-range BT.601 4:2:0 planes (the fused device heads' output
     layout: y (H,W) u8, cb/cr ((H+1)//2,(W+1)//2) u8) -> AVIF bytes.
     Raises ValueError if the path is unavailable or the encode fails —
-    callers decide the fallback."""
-    lib = _load()
-    if lib is None:
-        raise ValueError("native avif encode unavailable")
+    callers decide the fallback.  IMAGEKIT_AVIF_FIRSTPARTY routes
+    through the in-process encoder instead; with no libavif at all the
+    first-party encoder serves automatically (AVIF output never depends
+    on a system AV1 library)."""
     if y.dtype != np.uint8 or cb.dtype != np.uint8 or cr.dtype != np.uint8:
         raise ValueError("planes must be uint8")
     h, w = y.shape
@@ -317,6 +353,11 @@ def encode_yuv420_studio(
         raise ValueError("chroma geometry must be 4:2:0 of the luma plane")
     if alpha is not None and alpha.shape != (h, w):
         raise ValueError("alpha plane must match luma geometry")
+    if firstparty_requested():
+        return encode_firstparty(y, cb, cr, quality, alpha=alpha)
+    lib = _load()
+    if lib is None:
+        return encode_firstparty(y, cb, cr, quality, alpha=alpha)
     return _encode_planes(
         lib,
         _state["codec"],
@@ -391,13 +432,10 @@ def encode_y400_studio(
         lib.avifImageDestroy(img)
 
 
-def encode_rgb(
-    img: np.ndarray, quality: int, speed: Optional[int] = None
-) -> bytes:
-    """Host-side RGB(A) -> AVIF for the staged/generic paths: the same
-    BT.601 studio conversion the device heads apply (ops/color.py), then
-    the direct bitstream encode. Alpha, when present and not fully
-    opaque, rides as a near-lossless alpha plane."""
+def _split_rgba(img: np.ndarray):
+    """RGB(A) -> (BT.601 studio 4:2:0 planes, real-alpha-or-None): the
+    same conversion the device heads apply (ops/color.py); fully-opaque
+    alpha planes are dropped (ledger'd fix, module docstring)."""
     from imagekit_tpu.ops.color import rgb_to_yuv420_host
 
     alpha = None
@@ -407,4 +445,23 @@ def encode_rgb(
             alpha = np.ascontiguousarray(a)
         img = img[:, :, :3]
     y, cb, cr = rgb_to_yuv420_host(img)
+    return y, cb, cr, alpha
+
+
+def encode_rgb(
+    img: np.ndarray, quality: int, speed: Optional[int] = None
+) -> bytes:
+    """Host-side RGB(A) -> AVIF for the staged/generic paths: BT.601
+    studio conversion, then the direct bitstream encode. Alpha, when
+    present and not fully opaque, rides as a near-lossless alpha
+    plane."""
+    y, cb, cr, alpha = _split_rgba(img)
     return encode_yuv420_studio(y, cb, cr, quality, speed=speed, alpha=alpha)
+
+
+def encode_rgb_firstparty(img: np.ndarray, quality: int) -> bytes:
+    """RGB(A) -> AVIF through the in-process first-party AV1 encoder
+    unconditionally (the no-system-encoder last resort; pil_backend
+    calls this when both the libavif ABI and the PIL plugin fail)."""
+    y, cb, cr, alpha = _split_rgba(img)
+    return encode_firstparty(y, cb, cr, quality, alpha=alpha)

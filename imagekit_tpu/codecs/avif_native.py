@@ -642,12 +642,15 @@ class _Bits:
         return (1 << zeros) - 1 + self.f(zeros)
 
 
-def _seq_header_color_range(obu_stream: bytes) -> Optional[bool]:
+def _seq_header_color_range(obu_stream: bytes) -> Optional[tuple]:
     """Walk the OBU stream for the sequence header and parse it (AV1 spec
     §5.5) just far enough to reach color_config's color_range bit.
-    Returns True (full range), False (limited), or None when the stream
-    can't be parsed — callers treat None as "unprovable" and fall back,
-    consistent with the nclx/identity-matrix gating above (ADVICE r3)."""
+    Returns (mono_chrome, full_range) or None when the stream can't be
+    parsed — callers treat None as "unprovable" and fall back,
+    consistent with the nclx/identity-matrix gating above (ADVICE r3);
+    each caller applies its own mono requirement (the grey gate needs a
+    mono stream; the alpha gate also accepts 4:2:0 neutral-chroma alpha,
+    the rav1e-family and first-party layout)."""
     try:
         i = 0
         payload = None
@@ -745,9 +748,7 @@ def _seq_header_color_range(obu_stream: bytes) -> Optional[bool]:
         mono = r.f(1) if seq_profile != 1 else 0
         if r.f(1):  # color_description_present_flag
             r.f(24)  # primaries, transfer, matrix
-        if mono:
-            return bool(r.f(1))  # color_range — the alpha-plane case
-        return None  # non-mono alpha OBU: malformed for our purposes
+        return bool(mono), bool(r.f(1))  # color_range follows either way
     except (IndexError, ValueError):
         return None
 
@@ -770,9 +771,10 @@ def _alpha_plane(info: AvifInfo) -> Optional[np.ndarray]:
     # from another encoder would arrive squeezed into 16..235). Scale
     # limited-range planes; bail to the host library when the header
     # can't be parsed — never guess pixel values (ADVICE r3).
-    rng = _seq_header_color_range(info.alpha_obu)
-    if rng is None:
+    parsed = _seq_header_color_range(info.alpha_obu)
+    if parsed is None:
         return None
+    _mono, rng = parsed  # mono AND 4:2:0 neutral-chroma alpha both legal
     if not rng:  # limited -> full, same remap as the luma path above
         ay = np.clip(
             np.floor((ay.astype(np.float32) - 16.0) * (255.0 / 219.0) + 0.5),
@@ -863,10 +865,10 @@ def decode_yuv_studio(
         if info.has_nclx:
             full_range = info.full_range
         else:
-            rng = _seq_header_color_range(info.obu)
-            if rng is None:
-                return None
-            full_range = rng
+            parsed = _seq_header_color_range(info.obu)
+            if parsed is None or not parsed[0]:
+                return None  # non-mono OBU: the grey gate can't prove it
+            full_range = parsed[1]
         bt709 = False
     elif not info.has_nclx or info.matrix not in (1, 2, 5, 6):
         return None

@@ -105,8 +105,14 @@ def encode(img: np.ndarray, fmt: ImageFormat, quality: int) -> bytes:
                 )
             else:
                 rgba = img
-            pil = Image.fromarray(rgba, "RGBA")
-            pil.save(buf, "AVIF", quality=q, speed=AVIF_SPEED)
+            try:
+                pil = Image.fromarray(rgba, "RGBA")
+                pil.save(buf, "AVIF", quality=q, speed=AVIF_SPEED)
+            except Exception:
+                # last resort: the in-process first-party AV1 encoder
+                # (codecs/av1_image.py) — AVIF output survives with no
+                # system AV1 encoder present at all
+                return avif_encode.encode_rgb_firstparty(img, q)
         else:  # pragma: no cover
             raise TransformError(f"unsupported output format: {fmt}")
     except TransformError:

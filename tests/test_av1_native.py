@@ -187,3 +187,98 @@ def test_itx_recon_matches_dav1d_oracle_in_full_tiles():
                                            oracle=_OracleRecon(q))
         assert t1 == t2  # identical recon -> identical predictions/bits
         assert (y1 == y2).all() and (u1 == u2).all() and (v1 == v2).all()
+
+
+# ---------------------------------------------------------------------------
+# First-party AVIF wiring (container + production funnel)
+
+
+@needs_dav1d
+def test_firstparty_avif_alpha_odd_dims_roundtrip():
+    """encode_avif with alpha + non-multiple-of-64 dims: container
+    carries a 4:2:0 alpha aux item (rav1e-family layout) and the native
+    parser/decoder round-trips at display dims with near-lossless
+    alpha."""
+    from imagekit_tpu.codecs.av1_image import encode_avif
+
+    rng = np.random.default_rng(3)
+    h, w = 100, 150
+    y = (np.linspace(40, 200, w)[None, :]
+         + rng.normal(0, 6, (h, w))).clip(16, 235).astype(np.uint8)
+    cb = np.full(((h + 1) // 2, (w + 1) // 2), 110, np.uint8)
+    cr = np.full(((h + 1) // 2, (w + 1) // 2), 140, np.uint8)
+    alpha = np.zeros((h, w), np.uint8)
+    alpha[20:80, 30:120] = 255
+    alpha[50:, :] = 128
+    data = encode_avif(y, cb, cr, qindex=60, alpha=alpha)
+    info = avif_native.parse_container(data)
+    assert info.has_alpha and info.alpha_obu
+    rgb = avif_native.decode_rgb(data)
+    assert rgb is not None and rgb.shape == (h, w, 4)
+    assert int(np.abs(rgb[..., 3].astype(int)
+                      - alpha.astype(int)).max()) <= 4
+
+
+@needs_dav1d
+def test_encode_yuv420_studio_firstparty_env(monkeypatch):
+    """IMAGEKIT_AVIF_FIRSTPARTY routes the production YUV funnel through
+    the in-process encoder; output decodes through the native parser."""
+    from imagekit_tpu.codecs import avif_encode
+
+    monkeypatch.setenv("IMAGEKIT_AVIF_FIRSTPARTY", "1")
+    h, w = 64, 96
+    y = np.full((h, w), 90, np.uint8)
+    cb = np.full((h // 2, w // 2), 120, np.uint8)
+    cr = np.full((h // 2, w // 2), 136, np.uint8)
+    data = avif_encode.encode_yuv420_studio(y, cb, cr, 70)
+    info = avif_native.parse_container(data)
+    assert not info.has_alpha
+    rgb = avif_native.decode_rgb(data)   # clap-cropped to display dims
+    assert rgb is not None and rgb.shape == (h, w, 3)
+
+
+@needs_dav1d
+def test_encode_yuv420_studio_no_libavif_falls_firstparty(monkeypatch):
+    """With no libavif at all the YUV funnel serves first-party AVIF
+    instead of raising (AVIF output never depends on a system AV1
+    encoder)."""
+    from imagekit_tpu.codecs import avif_encode
+
+    monkeypatch.delenv("IMAGEKIT_AVIF_FIRSTPARTY", raising=False)
+    monkeypatch.setattr(avif_encode, "_load", lambda: None)
+    h, w = 64, 64
+    y = np.full((h, w), 90, np.uint8)
+    cb = np.full((h // 2, w // 2), 120, np.uint8)
+    cr = np.full((h // 2, w // 2), 136, np.uint8)
+    data = avif_encode.encode_yuv420_studio(y, cb, cr, 70)
+    assert avif_native.parse_container(data).width == w
+
+
+@needs_dav1d
+def test_pil_backend_last_resort_firstparty(monkeypatch):
+    """pil_backend AVIF encode: when both the libavif ABI and the PIL
+    plugin are gone, the first-party encoder still serves."""
+    from imagekit_tpu.codecs import ImageFormat, avif_encode, pil_backend
+
+    monkeypatch.setattr(avif_encode, "available", lambda: False)
+
+    class _NoAvif:
+        def __init__(self, *a, **k):
+            raise OSError("no AVIF plugin")
+
+    monkeypatch.setattr(pil_backend.Image, "fromarray",
+                        _NoAvif, raising=True)
+    img = np.full((50, 70, 3), 120, np.uint8)
+    data = pil_backend.encode(img, ImageFormat.avif, 60)
+    rgb = avif_native.decode_rgb(data)
+    assert rgb is not None and rgb.shape[:2] == (50, 70)
+
+
+def test_quantizer_to_qindex_map():
+    from imagekit_tpu.codecs.avif_encode import (
+        quality_to_quantizer, quantizer_to_qindex,
+    )
+
+    assert quantizer_to_qindex(0) == 1      # no lossless mode
+    assert quantizer_to_qindex(63) == 252
+    assert quantizer_to_qindex(quality_to_quantizer(60)) == 100

@@ -227,17 +227,17 @@ def test_alpha_seq_header_range_parse():
     except Exception:
         info = None
     if info is not None and info.has_alpha and info.alpha_obu:
-        assert avif_native._seq_header_color_range(info.alpha_obu) is True
+        mono, rng = avif_native._seq_header_color_range(info.alpha_obu)
+        assert rng is True
         # and the primary (colour) OBU must also be parseable
-        assert avif_native._seq_header_color_range(info.obu) in (
-            None, True, False,
-        )
+        primary = avif_native._seq_header_color_range(info.obu)
+        assert primary is None or primary[0] is False
     assert avif_native._seq_header_color_range(
         _synthetic_alpha_seq_obu(1)
-    ) is True
+    ) == (True, True)
     assert avif_native._seq_header_color_range(
         _synthetic_alpha_seq_obu(0)
-    ) is False
+    ) == (True, False)
     assert avif_native._seq_header_color_range(b"") is None
     assert avif_native._seq_header_color_range(b"\x80garbage") is None
 
@@ -261,7 +261,7 @@ def test_limited_range_alpha_is_rescaled(monkeypatch):
 
     # Same file, range gate forced to "limited": plane must be remapped
     monkeypatch.setattr(
-        avif_native, "_seq_header_color_range", lambda obu: False
+        avif_native, "_seq_header_color_range", lambda obu: (True, False)
     )
     limited = avif_native.decode_rgb(data)
     assert limited is not None
