@@ -113,6 +113,43 @@ def dc_pred(recon: np.ndarray, r0: int, c0: int, bh: int, bw: int,
     return 128
 
 
+# Intra mode indices (spec): the subset this encoder searches for luma.
+MODE_DC, MODE_V, MODE_H, MODE_PAETH = 0, 1, 2, 12
+
+
+def intra_pred(mode: int, recon: np.ndarray, r0: int, c0: int, b: int,
+               have_above: bool, have_left: bool) -> np.ndarray:
+    """Predict a b x b block (spec 7.11.2) from reconstructed
+    neighbors.  The encoder only offers a mode when its references
+    exist (V needs above, H needs left, PAETH needs both + corner), so
+    the unavailable-edge substitutions never arise; the sequence header
+    disables the intra edge filter, so directional prediction is the
+    unfiltered copy."""
+    if mode == MODE_DC:
+        return np.full((b, b), dc_pred(recon, r0, c0, b, b,
+                                       have_above, have_left), np.uint8)
+    if mode == MODE_V:
+        return np.broadcast_to(recon[r0 - 1, c0:c0 + b],
+                               (b, b)).astype(np.uint8)
+    if mode == MODE_H:
+        return np.broadcast_to(recon[r0:r0 + b, c0 - 1][:, None],
+                               (b, b)).astype(np.uint8)
+    if mode == MODE_PAETH:
+        top = recon[r0 - 1, c0:c0 + b].astype(np.int32)[None, :]
+        left = recon[r0:r0 + b, c0 - 1].astype(np.int32)[:, None]
+        tl = int(recon[r0 - 1, c0 - 1])
+        base = top + left - tl
+        p_left = np.abs(base - left)
+        p_top = np.abs(base - top)
+        p_tl = np.abs(base - tl)
+        out = np.where(
+            (p_left <= p_top) & (p_left <= p_tl),
+            np.broadcast_to(left, (b, b)),
+            np.where(p_top <= p_tl, np.broadcast_to(top, (b, b)), tl))
+        return out.astype(np.uint8)
+    raise ValueError(f"unsupported intra mode {mode}")
+
+
 # ---------------------------------------------------------------------------
 # Superblock (= tile) encoder
 
@@ -214,11 +251,158 @@ def encode_superblock(sb_y: np.ndarray, sb_u: np.ndarray, sb_v: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# RD-adaptive partition tree (32 -> 16 -> 8 leaves)
+
+# lambda = RD_LAMBDA_C * qstep^2 in the orthonormal transform domain
+# (qstep = acq/8, _STEP_SCALE); calibrated on the parity-report suite
+# (tools/av1_rd_calibrate.py) against the fixed-32 tree.
+RD_LAMBDA_C = 0.30
+
+# a SPLIT adds at least ~4 partition symbols + 3 skip/mode sets over
+# NONE; if NONE's distortion is already below lam * this, SPLIT cannot
+# win (distortion can't go negative) — safe prune, keeps flat regions
+# at fixed-tree speed.
+_SPLIT_MIN_BITS = 16
+
+
+def _sse(a: np.ndarray, b: np.ndarray) -> float:
+    return float(((a.astype(np.int64) - b.astype(np.int64)) ** 2).sum())
+
+
+def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
+              size: int, dcq: int, acq: int, lam: float) -> float:
+    """Encode the RD-best partition tree for the block at (mi_r, mi_c)
+    into `te`, writing its reconstruction into `recs`.  Returns the
+    block's cost D + lam*R (R in exact MSAC bits via the encoder's
+    renormalization counter; D = SSE over Y+U+V).  Candidates at each
+    node: NONE-coded, NONE-forced-skip, SPLIT (recursive); leaves stop
+    at 8 (4:2:0 chroma pairing keeps luma >= 8)."""
+    entry = te.snapshot()
+    nb0 = te.msac.nbits
+    pr, pc = mi_r * 4, mi_c * 4
+    cr, cc = pr // 2, pc // 2
+    ha, hl = pr > 0, pc > 0
+    cb = size // 2
+    txl_y = size.bit_length() - 1
+    # chroma: DC-pred only (shared by every luma mode candidate)
+    c_preds, c_quants, c_rbs = [], [], []
+    dc_skip = dc_coded = 0.0
+    for plane, src_p, rec_p in ((1, planes[1], recs[1]),
+                                (2, planes[2], recs[2])):
+        p = dc_pred(rec_p, cr, cc, cb, cb, ha, hl)
+        src = src_p[cr:cr + cb, cc:cc + cb]
+        qd = quantize(fdct2(src.astype(np.int32) - p), dcq, acq,
+                      cb.bit_length() - 1)
+        pa = np.full((cb, cb), p, np.uint8)
+        rb = recon_block(pa, qd, dcq, acq) if qd else pa
+        dc_skip += _sse(src, pa)
+        dc_coded += _sse(src, rb)
+        c_preds.append(pa)
+        c_quants.append(qd)
+        c_rbs.append(rb)
+    # luma: search the mode subset whose references exist
+    modes = [MODE_DC]
+    if ha:
+        modes.append(MODE_V)
+    if hl:
+        modes.append(MODE_H)
+    if ha and hl:
+        modes.append(MODE_PAETH)
+    src_y = planes[0][pr:pr + size, pc:pc + size]
+    te._encode_partition_symbol(te._part_ctx(mi_r, mi_c, size),
+                                PARTITION_NONE, size)
+    part_state = te.snapshot()
+    # rank modes by prediction SSE and keep the top 2 (entropy trials
+    # and transform recon are the expensive part; prediction-domain
+    # ranking picks the same winner in practice)
+    ranked = []
+    for mode in modes:
+        pa = intra_pred(mode, recs[0], pr, pc, size, ha, hl)
+        ranked.append((_sse(src_y, pa), mode, pa))
+    ranked.sort(key=lambda t: t[0])
+    trials = []
+    for dy_skip, mode, pa in ranked[:2]:
+        qd = quantize(fdct2(src_y.astype(np.int32)
+                            - pa.astype(np.int32)), dcq, acq, txl_y)
+        rb = recon_block(pa, qd, dcq, acq) if qd else pa
+        if qd or any(c_quants):
+            trials.append((_sse(src_y, rb) + dc_coded, mode,
+                           (qd, c_quants[0], c_quants[1]),
+                           [rb, c_rbs[0], c_rbs[1]]))
+        trials.append((dy_skip + dc_skip, mode, None,
+                       [pa, c_preds[0], c_preds[1]]))
+    # entropy-code trials best-distortion-first; cost >= dist, so once a
+    # trial's dist exceeds the best full cost it cannot win (admissible
+    # prune — bits are nonnegative)
+    trials.sort(key=lambda t: t[0])
+    none_cost = none_state = none_rec = none_dist = None
+    for dist, mode, txbs, rec3 in trials:
+        if none_cost is not None and dist >= none_cost:
+            break
+        te.restore(part_state)
+        te.encode_block(mi_r, mi_c, size, txbs=txbs, ymode=mode)
+        cost = dist + lam * (te.msac.nbits - nb0)
+        if none_cost is None or cost < none_cost:
+            none_cost, none_dist = cost, dist
+            none_state, none_rec = te.snapshot(), rec3
+    if size > 8 and none_dist > lam * _SPLIT_MIN_BITS:
+        te.restore(entry)
+        te._encode_partition_symbol(te._part_ctx(mi_r, mi_c, size),
+                                    PARTITION_SPLIT, size)
+        rec_try = [r.copy() for r in recs]
+        cost_split = lam * (te.msac.nbits - nb0)
+        h4 = size >> 3                       # half the block in mi units
+        for dr, dc2 in ((0, 0), (0, h4), (h4, 0), (h4, h4)):
+            cost_split += _rd_block(te, planes, rec_try, mi_r + dr,
+                                    mi_c + dc2, size >> 1, dcq, acq, lam)
+            if cost_split >= none_cost:      # early abandon
+                break
+        if cost_split < none_cost:
+            for dst, src2 in zip(recs, rec_try):
+                dst[:] = src2
+            return cost_split
+    te.restore(none_state)
+    te._update_part_ctx(mi_r, mi_c, size, size)
+    for (plane, r0, c0, b), rb in zip(
+            ((0, pr, pc, size), (1, cr, cc, cb), (2, cr, cc, cb)),
+            none_rec):
+        recs[plane][r0:r0 + b, c0:c0 + b] = rb
+    return none_cost
+
+
+def encode_superblock_rd(sb_y: np.ndarray, sb_u: np.ndarray,
+                         sb_v: np.ndarray, qindex: int,
+                         lam: float | None = None) -> tuple:
+    """RD-adaptive version of encode_superblock: the partition tree
+    (32/16/8 leaves, DC pred, coded-vs-skip per leaf) minimizes
+    D + lam*R with exact MSAC bit counts and av1_itx reconstructions.
+
+    Returns (tile_bytes, recon_y 64x64, recon_u 32x32, recon_v 32x32).
+    """
+    T = tables()
+    dcq = int(T["dc_qlookup"][qindex])
+    acq = int(T["ac_qlookup"][qindex])
+    if lam is None:
+        lam = RD_LAMBDA_C * (acq / 8.0) ** 2
+    te = TileEncoder(64, 64, qctx=q_ctx(qindex))
+    ry = np.zeros((64, 64), np.uint8)
+    ru = np.zeros((32, 32), np.uint8)
+    rv = np.zeros((32, 32), np.uint8)
+    planes = (sb_y, sb_u, sb_v)
+    recs = [ry, ru, rv]
+    te._encode_partition_symbol(te._part_ctx(0, 0, 64), PARTITION_SPLIT, 64)
+    for mr, mc in ((0, 0), (0, 8), (8, 0), (8, 8)):
+        _rd_block(te, planes, recs, mr, mc, 32, dcq, acq, lam)
+    return te.msac.done(), ry, ru, rv
+
+
+# ---------------------------------------------------------------------------
 # Frame encoder
 
 
 def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                 qindex: int = 60, full_range: bool = False) -> tuple:
+                 qindex: int = 60, full_range: bool = False,
+                 rd: bool = True) -> tuple:
     """Encode 4:2:0 planes (dims multiples of 64) to a full OBU stream.
 
     Returns (obu_bytes, recon_y, recon_u, recon_v) — recon is the
@@ -239,12 +423,13 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     recon_y = np.zeros_like(y)
     recon_u = np.zeros_like(u)
     recon_v = np.zeros_like(v)
+    sb_encode = encode_superblock_rd if rd else encode_superblock
     tiles = []
     for tr in range(sb_rows):
         for tc in range(sb_cols):
             py, px = tr * 64, tc * 64
             cy, cx = py // 2, px // 2
-            tile, ty, tu, tv = encode_superblock(
+            tile, ty, tu, tv = sb_encode(
                 y[py:py + 64, px:px + 64], u[cy:cy + 32, cx:cx + 32],
                 v[cy:cy + 32, cx:cx + 32], qindex)
             recon_y[py:py + 64, px:px + 64] = ty

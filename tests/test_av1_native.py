@@ -282,3 +282,40 @@ def test_quantizer_to_qindex_map():
     assert quantizer_to_qindex(0) == 1      # no lossless mode
     assert quantizer_to_qindex(63) == 252
     assert quantizer_to_qindex(quality_to_quantizer(60)) == 100
+
+
+@needs_dav1d
+@pytest.mark.parametrize("content", ["gradient", "waves"])
+def test_rd_encode_bit_exact_via_dav1d(content):
+    """The RD-adaptive tree (partition 32/16/8 + DC/V/H/PAETH modes +
+    coded-vs-skip) must stay dav1d-bit-exact — every new syntax element
+    (angle_delta, kf_y mode rows, sub-32 tx types) rides through the
+    conformance gate."""
+    from imagekit_tpu.codecs.av1_image import encode_frame
+
+    c = _contents(128, 192)
+    y = c[content]
+    u = _contents(64, 96, seed=5)["gradient"]
+    v = np.full((64, 96), 110, np.uint8)
+    for q in (40, 120):
+        stream, ry, ru, rv = encode_frame(y, u, v, qindex=q, rd=True)
+        dec = avif_native._decode_obu(stream, 192, 128)
+        assert dec is not None
+        dy, du, dv = (np.asarray(p) for p in dec[:3])
+        assert (dy == ry).all() and (du == ru).all() and (dv == rv).all()
+
+
+@needs_dav1d
+def test_rd_directional_modes_win_on_stripes():
+    """V_PRED must be chosen (and shrink the stream) on vertical
+    stripes — the content class DC-only provably cannot predict."""
+    from imagekit_tpu.codecs.av1_image import encode_frame
+
+    xx = np.tile(np.arange(192)[None, :], (128, 1))
+    vstripe = np.where((xx // 4) % 2 == 0, 30, 220).astype(np.uint8)
+    u = np.full((64, 96), 128, np.uint8)
+    fixed, *_ = encode_frame(vstripe, u, u, qindex=60, rd=False)
+    rd, ry, _, _ = encode_frame(vstripe, u, u, qindex=60, rd=True)
+    assert len(rd) < 0.7 * len(fixed)
+    dec = avif_native._decode_obu(rd, 192, 128)
+    assert dec is not None and (np.asarray(dec[0]) == ry).all()
