@@ -91,6 +91,13 @@ class MsacEncoder:
         self.encode_literal(0, length - 1)
         self.encode_literal(x, length)
 
+    def save(self):
+        """Opaque state token for trial coding (restore via load)."""
+        return (self.low, self.rng, self.nbits)
+
+    def load(self, tok) -> None:
+        self.low, self.rng, self.nbits = tok
+
     def done(self) -> bytes:
         """Terminate exactly as libaom's od_ec_enc_done does: round `low`
         up to the next multiple of 2^14 and set bit 14
@@ -114,6 +121,75 @@ class MsacEncoder:
 
 
 _HALF_ICDF = (1 << 14,)
+
+
+class _NativeTok:
+    """Owned clone handle returned by NativeMsacEncoder.save()."""
+
+    __slots__ = ("_lib", "h")
+
+    def __init__(self, lib, h):
+        self._lib = lib
+        self.h = h
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self._lib.ik_msac_free(self.h)
+        except Exception:
+            pass
+
+
+class NativeMsacEncoder:
+    """C-backed MsacEncoder twin (native/av1_enc.cpp): byte-exact with
+    the Python encoder (equality pinned in tests/test_av1_native.py) and
+    O(1) snapshot/restore — the RD search's trial mechanism.  Only
+    constructed when native/av1_abi.py loads; same public surface."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, lib):
+        import ctypes
+
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.ik_msac_new())
+
+    def __del__(self):  # pragma: no cover - interpreter teardown order
+        try:
+            self._lib.ik_msac_free(self._h)
+        except Exception:
+            pass
+
+    @property
+    def nbits(self) -> int:
+        return self._lib.ik_msac_nbits(self._h)
+
+    def encode_symbol(self, sym: int, icdf, n: int) -> None:
+        if not (isinstance(icdf, np.ndarray) and icdf.dtype == np.uint16
+                and icdf.flags["C_CONTIGUOUS"]):
+            icdf = np.ascontiguousarray(icdf, np.uint16)
+        self._lib.ik_msac_symbol(self._h, icdf.ctypes.data, n, sym)
+
+    def encode_literal(self, value: int, bits: int) -> None:
+        self._lib.ik_msac_literal(self._h, value, bits)
+
+    def encode_golomb(self, value: int) -> None:
+        self._lib.ik_msac_golomb(self._h, value)
+
+    def save(self):
+        return _NativeTok(self._lib, self._lib.ik_msac_clone(self._h))
+
+    def load(self, tok) -> None:
+        self._lib.ik_msac_assign(self._h, tok.h)
+
+    def done(self) -> bytes:
+        import ctypes
+
+        cap = int(self.nbits) // 8 + 16
+        buf = (ctypes.c_uint8 * cap)()
+        n = self._lib.ik_msac_done(self._h, buf, cap)
+        if n < 0:
+            raise RuntimeError(f"msac done failed ({n})")
+        return bytes(buf[:n])
 
 
 class MsacDecoder:

@@ -85,18 +85,15 @@ _STEP_SCALE = {5: 1.0 / 8.0, 4: 1.0 / 8.0, 3: 1.0 / 8.0, 2: 1.0 / 8.0}
 
 
 def quantize(coefs: np.ndarray, dc_q: int, ac_q: int,
-             tx_log2: int, bias: float = 0.5) -> dict:
-    """Round transform coefficients to levels; returns {pos: level}."""
+             tx_log2: int, bias: float = 0.5) -> np.ndarray:
+    """Round transform coefficients to levels; returns an int32 (n, n)
+    level array (raster layout — the txb coder's native input)."""
     scale = _STEP_SCALE[tx_log2]
     n = coefs.shape[0]
     steps = np.full((n, n), ac_q * scale)
     steps[0, 0] = dc_q * scale
     lv = np.sign(coefs) * np.floor(np.abs(coefs) / steps + bias)
-    lv = np.clip(lv, -4096, 4096).astype(np.int64)
-    out = {}
-    for r, c in zip(*np.nonzero(lv)):
-        out[int(r) * n + int(c)] = int(lv[r, c])
-    return out
+    return np.clip(lv, -4096, 4096).astype(np.int32)
 
 
 def dc_pred(recon: np.ndarray, r0: int, c0: int, bh: int, bw: int,
@@ -227,12 +224,13 @@ def encode_superblock(sb_y: np.ndarray, sb_u: np.ndarray, sb_v: np.ndarray,
             quants.append(q)
         te._encode_partition_symbol(te._part_ctx(mr, mc, 32),
                                     PARTITION_NONE, 32)
-        if any(quants):
+        any_q = any(bool(q.any()) for q in quants)
+        if any_q:
             te.encode_block(mr, mc, 32, txbs=quants)
         else:
             te.encode_block(mr, mc, 32)   # skip: recon == flat prediction
         te._update_part_ctx(mr, mc, 32, 32)
-        if not any(quants):
+        if not any_q:
             ry[pr:pr + 32, pc:pc + 32] = preds[0]
             ru[cr:cr + 16, cc:cc + 16] = preds[1]
             rv[cr:cr + 16, cc:cc + 16] = preds[2]
@@ -294,12 +292,13 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
         qd = quantize(fdct2(src.astype(np.int32) - p), dcq, acq,
                       cb.bit_length() - 1)
         pa = np.full((cb, cb), p, np.uint8)
-        rb = recon_block(pa, qd, dcq, acq) if qd else pa
+        rb = recon_block(pa, qd, dcq, acq) if qd.any() else pa
         dc_skip += _sse(src, pa)
         dc_coded += _sse(src, rb)
         c_preds.append(pa)
         c_quants.append(qd)
         c_rbs.append(rb)
+    c_nz = any(bool(q.any()) for q in c_quants)
     # luma: search the mode subset whose references exist
     modes = [MODE_DC]
     if ha:
@@ -324,8 +323,9 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
     for dy_skip, mode, pa in ranked[:2]:
         qd = quantize(fdct2(src_y.astype(np.int32)
                             - pa.astype(np.int32)), dcq, acq, txl_y)
-        rb = recon_block(pa, qd, dcq, acq) if qd else pa
-        if qd or any(c_quants):
+        qd_nz = bool(qd.any())
+        rb = recon_block(pa, qd, dcq, acq) if qd_nz else pa
+        if qd_nz or c_nz:
             trials.append((_sse(src_y, rb) + dc_coded, mode,
                            (qd, c_quants[0], c_quants[1]),
                            [rb, c_rbs[0], c_rbs[1]]))

@@ -24,8 +24,8 @@ from __future__ import annotations
 import numpy as np
 
 from .av1_entropy import (
-    BitWriter, MsacDecoder, MsacEncoder, OBU_FRAME, OBU_SEQUENCE_HEADER,
-    obu, tables,
+    BitWriter, MsacDecoder, MsacEncoder, NativeMsacEncoder, OBU_FRAME,
+    OBU_SEQUENCE_HEADER, obu, tables,
 )
 
 # Partition symbols (spec 6.10.4)
@@ -196,7 +196,13 @@ class TileEncoder:
         self.T = tables()
         self.skip_cdf = self.T["skip"]
         self.split_gather = split_gather
-        self.msac = MsacEncoder()
+        # C entropy engine when available (byte-exact twin, ~40x the
+        # symbol throughput; IMAGEKIT_AV1_NATIVE=0 forces pure Python)
+        from .native import av1_abi
+
+        self._nlib = av1_abi.load()
+        self.msac = (NativeMsacEncoder(self._nlib) if self._nlib
+                     else MsacEncoder())
         # context arrays (per 4x4)
         self.above_part = np.zeros(self.mi_cols + 32, dtype=np.uint8)
         self.left_part = np.zeros(self.mi_rows + 32, dtype=np.uint8)
@@ -216,8 +222,7 @@ class TileEncoder:
     def snapshot(self) -> dict:
         """Copy of all mutable coding state (the MSAC integers and every
         context array) — cheap, enabling finalize-and-peek flows."""
-        s = {"low": self.msac.low, "rng": self.msac.rng,
-             "nbits": self.msac.nbits}
+        s = {"msac": self.msac.save()}
         for name in ("above_part", "left_part", "above_skip", "left_skip",
                      "above_mode", "left_mode", "above_valid", "left_valid"):
             s[name] = getattr(self, name).copy()
@@ -226,8 +231,7 @@ class TileEncoder:
         return s
 
     def restore(self, s: dict) -> None:
-        self.msac.low, self.msac.rng = s["low"], s["rng"]
-        self.msac.nbits = s["nbits"]
+        self.msac.load(s["msac"])
         for name in ("above_part", "left_part", "above_skip", "left_skip",
                      "above_mode", "left_mode", "above_valid", "left_valid"):
             setattr(self, name, s[name].copy())
@@ -323,6 +327,30 @@ class TileEncoder:
         er, ec = px_r >> 2, px_c >> 2
         a_ent, l_ent = self.above_ent[plane], self.left_ent[plane]
         side = 1 << txsz_log2
+        # native engine: the whole coefficient chain in C (byte-exact
+        # twin — equality pinned by tests), contexts fed/consumed here
+        if self._nlib is not None:
+            if isinstance(quant, dict):
+                arr = np.zeros((side, side), np.int32)
+                for pos, vv in quant.items():
+                    if vv:
+                        arr[pos // side, pos % side] = vv
+            else:
+                arr = np.ascontiguousarray(np.asarray(quant, np.int32))
+            if plane == 0:
+                skip_ctx = 0
+            else:
+                skip_ctx = 7 + int((a_ent[ec:ec + n4] != 0).any()) \
+                    + int((l_ent[er:er + n4] != 0).any())
+            dcctx = self._dc_sign_ctx(plane, er, ec, n4)
+            ent = self._nlib.ik_av1_txb(
+                m._h, plane, q, txsz_log2, arr.ctypes.data,
+                skip_ctx, dcctx, ymode)
+            if ent < 0:
+                raise RuntimeError(f"native txb failed ({ent})")
+            a_ent[ec:ec + n4] = ent
+            l_ent[er:er + n4] = ent
+            return
         nc = min(side, 32) * min(side, 32)
         if not isinstance(quant, dict):
             arr = np.asarray(quant)

@@ -195,44 +195,50 @@ def inverse_tx2d(coefs: np.ndarray, shift0: int | None = None,
     Row transforms, Round2 by the per-size row shift, column transforms,
     Round2 by 4 — the residual to add to the prediction.  Intermediate
     values are clamped to the 8-bit profile's 16-bit column range
-    (spec 7.13.4)."""
+    (spec 7.13.4).
+
+    The butterfly networks are pure {+, -, half_btf} chains, so each
+    pass runs VECTORIZED: the idctN function receives a list of n int64
+    vectors (element k across every row/column) and numpy broadcasts
+    the whole pass at once — int64 `>>` is an arithmetic shift, exactly
+    the scalar semantics (probe-certified bit-exact either way)."""
     n = coefs.shape[0]
     if shift0 is None:
         shift0 = {4: 0, 8: 1, 16: 2, 32: 2}[n]
     f = _IDCT[n]
-    rows = np.empty((n, n), dtype=np.int64)
-    r0 = 1 << (shift0 - 1) if shift0 else 0
-    for i in range(n):
-        out = f([int(v) for v in coefs[i]])
-        if shift0:
-            out = [(v + r0) >> shift0 for v in out]
-        rows[i] = np.clip(out, -32768, 32767)
-    res = np.empty((n, n), dtype=np.int64)
-    for j in range(n):
-        out = f([int(v) for v in rows[:, j]])
-        res[:, j] = [(v + 8) >> 4 for v in out]
-    return res
+    c = coefs.astype(np.int64)
+    rows = np.stack(f([c[:, k] for k in range(n)]), axis=1)
+    if shift0:
+        rows = (rows + (1 << (shift0 - 1))) >> shift0
+    rows = np.clip(rows, -32768, 32767)
+    res = np.stack(f([rows[k, :] for k in range(n)]), axis=0)
+    return (res + 8) >> 4
 
 
-def dequant(quant: dict, n: int, dc_q: int, ac_q: int) -> np.ndarray:
-    """Quantized levels {raster pos: signed level} -> dequantized
-    coefficient block (spec 7.13.3: abs-multiply masked to 24 bits,
-    divided by the size's dqDenom, then sign)."""
+def dequant(quant, n: int, dc_q: int, ac_q: int) -> np.ndarray:
+    """Quantized levels (int (n, n) raster array, or legacy {pos: level}
+    dict) -> dequantized coefficient block (spec 7.13.3: abs-multiply
+    masked to 24 bits, divided by the size's dqDenom, then sign)."""
     dq_denom = 2 if n == 32 else 1
-    out = np.zeros((n, n), dtype=np.int64)
-    for pos, lv in quant.items():
-        q = dc_q if pos == 0 else ac_q
-        v = ((abs(int(lv)) * q) & 0xFFFFFF) // dq_denom
-        v = min(v, 32767) if lv > 0 else max(-v, -32768)
-        out[pos // n, pos % n] = v
-    return out
+    if isinstance(quant, dict):
+        lv = np.zeros((n, n), dtype=np.int64)
+        for pos, v in quant.items():
+            lv[pos // n, pos % n] = v
+    else:
+        lv = np.asarray(quant, dtype=np.int64)
+    q = np.full((n, n), ac_q, dtype=np.int64)
+    q[0, 0] = dc_q
+    av = ((np.abs(lv) * q) & 0xFFFFFF) // dq_denom
+    return np.where(lv > 0, np.minimum(av, 32767),
+                    np.where(lv < 0, -np.minimum(av, 32768), 0))
 
 
 def recon_block(pred: np.ndarray, quant: dict, dc_q: int,
                 ac_q: int) -> np.ndarray:
     """clip(pred + inverse_tx(dequant(levels))) — the decoder's output."""
     n = pred.shape[0]
-    if not quant:
+    empty = (not quant) if isinstance(quant, dict) else not quant.any()
+    if empty:
         return pred.astype(np.uint8)
     res = inverse_tx2d(dequant(quant, n, dc_q, ac_q))
     return np.clip(pred.astype(np.int64) + res, 0, 255).astype(np.uint8)

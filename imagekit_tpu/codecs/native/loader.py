@@ -27,6 +27,7 @@ _SOURCES = (
     "png_decode.cpp",
     "misc_decode.cpp",
     "tiff_decode.cpp",
+    "av1_enc.cpp",
 )
 _LIB = _HERE / "libik_native.so"
 

@@ -58,6 +58,22 @@ struct IkTiffInfo {
   int32_t width, height, channels;
 };
 int ik_tiff_parse(const uint8_t*, size_t, IkTiffInfo*);
+// AV1 entropy engine (av1_enc.cpp)
+void* ik_msac_new();
+void ik_msac_free(void*);
+void ik_msac_symbol(void*, const uint16_t*, int, int);
+void ik_msac_literal(void*, uint32_t, int);
+void ik_msac_golomb(void*, uint32_t);
+long long ik_msac_nbits(const void*);
+int ik_msac_done(const void*, uint8_t*, int);
+void* ik_msac_clone(const void*);
+void ik_msac_assign(void*, const void*);
+void ik_av1_bind_tables(const uint16_t*, const uint16_t*, const uint16_t*,
+                        const uint16_t*, const uint16_t*, const uint16_t*,
+                        const uint16_t*, const uint16_t*, const uint16_t*,
+                        const uint16_t*, const uint16_t*, const int16_t*,
+                        const int16_t*, const int16_t*, const int16_t*);
+int ik_av1_txb(void*, int, int, int, const int32_t*, int, int, int);
 int ik_tiff_decode(const uint8_t*, size_t, uint8_t*, size_t);
 }
 
@@ -231,10 +247,54 @@ std::vector<uint8_t> MakeTiff(int w, int h) {
   return out;
 }
 
+// Synthetic (valid-shape, strictly descending) ICDF tables for the AV1
+// entropy engine — the sanitizer cares about memory/race behavior, not
+// table provenance. Scans are identity permutations.
+struct Av1SynthTables {
+  std::vector<uint16_t> rows[11];
+  std::vector<int16_t> scans[4];
+  void fill(int idx, size_t nrows, int rowlen) {
+    rows[idx].resize(nrows * rowlen);
+    for (size_t r = 0; r < nrows; ++r)
+      for (int i = 0; i < rowlen; ++i)
+        rows[idx][r * rowlen + i] =
+            static_cast<uint16_t>(32768 - (i + 1) * (32768 / (rowlen + 2)));
+  }
+  Av1SynthTables() {
+    fill(0, 4 * 5 * 13, 3);   // txb_skip
+    fill(1, 4 * 13, 5);       // ext_tx2
+    fill(2, 4 * 2 * 2, 6);    // eob_pt_16
+    fill(3, 4 * 2 * 2, 8);    // eob_pt_64
+    fill(4, 4 * 2 * 2, 10);   // eob_pt_256
+    fill(5, 4 * 2 * 2, 12);   // eob_pt_1024
+    fill(6, 4 * 5 * 2 * 9, 3);    // eob_extra
+    fill(7, 4 * 5 * 2 * 4, 4);    // coeff_base_eob
+    fill(8, 4 * 5 * 2 * 42, 5);   // coeff_base
+    fill(9, 4 * 5 * 2 * 21, 5);   // coeff_br
+    fill(10, 4 * 2 * 3, 3);       // dc_sign
+    const int ns[4] = {16, 64, 256, 1024};
+    for (int s = 0; s < 4; ++s) {
+      scans[s].resize(ns[s]);
+      for (int i = 0; i < ns[s]; ++i) scans[s][i] = static_cast<int16_t>(i);
+    }
+  }
+};
+
 }  // namespace
 
 int main() {
   const int kThreads = 8, kIters = 24;
+  // AV1 tables bound ONCE before threads start (mirrors production:
+  // Python binds under a lock at load; threads only read afterwards)
+  static Av1SynthTables av1t;
+  ik_av1_bind_tables(av1t.rows[0].data(), av1t.rows[1].data(),
+                     av1t.rows[2].data(), av1t.rows[3].data(),
+                     av1t.rows[4].data(), av1t.rows[5].data(),
+                     av1t.rows[6].data(), av1t.rows[7].data(),
+                     av1t.rows[8].data(), av1t.rows[9].data(),
+                     av1t.rows[10].data(), av1t.scans[0].data(),
+                     av1t.scans[1].data(), av1t.scans[2].data(),
+                     av1t.scans[3].data());
   const std::vector<uint8_t> jpeg = MakeJpeg(144, 112);
   const std::vector<uint8_t> png = MakePng(96, 64);
   const std::vector<uint8_t> vp8l = MakeVp8l(37, 22);
@@ -352,6 +412,34 @@ int main() {
         Require(ik_tiff_decode(tiff.data(), tiff.size(), tout.data(),
                                tout.size()) == 0,
                 "tiff decode");
+
+        // -- AV1 entropy engine: per-thread encoder, SHARED tables --
+        void* enc = ik_msac_new();
+        Require(enc != nullptr, "msac new");
+        for (int s = 0; s < 64; ++s)
+          ik_msac_symbol(enc, av1t.rows[0].data() + (s % 13) * 3, 2,
+                         (s + it) % 2);
+        ik_msac_literal(enc, static_cast<uint32_t>(it * 2654435761u), 17);
+        ik_msac_golomb(enc, static_cast<uint32_t>(it % 500));
+        const int txl = 2 + (it % 4);
+        const int sd = 1 << txl;
+        std::vector<int32_t> quant(static_cast<size_t>(sd) * sd, 0);
+        for (int i = 0; i < sd * sd; i += 3 + (t % 4))
+          quant[i] = ((i + it) % 37) - 18;
+        const int ent = ik_av1_txb(enc, t % 3 ? 1 : 0, it % 4, txl,
+                                   quant.data(), t % 3 ? 7 + (it % 3) : 0,
+                                   it % 3, it % 13);
+        Require(ent >= 0, "av1 txb");
+        void* snap = ik_msac_clone(enc);
+        ik_msac_symbol(enc, av1t.rows[10].data(), 2, it % 2);
+        ik_msac_assign(enc, snap);
+        ik_msac_free(snap);
+        std::vector<uint8_t> tilebuf(
+            static_cast<size_t>(ik_msac_nbits(enc)) / 8 + 16);
+        Require(ik_msac_done(enc, tilebuf.data(),
+                             static_cast<int>(tilebuf.size())) > 0,
+                "msac done");
+        ik_msac_free(enc);
       }
     });
   }

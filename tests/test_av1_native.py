@@ -319,3 +319,29 @@ def test_rd_directional_modes_win_on_stripes():
     assert len(rd) < 0.7 * len(fixed)
     dec = avif_native._decode_obu(rd, 192, 128)
     assert dec is not None and (np.asarray(dec[0]) == ry).all()
+
+
+def test_native_engine_byte_equals_python(monkeypatch):
+    """The C entropy engine (native/av1_enc.cpp) must produce the SAME
+    BYTES as the pure-Python MsacEncoder for full RD frames — the
+    contract that lets the dav1d conformance gates certify both."""
+    from imagekit_tpu.codecs.native import av1_abi
+
+    if not av1_abi.available():
+        pytest.skip("native AV1 engine unavailable")
+    from imagekit_tpu.codecs.av1_image import encode_frame
+
+    y = _contents(128, 64)["waves"]
+    u = _contents(64, 32, seed=5)["gradient"]
+    v = np.full((64, 32), 110, np.uint8)
+    nat, ry1, ru1, rv1 = encode_frame(y, u, v, qindex=60, rd=True)
+
+    monkeypatch.setenv("IMAGEKIT_AV1_NATIVE", "0")
+    av1_abi._state.update({"attempted": False, "lib": None})
+    try:
+        py, ry2, ru2, rv2 = encode_frame(y, u, v, qindex=60, rd=True)
+    finally:
+        monkeypatch.delenv("IMAGEKIT_AV1_NATIVE")
+        av1_abi._state.update({"attempted": False, "lib": None})
+    assert nat == py
+    assert (ry1 == ry2).all() and (ru1 == ru2).all() and (rv1 == rv2).all()
