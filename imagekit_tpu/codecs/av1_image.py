@@ -370,29 +370,64 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
     return none_cost
 
 
+def _rd_partition(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
+                  size: int, dcq: int, acq: int, lam: float) -> float:
+    """Mirror of TileEncoder.encode_partition with RD at full nodes:
+    nodes fully inside the mi grid (<= 32) run the NONE/SPLIT mode
+    search (_rd_block); partial nodes emit the spec's forced-split
+    syntax (SPLIT symbol when both halves visible, split_or_horz/vert
+    bool otherwise, nothing when both halves are out) and recurse —
+    exactly the edge-geometry chain the gray validator certifies."""
+    if mi_r >= te.mi_rows or mi_c >= te.mi_cols:
+        return 0.0
+    n4 = size >> 2
+    half = n4 >> 1
+    full = (mi_r + n4) <= te.mi_rows and (mi_c + n4) <= te.mi_cols
+    if full and size <= 32:
+        return _rd_block(te, planes, recs, mi_r, mi_c, size, dcq, acq, lam)
+    has_rows = (mi_r + half) < te.mi_rows
+    has_cols = (mi_c + half) < te.mi_cols
+    ctx_row = te._part_ctx(mi_r, mi_c, size)
+    if full or (has_rows and has_cols):
+        te._encode_partition_symbol(ctx_row, PARTITION_SPLIT, size)
+    elif has_cols:
+        te.msac.encode_symbol(
+            1, te._split_bool_icdf(ctx_row, size, horz=True), 2)
+    elif has_rows:
+        te.msac.encode_symbol(
+            1, te._split_bool_icdf(ctx_row, size, horz=False), 2)
+    cost = 0.0
+    sub = size >> 1
+    for dr, dc2 in ((0, 0), (0, half), (half, 0), (half, half)):
+        cost += _rd_partition(te, planes, recs, mi_r + dr, mi_c + dc2,
+                              sub, dcq, acq, lam)
+    return cost
+
+
 def encode_superblock_rd(sb_y: np.ndarray, sb_u: np.ndarray,
                          sb_v: np.ndarray, qindex: int,
-                         lam: float | None = None) -> tuple:
+                         lam: float | None = None,
+                         tw: int = 64, th: int = 64) -> tuple:
     """RD-adaptive version of encode_superblock: the partition tree
-    (32/16/8 leaves, DC pred, coded-vs-skip per leaf) minimizes
-    D + lam*R with exact MSAC bit counts and av1_itx reconstructions.
+    (32/16/8 leaves, DC/V/H/PAETH modes, coded-vs-skip per leaf)
+    minimizes D + lam*R with exact MSAC bit counts and av1_itx
+    reconstructions.  ``tw``/``th`` are the tile's VISIBLE pixel dims
+    (any size >= 1); the sb_* planes carry the 8-px coding grid
+    (edge-replicated by the caller).
 
-    Returns (tile_bytes, recon_y 64x64, recon_u 32x32, recon_v 32x32).
+    Returns (tile_bytes, recon planes at the grid geometry).
     """
     T = tables()
     dcq = int(T["dc_qlookup"][qindex])
     acq = int(T["ac_qlookup"][qindex])
     if lam is None:
         lam = RD_LAMBDA_C * (acq / 8.0) ** 2
-    te = TileEncoder(64, 64, qctx=q_ctx(qindex))
-    ry = np.zeros((64, 64), np.uint8)
-    ru = np.zeros((32, 32), np.uint8)
-    rv = np.zeros((32, 32), np.uint8)
-    planes = (sb_y, sb_u, sb_v)
+    te = TileEncoder(tw, th, qctx=q_ctx(qindex))
+    ry = np.zeros_like(sb_y)
+    ru = np.zeros_like(sb_u)
+    rv = np.zeros_like(sb_v)
     recs = [ry, ru, rv]
-    te._encode_partition_symbol(te._part_ctx(0, 0, 64), PARTITION_SPLIT, 64)
-    for mr, mc in ((0, 0), (0, 8), (8, 0), (8, 8)):
-        _rd_block(te, planes, recs, mr, mc, 32, dcq, acq, lam)
+    _rd_partition(te, (sb_y, sb_u, sb_v), recs, 0, 0, 64, dcq, acq, lam)
     return te.msac.done(), ry, ru, rv
 
 
@@ -403,39 +438,61 @@ def encode_superblock_rd(sb_y: np.ndarray, sb_u: np.ndarray,
 def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                  qindex: int = 60, full_range: bool = False,
                  rd: bool = True) -> tuple:
-    """Encode 4:2:0 planes (dims multiples of 64) to a full OBU stream.
+    """Encode 4:2:0 planes (ANY dims >= 1, <= 4096) to a full OBU
+    stream.  Non-multiple-of-8 dims are edge-replicated onto the spec's
+    8-px mi grid and the bitstream signals the true frame size (the
+    decoder crops — no container CleanAperture needed); edge
+    superblocks use the forced-split partition syntax certified by
+    tools/av1_validate.py's edge-geometry sweep.  The fixed-tree path
+    (rd=False) remains multiple-of-64 only.
 
-    Returns (obu_bytes, recon_y, recon_u, recon_v) — recon is the
-    byte-true decoder output (av1_itx model), usable for PSNR and for
-    the conformance gate (dav1d must reproduce it bit-exactly).
+    Returns (obu_bytes, recon_y, recon_u, recon_v) at the VISIBLE dims —
+    the byte-true decoder output (av1_itx model), usable for PSNR and
+    for the conformance gate (dav1d must reproduce it bit-exactly).
     """
     h, w = y.shape
-    if w % 64 or h % 64:
-        raise ValueError("dims must be multiples of 64 (pad + CLAP crop "
-                         "upstream)")
-    if u.shape != (h // 2, w // 2) or v.shape != (h // 2, w // 2):
-        raise ValueError("u/v must be half-size 4:2:0 planes")
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    if u.shape != (ch, cw) or v.shape != (ch, cw):
+        raise ValueError("u/v must be 4:2:0 planes of the luma geometry")
     if not 1 <= qindex <= 255:
         raise ValueError("qindex must be in 1..255")
     if w > 4096 or h > 4096:
         raise ValueError("dims above 4096 need multi-level tile_info")
-    sb_cols, sb_rows = w // 64, h // 64
-    recon_y = np.zeros_like(y)
-    recon_u = np.zeros_like(u)
-    recon_v = np.zeros_like(v)
-    sb_encode = encode_superblock_rd if rd else encode_superblock
+    if not rd and (w % 64 or h % 64):
+        raise ValueError("the fixed-tree path needs multiples of 64")
+    gw, gh = ((w + 7) >> 3) << 3, ((h + 7) >> 3) << 3
+    yp = _pad_grid(y, gh, gw)
+    up = _pad_grid(u, gh // 2, gw // 2)
+    vp = _pad_grid(v, gh // 2, gw // 2)
+    sb_cols, sb_rows = (w + 63) // 64, (h + 63) // 64
+    recon_y = np.zeros_like(yp)
+    recon_u = np.zeros_like(up)
+    recon_v = np.zeros_like(vp)
     tiles = []
     for tr in range(sb_rows):
         for tc in range(sb_cols):
             py, px = tr * 64, tc * 64
             cy, cx = py // 2, px // 2
-            tile, ty, tu, tv = sb_encode(
-                y[py:py + 64, px:px + 64], u[cy:cy + 32, cx:cx + 32],
-                v[cy:cy + 32, cx:cx + 32], qindex)
-            recon_y[py:py + 64, px:px + 64] = ty
-            recon_u[cy:cy + 32, cx:cx + 32] = tu
-            recon_v[cy:cy + 32, cx:cx + 32] = tv
+            tw, th = min(64, w - px), min(64, h - py)
+            tgw, tgh = ((tw + 7) >> 3) << 3, ((th + 7) >> 3) << 3
+            if rd:
+                tile, ty, tu, tv = encode_superblock_rd(
+                    yp[py:py + tgh, px:px + tgw],
+                    up[cy:cy + tgh // 2, cx:cx + tgw // 2],
+                    vp[cy:cy + tgh // 2, cx:cx + tgw // 2],
+                    qindex, tw=tw, th=th)
+            else:
+                tile, ty, tu, tv = encode_superblock(
+                    yp[py:py + 64, px:px + 64],
+                    up[cy:cy + 32, cx:cx + 32],
+                    vp[cy:cy + 32, cx:cx + 32], qindex)
+            recon_y[py:py + tgh, px:px + tgw] = ty
+            recon_u[cy:cy + tgh // 2, cx:cx + tgw // 2] = tu
+            recon_v[cy:cy + tgh // 2, cx:cx + tgw // 2] = tv
             tiles.append(tile)
+    recon_y = recon_y[:h, :w]
+    recon_u = recon_u[:ch, :cw]
+    recon_v = recon_v[:ch, :cw]
     tg = bytearray()
     if len(tiles) > 1:
         tg.append(0x00)  # tile_start_and_end_present_flag=0 + alignment
@@ -450,10 +507,10 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return stream, recon_y, recon_u, recon_v
 
 
-def _pad64(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
-    """Edge-replicate a plane to the padded geometry (cheap bits: the
-    replicated band is flat along one axis, so its AC mostly quantizes
-    away and the clap crop discards it anyway)."""
+def _pad_grid(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a plane to the coding-grid geometry (cheap bits:
+    the replicated band is flat along one axis, so its AC mostly
+    quantizes away, and the decoder crops it off anyway)."""
     h, w = plane.shape
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
@@ -464,10 +521,11 @@ def encode_avif(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     """Complete first-party AVIF: arbitrary-dimension studio-range
     BT.601 4:2:0 planes -> .avif bytes (container + OBU stream).
 
-    Dims that aren't multiples of 64 are edge-padded to the certified
-    coding geometry and cropped back with the container's CleanAperture
-    property (top-left anchor, right/bottom crop — always chroma-grid
-    aligned, so our own decode keeps the direct YUV path).
+    The AV1 bitstream signals the true frame size at ANY dims (edge
+    superblocks use the certified forced-split syntax; encode_frame
+    pads onto the 8-px mi grid internally), so the container carries no
+    CleanAperture box and every consumer — including ones that ignore
+    clap, like PIL's AVIF plugin — sees the exact dimensions.
 
     ``alpha`` (full-range u8, luma geometry) rides as an auxiliary AV1
     item: a second 4:2:0 stream with neutral chroma — the same layout
@@ -475,7 +533,7 @@ def encode_avif(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     whose sequence header signals full range, near-lossless by default
     (``alpha_qindex``, default min(qindex, 16) — tighter than the
     libavif arm's quantizer-16 cap (avif_encode.py:304) because the
-    DC-pred-only coder pays more error at equal qindex)."""
+    simple-toolset coder pays more error at equal qindex)."""
     from .av1_container import write_avif
 
     h, w = y.shape
@@ -483,22 +541,17 @@ def encode_avif(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         raise ValueError("u/v must be 4:2:0 planes of the luma geometry")
     if alpha is not None and alpha.shape != (h, w):
         raise ValueError("alpha plane must match luma geometry")
-    ph, pw = (h + 63) // 64 * 64, (w + 63) // 64 * 64
-    yp = _pad64(y, ph, pw)
-    up = _pad64(u, ph // 2, pw // 2)
-    vp = _pad64(v, ph // 2, pw // 2)
-    stream, _, _, _ = encode_frame(yp, up, vp, qindex=qindex)
-    seq_obu = obu(OBU_SEQUENCE_HEADER, sequence_header(pw, ph))
+    stream, _, _, _ = encode_frame(y, u, v, qindex=qindex)
+    seq_obu = obu(OBU_SEQUENCE_HEADER, sequence_header(w, h))
     a_stream = None
     a_seq = b""
     if alpha is not None:
         aq = min(qindex, 16) if alpha_qindex is None else alpha_qindex
-        ap = _pad64(alpha, ph, pw)
-        neutral = np.full((ph // 2, pw // 2), 128, np.uint8)
-        a_stream, _, _, _ = encode_frame(ap, neutral, neutral,
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        neutral = np.full((ch, cw), 128, np.uint8)
+        a_stream, _, _, _ = encode_frame(alpha, neutral, neutral,
                                          qindex=aq, full_range=True)
         a_seq = obu(OBU_SEQUENCE_HEADER,
-                    sequence_header(pw, ph, full_range=True))
-    return write_avif(stream, pw, ph, display_w=w, display_h=h,
-                      seq_obu=seq_obu, alpha_obu_stream=a_stream,
-                      alpha_seq_obu=a_seq)
+                    sequence_header(w, h, full_range=True))
+    return write_avif(stream, w, h, seq_obu=seq_obu,
+                      alpha_obu_stream=a_stream, alpha_seq_obu=a_seq)

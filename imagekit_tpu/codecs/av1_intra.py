@@ -191,8 +191,11 @@ class TileEncoder:
                  split_gather: str = "A", skip_idx: int = 0):
         self.w, self.h = w, h
         self.qctx = qctx
-        self.mi_cols = (w + 3) // 4
-        self.mi_rows = (h + 3) // 4
+        # spec 5.9.9: the mi grid rounds to 8-px multiples (MiCols =
+        # 2*((width+7)>>3)), so 8x8 nodes are always fully inside the
+        # grid and the partition tree never needs 4x4 leaves
+        self.mi_cols = 2 * ((w + 7) >> 3)
+        self.mi_rows = 2 * ((h + 7) >> 3)
         self.T = tables()
         self.skip_cdf = self.T["skip"]
         self.split_gather = split_gather
@@ -267,10 +270,15 @@ class TileEncoder:
         """Derived CDF2 for split_or_{horz,vert} at partial nodes.
 
         The bool's icdf[0] is the summed probability of the partition
-        types whose visible half looks split; aom gathers {HORZ, SPLIT,
-        HORZ_A, HORZ_B, VERT_A, HORZ_4} for the horz-alike set and the
-        mirrored set for vert — split_gather="B" swaps the two sets
-        (behavioral A/B against dav1d pins the right one)."""
+        types whose VISIBLE half edge looks split: for split_or_horz
+        (bottom half outside) that is the set that splits the top edge
+        vertically {VERT, SPLIT, VERT_A, VERT_B, HORZ_A, VERT_4}, and
+        the mirrored set for split_or_vert.  Certified bit-exact
+        against dav1d on sub-64 edge frames (the earlier swapped
+        mapping decoded gray frames "without error but wrong samples" —
+        ROADMAP 1b — because gray is parse-tolerant; the edge-geometry
+        validator now pins this).  split_gather="B" swaps the sets (the
+        refuted alternative, kept for the A/B instrument)."""
         icdf = self.T["partition"][ctx_row]
         n = _nsyms_partition(size)
 
@@ -286,9 +294,9 @@ class TileEncoder:
         if size != 128:
             horz_set.append(PARTITION_HORZ_4)
             vert_set.append(PARTITION_VERT_4)
-        use = horz_set if horz else vert_set
+        use = vert_set if horz else horz_set
         if self.split_gather == "B":
-            use = vert_set if horz else horz_set
+            use = horz_set if horz else vert_set
         s = sum(prob(x) for x in use if x < n)
         return (s,)
 
@@ -603,19 +611,17 @@ def encode_gray_frame(w: int, h: int, qindex: int = 60,
                       split_gather: str = "A", skip_idx: int = 0) -> bytes:
     """Full OBU stream (seq header + frame) of an all-skip gray frame.
 
-    Conformance-certified for MULTIPLE-OF-64 dims only (bit-exact
-    through libdav1d, tools/av1_validate.py); sub-64 edge tiles are a
-    known open corner that decodes without error but with wrong samples,
-    so they are rejected here — the production plan pads to 64 and
-    crops via the AVIF container's clean-aperture box.  qindex must be
-    lossy (1..255): base_q_idx==0 flips the frame to CodedLossless,
-    whose header omits the delta-q/loop-filter/tx-mode fields this
-    writer emits.  Dims above 4096 need the multi-level tile_info
-    increment loop (minLog2TileCols > 0) that this writer doesn't emit.
+    Conformance-certified for ANY dims 1..4096 (bit-exact through
+    libdav1d, tools/av1_validate.py — edge superblocks ride the
+    forced-split syntax, whose split_or_horz/vert gather sets the
+    edge-geometry sweep pins).  qindex must be lossy (1..255):
+    base_q_idx==0 flips the frame to CodedLossless, whose header omits
+    the delta-q/loop-filter/tx-mode fields this writer emits.  Dims
+    above 4096 need the multi-level tile_info increment loop
+    (minLog2TileCols > 0) that this writer doesn't emit.
     """
-    if w % 64 or h % 64:
-        raise ValueError("certified dims are multiples of 64 "
-                         "(pad + clean-aperture crop upstream)")
+    if w < 1 or h < 1:
+        raise ValueError("dims must be positive")
     if not 1 <= qindex <= 255:
         raise ValueError("qindex must be in 1..255 (0 = lossless, "
                          "which needs a different header layout)")

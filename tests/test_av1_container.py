@@ -45,10 +45,11 @@ def test_encode_avif_arbitrary_dims(dims):
     y, u, v = _planes(h, w)
     data = encode_avif(y, u, v, qindex=60)
     info = avif_native.parse_container(data)
-    if (h % 64, w % 64) == (0, 0):
-        assert info.crop is None
-    else:
-        assert info.crop == (0, 0, w, h)
+    # round 5: the bitstream signals the true frame size at ANY dims
+    # (edge-superblock syntax), so no CleanAperture box is ever written
+    # and clap-ignoring consumers (PIL) see exact dimensions too
+    assert info.crop is None
+    assert (info.width, info.height) == (w, h)
     yd = avif_native.decode_yuv_studio(data)
     assert yd is not None and yd.y.shape == (h, w)
     assert yd.u.shape == ((h + 1) // 2, (w + 1) // 2)
@@ -59,8 +60,8 @@ def test_encode_avif_arbitrary_dims(dims):
 @needs_dav1d
 def test_encode_avif_pixels_cross_decoder():
     """Pixel values must agree with an independent decoder (PIL/libavif)
-    up to its chroma-upsample difference.  (PIL ignores clap, so only
-    the multiple-of-64 geometry is comparable size-wise.)"""
+    up to its chroma-upsample difference — including at odd dims, which
+    need no clap since round 5."""
     pil = pytest.importorskip("PIL.Image")
     y, u, v = _planes(64, 64)
     data = encode_avif(y, u, v, qindex=40)
@@ -68,6 +69,11 @@ def test_encode_avif_pixels_cross_decoder():
     img = pil.open(io.BytesIO(data))
     img.load()
     assert img.size == (64, 64)
+    y2, u2, v2 = _planes(37, 61)
+    d2 = encode_avif(y2, u2, v2, qindex=40)
+    img2 = pil.open(io.BytesIO(d2))
+    img2.load()
+    assert img2.size == (61, 37)
     diff = np.abs(np.asarray(img.convert("RGB"), int) - rgb[..., :3])
     assert diff.max() <= 4  # chroma upsample filter tolerance
 

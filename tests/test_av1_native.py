@@ -5,8 +5,10 @@ libdav1d (the same library the production AVIF decode path uses) and
 require bit-exact reconstruction.  They skip when dav1d is unavailable.
 
 Scope pins (keep in sync with imagekit_tpu/codecs/av1_intra.py):
-multiple-of-64 frame dims are fully certified; sub-64 edge tiles are a
-known open corner (docs/ROADMAP.md item 1) and deliberately NOT pinned.
+ANY frame dims 1..4096 are certified (round 5 closed the sub-64
+edge-tile corner: the spec 8-px mi grid + the forced-split partition
+syntax, whose split_or_horz/vert gather sets only edge geometries can
+pin — see tools/av1_validate.py's sweep).
 """
 
 import numpy as np
@@ -163,10 +165,46 @@ def test_image_encode_multi_superblock_contexts():
 def test_image_encode_rejects_bad_geometry():
     from imagekit_tpu.codecs.av1_image import encode_frame
 
+    # fixed-tree path stays multiple-of-64 only
     y = np.zeros((60, 64), np.uint8)
     u = v = np.zeros((30, 32), np.uint8)
     with pytest.raises(ValueError):
-        encode_frame(y, u, v)
+        encode_frame(y, u, v, rd=False)
+    # mismatched chroma geometry
+    with pytest.raises(ValueError):
+        encode_frame(np.zeros((64, 64), np.uint8), u, np.zeros(
+            (31, 32), np.uint8))
+    # > 4096 needs multi-level tile_info
+    with pytest.raises(ValueError):
+        encode_frame(np.zeros((8, 4104), np.uint8),
+                     np.zeros((4, 2052), np.uint8),
+                     np.zeros((4, 2052), np.uint8))
+
+
+@needs_dav1d
+@pytest.mark.parametrize("dims", [
+    (150, 100), (65, 65), (20, 12), (5, 3), (1, 1), (63, 63),
+])
+def test_image_encode_arbitrary_dims_bit_exact(dims):
+    """Edge superblocks (forced-split syntax, 8-px grid padding) must
+    reconstruct through dav1d bit-exactly at the VISIBLE dims — round 5
+    closed ROADMAP 1b, so arbitrary dims are now pinned."""
+    from imagekit_tpu.codecs.av1_image import encode_frame
+
+    w, h = dims
+    rng = np.random.default_rng(w * 1000 + h)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx * 3 + yy * 2) % 256
+         + rng.normal(0, 5, (h, w))).clip(0, 255).astype(np.uint8)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    u = np.full((ch, cw), 120, np.uint8)
+    v = np.full((ch, cw), 135, np.uint8)
+    stream, ry, ru, rv = encode_frame(y, u, v, qindex=60)
+    dec = avif_native._decode_obu(stream, w, h)
+    assert dec is not None, "dav1d rejected the stream"
+    dy, du, dv = (np.asarray(p) for p in dec[:3])
+    assert dy.shape == (h, w)
+    assert (dy == ry).all() and (du == ru).all() and (dv == rv).all()
 
 
 @needs_dav1d

@@ -25,7 +25,8 @@ the module's syntax model was pinned:
     padding does not -> stream-zero synthesis, which our terminator
     never relies on anyway (it emits a whole dyadic block).
 
-Residual-coding attack surface (ROADMAP item 1, open): minimal Rosetta
+Residual-coding attack surface (ROADMAP item 1, CLOSED in round 5 —
+kept for methodology): minimal Rosetta
 streams from libavif/aom carrying exactly one DC-ish luma correction —
 32x32 flat-160/144/192 content at quality 60 produce frame payloads
   16400618618400 + tiles 4b75d44740 / 4b75d5ec / 4b75d42370
@@ -52,14 +53,20 @@ sys.path.insert(0, ".")
 from imagekit_tpu.codecs import avif_native  # noqa: E402
 from imagekit_tpu.codecs.av1_intra import encode_gray_frame  # noqa: E402
 
-# Certified geometry class: every multiple-of-64 dimension (one tile per
-# 64x64 superblock).  Sub-64 edge tiles are a known open corner — the
-# planned production path pads to 64 and crops via the AVIF container's
-# clean-aperture box, so they are NOT part of the conformance gate.
+# Certified geometry classes: multiple-of-64 dims (one tile per 64x64
+# superblock) AND arbitrary edge dims (partial superblocks ride the
+# forced-split partition syntax — SPLIT symbols where both halves are
+# visible, split_or_horz/vert derived bools otherwise; this sweep is
+# what pinned the bools' gather-set mapping, which gray multiple-of-64
+# streams can never exercise).
 CERTIFIED = [
     (64, 64), (128, 64), (64, 128), (128, 128), (192, 128),
     (256, 256), (320, 192), (512, 384), (640, 448), (1024, 768),
     (1280, 640), (2048, 1024),
+    # edge / sub-64 geometries (any dims 1..4096 are legal)
+    (1, 1), (5, 3), (8, 8), (20, 12), (32, 32), (63, 63), (65, 65),
+    (66, 66), (100, 60), (147, 99), (150, 100), (200, 136), (129, 65),
+    (1000, 999),
 ]
 
 
