@@ -321,26 +321,44 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
     ranked.sort(key=lambda t: t[0])
     trials = []
     for dy_skip, mode, pa in ranked[:2]:
-        qd = quantize(fdct2(src_y.astype(np.int32)
-                            - pa.astype(np.int32)), dcq, acq, txl_y)
+        res = src_y.astype(np.int32) - pa.astype(np.int32)
+        qd = quantize(fdct2(res), dcq, acq, txl_y)
         qd_nz = bool(qd.any())
         rb = recon_block(pa, qd, dcq, acq) if qd_nz else pa
         if qd_nz or c_nz:
             trials.append((_sse(src_y, rb) + dc_coded, mode,
                            (qd, c_quants[0], c_quants[1]),
-                           [rb, c_rbs[0], c_rbs[1]]))
+                           [rb, c_rbs[0], c_rbs[1]], 1))
         trials.append((dy_skip + dc_skip, mode, None,
-                       [pa, c_preds[0], c_preds[1]]))
+                       [pa, c_preds[0], c_preds[1]], 1))
+        if size <= 16 and (np.abs(res) <= 2).mean() >= 0.5:
+            # IDTX (identity transform, TX_SET_INTRA_2 symbol 0): the
+            # forward transform IS the residual — the per-pass identity
+            # gains make the level step the same q/8 as the DCT path
+            # (inverse certified vs dav1d in tools/av1_itx_probe.py).
+            # The screen-content lever: sharp sparse residuals (mostly-
+            # predicted blocks with a few hard edges) code without
+            # ringing.  Gated on residual sparsity — dense residuals
+            # always prefer the energy-compacting DCT, so the extra
+            # quantize/recon would be pure trial overhead.  Only luma
+            # tx < 32 carries a tx_type.
+            qd_i = quantize(res.astype(np.float64), dcq, acq, txl_y)
+            if bool(qd_i.any()):
+                rb_i = recon_block(pa, qd_i, dcq, acq, tx_type="IDTX")
+                trials.append((_sse(src_y, rb_i) + dc_coded, mode,
+                               (qd_i, c_quants[0], c_quants[1]),
+                               [rb_i, c_rbs[0], c_rbs[1]], 0))
     # entropy-code trials best-distortion-first; cost >= dist, so once a
     # trial's dist exceeds the best full cost it cannot win (admissible
     # prune — bits are nonnegative)
     trials.sort(key=lambda t: t[0])
     none_cost = none_state = none_rec = none_dist = None
-    for dist, mode, txbs, rec3 in trials:
+    for dist, mode, txbs, rec3, txsym in trials:
         if none_cost is not None and dist >= none_cost:
             break
         te.restore(part_state)
-        te.encode_block(mi_r, mi_c, size, txbs=txbs, ymode=mode)
+        te.encode_block(mi_r, mi_c, size, txbs=txbs, ymode=mode,
+                        txtype_sym=txsym)
         cost = dist + lam * (te.msac.nbits - nb0)
         if none_cost is None or cost < none_cost:
             none_cost, none_dist = cost, dist

@@ -318,7 +318,8 @@ class TileEncoder:
         return 0
 
     def encode_txb(self, plane: int, px_r: int, px_c: int,
-                   txsz_log2: int, quant, ymode: int = 0) -> None:
+                   txsz_log2: int, quant, ymode: int = 0,
+                   txtype_sym: int = 1) -> None:
         """One transform block with arbitrary quantized coefficients.
 
         `quant` maps raster position -> signed level (dict, or a 2-D
@@ -353,7 +354,7 @@ class TileEncoder:
             dcctx = self._dc_sign_ctx(plane, er, ec, n4)
             ent = self._nlib.ik_av1_txb(
                 m._h, plane, q, txsz_log2, arr.ctypes.data,
-                skip_ctx, dcctx, ymode)
+                skip_ctx, dcctx, ymode, txtype_sym)
             if ent < 0:
                 raise RuntimeError(f"native txb failed ({ent})")
             a_ent[ec:ec + n4] = ent
@@ -384,7 +385,8 @@ class TileEncoder:
         # symbol 1; chroma derives its tx_type (never coded); 32x32 is
         # the DCT-only set.
         if plane == 0 and txsz_log2 < 5:
-            m.encode_symbol(1, T["intra_ext_tx2"][txsz_log2 - 2][ymode], 5)
+            m.encode_symbol(txtype_sym,
+                            T["intra_ext_tx2"][txsz_log2 - 2][ymode], 5)
         scan = {16: T["scan_4x4"], 64: T["scan_8x8"],
                 256: T["scan_16x16"], 1024: T["scan_32x32"]}[nc]
         pos_to_c = {int(p): c for c, p in enumerate(scan)}
@@ -481,7 +483,8 @@ class TileEncoder:
     # -- block layer -------------------------------------------------------
 
     def encode_block(self, mi_r: int, mi_c: int, size: int,
-                     txbs=None, ymode: int = 0, uvmode: int = 0) -> None:
+                     txbs=None, ymode: int = 0, uvmode: int = 0,
+                     txtype_sym: int = 1) -> None:
         """One DC/directional intra block.  `txbs=(qy, qu, qv)` carries
         the three planes' quantized coefficients (dicts pos->level or
         2-D arrays; all-empty coefficients may also be passed — the
@@ -518,7 +521,8 @@ class TileEncoder:
             # then U, then V at half size (4:2:0)
             qy, qu, qv = txbs
             y_txl = size.bit_length() - 1
-            self.encode_txb(0, mi_r * 4, mi_c * 4, y_txl, qy, ymode=ymode)
+            self.encode_txb(0, mi_r * 4, mi_c * 4, y_txl, qy, ymode=ymode,
+                            txtype_sym=txtype_sym)
             uv_txl = y_txl - 1
             self.encode_txb(1, mi_r * 2, mi_c * 2, uv_txl, qu)
             self.encode_txb(2, mi_r * 2, mi_c * 2, uv_txl, qv)

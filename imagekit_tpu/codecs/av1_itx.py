@@ -188,9 +188,22 @@ def idct32(x):
 _IDCT = {4: idct4, 8: idct8, 16: idct16, 32: idct32}
 
 
+def _identity_pass(x: np.ndarray, n: int) -> np.ndarray:
+    """One inverse-identity pass (spec 7.13.4 identity transforms):
+    4: Round2(x*5793, 12) (sqrt2, Q12); 8: x*2;
+    16: Round2(x*2*5793, 12); 32: x*4."""
+    if n == 4:
+        return (x * 5793 + 2048) >> 12
+    if n == 8:
+        return x * 2
+    if n == 16:
+        return (x * 2 * 5793 + 2048) >> 12
+    return x * 4
+
+
 def inverse_tx2d(coefs: np.ndarray, shift0: int | None = None,
-                 shift1: int = 4) -> np.ndarray:
-    """2-D inverse DCT_DCT of a square dequantized coefficient block.
+                 shift1: int = 4, tx_type: str = "DCT") -> np.ndarray:
+    """2-D inverse DCT_DCT (or IDTX) of a square dequantized block.
 
     Row transforms, Round2 by the per-size row shift, column transforms,
     Round2 by 4 — the residual to add to the prediction.  Intermediate
@@ -205,8 +218,14 @@ def inverse_tx2d(coefs: np.ndarray, shift0: int | None = None,
     n = coefs.shape[0]
     if shift0 is None:
         shift0 = {4: 0, 8: 1, 16: 2, 32: 2}[n]
-    f = _IDCT[n]
     c = coefs.astype(np.int64)
+    if tx_type == "IDTX":
+        rows = _identity_pass(c, n)
+        if shift0:
+            rows = (rows + (1 << (shift0 - 1))) >> shift0
+        rows = np.clip(rows, -32768, 32767)
+        return (_identity_pass(rows, n) + 8) >> 4
+    f = _IDCT[n]
     rows = np.stack(f([c[:, k] for k in range(n)]), axis=1)
     if shift0:
         rows = (rows + (1 << (shift0 - 1))) >> shift0
@@ -234,11 +253,11 @@ def dequant(quant, n: int, dc_q: int, ac_q: int) -> np.ndarray:
 
 
 def recon_block(pred: np.ndarray, quant: dict, dc_q: int,
-                ac_q: int) -> np.ndarray:
+                ac_q: int, tx_type: str = "DCT") -> np.ndarray:
     """clip(pred + inverse_tx(dequant(levels))) — the decoder's output."""
     n = pred.shape[0]
     empty = (not quant) if isinstance(quant, dict) else not quant.any()
     if empty:
         return pred.astype(np.uint8)
-    res = inverse_tx2d(dequant(quant, n, dc_q, ac_q))
+    res = inverse_tx2d(dequant(quant, n, dc_q, ac_q), tx_type=tx_type)
     return np.clip(pred.astype(np.int64) + res, 0, 255).astype(np.uint8)

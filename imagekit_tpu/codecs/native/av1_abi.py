@@ -61,7 +61,7 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.ik_av1_bind_tables.argtypes = [ctypes.c_void_p] * 15
     lib.ik_av1_txb.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
-                               ctypes.c_int, ctypes.c_int]
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.ik_av1_txb.restype = ctypes.c_int
 
 

@@ -189,7 +189,7 @@ IK_EXPORT void ik_av1_bind_tables(
 // or -100 on misuse.
 IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
                          const int32_t* quant, int skip_ctx,
-                         int dc_sign_ctx, int ymode) {
+                         int dc_sign_ctx, int ymode, int txtype_sym) {
     if (!g_bound || txsz_log2 < 2 || txsz_log2 > 5) return -100;
     const int q = qctx;
     const int ptype = plane ? 1 : 0;
@@ -209,8 +209,9 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
     }
     e->symbol(0, skip_row, 2);
     if (plane == 0 && txsz_log2 < 5) {
-        // tx_type DCT_DCT in TX_SET_INTRA_2: (4,13,5) -> row stride 5
-        e->symbol(1, g_tab.ext_tx2 + (txs_ctx * 13 + ymode) * 5, 5);
+        // tx_type in TX_SET_INTRA_2 {IDTX=0, DCT_DCT=1, ADST_ADST=2,
+        // ADST_DCT=3, DCT_ADST=4}: (4,13,5) -> row stride 5
+        e->symbol(txtype_sym, g_tab.ext_tx2 + (txs_ctx * 13 + ymode) * 5, 5);
     }
     const int16_t* scan = g_tab.scan[log_idx];
     int eob = 0;

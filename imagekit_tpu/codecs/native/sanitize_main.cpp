@@ -73,7 +73,7 @@ void ik_av1_bind_tables(const uint16_t*, const uint16_t*, const uint16_t*,
                         const uint16_t*, const uint16_t*, const uint16_t*,
                         const uint16_t*, const uint16_t*, const int16_t*,
                         const int16_t*, const int16_t*, const int16_t*);
-int ik_av1_txb(void*, int, int, int, const int32_t*, int, int, int);
+int ik_av1_txb(void*, int, int, int, const int32_t*, int, int, int, int);
 int ik_tiff_decode(const uint8_t*, size_t, uint8_t*, size_t);
 }
 
@@ -428,7 +428,7 @@ int main() {
           quant[i] = ((i + it) % 37) - 18;
         const int ent = ik_av1_txb(enc, t % 3 ? 1 : 0, it % 4, txl,
                                    quant.data(), t % 3 ? 7 + (it % 3) : 0,
-                                   it % 3, it % 13);
+                                   it % 3, it % 13, it % 5);
         Require(ent >= 0, "av1 txb");
         void* snap = ik_msac_clone(enc);
         ik_msac_symbol(enc, av1t.rows[10].data(), 2, it % 2);

@@ -35,7 +35,8 @@ from imagekit_tpu.codecs.av1_image import q_ctx  # noqa: E402
 from imagekit_tpu.codecs.av1_itx import recon_block  # noqa: E402
 
 
-def probe_stream(bs: int, qindex: int, qy=None, qu=None, qv=None) -> bytes:
+def probe_stream(bs: int, qindex: int, qy=None, qu=None, qv=None,
+                 txtype_sym: int = 1) -> bytes:
     """64x64 frame; the block at (0,0) (size bs, forced splits above it)
     carries the given per-plane levels; all other blocks are skip."""
     te = TileEncoder(64, 64, qctx=q_ctx(qindex))
@@ -48,7 +49,8 @@ def probe_stream(bs: int, qindex: int, qy=None, qu=None, qv=None) -> bytes:
             if not done_first:
                 done_first.append(True)
                 te.encode_block(mi_r, mi_c, size,
-                                txbs=(qy or {}, qu or {}, qv or {}))
+                                txbs=(qy or {}, qu or {}, qv or {}),
+                                txtype_sym=txtype_sym)
             else:
                 te.encode_block(mi_r, mi_c, size)
             te._update_part_ctx(mi_r, mi_c, size, size)
@@ -68,13 +70,15 @@ def probe_stream(bs: int, qindex: int, qy=None, qu=None, qv=None) -> bytes:
     return seq + obu(OBU_FRAME, hdr.bytes() + tile)
 
 
-def check(bs: int, plane: int, qindex: int, quant: dict) -> tuple:
+def check(bs: int, plane: int, qindex: int, quant: dict,
+          tx_type: str = "DCT") -> tuple:
     """-> (ok, got, want) comparing dav1d vs av1_itx for one txb."""
     T = tables()
     dcq = int(T["dc_qlookup"][qindex])
     acq = int(T["ac_qlookup"][qindex])
+    sym = 0 if tx_type == "IDTX" else 1
     if plane == 0:
-        stream = probe_stream(bs, qindex, qy=quant)
+        stream = probe_stream(bs, qindex, qy=quant, txtype_sym=sym)
         n = bs
     elif plane == 1:
         stream = probe_stream(bs, qindex, qu=quant)
@@ -86,7 +90,7 @@ def check(bs: int, plane: int, qindex: int, quant: dict) -> tuple:
     assert dec is not None, "dav1d rejected probe stream"
     got = np.asarray(dec[plane])[:n, :n]
     pred = np.full((n, n), 128, np.uint8)
-    want = recon_block(pred, quant, dcq, acq)
+    want = recon_block(pred, quant, dcq, acq, tx_type=tx_type)
     return (got == want).all(), got, want
 
 
@@ -135,6 +139,25 @@ def main() -> int:
                 bad += 1
                 print(f"  {name} saturate {quant}: mismatch")
         print(f"{name}: {'OK' if not bad else f'{bad} FAILURES'}")
+        fails += bad
+    # IDTX (inverse identity, TX_SET_INTRA_2 symbol 0): luma tx 8/16
+    # only — 32x32 is the DCT-only set and chroma derives its tx_type
+    for bs in (8, 16):
+        n = bs
+        bad = 0
+        cases = [{0: 3}, {1: 2}, {n: -2}, {n * n - 1: 5}, {0: 900}]
+        for _ in range(4 if quick else 10):
+            cnt = int(rng.integers(2, 40))
+            pos = rng.choice(n * n, size=cnt, replace=False)
+            cases.append({int(p): int(rng.integers(-31, 32)) or 1
+                          for p in pos})
+        for quant in cases:
+            ok, got, want = check(bs, 0, 60, quant, tx_type="IDTX")
+            if not ok:
+                bad += 1
+                print(f"  tx{n} IDTX {dict(list(quant.items())[:3])}: "
+                      f"mismatch")
+        print(f"tx{n} IDTX (Y): {'OK' if not bad else f'{bad} FAILURES'}")
         fails += bad
     print("OK: av1_itx bit-exact vs libdav1d" if not fails
           else f"FAIL: {fails} probe mismatches")
