@@ -252,9 +252,12 @@ def encode_superblock(sb_y: np.ndarray, sb_u: np.ndarray, sb_v: np.ndarray,
 # RD-adaptive partition tree (32 -> 16 -> 8 leaves)
 
 # lambda = RD_LAMBDA_C * qstep^2 in the orthonormal transform domain
-# (qstep = acq/8, _STEP_SCALE); calibrated on the parity-report suite
-# (tools/av1_rd_calibrate.py) against the fixed-32 tree.
-RD_LAMBDA_C = 0.30
+# (qstep = acq/8, _STEP_SCALE); calibrated by RD dominance against the
+# encoder's own qindex ladder WITH the eob-trim trials active: 0.30
+# over-prunes (the trim trials exposed it — accepted trades far below
+# the ladder's dB-per-byte slope), 0.08 under-prunes; 0.15 dominates
+# both at matched PSNR on the detail/waves corpus.
+RD_LAMBDA_C = 0.15
 
 # a SPLIT adds at least ~4 partition symbols + 3 skip/mode sets over
 # NONE; if NONE's distortion is already below lam * this, SPLIT cannot
@@ -319,6 +322,7 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
         pa = intra_pred(mode, recs[0], pr, pc, size, ha, hl)
         ranked.append((_sse(src_y, pa), mode, pa))
     ranked.sort(key=lambda t: t[0])
+    scan = tables()["scan_%dx%d" % (size, size)]
     trials = []
     for dy_skip, mode, pa in ranked[:2]:
         res = src_y.astype(np.int32) - pa.astype(np.int32)
@@ -329,6 +333,24 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
             trials.append((_sse(src_y, rb) + dc_coded, mode,
                            (qd, c_quants[0], c_quants[1]),
                            [rb, c_rbs[0], c_rbs[1]], 1))
+            # eob-trim candidate: trailing |level|==1 runs extend the
+            # eob, which is the most expensive way to spend half-step
+            # distortion — offer the truncated block and let the exact
+            # bit-cost trial decide (RDOQ-lite)
+            in_scan = qd.reshape(-1)[scan]
+            nz = np.nonzero(in_scan)[0]
+            big = np.nonzero(np.abs(in_scan) >= 2)[0]
+            cut = int(big[-1]) + 1 if len(big) else 0
+            if len(nz) and nz[-1] + 1 > cut:
+                qd_t = qd.copy().reshape(-1)
+                qd_t[scan[cut:]] = 0
+                qd_t = qd_t.reshape(qd.shape)
+                if bool(qd_t.any()) or c_nz:
+                    rb_t = (recon_block(pa, qd_t, dcq, acq)
+                            if qd_t.any() else pa)
+                    trials.append((_sse(src_y, rb_t) + dc_coded, mode,
+                                   (qd_t, c_quants[0], c_quants[1]),
+                                   [rb_t, c_rbs[0], c_rbs[1]], 1))
         trials.append((dy_skip + dc_skip, mode, None,
                        [pa, c_preds[0], c_preds[1]], 1))
         if size <= 16 and (np.abs(res) <= 2).mean() >= 0.5:

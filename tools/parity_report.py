@@ -187,8 +187,11 @@ def firstparty_avif_section():
         "av1_image.py + av1_itx.py, dav1d-bit-exact reconstruction) serves",
         "when IMAGEKIT_AVIF_FIRSTPARTY is set and automatically when no",
         "system AVIF encoder exists; libavif remains the production",
-        "default. Its intra toolset is DC_PRED + 32x32 TX_MODE_LARGEST,",
-        "so it pays a size premium vs full aom at equal PSNR — measured",
+        "default. Toolset: RD-adaptive partitions (32/16/8) with",
+        "DC/V/H/PAETH luma modes, DCT + IDTX transform search, eob-trim",
+        "RDOQ-lite, exact-MSAC-bit costing — still a subset of full aom",
+        "(no palette/screen-content tools, static CDFs), so it pays a",
+        "size premium at equal PSNR on text-class content — measured",
         "here, not hand-waved. PSNR via our own container decode (both",
         "arms pay the same YUV conversion).",
         "",
