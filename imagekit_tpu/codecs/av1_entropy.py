@@ -91,6 +91,12 @@ class MsacEncoder:
         self.encode_literal(0, length - 1)
         self.encode_literal(x, length)
 
+    def encode_symbol_adapt(self, sym: int, cdf, n: int) -> None:
+        """Symbol + spec 8.3.2 CDF update (rows are mutable
+        [icdf 0..n-2, 0, count] arrays)."""
+        self.encode_symbol(sym, cdf, n)
+        update_cdf(cdf, sym, n)
+
     def save(self):
         """Opaque state token for trial coding (restore via load)."""
         return (self.low, self.rng, self.nbits)
@@ -121,6 +127,27 @@ class MsacEncoder:
 
 
 _HALF_ICDF = (1 << 14,)
+
+
+def update_cdf(cdf, sym: int, n: int) -> None:
+    """Spec 8.3.2 / dav1d update rule (ICDF domain): entries below the
+    coded symbol move toward 32768 (floor shift), entries at/above it
+    decay toward 0 — BOTH sides use a floor shift of the positive
+    quantity (the single-expression (tmp-v)>>rate form rounds the decay
+    side up and desyncs dav1d within a handful of repeated symbols —
+    pinned by the adaptive probe trace); rate = 3 + (count>15) +
+    (count>31) + (1 if n<=3 else 2) — dav1d's 4+(count>>4)+(nsym>2)
+    under its size=n-1 convention — and count saturates at 32."""
+    count = int(cdf[n])
+    rate = 3 + (count > 15) + (count > 31) + (1 if n <= 3 else 2)
+    for i in range(n - 1):
+        v = int(cdf[i])
+        if i < sym:
+            cdf[i] = v + ((32768 - v) >> rate)   # grow: floor
+        else:
+            cdf[i] = v - (v >> rate)             # decay: floor, NOT the
+            #                                      arithmetic-shift ceil
+    cdf[n] = count + (count < 32)
 
 
 class _NativeTok:
@@ -168,6 +195,9 @@ class NativeMsacEncoder:
                 and icdf.flags["C_CONTIGUOUS"]):
             icdf = np.ascontiguousarray(icdf, np.uint16)
         self._lib.ik_msac_symbol(self._h, icdf.ctypes.data, n, sym)
+
+    def encode_symbol_adapt(self, sym: int, cdf, n: int) -> None:
+        self._lib.ik_msac_symbol_adapt(self._h, cdf.ctypes.data, n, sym)
 
     def encode_literal(self, value: int, bits: int) -> None:
         self._lib.ik_msac_literal(self._h, value, bits)

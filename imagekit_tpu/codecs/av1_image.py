@@ -42,6 +42,15 @@ from .av1_intra import (
 )
 from .av1_itx import recon_block
 
+import os as _os
+
+# CDF adaptation (disable_cdf_update=0): per-tile adaptive CDFs — the
+# rate win of matching the symbol statistics, paid for with per-trial
+# CDF snapshots in the RD search.  IMAGEKIT_AV1_ADAPT=0 forces the
+# static-CDF regime.
+ADAPT_DEFAULT = _os.environ.get("IMAGEKIT_AV1_ADAPT", "1") not in (
+    "0", "off", "false")
+
 
 def q_ctx(base_q_idx: int) -> int:
     """Coefficient-CDF quantizer context bucket (spec get_q_ctx)."""
@@ -151,10 +160,11 @@ def intra_pred(mode: int, recon: np.ndarray, r0: int, c0: int, b: int,
 # Superblock (= tile) encoder
 
 
-def _tile_to_frame(tile: bytes, qindex: int) -> bytes:
+def _tile_to_frame(tile: bytes, qindex: int,
+                   adapt: bool = False) -> bytes:
     """Wrap one 64x64 tile as a complete single-SB frame stream."""
     seq = obu(OBU_SEQUENCE_HEADER, sequence_header(64, 64))
-    hdr = frame_header_bits(qindex, 64, 64)
+    hdr = frame_header_bits(qindex, 64, 64, adapt=adapt)
     hdr.byte_align()
     return seq + obu(OBU_FRAME, hdr.bytes() + tile)
 
@@ -447,7 +457,8 @@ def _rd_partition(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
 def encode_superblock_rd(sb_y: np.ndarray, sb_u: np.ndarray,
                          sb_v: np.ndarray, qindex: int,
                          lam: float | None = None,
-                         tw: int = 64, th: int = 64) -> tuple:
+                         tw: int = 64, th: int = 64,
+                         adapt: bool = False) -> tuple:
     """RD-adaptive version of encode_superblock: the partition tree
     (32/16/8 leaves, DC/V/H/PAETH modes, coded-vs-skip per leaf)
     minimizes D + lam*R with exact MSAC bit counts and av1_itx
@@ -462,7 +473,7 @@ def encode_superblock_rd(sb_y: np.ndarray, sb_u: np.ndarray,
     acq = int(T["ac_qlookup"][qindex])
     if lam is None:
         lam = RD_LAMBDA_C * (acq / 8.0) ** 2
-    te = TileEncoder(tw, th, qctx=q_ctx(qindex))
+    te = TileEncoder(tw, th, qctx=q_ctx(qindex), adapt=adapt)
     ry = np.zeros_like(sb_y)
     ru = np.zeros_like(sb_u)
     rv = np.zeros_like(sb_v)
@@ -477,7 +488,7 @@ def encode_superblock_rd(sb_y: np.ndarray, sb_u: np.ndarray,
 
 def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                  qindex: int = 60, full_range: bool = False,
-                 rd: bool = True) -> tuple:
+                 rd: bool = True, adapt: bool | None = None) -> tuple:
     """Encode 4:2:0 planes (ANY dims >= 1, <= 4096) to a full OBU
     stream.  Non-multiple-of-8 dims are edge-replicated onto the spec's
     8-px mi grid and the bitstream signals the true frame size (the
@@ -500,6 +511,7 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         raise ValueError("dims above 4096 need multi-level tile_info")
     if not rd and (w % 64 or h % 64):
         raise ValueError("the fixed-tree path needs multiples of 64")
+    adapt = (ADAPT_DEFAULT if adapt is None else adapt) and rd
     gw, gh = ((w + 7) >> 3) << 3, ((h + 7) >> 3) << 3
     yp = _pad_grid(y, gh, gw)
     up = _pad_grid(u, gh // 2, gw // 2)
@@ -520,7 +532,7 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                     yp[py:py + tgh, px:px + tgw],
                     up[cy:cy + tgh // 2, cx:cx + tgw // 2],
                     vp[cy:cy + tgh // 2, cx:cx + tgw // 2],
-                    qindex, tw=tw, th=th)
+                    qindex, tw=tw, th=th, adapt=adapt)
             else:
                 tile, ty, tu, tv = encode_superblock(
                     yp[py:py + 64, px:px + 64],
@@ -541,7 +553,7 @@ def encode_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
             tg += (len(t) - 1).to_bytes(4, "little")
         tg += t
     seq = obu(OBU_SEQUENCE_HEADER, sequence_header(w, h, full_range))
-    hdr = frame_header_bits(qindex, w, h)
+    hdr = frame_header_bits(qindex, w, h, adapt=adapt)
     hdr.byte_align()
     stream = seq + obu(OBU_FRAME, hdr.bytes() + bytes(tg))
     return stream, recon_y, recon_u, recon_v

@@ -90,13 +90,17 @@ def _tile_log2(blk: int, target: int) -> int:
     return k
 
 
-def frame_header_bits(qindex: int, w: int, h: int) -> BitWriter:
+def frame_header_bits(qindex: int, w: int, h: int,
+                      adapt: bool = False) -> BitWriter:
     """Uncompressed frame header under reduced_still_picture_header
     (frame_type=KEY, show_frame=1 implied).  Validated bit-for-bit
     against a libaom still-picture frame header (tools/av1_validate.py
     parses one live)."""
     b = BitWriter()
-    b.f(1, 1)            # disable_cdf_update = 1 (static default CDFs)
+    # disable_cdf_update: 0 = per-tile CDF adaptation from the defaults
+    # (each tile resets — matching our tile-per-superblock regime), 1 =
+    # static default CDFs (no adaptation state on either side)
+    b.f(0 if adapt else 1, 1)
     b.f(0, 1)            # allow_screen_content_tools = 0
     b.f(0, 1)            # render_and_frame_size_different
     # tile_info (spec 5.9.15): ONE TILE PER SUPERBLOCK.  Each 64x64 tile
@@ -187,8 +191,18 @@ class TileEncoder:
     and are superseded by the Rosetta byte-roundtrip evidence.)
     """
 
+    # CDF tables that adapt within a tile when disable_cdf_update=0
+    # (order of the first 11 = the C engine's per-call pointer block)
+    _ADAPT_TABLES = (
+        "txb_skip", "intra_ext_tx2", "eob_pt_16", "eob_pt_64",
+        "eob_pt_256", "eob_pt_1024", "eob_extra", "coeff_base_eob",
+        "coeff_base", "coeff_br", "dc_sign",
+        "partition", "skip", "kf_y_mode", "uv_mode", "angle_delta",
+    )
+
     def __init__(self, w: int, h: int, qctx: int = 1,
-                 split_gather: str = "A", skip_idx: int = 0):
+                 split_gather: str = "A", skip_idx: int = 0,
+                 adapt: bool = False):
         self.w, self.h = w, h
         self.qctx = qctx
         # spec 5.9.9: the mi grid rounds to 8-px multiples (MiCols =
@@ -197,7 +211,14 @@ class TileEncoder:
         self.mi_cols = 2 * ((w + 7) >> 3)
         self.mi_rows = 2 * ((h + 7) >> 3)
         self.T = tables()
-        self.skip_cdf = self.T["skip"]
+        self.adapt = adapt
+        # per-tile mutable CDF copies when adapting (each tile starts
+        # from the spec defaults and adapts independently — matching
+        # the decoder, which resets at every tile boundary)
+        self.cdf = ({k: self.T[k].copy() for k in self._ADAPT_TABLES}
+                    if adapt else {k: self.T[k]
+                                   for k in self._ADAPT_TABLES})
+        self.skip_cdf = self.cdf["skip"]
         self.split_gather = split_gather
         # C entropy engine when available (byte-exact twin, ~40x the
         # symbol throughput; IMAGEKIT_AV1_NATIVE=0 forces pure Python)
@@ -206,6 +227,14 @@ class TileEncoder:
         self._nlib = av1_abi.load()
         self.msac = (NativeMsacEncoder(self._nlib) if self._nlib
                      else MsacEncoder())
+        if self._nlib is not None:
+            import ctypes
+
+            self._ctabs = (ctypes.c_void_p * 11)(*[
+                self.cdf[k].ctypes.data
+                for k in self._ADAPT_TABLES[:11]])
+        else:
+            self._ctabs = None
         # context arrays (per 4x4)
         self.above_part = np.zeros(self.mi_cols + 32, dtype=np.uint8)
         self.left_part = np.zeros(self.mi_rows + 32, dtype=np.uint8)
@@ -223,9 +252,12 @@ class TileEncoder:
                          for _ in range(3)]
 
     def snapshot(self) -> dict:
-        """Copy of all mutable coding state (the MSAC integers and every
-        context array) — cheap, enabling finalize-and-peek flows."""
+        """Copy of all mutable coding state (the MSAC integers, every
+        context array, and — when adapting — the CDF tables), enabling
+        finalize-and-peek flows and RD trials."""
         s = {"msac": self.msac.save()}
+        if self.adapt:
+            s["cdf"] = {k: v.copy() for k, v in self.cdf.items()}
         for name in ("above_part", "left_part", "above_skip", "left_skip",
                      "above_mode", "left_mode", "above_valid", "left_valid"):
             s[name] = getattr(self, name).copy()
@@ -235,6 +267,11 @@ class TileEncoder:
 
     def restore(self, s: dict) -> None:
         self.msac.load(s["msac"])
+        if self.adapt:
+            # write back IN PLACE: the native pointer block (_ctabs)
+            # and self.skip_cdf alias these buffers
+            for k, v in s["cdf"].items():
+                self.cdf[k][...] = v
         for name in ("above_part", "left_part", "above_skip", "left_skip",
                      "above_mode", "left_mode", "above_valid", "left_valid"):
             setattr(self, name, s[name].copy())
@@ -262,12 +299,24 @@ class TileEncoder:
         self.above_part[mi_c:mi_c + n4] = v
         self.left_part[mi_r:mi_r + n4] = v
 
+    def _sym(self, row, n: int, sym: int) -> None:
+        """Symbol + in-place CDF update when adapting (the decoder
+        adapts after every adaptive-CDF symbol when
+        disable_cdf_update=0, so the encoder must mirror it 1:1)."""
+        if self.adapt:
+            self.msac.encode_symbol_adapt(sym, row, n)
+        else:
+            self.msac.encode_symbol(sym, row, n)
+
     def _encode_partition_symbol(self, ctx_row: int, sym: int, size: int):
-        icdf = self.T["partition"][ctx_row]
-        self.msac.encode_symbol(sym, icdf, _nsyms_partition(size))
+        self._sym(self.cdf["partition"][ctx_row], _nsyms_partition(size),
+                  sym)
 
     def _split_bool_icdf(self, ctx_row: int, size: int, horz: bool) -> tuple:
         """Derived CDF2 for split_or_{horz,vert} at partial nodes.
+
+        No adaptation: the decoder derives this bool per use and never
+        updates the underlying partition CDF for it.
 
         The bool's icdf[0] is the summed probability of the partition
         types whose VISIBLE half edge looks split: for split_or_horz
@@ -279,7 +328,7 @@ class TileEncoder:
         ROADMAP 1b — because gray is parse-tolerant; the edge-geometry
         validator now pins this).  split_gather="B" swaps the sets (the
         refuted alternative, kept for the A/B instrument)."""
-        icdf = self.T["partition"][ctx_row]
+        icdf = self.cdf["partition"][ctx_row]
         n = _nsyms_partition(size)
 
         def prob(sym):
@@ -330,6 +379,7 @@ class TileEncoder:
         the two are independent implementations cross-checked by bytes.
         """
         T, q, m = self.T, self.qctx, self.msac
+        C = self.cdf
         ptype = 1 if plane else 0
         txs_ctx = txsz_log2 - 2
         n4 = 1 << (txsz_log2 - 2)
@@ -354,7 +404,8 @@ class TileEncoder:
             dcctx = self._dc_sign_ctx(plane, er, ec, n4)
             ent = self._nlib.ik_av1_txb(
                 m._h, plane, q, txsz_log2, arr.ctypes.data,
-                skip_ctx, dcctx, ymode, txtype_sym)
+                skip_ctx, dcctx, ymode, txtype_sym, self._ctabs,
+                int(self.adapt))
             if ent < 0:
                 raise RuntimeError(f"native txb failed ({ent})")
             a_ent[ec:ec + n4] = ent
@@ -374,19 +425,19 @@ class TileEncoder:
             left_nz = int((l_ent[er:er + n4] != 0).any())
             skip_ctx = 7 + above_nz + left_nz
         if not quant:
-            m.encode_symbol(1, T["txb_skip"][q][txs_ctx][skip_ctx], 2)
+            self._sym(C["txb_skip"][q][txs_ctx][skip_ctx], 2, 1)
             a_ent[ec:ec + n4] = 0
             l_ent[er:er + n4] = 0
             return
-        m.encode_symbol(0, T["txb_skip"][q][txs_ctx][skip_ctx], 2)
+        self._sym(C["txb_skip"][q][txs_ctx][skip_ctx], 2, 0)
         # tx_type: coded for luma tx < 32x32 with coefficients, between
         # all_zero and eob_pt (Rosetta-pinned).  With the frame header's
         # reduced_tx_set=1 the set is TX_SET_INTRA_2 and DCT_DCT is
         # symbol 1; chroma derives its tx_type (never coded); 32x32 is
         # the DCT-only set.
         if plane == 0 and txsz_log2 < 5:
-            m.encode_symbol(txtype_sym,
-                            T["intra_ext_tx2"][txsz_log2 - 2][ymode], 5)
+            self._sym(C["intra_ext_tx2"][txsz_log2 - 2][ymode], 5,
+                      txtype_sym)
         scan = {16: T["scan_4x4"], 64: T["scan_8x8"],
                 256: T["scan_16x16"], 1024: T["scan_32x32"]}[nc]
         pos_to_c = {int(p): c for c, p in enumerate(scan)}
@@ -396,11 +447,11 @@ class TileEncoder:
                 1024: "eob_pt_1024"}[nc]
         eob_pt = eob if eob <= 2 else (eob - 1).bit_length() + 1
         nsyms = T[name].shape[-1] - 1
-        m.encode_symbol(eob_pt - 1, T[name][q][ptype][0], nsyms)
+        self._sym(C[name][q][ptype][0], nsyms, eob_pt - 1)
         if eob_pt >= 3:
             rem = eob - 1 - (1 << (eob_pt - 2))
-            m.encode_symbol((rem >> (eob_pt - 3)) & 1,
-                            T["eob_extra"][q][txs_ctx][ptype][eob_pt - 3], 2)
+            self._sym(C["eob_extra"][q][txs_ctx][ptype][eob_pt - 3], 2,
+                      (rem >> (eob_pt - 3)) & 1)
             for i in range(eob_pt - 4, -1, -1):
                 m.encode_literal((rem >> i) & 1, 1)
         # reverse scan: base magnitudes (capped at 15 via br increments)
@@ -421,9 +472,8 @@ class TileEncoder:
                     bctx = 2
                 else:
                     bctx = 3
-                m.encode_symbol(min(level, 3) - 1,
-                                T["coeff_base_eob"][q][txs_ctx][ptype][bctx],
-                                3)
+                self._sym(C["coeff_base_eob"][q][txs_ctx][ptype][bctx],
+                          3, min(level, 3) - 1)
             else:
                 mag = (min(int(levels[lp + 1]), 3)
                        + min(int(levels[lp + stride]), 3)
@@ -439,8 +489,8 @@ class TileEncoder:
                     bctx += 6
                 else:
                     bctx += 21
-                m.encode_symbol(min(level, 3),
-                                T["coeff_base"][q][txs_ctx][ptype][bctx], 4)
+                self._sym(C["coeff_base"][q][txs_ctx][ptype][bctx], 4,
+                          min(level, 3))
             if level > 2:
                 mag = (min(int(levels[lp + 1]), 15)
                        + min(int(levels[lp + stride]), 15)
@@ -451,9 +501,9 @@ class TileEncoder:
                 remaining = level - 3
                 for _ in range(4):
                     sym = min(remaining, 3)
-                    m.encode_symbol(
-                        sym, T["coeff_br"][q][min(txs_ctx, 3)][ptype][brctx],
-                        4)
+                    self._sym(
+                        C["coeff_br"][q][min(txs_ctx, 3)][ptype][brctx],
+                        4, sym)
                     remaining -= sym
                     if sym < 3:
                         break
@@ -467,7 +517,7 @@ class TileEncoder:
             sign = 1 if v < 0 else 0
             if c == 0:
                 dcctx = self._dc_sign_ctx(plane, er, ec, n4)
-                m.encode_symbol(sign, T["dc_sign"][q][ptype][dcctx], 2)
+                self._sym(C["dc_sign"][q][ptype][dcctx], 2, sign)
             else:
                 m.encode_literal(sign, 1)
             if abs(v) > 14:
@@ -495,25 +545,25 @@ class TileEncoder:
         # skip symbol = the skip flag; neighbor ctx sums neighbor skips
         actx = int(self.above_skip[mi_c]) if self.above_valid[mi_c] else 0
         lctx = int(self.left_skip[mi_r]) if self.left_valid[mi_r] else 0
-        self.msac.encode_symbol(skip, self.skip_cdf[actx + lctx], 2)
+        self._sym(self.skip_cdf[actx + lctx], 2, skip)
         # intra_frame_y_mode (kf): ctx from neighbor modes (DC when absent)
         am = _INTRA_MODE_CTX[int(self.above_mode[mi_c])] \
             if self.above_valid[mi_c] else 0
         lm = _INTRA_MODE_CTX[int(self.left_mode[mi_r])] \
             if self.left_valid[mi_r] else 0
-        self.msac.encode_symbol(ymode, self.T["kf_y_mode"][am][lm], 13)
+        self._sym(self.cdf["kf_y_mode"][am][lm], 13, ymode)
         if 1 <= ymode <= 8 and size >= 8:
             # directional mode: angle_delta is always coded (delta 0 is
             # symbol 3 — MAX_ANGLE_DELTA)
-            self.msac.encode_symbol(3, self.T["angle_delta"][ymode - 1], 7)
+            self._sym(self.cdf["angle_delta"][ymode - 1], 7, 3)
         # uv_mode: CFL-flavoured 14-symbol CDF when cfl is allowed
         # (w and h <= 32 — includes 32x32; Rosetta-certified)
         if size <= 32:
-            self.msac.encode_symbol(uvmode, self.T["uv_mode"][1][ymode], 14)
+            self._sym(self.cdf["uv_mode"][1][ymode], 14, uvmode)
         else:
-            self.msac.encode_symbol(uvmode, self.T["uv_mode"][0][ymode], 13)
+            self._sym(self.cdf["uv_mode"][0][ymode], 13, uvmode)
         if 1 <= uvmode <= 8 and size >= 8:
-            self.msac.encode_symbol(3, self.T["angle_delta"][uvmode - 1], 7)
+            self._sym(self.cdf["angle_delta"][uvmode - 1], 7, 3)
         # use_filter_intra: only coded when the sequence header enables
         # filter intra; ours sets enable_filter_intra=0, so never coded.
         if txbs is not None:

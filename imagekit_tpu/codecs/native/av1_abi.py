@@ -24,7 +24,7 @@ _state: dict = {"lib": None, "attempted": False}
 # expected table shapes — the C engine hard-codes these strides
 _SHAPES = {
     "txb_skip": (4, 5, 13, 3),
-    "intra_ext_tx2": (4, 13, 5),
+    "intra_ext_tx2": (4, 13, 6),
     "eob_pt_16": (4, 2, 2, 6),
     "eob_pt_64": (4, 2, 2, 8),
     "eob_pt_256": (4, 2, 2, 10),
@@ -47,6 +47,8 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.ik_msac_reset.argtypes = [ctypes.c_void_p]
     lib.ik_msac_symbol.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_int, ctypes.c_int]
+    lib.ik_msac_symbol_adapt.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int, ctypes.c_int]
     lib.ik_msac_literal.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
                                     ctypes.c_int]
     lib.ik_msac_golomb.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
@@ -61,7 +63,8 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.ik_av1_bind_tables.argtypes = [ctypes.c_void_p] * 15
     lib.ik_av1_txb.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
-                               ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_void_p, ctypes.c_int]
     lib.ik_av1_txb.restype = ctypes.c_int
 
 

@@ -117,7 +117,7 @@ struct MsacEnc {
 
 struct Av1Tables {
     const uint16_t* txb_skip;      // (4,5,13,3)
-    const uint16_t* ext_tx2;       // (4,13,5)
+    const uint16_t* ext_tx2;       // (4,13,6)
     const uint16_t* eob_pt[4];     // 16/64/256/1024: (4,2,2,nsyms+1)
     const uint16_t* eob_extra;     // (4,5,2,9,3)
     const uint16_t* base_eob;      // (4,5,2,4,4)
@@ -132,6 +132,29 @@ bool g_bound = false;
 
 constexpr int EOB_NSYMS[4] = {5, 7, 9, 11};   // last dim - 1
 
+// spec 8.3.2 / aom update_cdf: rows are [icdf 0..n-2, 0, count].
+// Entries below the coded symbol move toward 32768, entries at/above
+// it decay toward 0 — BOTH via floor shifts of the positive quantity.
+// speed term: 1 for n<=3, 2 above (dav1d's 4+(count>>4)+(nsym>2)
+// under its size = n-1 convention); certified by the dav1d gate —
+// a wrong rate or rounding desyncs within a few repeated symbols.
+constexpr int NSYMBS2SPEED[17] = {0, 0, 1, 1, 2, 2, 2, 2, 2,
+                                  2, 2, 2, 2, 2, 2, 2, 2};
+
+inline void update_cdf(uint16_t* cdf, int val, int n) {
+    const int count = cdf[n];
+    const int rate = 3 + (count > 15) + (count > 31) + NSYMBS2SPEED[n];
+    for (int i = 0; i < n - 1; ++i) {
+        // BOTH sides floor-shift the positive quantity (the arithmetic
+        // shift of (0 - cdf) rounds the decay up and desyncs dav1d)
+        if (i < val)
+            cdf[i] = (uint16_t)(cdf[i] + ((32768 - cdf[i]) >> rate));
+        else
+            cdf[i] = (uint16_t)(cdf[i] - (cdf[i] >> rate));
+    }
+    cdf[n] = (uint16_t)(count + (count < 32));
+}
+
 }  // namespace
 
 IK_EXPORT MsacEnc* ik_msac_new() { return new MsacEnc(); }
@@ -141,6 +164,11 @@ IK_EXPORT void ik_msac_reset(MsacEnc* e) { e->reset(); }
 IK_EXPORT void ik_msac_symbol(MsacEnc* e, const uint16_t* icdf, int n,
                               int sym) {
     e->symbol(sym, icdf, n);
+}
+IK_EXPORT void ik_msac_symbol_adapt(MsacEnc* e, uint16_t* cdf, int n,
+                                    int sym) {
+    e->symbol(sym, cdf, n);
+    update_cdf(cdf, sym, n);
 }
 IK_EXPORT void ik_msac_literal(MsacEnc* e, uint32_t value, int bits) {
     e->literal(value, bits);
@@ -189,7 +217,8 @@ IK_EXPORT void ik_av1_bind_tables(
 // or -100 on misuse.
 IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
                          const int32_t* quant, int skip_ctx,
-                         int dc_sign_ctx, int ymode, int txtype_sym) {
+                         int dc_sign_ctx, int ymode, int txtype_sym,
+                         uint16_t* const* tabs, int adapt) {
     if (!g_bound || txsz_log2 < 2 || txsz_log2 > 5) return -100;
     const int q = qctx;
     const int ptype = plane ? 1 : 0;
@@ -198,20 +227,35 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
     const int nc = side * side;            // side <= 32 always
     const int log_idx = txsz_log2 - 2;     // scan + eob table index
 
+    // per-tile mutable tables (CDF adaptation) or the bound defaults;
+    // order mirrors ik_av1_bind_tables (minus the scans)
+    const uint16_t* t_txb_skip = tabs ? tabs[0] : g_tab.txb_skip;
+    const uint16_t* t_ext = tabs ? tabs[1] : g_tab.ext_tx2;
+    const uint16_t* t_eob = tabs ? tabs[2 + log_idx] : g_tab.eob_pt[log_idx];
+    const uint16_t* t_eob_extra = tabs ? tabs[6] : g_tab.eob_extra;
+    const uint16_t* t_base_eob = tabs ? tabs[7] : g_tab.base_eob;
+    const uint16_t* t_base = tabs ? tabs[8] : g_tab.base;
+    const uint16_t* t_br = tabs ? tabs[9] : g_tab.br;
+    const uint16_t* t_dc = tabs ? tabs[10] : g_tab.dc_sign;
+    auto code = [&](const uint16_t* row, int n_, int s) {
+        e->symbol(s, row, n_);
+        if (adapt) update_cdf(const_cast<uint16_t*>(row), s, n_);
+    };
+
     // txb_skip (all_zero): (4,5,13,3) -> row stride 3
     const uint16_t* skip_row =
-        g_tab.txb_skip + ((q * 5 + txs_ctx) * 13 + skip_ctx) * 3;
+        t_txb_skip + ((q * 5 + txs_ctx) * 13 + skip_ctx) * 3;
     bool any = false;
     for (int i = 0; i < nc; ++i) if (quant[i]) { any = true; break; }
     if (!any) {
-        e->symbol(1, skip_row, 2);
+        code(skip_row, 2, 1);
         return 0;
     }
-    e->symbol(0, skip_row, 2);
+    code(skip_row, 2, 0);
     if (plane == 0 && txsz_log2 < 5) {
         // tx_type in TX_SET_INTRA_2 {IDTX=0, DCT_DCT=1, ADST_ADST=2,
-        // ADST_DCT=3, DCT_ADST=4}: (4,13,5) -> row stride 5
-        e->symbol(txtype_sym, g_tab.ext_tx2 + (txs_ctx * 13 + ymode) * 5, 5);
+        // ADST_DCT=3, DCT_ADST=4}: (4,13,6) -> row stride 6
+        code(t_ext + (txs_ctx * 13 + ymode) * 6, 5, txtype_sym);
     }
     const int16_t* scan = g_tab.scan[log_idx];
     int eob = 0;
@@ -224,13 +268,13 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
     else eob_pt = (32 - __builtin_clz((unsigned)(eob - 1))) + 1;
     const int nsyms = EOB_NSYMS[log_idx];
     const uint16_t* eob_row =
-        g_tab.eob_pt[log_idx] + ((q * 2 + ptype) * 2 + 0) * (nsyms + 1);
-    e->symbol(eob_pt - 1, eob_row, nsyms);
+        t_eob + ((q * 2 + ptype) * 2 + 0) * (nsyms + 1);
+    code(eob_row, nsyms, eob_pt - 1);
     if (eob_pt >= 3) {
         int rem = eob - 1 - (1 << (eob_pt - 2));
-        const uint16_t* ex_row = g_tab.eob_extra
+        const uint16_t* ex_row = t_eob_extra
             + (((q * 5 + txs_ctx) * 2 + ptype) * 9 + (eob_pt - 3)) * 3;
-        e->symbol((rem >> (eob_pt - 3)) & 1, ex_row, 2);
+        code(ex_row, 2, (rem >> (eob_pt - 3)) & 1);
         for (int i = eob_pt - 4; i >= 0; --i) e->boolbit((rem >> i) & 1);
     }
     // reverse scan: base magnitudes + br increments
@@ -238,11 +282,11 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
     const int stride = (1 << bwl) + 4;     // TX_PAD_HOR
     int32_t levels[(32 + 4) * (32 + 4) + 16];
     std::memset(levels, 0, sizeof(int32_t) * ((side + 4) * stride + 16));
-    const uint16_t* base_eob_tab = g_tab.base_eob
+    const uint16_t* base_eob_tab = t_base_eob
         + ((q * 5 + txs_ctx) * 2 + ptype) * 4 * 4;
-    const uint16_t* base_tab = g_tab.base
+    const uint16_t* base_tab = t_base
         + ((q * 5 + txs_ctx) * 2 + ptype) * 42 * 5;
-    const uint16_t* br_tab = g_tab.br
+    const uint16_t* br_tab = t_br
         + ((q * 5 + (txs_ctx < 3 ? txs_ctx : 3)) * 2 + ptype) * 21 * 5;
     for (int c = eob - 1; c >= 0; --c) {
         const int pos = scan[c];
@@ -257,8 +301,7 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
             else if (c <= nc / 8) bctx = 1;
             else if (c <= nc / 4) bctx = 2;
             else bctx = 3;
-            int s = (level < 3 ? level : 3) - 1;
-            e->symbol(s, base_eob_tab + bctx * 4, 3);
+            code(base_eob_tab + bctx * 4, 3, (level < 3 ? level : 3) - 1);
         } else {
             auto cap3 = [&](int v) { return v < 3 ? v : 3; };
             int mag = cap3(levels[lp + 1]) + cap3(levels[lp + stride])
@@ -270,7 +313,7 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
             else if (row + col < 2) bctx += 1;
             else if (row + col < 4) bctx += 6;
             else bctx += 21;
-            e->symbol(level < 3 ? level : 3, base_tab + bctx * 5, 4);
+            code(base_tab + bctx * 5, 4, level < 3 ? level : 3);
         }
         if (level > 2) {
             auto cap15 = [&](int v) { return v < 15 ? v : 15; };
@@ -282,7 +325,7 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
             int remaining = level - 3;
             for (int k = 0; k < 4; ++k) {
                 int sym = remaining < 3 ? remaining : 3;
-                e->symbol(sym, br_tab + brctx * 5, 4);
+                code(br_tab + brctx * 5, 4, sym);
                 remaining -= sym;
                 if (sym < 3) break;
             }
@@ -299,9 +342,9 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
         const int av = v < 0 ? -v : v;
         cul += av;
         if (c == 0) {
-            const uint16_t* ds_row = g_tab.dc_sign
+            const uint16_t* ds_row = t_dc
                 + ((q * 2 + ptype) * 3 + dc_sign_ctx) * 3;
-            e->symbol(sign, ds_row, 2);
+            code(ds_row, 2, sign);
         } else {
             e->boolbit(sign);
         }

@@ -64,6 +64,7 @@ void ik_msac_free(void*);
 void ik_msac_symbol(void*, const uint16_t*, int, int);
 void ik_msac_literal(void*, uint32_t, int);
 void ik_msac_golomb(void*, uint32_t);
+void ik_msac_symbol_adapt(void*, uint16_t*, int, int);
 long long ik_msac_nbits(const void*);
 int ik_msac_done(const void*, uint8_t*, int);
 void* ik_msac_clone(const void*);
@@ -73,7 +74,8 @@ void ik_av1_bind_tables(const uint16_t*, const uint16_t*, const uint16_t*,
                         const uint16_t*, const uint16_t*, const uint16_t*,
                         const uint16_t*, const uint16_t*, const int16_t*,
                         const int16_t*, const int16_t*, const int16_t*);
-int ik_av1_txb(void*, int, int, int, const int32_t*, int, int, int, int);
+int ik_av1_txb(void*, int, int, int, const int32_t*, int, int, int, int,
+               uint16_t* const*, int);
 int ik_tiff_decode(const uint8_t*, size_t, uint8_t*, size_t);
 }
 
@@ -262,7 +264,7 @@ struct Av1SynthTables {
   }
   Av1SynthTables() {
     fill(0, 4 * 5 * 13, 3);   // txb_skip
-    fill(1, 4 * 13, 5);       // ext_tx2
+    fill(1, 4 * 13, 6);       // ext_tx2
     fill(2, 4 * 2 * 2, 6);    // eob_pt_16
     fill(3, 4 * 2 * 2, 8);    // eob_pt_64
     fill(4, 4 * 2 * 2, 10);   // eob_pt_256
@@ -428,8 +430,23 @@ int main() {
           quant[i] = ((i + it) % 37) - 18;
         const int ent = ik_av1_txb(enc, t % 3 ? 1 : 0, it % 4, txl,
                                    quant.data(), t % 3 ? 7 + (it % 3) : 0,
-                                   it % 3, it % 13, it % 5);
+                                   it % 3, it % 13, it % 5, nullptr, 0);
         Require(ent >= 0, "av1 txb");
+        // adaptation paths: per-thread mutable CDF row + table block
+        uint16_t my_row[3] = {16384, 0, 0};
+        for (int s2 = 0; s2 < 40; ++s2)
+          ik_msac_symbol_adapt(enc, my_row, 2, (s2 + it) % 2);
+        Av1SynthTables mytabs;     // thread-local mutable copy
+        uint16_t* tabptrs[11] = {
+            mytabs.rows[0].data(), mytabs.rows[1].data(),
+            mytabs.rows[2].data(), mytabs.rows[3].data(),
+            mytabs.rows[4].data(), mytabs.rows[5].data(),
+            mytabs.rows[6].data(), mytabs.rows[7].data(),
+            mytabs.rows[8].data(), mytabs.rows[9].data(),
+            mytabs.rows[10].data()};
+        const int ent2 = ik_av1_txb(enc, 0, it % 4, txl, quant.data(), 0,
+                                    it % 3, it % 13, it % 5, tabptrs, 1);
+        Require(ent2 >= 0, "av1 txb adapt");
         void* snap = ik_msac_clone(enc);
         ik_msac_symbol(enc, av1t.rows[10].data(), 2, it % 2);
         ik_msac_assign(enc, snap);

@@ -409,3 +409,22 @@ def test_idtx_wins_on_sparse_screen_content():
     mse = ((ry.astype(np.int64) - scr.astype(np.int64)) ** 2).mean()
     assert 10 * np.log10(255 ** 2 / mse) > 55.0   # DCT-only gets ~51.5
     assert len(obu) < 3500                        # DCT-only needs ~5800
+
+
+@needs_dav1d
+def test_cdf_adaptation_smaller_and_bit_exact():
+    """disable_cdf_update=0: per-tile CDF adaptation must shrink dense
+    content at identical reconstruction quality and stay dav1d-bit-exact
+    (the spec 8.3.2 update: floor shifts on BOTH sides, rate
+    3+(c>15)+(c>31)+(1 if n<=3 else 2) — a ceil on the decay side or a
+    +1 speed at n=3 desyncs within a handful of repeated symbols)."""
+    from imagekit_tpu.codecs.av1_image import encode_frame
+
+    y = _contents(128, 64)["waves"]
+    u = _contents(64, 32, seed=5)["gradient"]
+    v = np.full((64, 32), 110, np.uint8)
+    static, rs, *_ = encode_frame(y, u, v, qindex=60, adapt=False)
+    adapt, ra, *_ = encode_frame(y, u, v, qindex=60, adapt=True)
+    assert len(adapt) < len(static)          # rate win on dense content
+    dec = avif_native._decode_obu(adapt, 64, 128)
+    assert dec is not None and (np.asarray(dec[0]) == ra).all()
