@@ -280,6 +280,83 @@ def _sse(a: np.ndarray, b: np.ndarray) -> float:
     return float(((a.astype(np.int64) - b.astype(np.int64)) ** 2).sum())
 
 
+_LEAF_LIB: list = []   # [lib-or-None], resolved lazily
+
+
+def _leaf_lib():
+    """Native leaf-eval functions (forward tx + quantize + certified
+    integer recon + SSE in one call).  Independent of the entropy-engine
+    toggle: ik_av1_leaf_eval/ik_av1_recon touch no CDF state, and the
+    Python-vs-native byte-equality tests need both entropy engines to
+    make IDENTICAL RD decisions — which requires a single forward-
+    transform implementation."""
+    if not _LEAF_LIB:
+        try:
+            import ctypes
+
+            from .native import loader
+
+            lib = loader.load()
+            if lib is not None and hasattr(lib, "ik_av1_leaf_eval"):
+                lib.ik_av1_recon.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_void_p]
+                lib.ik_av1_leaf_eval.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+                lib.ik_av1_leaf_eval.restype = ctypes.c_longlong
+                _LEAF_LIB.append(lib)
+            else:
+                _LEAF_LIB.append(None)
+        except Exception:
+            _LEAF_LIB.append(None)
+    return _LEAF_LIB[0]
+
+
+def _eval_candidate(src: np.ndarray, pred: np.ndarray, dcq: int, acq: int,
+                    tx: str) -> tuple:
+    """(quant levels, recon, coded SSE, any-nonzero) for one transform
+    candidate — the C pipeline when available, numpy otherwise."""
+    lib = _leaf_lib()
+    n = src.shape[0]
+    if lib is not None:
+        import ctypes
+
+        src_c = np.ascontiguousarray(src)
+        pred_c = np.ascontiguousarray(pred)
+        q = np.empty((n, n), np.int32)
+        rec = np.empty((n, n), np.uint8)
+        nnz = ctypes.c_int()
+        sse = lib.ik_av1_leaf_eval(
+            src_c.ctypes.data, pred_c.ctypes.data, n, dcq, acq,
+            1 if tx == "IDTX" else 0, q.ctypes.data, rec.ctypes.data,
+            ctypes.byref(nnz))
+        return q, rec, float(sse), bool(nnz.value)
+    res = src.astype(np.int32) - pred.astype(np.int32)
+    coefs = res.astype(np.float64) if tx == "IDTX" else fdct2(res)
+    q = quantize(coefs, dcq, acq, n.bit_length() - 1)
+    nz = bool(q.any())
+    rec = recon_block(pred, q, dcq, acq, tx_type=tx) if nz \
+        else pred.astype(np.uint8)
+    return q, rec, _sse(src, rec), nz
+
+
+def _recon_candidate(quant: np.ndarray, pred: np.ndarray, dcq: int,
+                     acq: int, tx: str = "DCT") -> np.ndarray:
+    lib = _leaf_lib()
+    n = pred.shape[0]
+    if lib is not None and quant.flags["C_CONTIGUOUS"]:
+        pred_c = np.ascontiguousarray(pred)
+        out = np.empty((n, n), np.uint8)
+        lib.ik_av1_recon(quant.ctypes.data, pred_c.ctypes.data, n,
+                         dcq, acq, 1 if tx == "IDTX" else 0,
+                         out.ctypes.data)
+        return out
+    return recon_block(pred, quant, dcq, acq, tx_type=tx)
+
+
 def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
               size: int, dcq: int, acq: int, lam: float) -> float:
     """Encode the RD-best partition tree for the block at (mi_r, mi_c)
@@ -302,12 +379,10 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
                                 (2, planes[2], recs[2])):
         p = dc_pred(rec_p, cr, cc, cb, cb, ha, hl)
         src = src_p[cr:cr + cb, cc:cc + cb]
-        qd = quantize(fdct2(src.astype(np.int32) - p), dcq, acq,
-                      cb.bit_length() - 1)
         pa = np.full((cb, cb), p, np.uint8)
-        rb = recon_block(pa, qd, dcq, acq) if qd.any() else pa
+        qd, rb, sse_c, _nz = _eval_candidate(src, pa, dcq, acq, "DCT")
         dc_skip += _sse(src, pa)
-        dc_coded += _sse(src, rb)
+        dc_coded += sse_c
         c_preds.append(pa)
         c_quants.append(qd)
         c_rbs.append(rb)
@@ -336,11 +411,9 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
     trials = []
     for dy_skip, mode, pa in ranked[:2]:
         res = src_y.astype(np.int32) - pa.astype(np.int32)
-        qd = quantize(fdct2(res), dcq, acq, txl_y)
-        qd_nz = bool(qd.any())
-        rb = recon_block(pa, qd, dcq, acq) if qd_nz else pa
+        qd, rb, sse_c, qd_nz = _eval_candidate(src_y, pa, dcq, acq, "DCT")
         if qd_nz or c_nz:
-            trials.append((_sse(src_y, rb) + dc_coded, mode,
+            trials.append((sse_c + dc_coded, mode,
                            (qd, c_quants[0], c_quants[1]),
                            [rb, c_rbs[0], c_rbs[1]], 1))
             # eob-trim candidate: trailing |level|==1 runs extend the
@@ -354,9 +427,9 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
             if len(nz) and nz[-1] + 1 > cut:
                 qd_t = qd.copy().reshape(-1)
                 qd_t[scan[cut:]] = 0
-                qd_t = qd_t.reshape(qd.shape)
+                qd_t = np.ascontiguousarray(qd_t.reshape(qd.shape))
                 if bool(qd_t.any()) or c_nz:
-                    rb_t = (recon_block(pa, qd_t, dcq, acq)
+                    rb_t = (_recon_candidate(qd_t, pa, dcq, acq)
                             if qd_t.any() else pa)
                     trials.append((_sse(src_y, rb_t) + dc_coded, mode,
                                    (qd_t, c_quants[0], c_quants[1]),
@@ -374,10 +447,10 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
             # always prefer the energy-compacting DCT, so the extra
             # quantize/recon would be pure trial overhead.  Only luma
             # tx < 32 carries a tx_type.
-            qd_i = quantize(res.astype(np.float64), dcq, acq, txl_y)
-            if bool(qd_i.any()):
-                rb_i = recon_block(pa, qd_i, dcq, acq, tx_type="IDTX")
-                trials.append((_sse(src_y, rb_i) + dc_coded, mode,
+            qd_i, rb_i, sse_i, qi_nz = _eval_candidate(
+                src_y, pa, dcq, acq, "IDTX")
+            if qi_nz:
+                trials.append((sse_i + dc_coded, mode,
                                (qd_i, c_quants[0], c_quants[1]),
                                [rb_i, c_rbs[0], c_rbs[1]], 0))
     # entropy-code trials best-distortion-first; cost >= dist, so once a

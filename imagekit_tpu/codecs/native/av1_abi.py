@@ -66,6 +66,15 @@ def _bind(lib: ctypes.CDLL) -> None:
                                ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                ctypes.c_void_p, ctypes.c_int]
     lib.ik_av1_txb.restype = ctypes.c_int
+    lib.ik_av1_recon.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_int, ctypes.c_void_p]
+    lib.ik_av1_leaf_eval.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p]
+    lib.ik_av1_leaf_eval.restype = ctypes.c_longlong
 
 
 def load() -> Optional[ctypes.CDLL]:

@@ -20,6 +20,7 @@
 // diverge, so truncation tricks are not sound; the vectors are a few
 // KB, so clones are microseconds.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -354,4 +355,330 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
     const int32_t dc = quant[0];
     const int cat = dc ? (dc < 0 ? 1 : 2) : 0;
     return (int)(cul | (cat << 6));
+}
+
+// ---------------------------------------------------------------------------
+// Leaf evaluation: forward DCT/identity + quantize + exact integer
+// reconstruction + SSE in one call (the RD search's distortion pipeline).
+// The inverse transforms are a 1:1 port of av1_itx.py (spec 7.13), which
+// is probe-certified bit-exact against libdav1d; a unit test pins this
+// port against the Python module on random level sets.
+
+namespace {
+
+inline int64_t hb(int64_t w0, int64_t x0, int64_t w1, int64_t x1) {
+    return (w0 * x0 + w1 * x1 + 2048) >> 12;
+}
+
+struct Cos128 {
+    int64_t c[64];
+    Cos128() {
+        for (int k = 0; k < 64; ++k)
+            c[k] = (int64_t)(4096.0 * std::cos(k * M_PI / 128.0) + 0.5);
+    }
+};
+const Cos128 CC;
+#define C_ CC.c
+
+void idct4v(const int64_t* in, int64_t* out, int stride) {
+    int64_t i0 = in[0], i1 = in[stride], i2 = in[2 * stride],
+            i3 = in[3 * stride];
+    int64_t t0 = hb(C_[32], i0, C_[32], i2);
+    int64_t t1 = hb(C_[32], i0, -C_[32], i2);
+    int64_t t2 = hb(C_[48], i1, -C_[16], i3);
+    int64_t t3 = hb(C_[16], i1, C_[48], i3);
+    out[0] = t0 + t3; out[1] = t1 + t2; out[2] = t1 - t2; out[3] = t0 - t3;
+}
+
+void idct8v(const int64_t* in, int64_t* out, int stride) {
+    int64_t ev[4], evin[4];
+    for (int k = 0; k < 4; ++k) evin[k] = in[2 * k * stride];
+    idct4v(evin, ev, 1);
+    int64_t x1 = in[stride], x3 = in[3 * stride], x5 = in[5 * stride],
+            x7 = in[7 * stride];
+    int64_t t4 = hb(C_[56], x1, -C_[8], x7);
+    int64_t t7 = hb(C_[8], x1, C_[56], x7);
+    int64_t t5 = hb(C_[24], x5, -C_[40], x3);
+    int64_t t6 = hb(C_[40], x5, C_[24], x3);
+    int64_t s4 = t4 + t5, s5 = t4 - t5, s6 = -t6 + t7, s7 = t6 + t7;
+    int64_t u5 = hb(-C_[32], s5, C_[32], s6);
+    int64_t u6 = hb(C_[32], s5, C_[32], s6);
+    int64_t o[4] = {s4, u5, u6, s7};
+    for (int k = 0; k < 4; ++k) {
+        out[k] = ev[k] + o[3 - k];
+        out[7 - k] = ev[k] - o[3 - k];
+    }
+}
+
+int bitrev(int j, int bits) {
+    int out = 0;
+    for (int b = 0; b < bits; ++b) { out = (out << 1) | (j & 1); j >>= 1; }
+    return out;
+}
+
+void idct16v(const int64_t* in, int64_t* out, int stride) {
+    int64_t ev[8], evin[8];
+    for (int k = 0; k < 8; ++k) evin[k] = in[2 * k * stride];
+    idct8v(evin, ev, 1);
+    int64_t s[8];
+    for (int j = 0; j < 8; ++j) s[j] = in[(2 * bitrev(j, 3) + 1) * stride];
+    static const int ang[4] = {60, 28, 44, 12};
+    int64_t t[8];
+    for (int j = 0; j < 4; ++j) {
+        int a = ang[j];
+        int64_t lo = s[j], hi = s[7 - j];
+        t[j] = hb(C_[a], lo, -C_[64 - a], hi);
+        t[7 - j] = hb(C_[64 - a], lo, C_[a], hi);
+    }
+    int64_t u[8] = {t[0] + t[1], t[0] - t[1], -t[2] + t[3], t[2] + t[3],
+                    t[4] + t[5], t[4] - t[5], -t[6] + t[7], t[6] + t[7]};
+    int64_t v[8];
+    for (int k = 0; k < 8; ++k) v[k] = u[k];
+    v[1] = hb(-C_[16], u[1], C_[48], u[6]);
+    v[6] = hb(C_[48], u[1], C_[16], u[6]);
+    v[2] = hb(-C_[48], u[2], -C_[16], u[5]);
+    v[5] = hb(-C_[16], u[2], C_[48], u[5]);
+    int64_t w[8] = {v[0] + v[3], v[1] + v[2], v[1] - v[2], v[0] - v[3],
+                    -v[4] + v[7], -v[5] + v[6], v[5] + v[6], v[4] + v[7]};
+    int64_t o[8];
+    for (int k = 0; k < 8; ++k) o[k] = w[k];
+    o[2] = hb(-C_[32], w[2], C_[32], w[5]);
+    o[5] = hb(C_[32], w[2], C_[32], w[5]);
+    o[3] = hb(-C_[32], w[3], C_[32], w[4]);
+    o[4] = hb(C_[32], w[3], C_[32], w[4]);
+    for (int k = 0; k < 8; ++k) {
+        out[k] = ev[k] + o[7 - k];
+        out[8 + k] = ev[7 - k] - o[k];
+    }
+}
+
+void idct32v(const int64_t* in, int64_t* out, int stride) {
+    int64_t ev[16], evin[16];
+    for (int k = 0; k < 16; ++k) evin[k] = in[2 * k * stride];
+    idct16v(evin, ev, 1);
+    int64_t s[16];
+    for (int j = 0; j < 16; ++j) s[j] = in[(2 * bitrev(j, 4) + 1) * stride];
+    static const int ang[8] = {62, 30, 46, 14, 54, 22, 38, 6};
+    int64_t t[16];
+    for (int j = 0; j < 8; ++j) {
+        int a = ang[j];
+        int64_t lo = s[j], hi = s[15 - j];
+        t[j] = hb(C_[a], lo, -C_[64 - a], hi);
+        t[15 - j] = hb(C_[64 - a], lo, C_[a], hi);
+    }
+    int64_t u[16];
+    for (int g = 0; g < 8; ++g) {
+        int64_t a = t[2 * g], b = t[2 * g + 1];
+        if (g % 2 == 0) { u[2 * g] = a + b; u[2 * g + 1] = a - b; }
+        else { u[2 * g] = -a + b; u[2 * g + 1] = a + b; }
+    }
+    int64_t v[16];
+    for (int k = 0; k < 16; ++k) v[k] = u[k];
+    v[1] = hb(-C_[8], u[1], C_[56], u[14]);
+    v[14] = hb(C_[56], u[1], C_[8], u[14]);
+    v[2] = hb(-C_[56], u[2], -C_[8], u[13]);
+    v[13] = hb(-C_[8], u[2], C_[56], u[13]);
+    v[5] = hb(-C_[40], u[5], C_[24], u[10]);
+    v[10] = hb(C_[24], u[5], C_[40], u[10]);
+    v[6] = hb(-C_[24], u[6], -C_[40], u[9]);
+    v[9] = hb(-C_[40], u[6], C_[24], u[9]);
+    int64_t w[16];
+    for (int k = 0; k < 16; ++k) w[k] = v[k];
+    for (int g = 0; g < 4; ++g) {
+        int b0 = 4 * g;
+        int64_t a0 = v[b0], a1 = v[b0 + 1], a2 = v[b0 + 2], a3 = v[b0 + 3];
+        if (g % 2 == 0) {
+            w[b0] = a0 + a3; w[b0 + 1] = a1 + a2;
+            w[b0 + 2] = a1 - a2; w[b0 + 3] = a0 - a3;
+        } else {
+            w[b0] = -a0 + a3; w[b0 + 1] = -a1 + a2;
+            w[b0 + 2] = a1 + a2; w[b0 + 3] = a0 + a3;
+        }
+    }
+    int64_t y[16];
+    for (int k = 0; k < 16; ++k) y[k] = w[k];
+    y[2] = hb(-C_[16], w[2], C_[48], w[13]);
+    y[13] = hb(C_[48], w[2], C_[16], w[13]);
+    y[3] = hb(-C_[16], w[3], C_[48], w[12]);
+    y[12] = hb(C_[48], w[3], C_[16], w[12]);
+    y[4] = hb(-C_[48], w[4], -C_[16], w[11]);
+    y[11] = hb(-C_[16], w[4], C_[48], w[11]);
+    y[5] = hb(-C_[48], w[5], -C_[16], w[10]);
+    y[10] = hb(-C_[16], w[5], C_[48], w[10]);
+    int64_t z[16];
+    for (int k = 0; k < 16; ++k) z[k] = y[k];
+    for (int k = 0; k < 4; ++k) {
+        z[k] = y[k] + y[7 - k];
+        z[7 - k] = y[k] - y[7 - k];
+    }
+    for (int k = 0; k < 4; ++k) {
+        z[8 + k] = -y[8 + k] + y[15 - k];
+        z[15 - k] = y[8 + k] + y[15 - k];
+    }
+    int64_t o[16];
+    for (int k = 0; k < 16; ++k) o[k] = z[k];
+    for (int k = 4; k < 8; ++k) {
+        int m = 15 - k;
+        o[k] = hb(-C_[32], z[k], C_[32], z[m]);
+        o[m] = hb(C_[32], z[k], C_[32], z[m]);
+    }
+    for (int k = 0; k < 16; ++k) {
+        out[k] = ev[k] + o[15 - k];
+        out[16 + k] = ev[15 - k] - o[k];
+    }
+}
+
+inline int64_t identity_pass(int64_t x, int n) {
+    if (n == 4) return (x * 5793 + 2048) >> 12;
+    if (n == 8) return x * 2;
+    if (n == 16) return (x * 2 * 5793 + 2048) >> 12;
+    return x * 4;
+}
+
+// 2-D inverse (row pass + shift0 + clamp, col pass + >>4), matching
+// av1_itx.inverse_tx2d exactly. tx_type: 0 = DCT_DCT, 1 = IDTX.
+void inverse_tx2d_c(const int64_t* coefs, int n, int tx_type,
+                    int64_t* res) {
+    const int shift0 = (n == 4) ? 0 : (n == 8) ? 1 : 2;
+    int64_t rows[32 * 32];
+    if (tx_type == 1) {
+        for (int i = 0; i < n * n; ++i) {
+            int64_t v = identity_pass(coefs[i], n);
+            if (shift0) v = (v + (1 << (shift0 - 1))) >> shift0;
+            if (v < -32768) v = -32768;
+            if (v > 32767) v = 32767;
+            rows[i] = v;
+        }
+        for (int i = 0; i < n * n; ++i)
+            res[i] = (identity_pass(rows[i], n) + 8) >> 4;
+        return;
+    }
+    void (*f)(const int64_t*, int64_t*, int) =
+        (n == 4) ? idct4v : (n == 8) ? idct8v : (n == 16) ? idct16v
+                                                          : idct32v;
+    int64_t tmp[32];
+    for (int i = 0; i < n; ++i) {
+        f(coefs + i * n, tmp, 1);
+        for (int k = 0; k < n; ++k) {
+            int64_t v = tmp[k];
+            if (shift0) v = (v + (1 << (shift0 - 1))) >> shift0;
+            if (v < -32768) v = -32768;
+            if (v > 32767) v = 32767;
+            rows[i * n + k] = v;
+        }
+    }
+    for (int j = 0; j < n; ++j) {
+        f(rows + j, tmp, n);
+        for (int k = 0; k < n; ++k) res[k * n + j] = (tmp[k] + 8) >> 4;
+    }
+}
+
+struct DctMats {
+    double m4[4 * 4], m8[8 * 8], m16[16 * 16], m32[32 * 32];
+    DctMats() {
+        double* ms[4] = {m4, m8, m16, m32};
+        int ns[4] = {4, 8, 16, 32};
+        for (int t = 0; t < 4; ++t) {
+            int n = ns[t];
+            for (int k = 0; k < n; ++k)
+                for (int x = 0; x < n; ++x) {
+                    double v = std::cos(M_PI * k * (2 * x + 1) / (2 * n))
+                        * std::sqrt(2.0 / n);
+                    if (k == 0) v *= std::sqrt(0.5);
+                    ms[t][k * n + x] = v;
+                }
+        }
+    }
+    const double* get(int n) const {
+        return (n == 4) ? m4 : (n == 8) ? m8 : (n == 16) ? m16 : m32;
+    }
+};
+const DctMats DM;
+
+}  // namespace
+
+// Dequant (spec 7.13.3) + inverse tx + clip(pred + res): recon from
+// levels, the byte-true decoder model.  quant: int32 n*n raster.
+IK_EXPORT void ik_av1_recon(const int32_t* quant, const uint8_t* pred,
+                            int n, int dcq, int acq, int tx_type,
+                            uint8_t* out) {
+    const int dq_denom = (n == 32) ? 2 : 1;
+    int64_t coefs[32 * 32];
+    bool any = false;
+    for (int i = 0; i < n * n; ++i) {
+        int64_t lv = quant[i];
+        if (!lv) { coefs[i] = 0; continue; }
+        any = true;
+        int64_t q = (i == 0) ? dcq : acq;
+        int64_t av = ((lv < 0 ? -lv : lv) * q & 0xFFFFFF) / dq_denom;
+        if (lv > 0) coefs[i] = av < 32767 ? av : 32767;
+        else coefs[i] = -(av < 32768 ? av : 32768);
+    }
+    if (!any) { std::memcpy(out, pred, (size_t)n * n); return; }
+    int64_t res[32 * 32];
+    inverse_tx2d_c(coefs, n, tx_type, res);
+    for (int i = 0; i < n * n; ++i) {
+        int64_t v = pred[i] + res[i];
+        out[i] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+    }
+}
+
+// Forward transform + quantize + recon + SSE for one RD candidate.
+// tx_type 0 = DCT (float orthonormal forward, matching av1_image.fdct2),
+// 1 = IDTX (forward = residual).  Returns SSE(src, recon); out_nnz
+// counts nonzero levels.
+IK_EXPORT long long ik_av1_leaf_eval(const uint8_t* src,
+                                     const uint8_t* pred, int n,
+                                     int dcq, int acq, int tx_type,
+                                     int32_t* out_quant,
+                                     uint8_t* out_recon, int* out_nnz) {
+    double res[32 * 32];
+    for (int i = 0; i < n * n; ++i)
+        res[i] = (double)src[i] - (double)pred[i];
+    double coefs[32 * 32];
+    if (tx_type == 1) {
+        std::memcpy(coefs, res, sizeof(double) * n * n);
+    } else {
+        const double* m = DM.get(n);
+        double tmp[32 * 32];
+        // tmp = M @ res
+        for (int k = 0; k < n; ++k)
+            for (int x = 0; x < n; ++x) {
+                double acc = 0;
+                for (int j = 0; j < n; ++j)
+                    acc += m[k * n + j] * res[j * n + x];
+                tmp[k * n + x] = acc;
+            }
+        // coefs = tmp @ M^T
+        for (int k = 0; k < n; ++k)
+            for (int x = 0; x < n; ++x) {
+                double acc = 0;
+                for (int j = 0; j < n; ++j)
+                    acc += tmp[k * n + j] * m[x * n + j];
+                coefs[k * n + x] = acc;
+            }
+    }
+    const double step_ac = acq / 8.0, step_dc = dcq / 8.0;
+    int nnz = 0;
+    for (int i = 0; i < n * n; ++i) {
+        double c = coefs[i];
+        double step = (i == 0) ? step_dc : step_ac;
+        double lv = std::floor(std::fabs(c) / step + 0.5);
+        if (lv > 4096) lv = 4096;
+        int32_t q = (int32_t)(c < 0 ? -lv : lv);
+        out_quant[i] = q;
+        if (q) ++nnz;
+    }
+    *out_nnz = nnz;
+    if (!nnz) {
+        std::memcpy(out_recon, pred, (size_t)n * n);
+    } else {
+        ik_av1_recon(out_quant, pred, n, dcq, acq, tx_type, out_recon);
+    }
+    long long sse = 0;
+    for (int i = 0; i < n * n; ++i) {
+        long long d = (long long)src[i] - (long long)out_recon[i];
+        sse += d * d;
+    }
+    return sse;
 }
