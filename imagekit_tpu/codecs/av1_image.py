@@ -121,13 +121,23 @@ def dc_pred(recon: np.ndarray, r0: int, c0: int, bh: int, bw: int,
 
 # Intra mode indices (spec): the subset this encoder searches for luma.
 MODE_DC, MODE_V, MODE_H, MODE_PAETH = 0, 1, 2, 12
+MODE_SMOOTH, MODE_SMOOTH_V, MODE_SMOOTH_H = 9, 10, 11
+
+
+def _sm_weights(b: int) -> np.ndarray:
+    """Per-size SMOOTH weights (spec 7.11.2.6), carved from libaom's
+    .rodata (tools/extract_sm_weights.py) and certified behaviorally by
+    the dav1d conformance gate."""
+    w = tables()["sm_weights"]
+    off = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}[b]
+    return w[off:off + b].astype(np.int64)
 
 
 def intra_pred(mode: int, recon: np.ndarray, r0: int, c0: int, b: int,
                have_above: bool, have_left: bool) -> np.ndarray:
     """Predict a b x b block (spec 7.11.2) from reconstructed
     neighbors.  The encoder only offers a mode when its references
-    exist (V needs above, H needs left, PAETH needs both + corner), so
+    exist (V needs above, H needs left, PAETH/SMOOTH* need both), so
     the unavailable-edge substitutions never arise; the sequence header
     disables the intra edge filter, so directional prediction is the
     unfiltered copy."""
@@ -153,6 +163,23 @@ def intra_pred(mode: int, recon: np.ndarray, r0: int, c0: int, b: int,
             np.broadcast_to(left, (b, b)),
             np.where(p_top <= p_tl, np.broadcast_to(top, (b, b)), tl))
         return out.astype(np.uint8)
+    if mode in (MODE_SMOOTH, MODE_SMOOTH_V, MODE_SMOOTH_H):
+        above = recon[r0 - 1, c0:c0 + b].astype(np.int64)[None, :]
+        left = recon[r0:r0 + b, c0 - 1].astype(np.int64)[:, None]
+        below = int(recon[r0 + b - 1, c0 - 1])   # LeftCol[b-1]
+        right = int(recon[r0 - 1, c0 + b - 1])   # AboveRow[b-1]
+        w = _sm_weights(b)
+        wv = w[:, None]
+        wh = w[None, :]
+        if mode == MODE_SMOOTH:
+            s = (wv * above + (256 - wv) * below
+                 + wh * left + (256 - wh) * right)
+            return ((s + 256) >> 9).astype(np.uint8)
+        if mode == MODE_SMOOTH_V:
+            s = wv * above + (256 - wv) * below
+        else:
+            s = wh * left + (256 - wh) * right
+        return ((s + 128) >> 8).astype(np.uint8)
     raise ValueError(f"unsupported intra mode {mode}")
 
 
@@ -394,7 +421,7 @@ def _rd_block(te: TileEncoder, planes, recs, mi_r: int, mi_c: int,
     if hl:
         modes.append(MODE_H)
     if ha and hl:
-        modes.append(MODE_PAETH)
+        modes += [MODE_PAETH, MODE_SMOOTH, MODE_SMOOTH_V, MODE_SMOOTH_H]
     src_y = planes[0][pr:pr + size, pc:pc + size]
     te._encode_partition_symbol(te._part_ctx(mi_r, mi_c, size),
                                 PARTITION_NONE, size)

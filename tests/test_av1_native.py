@@ -428,3 +428,28 @@ def test_cdf_adaptation_smaller_and_bit_exact():
     assert len(adapt) < len(static)          # rate win on dense content
     dec = avif_native._decode_obu(adapt, 64, 128)
     assert dec is not None and (np.asarray(dec[0]) == ra).all()
+
+
+@needs_dav1d
+def test_smooth_modes_bit_exact():
+    """SMOOTH/SMOOTH_V/SMOOTH_H (spec 7.11.2.6, sm_weights carved from
+    libaom via tools/extract_sm_weights.py) must ride the conformance
+    gate — encode gradient content where the smooth family wins and
+    require dav1d-bit-exact recon; also pin the weights' structure."""
+    from imagekit_tpu.codecs.av1_entropy import tables
+    from imagekit_tpu.codecs.av1_image import encode_frame
+
+    w = tables()["sm_weights"]
+    assert w.shape == (124,)
+    assert [int(w[o]) for o in (0, 4, 12, 28, 60)] == [255] * 5
+    assert int(w[123]) == 4                      # size-64 tail
+    yy, xx = np.mgrid[0:128, 0:192]
+    grad = ((xx + yy) * 1.1 % 256).astype(np.uint8)
+    u = np.full((64, 96), 120, np.uint8)
+    v = np.full((64, 96), 135, np.uint8)
+    stream, ry, ru, rv = encode_frame(grad, u, v, qindex=60)
+    dec = avif_native._decode_obu(stream, 192, 128)
+    assert dec is not None
+    assert (np.asarray(dec[0]) == ry).all()
+    mse = ((ry.astype(np.int64) - grad.astype(np.int64)) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 45.0
