@@ -296,10 +296,12 @@ def encode_superblock(sb_y: np.ndarray, sb_u: np.ndarray, sb_v: np.ndarray,
 # both at matched PSNR on the detail/waves corpus.
 RD_LAMBDA_C = 0.15
 
-# a SPLIT adds at least ~4 partition symbols + 3 skip/mode sets over
-# NONE; if NONE's distortion is already below lam * this, SPLIT cannot
-# win (distortion can't go negative) — safe prune, keeps flat regions
-# at fixed-tree speed.
+# a SPLIT adds ~4 partition symbols + 3 skip/mode sets over NONE; if
+# NONE's distortion is already below lam * this, SPLIT is pruned.  With
+# static CDFs the 16-bit floor makes this an (almost) safe prune; under
+# CDF adaptation heavily-adapted symbols can undercut it, so it is a
+# HEURISTIC there — the cost is only RD optimality on near-flat nodes,
+# never conformance.
 _SPLIT_MIN_BITS = 16
 
 

@@ -747,8 +747,14 @@ def _seq_header_color_range(obu_stream: bytes) -> Optional[tuple]:
             r.f(1)  # twelve_bit
         mono = r.f(1) if seq_profile != 1 else 0
         if r.f(1):  # color_description_present_flag
-            r.f(24)  # primaries, transfer, matrix
-        return bool(mono), bool(r.f(1))  # color_range follows either way
+            primaries = r.f(8)
+            transfer = r.f(8)
+            matrix = r.f(8)
+            # spec 5.5.2: the sRGB identity triple (1, 13, 0) on a
+            # non-mono stream OMITS color_range — it is implied FULL
+            if not mono and (primaries, transfer, matrix) == (1, 13, 0):
+                return False, True
+        return bool(mono), bool(r.f(1))  # color_range follows otherwise
     except (IndexError, ValueError):
         return None
 

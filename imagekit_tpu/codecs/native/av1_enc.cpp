@@ -221,6 +221,10 @@ IK_EXPORT int ik_av1_txb(MsacEnc* e, int plane, int qctx, int txsz_log2,
                          int dc_sign_ctx, int ymode, int txtype_sym,
                          uint16_t* const* tabs, int adapt) {
     if (!g_bound || txsz_log2 < 2 || txsz_log2 > 5) return -100;
+    // adaptation REQUIRES caller-owned mutable tables: without them the
+    // const_casts below would mutate the process-global defaults that
+    // every static-CDF encoder shares
+    if (adapt && !tabs) return -100;
     const int q = qctx;
     const int ptype = plane ? 1 : 0;
     const int txs_ctx = txsz_log2 - 2;

@@ -1179,3 +1179,44 @@ def test_decode_yuv_studio_want_alpha_false():
     full = avif_native.decode_yuv_studio(data)
     assert full is not None and full.alpha is not None
     assert (out.y == full.y).all()
+
+
+def test_seq_header_identity_triple_implies_full_range():
+    """Spec 5.5.2: a non-mono color_config carrying the sRGB identity
+    triple (primaries 1, transfer 13, matrix 0) OMITS color_range — it
+    is implied FULL.  The parse must not read the next bit as range
+    (review finding: it read separate_uv_delta_q and could corrupt
+    full-range alpha by limited->full rescaling)."""
+    from imagekit_tpu.codecs.av1_entropy import BitWriter, obu
+
+    def seq(identity: bool) -> bytes:
+        b = BitWriter()
+        b.f(0, 3)   # seq_profile 0
+        b.f(1, 1)   # still_picture
+        b.f(1, 1)   # reduced_still_picture_header
+        b.f(0, 5)   # level
+        b.f(5, 4)   # wbits-1
+        b.f(5, 4)   # hbits-1
+        b.f(63, 6)  # w-1
+        b.f(63, 6)  # h-1
+        b.f(0, 6)   # sb/filters/superres/cdef/restoration bits
+        b.f(0, 1)   # high_bitdepth
+        b.f(0, 1)   # mono_chrome
+        b.f(1, 1)   # color_description_present
+        if identity:
+            b.f(1, 8)    # primaries
+            b.f(13, 8)   # transfer
+            b.f(0, 8)    # matrix -> range OMITTED (implied full)
+        else:
+            b.f(1, 8)
+            b.f(13, 8)
+            b.f(6, 8)    # BT.601 matrix -> range bit follows
+            b.f(0, 1)    # limited
+        b.f(0, 2)   # chroma_sample_position
+        b.f(0, 1)   # separate_uv_delta_q
+        b.f(0, 1)   # film_grain
+        b.trailing_bits()
+        return obu(1, b.bytes())   # OBU_SEQUENCE_HEADER
+
+    assert avif_native._seq_header_color_range(seq(True)) == (False, True)
+    assert avif_native._seq_header_color_range(seq(False)) == (False, False)

@@ -63,11 +63,11 @@ def probe_stream(bs: int, qindex: int, qy=None, qu=None, qv=None,
         walk(mi_r + h, mi_c + h, size >> 1)
 
     walk(0, 0, 64)
-    tile = te.msac.done()
-    seq = obu(OBU_SEQUENCE_HEADER, sequence_header(64, 64))
-    hdr = frame_header_bits(qindex, 64, 64)
-    hdr.byte_align()
-    return seq + obu(OBU_FRAME, hdr.bytes() + tile)
+    # the production wrapper, so the probe certifies the exact stream
+    # shape the encoder emits (header layout drift would desync them)
+    from imagekit_tpu.codecs.av1_image import _tile_to_frame
+
+    return _tile_to_frame(te.msac.done(), qindex)
 
 
 def check(bs: int, plane: int, qindex: int, quant: dict,
