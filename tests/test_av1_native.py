@@ -453,3 +453,26 @@ def test_smooth_modes_bit_exact():
     assert (np.asarray(dec[0]) == ry).all()
     mse = ((ry.astype(np.int64) - grad.astype(np.int64)) ** 2).mean()
     assert 10 * np.log10(255 ** 2 / mse) > 45.0
+
+
+@needs_dav1d
+def test_pure_python_path_conformant(monkeypatch):
+    """With NO native library at all (no C entropy engine, no C
+    leaf-eval — e.g. a box without a compiler), the pure-Python encoder
+    must still produce dav1d-bit-exact streams."""
+    import imagekit_tpu.codecs.av1_image as A
+    from imagekit_tpu.codecs.native import av1_abi
+
+    monkeypatch.setenv("IMAGEKIT_AV1_NATIVE", "0")
+    av1_abi._state.update({"attempted": False, "lib": None})
+    monkeypatch.setattr(A, "_LEAF_LIB", [None])
+    try:
+        y = _contents(64, 128)["waves"]
+        u = _contents(32, 64, seed=5)["gradient"]
+        v = np.full((32, 64), 110, np.uint8)
+        stream, ry, ru, rv = A.encode_frame(y, u, v, qindex=60)
+        dec = avif_native._decode_obu(stream, 128, 64)
+        assert dec is not None
+        assert (np.asarray(dec[0]) == ry).all()
+    finally:
+        av1_abi._state.update({"attempted": False, "lib": None})
