@@ -7,27 +7,34 @@ reference obtains by compiling rav1e into its binary (reference
 src/transform.rs:138-146); here it is a first-party encoder whose
 every symbol is certified against libaom/dav1d behavior.
 
-v1 design decisions:
-  - geometry: every luma block is 32x32 (superblocks force-split once),
-    so the luma transform is always TX_32X32 — the DCT-only transform
-    set, no tx_type symbols; chroma rides at 16x16.  Arbitrary sizes
-    are handled upstream by padding to a multiple of 64 and cropping
-    with the AVIF container's CleanAperture box.
-  - prediction: DC_PRED per plane from in-tile reconstructed neighbors
-    (tiles are one superblock, so prediction never crosses an SB).
+Design (final round-5 state):
+  - geometry: ANY frame dims 1..4096.  Planes edge-replicate onto the
+    spec 8-px mi grid; edge superblocks use the forced-split partition
+    syntax; the bitstream signals the true size (no container
+    CleanAperture).  RD-adaptive partition tree with 32/16/8 leaves.
+  - prediction: DC/V/H/PAETH/SMOOTH/SMOOTH_V/SMOOTH_H luma modes
+    (prediction-SSE top-2 shortlist per leaf), DC chroma; tiles are
+    one superblock, so prediction never crosses an SB.
+  - transforms: DCT always; IDTX joins the search for luma tx <= 16
+    on sparse residuals (TX_SET_INTRA_2 symbol 0).
+  - RD: exact-MSAC-bit trial costing via TileEncoder snapshot/restore
+    (coded vs forced-skip vs eob-trimmed candidates; early-abandon
+    splits; lambda = RD_LAMBDA_C * qstep^2).  The hot distortion
+    pipeline (forward tx + quantize + recon + SSE) runs in C when the
+    native library is present (_eval_candidate), with a numpy fallback.
+  - entropy: per-tile CDF adaptation by default (disable_cdf_update=0,
+    IMAGEKIT_AV1_ADAPT=0 reverts).
   - reconstruction: EXACT, via the in-process integer inverse
-    transform (av1_itx.py), certified bit-exact against libdav1d over
-    every basis vector + dense random coefficient sets of every size
-    (tools/av1_itx_probe.py), so the encoder predicts from byte-true
-    decoder output.  A dav1d decode oracle remains available (each
-    tile is self-contained: a snapshot of the tile encoder finalized
-    with skip blocks decodes as a single-SB frame) and cross-checks
-    av1_itx inside full tiles in tests.
-  - quantization: orthonormal float DCT-II + round(c / step), where
-    step comes from the extracted dc/ac qlookup tables.  The scale
-    relation (step = q_Q3/8 at TX_32X32, measured against dav1d) only
-    shapes rate/distortion — reconstruction exactness never depends on
-    it because recon comes from av1_itx.
+    transforms (av1_itx.py + the C port), certified bit-exact against
+    libdav1d over every basis vector + dense random coefficient sets
+    (tools/av1_itx_probe.py) and 2700+ randomized full streams
+    (tools/av1_soak.py), so the encoder predicts from byte-true
+    decoder output.  A dav1d decode oracle remains for cross-checks.
+  - quantization: orthonormal float DCT-II (or identity) + dead-zone
+    round(c / step); step = qlookup/8 in the orthonormal domain for
+    every size (AV1's integer transforms are uniform-gain).
+    Reconstruction exactness never depends on the scale — recon comes
+    from the certified inverse.
 """
 
 from __future__ import annotations

@@ -1,16 +1,15 @@
 """First-party AV1 intra still-image encoder (spec-conformant subset).
 
 The in-process AV1 entropy core the reference gets by compiling rav1e
-(`image` crate AvifEncoder — reference src/transform.rs:138-146).  Scope
-(v1): 8-bit 4:2:0 keyframe, single tile, DC-prediction blocks on a
-forced partition grid (32x32 interior leaves, 16/8 at edges), DCT-only
-transforms at block size, loop filter / CDEF / restoration / superres /
-screen-content tools all off, disable_cdf_update=1 (static default CDFs
-— spec 5.9.2 — so neither side carries adaptation state).
-
-Frame dimensions must be multiples of 8 (below that the partition tree
-needs 4x4 leaves and the chroma pairing rule); callers fall back to the
-libavif path otherwise.
+(`image` crate AvifEncoder — reference src/transform.rs:138-146).
+Scope: 8-bit 4:2:0 keyframes at ANY dims 1..4096, one tile per 64x64
+superblock (free decoder parallelism), full partition tree down to 8x8
+incl. the frame-edge forced-split syntax, DC/directional/PAETH/SMOOTH
+intra modes, DCT + IDTX transforms at block size (TX_MODE_LARGEST),
+the complete residual coefficient chain, and per-tile CDF adaptation
+(disable_cdf_update=0) or the static-default regime — both certified.
+Loop filter / CDEF / restoration / superres / screen-content tools are
+off (our streams reconstruct exactly without them).
 
 Conformance oracle: tools/av1_validate.py decodes every stream with the
 system libdav1d (and libaom) and requires bit-exact agreement with this
@@ -170,7 +169,7 @@ def frame_header_bits(qindex: int, w: int, h: int,
 
 
 class TileEncoder:
-    """Codes one tile's superblock tree (v1: all-skip DC blocks).
+    """Codes one tile's superblock tree.
 
     Syntax model pinned by tools/av1_rosetta.py: controlled libaom
     streams (static CDFs, forced 32x32 partitions) are mirror-parsed
