@@ -770,11 +770,14 @@ async def measure_device_only(engine, src: bytes, ev: Evidence):
                 y_ac[i, :by, j * pads[0] : j * pads[0] + bx] = ac8[0][:, :, j]
                 cb_ac[i, :cy, j * pads[1] : j * pads[1] + cx] = ac8[1][:, :, j]
                 cr_ac[i, :cy, j * pads[1] : j * pads[1] + cx] = ac8[2][:, :, j]
-            for c, (ei, ev) in enumerate(
+            # NB: loop vars must not be named `ev` — that would shadow
+            # the Evidence object used for checkpointing below (this
+            # exact shadowing broke the first on-hardware run of r5).
+            for c, (esc_i, esc_v) in enumerate(
                 _esc_batch_rows(esc8, i, bx, cx, na, pads)
             ):
-                eidx[c].append(ei)
-                evals[c].append(ev)
+                eidx[c].append(esc_i)
+                evals[c].append(esc_v)
         # batch-cap overflow would demote in serving; mirror that here
         if (
             sum(map(len, eidx[0])) > LOWFREQ_ESC_Y

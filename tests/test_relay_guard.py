@@ -222,3 +222,37 @@ def test_probe_cache_disabled_by_env(monkeypatch, tmp_path):
     relay_guard.ensure_usable_backend()
     assert len(calls) == 2  # cache off -> probes both times
     relay_guard.reset_for_tests()
+
+
+def test_bench_never_shadows_evidence_param():
+    """Regression pin for the r5 on-hardware crash: a loop target named
+    ``ev`` inside ``measure_device_only`` shadowed the Evidence object,
+    so the resident-stage checkpoint blew up with AttributeError after
+    warmup + saturated_1 had already burned ~200 s of driver budget.
+    Statically forbid ANY rebinding of an ``ev`` parameter in bench.py."""
+    import ast
+
+    src = open(os.path.join(REPO, "bench.py")).read()
+    tree = ast.parse(src)
+    offenders = []
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        params = {a.arg for a in fn.args.args + fn.args.kwonlyargs}
+        if "ev" not in params:
+            continue
+        for node in ast.walk(fn):
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = node.targets
+            elif isinstance(node, (ast.For, ast.AsyncFor)):
+                targets = [node.target]
+            elif isinstance(node, ast.withitem) and node.optional_vars:
+                targets = [node.optional_vars]
+            elif isinstance(node, (ast.comprehension,)):
+                targets = [node.target]
+            for t in targets:
+                for leaf in ast.walk(t):
+                    if isinstance(leaf, ast.Name) and leaf.id == "ev":
+                        offenders.append((fn.name, leaf.lineno))
+    assert not offenders, f"'ev' rebound inside: {offenders}"
